@@ -1,0 +1,3 @@
+from parcialbigdata_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

@@ -1,0 +1,146 @@
+"""Text-analysis expressions for large-scale training-data pipelines.
+
+Everything here is a pure ``pyspark.sql.functions`` Column builder —
+JVM-side, whole-stage-codegen friendly, zero Python in the hot path —
+so each scales to 100 TB of documents as a narrow (shuffle-free) map.
+
+Capability target SURVEY.md §2.10 / north star (text analysis: lang-id,
+quality scoring, token counting, fingerprinting). The reference repo has
+no text analytics; its only string ops are strip/replace
+(download_lambda.py:95,100,132), covered by F1 in SURVEY.md §2.7.
+
+Design note: each function has a deliberately SQL-expressible definition
+so the DuckDB oracle (``__spark_entry__.py``) can replicate it exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-hit
+# language heuristic. Deliberately small and hard-coded: lang-id at scale
+# is a scoring pass, not a model lookup.
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is"),
+    "es": ("el", "la", "de", "que", "los"),
+    "fr": ("le", "la", "les", "et", "des"),
+    "de": ("der", "die", "und", "das", "ein"),
+}
+
+_WS = r"\s+"
+
+
+def _c(col: Column | str) -> Column:
+    return F.col(col) if isinstance(col, str) else col
+
+
+def tokens(text: Column | str) -> Column:
+    """Whitespace tokenization → array<string>. The BPE-ish variant below
+    (``subword_count``) approximates tokenizer load for budget planning."""
+    return F.split(F.trim(_c(text)), _WS)
+
+
+def token_count(text: Column | str) -> Column:
+    return F.size(tokens(text))
+
+
+def subword_count(text: Column | str) -> Column:
+    """BPE-ish proxy token count: split on word boundaries AND digit/punct
+    transitions — counts sub-word units the way a byte-pair tokenizer
+    roughly would (~chars/4 for English).  Pure regexp, no tokenizer dep."""
+    return F.size(
+        F.filter(
+            F.split(_c(text), r"(?=[A-Z])|[^A-Za-z0-9]+"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def punct_ratio(text: Column | str) -> Column:
+    t = _c(text)
+    stripped = F.regexp_replace(t, r"[^\w\s]", "")
+    return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
+
+
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    toks = tokens(F.lower(_c(text)))
+    markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+    hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
+    return hits / F.greatest(F.size(toks), F.lit(1))
+
+
+def mean_word_len(text: Column | str) -> Column:
+    toks = tokens(_c(text))
+    total = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return total / F.greatest(F.size(toks), F.lit(1))
+
+
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    length sweet spot + low punctuation + sane mean word length.
+    Mirrors the C4/Gopher-style rule-based filters, expressible in SQL."""
+    t = _c(text)
+    n = F.length(t)
+    len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
+    punct_ok = F.when(punct_ratio(t) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
+    mwl = mean_word_len(t)
+    word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
+    return (len_ok + punct_ok + word_ok) / F.lit(3.0)
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoint presence → 'zh'; otherwise the
+    language whose marker stopwords hit the most tokens; ties → 'und'.
+
+    One narrow map — at 100 TB this is a single scan with no shuffle."""
+    t = F.lower(_c(text))
+    toks = tokens(t)
+
+    def hits(lang: str) -> Column:
+        markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
+        return F.size(F.filter(toks, lambda tok: F.array_contains(markers, tok)))
+
+    en, es, fr, de = hits("en"), hits("es"), hits("fr"), hits("de")
+    best = F.greatest(en, es, fr, de)
+    return (
+        F.when(t.rlike(r"[一-鿿]"), F.lit("zh"))
+        .when(best == 0, F.lit("und"))
+        # deterministic priority order on ties: en > es > fr > de
+        .when(en == best, F.lit("en"))
+        .when(es == best, F.lit("es"))
+        .when(fr == best, F.lit("fr"))
+        .otherwise(F.lit("de"))
+    )
+
+
+def normalize(text: Column | str) -> Column:
+    """Canonical form used for fingerprints / exact dedup: lowercase,
+    collapse whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(_c(text)), _WS, " "))
+
+
+def fingerprint(text: Column | str) -> Column:
+    """Deterministic 128-bit document fingerprint: md5 of the normalized
+    text. Engine-portable (DuckDB md5 produces identical hex)."""
+    return F.md5(normalize(_c(text)))
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (n-grams) as array<string>, distinct.
+
+    Built with sequence+transform — no UDF, no explode (the shingle set
+    stays row-local, so shingling is shuffle-free)."""
+    toks = tokens(normalize(_c(text)))
+    n = F.size(toks)
+    idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
+    return F.array_distinct(
+        F.when(
+            n >= k,
+            F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
+        ).otherwise(F.array(F.concat_ws(" ", toks)))
+    )

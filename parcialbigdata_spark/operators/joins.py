@@ -1,0 +1,104 @@
+"""Join operators Spark lacks as single built-ins: as-of and range joins.
+
+SURVEY.md §2.3 — the reference has no joins at all; these are the EXT
+capability rows. Equi/semi/anti/cross joins need no code here (Catalyst
+built-ins); this module adds the two compositions worth engineering.
+
+Scale design notes (100 TB):
+- ``as_of_join`` uses the union + last-value-carried-forward plan: ONE
+  shuffle on the key, no row blowup, no range-join explosion — the same
+  trade kdb/QuestDB make for as-of. The naive plan (range join + window)
+  materializes |L|×|matching R| intermediates; this one is linear.
+- ``range_join`` with an equi prefix stays a sort-merge/shuffled-hash
+  join with a residual predicate; without one it degrades to
+  BroadcastNestedLoopJoin, acceptable only when one side is small —
+  callers pass ``broadcast_right=True`` explicitly to acknowledge that.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_of_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_time: str,
+    right_time: str,
+    right_values: list[str] | None = None,
+    direction: str = "backward",
+) -> DataFrame:
+    """For each left row, attach the most recent right row with
+    ``right_time <= left_time`` (direction='backward'; 'forward' takes the
+    nearest following row) sharing the join key ``on``.
+
+    Plan: tag both sides, union, single shuffle on ``on``, then
+    ``last(..., ignorenulls)`` over an ordered window carries the latest
+    right values forward onto each left row. Ties on timestamp resolve to
+    the right row (right sorts before left at equal times).
+    """
+    right_values = right_values or [c for c in right.columns if c not in (on, right_time)]
+
+    lefts = left.select(
+        F.col(on).alias("__k"),
+        F.col(left_time).alias("__t"),
+        F.lit(1).alias("__is_left"),
+        F.struct(*left.columns).alias("__l"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+    )
+    rights = right.select(
+        F.col(on).alias("__k"),
+        F.col(right_time).alias("__t"),
+        F.lit(0).alias("__is_left"),
+        F.lit(None).cast(lefts.schema["__l"].dataType).alias("__l"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+    )
+
+    if direction == "backward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").asc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    elif direction == "forward":
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__t").desc(), F.col("__is_left").asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+    else:
+        raise ValueError(f"unknown direction {direction!r}")
+
+    carried = lefts.unionByName(rights).select(
+        "__is_left",
+        "__l",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_values],
+    )
+    out = carried.filter(F.col("__is_left") == 1).select(
+        F.col("__l.*"),
+        *[F.col(f"__r_{c}").alias(c) for c in right_values],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    condition: Column,
+    equi_on: list[str] | None = None,
+    how: str = "inner",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Theta/band join. With ``equi_on`` the range predicate rides along a
+    normal equi join (shuffle once, residual filter). Without it, the
+    right side MUST be broadcast-small (dimension/band tables)."""
+    r = F.broadcast(right) if broadcast_right else right
+    if equi_on:
+        eq = [left[c] == right[c] for c in equi_on]
+        cond = eq[0]
+        for e in eq[1:]:
+            cond = cond & e
+        return left.join(r, cond & condition, how)
+    return left.join(r, condition, how)

@@ -1,0 +1,58 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Local testing runs on ``local[N]`` but every knob here is chosen for the
+1000-executor / 100 TB case and is equally valid there:
+
+- AQE on (runtime re-plan, skew-join splitting, partition coalescing).
+- Arrow on (pandas UDFs are the only Python hot path we allow).
+- Session timezone pinned to UTC so timestamp semantics are deterministic
+  and match the DuckDB oracle.
+- ``shuffle.partitions`` defaults to 2×cores locally; on a real cluster
+  AQE coalesces from a deliberately-high initial number, so we set the
+  initial partition number high and let AQE shrink it.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None) -> SparkSession:
+    """Build (or fetch) the tuned SparkSession.
+
+    ``SPARK_GRAFT_CPUS`` controls local parallelism (driver contract);
+    on a cluster, ``master`` comes from spark-submit and this arg is None.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # --- determinism / correctness ---
+        .config("spark.sql.session.timeZone", "UTC")
+        # --- adaptive execution: the scale workhorse ---
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # start high, let AQE coalesce; on 1000 executors this would be
+        # ~2-3x total cores instead.
+        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 32)))
+        # --- Python interop: Arrow everywhere ---
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # --- scan sizing: 128 MB splits, the parquet sweet spot ---
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        # --- broadcast joins for dims up to 64 MB (region/nation/part/
+        #     supplier stay broadcast-able far beyond sf0.1) ---
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # events.parquet stores TIMESTAMP(NANOS) which the vectorized
+        # reader rejects; read as long and convert in the loader.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.ansi.enabled", "false")
+    )
+    return builder.getOrCreate()
