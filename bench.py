@@ -1,0 +1,75 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+exactly ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is materialized with a cheap count-style action (the driver
+cares about end-to-end plan execution time, not row transfer to the
+driver), timed individually after one warm-up of the session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from parcialbigdata_spark.queries import QUERIES
+from parcialbigdata_spark.session import get_spark
+
+# Headline set: the most expensive/representative plans, one per family.
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top_customers_revenue",
+    "asof_latest_order_before_event",
+    "window_top_orders_per_customer",
+    "rollup_revenue_region_nation",
+    "sessionization_events",
+    "json_event_props",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("parcialbigdata-bench")
+    # Derive a numeric sf from the dir name (sf0.1 → 0.1); best-effort.
+    base = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        sf = float(base.replace("sf", ""))
+    except ValueError:
+        sf = None
+
+    # Warm up the JVM/session once so per-query timings measure the
+    # query, not session start.
+    QUERIES["q1_pricing_summary"](spark, sf_dir).limit(1).count()
+
+    names = [n for n in BENCH_QUERIES if n in QUERIES]
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.perf_counter()
+        df = QUERIES[name](spark, sf_dir)
+        # Execute the full plan; write nothing, pull only the count back.
+        df.count()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
