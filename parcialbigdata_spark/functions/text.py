@@ -36,9 +36,12 @@ def _c(col: Column | str) -> Column:
 
 
 def tokens(text: Column | str) -> Column:
-    """Whitespace tokenization → array<string>. The BPE-ish variant below
-    (``subword_count``) approximates tokenizer load for budget planning."""
-    return F.split(F.trim(_c(text)), _WS)
+    """Whitespace tokenization → array<string>. Empty/whitespace-only
+    text yields an EMPTY array (``F.split`` alone would yield ``['']``,
+    making token_count('')==1 and giving empty docs Jaccard 1.0). The
+    BPE-ish variant below (``subword_count``) approximates tokenizer
+    load for budget planning."""
+    return F.filter(F.split(F.trim(_c(text)), _WS), lambda t: t != F.lit(""))
 
 
 def token_count(text: Column | str) -> Column:
@@ -142,5 +145,8 @@ def shingles(text: Column | str, k: int = 3) -> Column:
         F.when(
             n >= k,
             F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k))),
-        ).otherwise(F.array(F.concat_ws(" ", toks)))
+        ).otherwise(
+            # short doc → one shingle of the whole text; empty doc → []
+            F.filter(F.array(F.concat_ws(" ", toks)), lambda s: s != F.lit(""))
+        )
     )

@@ -163,10 +163,24 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     k_shingle: int = 3,
     block_col: str | None = None,
+    max_unblocked_rows: int = 20_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs, optionally blocked by
     ``block_col`` (e.g. language) to bound the quadratic term. Use
-    ``minhash_near_dups`` when no natural block exists."""
+    ``minhash_near_dups`` when no natural block exists.
+
+    Without ``block_col`` the join is O(n²); to prevent silently running
+    an all-pairs join at scale, raises ``ValueError`` when the unblocked
+    input exceeds ``max_unblocked_rows`` (set it to 0/None to override
+    explicitly)."""
+    if block_col is None and max_unblocked_rows:
+        n = df.count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"ngram_jaccard_pairs without block_col is O(n²); input has "
+                f"{n} rows > max_unblocked_rows={max_unblocked_rows}. Pass a "
+                f"block_col or use minhash_near_dups."
+            )
     sh = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),

@@ -34,26 +34,34 @@ def as_of_join(
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
     nearest following row) sharing the join key ``on``.
 
-    Plan: tag both sides, union, single shuffle on ``on``, then
-    ``last(..., ignorenulls)`` over an ordered window carries the latest
-    right values forward onto each left row. Ties on timestamp resolve to
-    the right row (right sorts before left at equal times).
+    Plan: tag both sides, union, single shuffle on ``on``, then ONE
+    ``last(ignorenulls)`` over an ordered window carries the latest right
+    row — as a single struct, so all carried values come from the SAME
+    right row even when some of its value columns are NULL. Ties on
+    timestamp resolve to the right row (right sorts before left at equal
+    times). If (on, right_time) is not unique on the right, ties among
+    right rows resolve arbitrarily — pre-aggregate for determinism.
     """
     right_values = right_values or [c for c in right.columns if c not in (on, right_time)]
+
+    l_struct = F.struct(*[F.col(c) for c in left.columns])
+    l_type = left.select(l_struct.alias("x")).schema["x"].dataType
+    r_struct = F.struct(*[F.col(c) for c in right_values])
+    r_type = right.select(r_struct.alias("x")).schema["x"].dataType
 
     lefts = left.select(
         F.col(on).alias("__k"),
         F.col(left_time).alias("__t"),
         F.lit(1).alias("__is_left"),
-        F.struct(*left.columns).alias("__l"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_values],
+        l_struct.alias("__l"),
+        F.lit(None).cast(r_type).alias("__rv"),
     )
     rights = right.select(
         F.col(on).alias("__k"),
         F.col(right_time).alias("__t"),
         F.lit(0).alias("__is_left"),
-        F.lit(None).cast(lefts.schema["__l"].dataType).alias("__l"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_values],
+        F.lit(None).cast(l_type).alias("__l"),
+        r_struct.alias("__rv"),
     )
 
     if direction == "backward":
@@ -74,11 +82,11 @@ def as_of_join(
     carried = lefts.unionByName(rights).select(
         "__is_left",
         "__l",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__r_{c}") for c in right_values],
+        F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__l.*"),
-        *[F.col(f"__r_{c}").alias(c) for c in right_values],
+        *[F.col(f"__rv.{c}").alias(c) for c in right_values],
     )
     return out
 
