@@ -1,0 +1,70 @@
+"""CSV sinks (reference: download_lambda.py:121-138).
+
+- :func:`csv_bytes` / :func:`write_csv_per_source` — the *faithful*
+  contract: exactly one named ``<name>.csv`` object per input
+  ``<name>.html`` file (key rewrite, ``:132``), header row first
+  (``:124-127``), serialized like ``csv.writer`` over ``StringIO``
+  (``:122-128``, CRLF line endings included). A per-file listing set is
+  tiny (≤ 10 pages of cards), so materializing one file's rows on the
+  driver mirrors the reference's in-memory buffer without a scale risk —
+  the *number of files* scales, not the per-file row count, and files
+  are independent.
+
+- :func:`write_csv_distributed` — the 100 TB path: plain distributed
+  ``DataFrameWriter.csv`` with a header per part-file, partitioned by
+  download date. Use when per-object naming parity stops mattering.
+"""
+
+from __future__ import annotations
+
+import csv
+from io import StringIO
+
+from pyspark.sql import DataFrame
+import pyspark.sql.functions as F
+
+from parcialbigdata_spark.pipeline.parse import CSV_COLUMNS
+
+
+def csv_bytes(rows: list[tuple]) -> str:
+    """Header CSV exactly as the reference builds it in memory
+    (csv.writer over StringIO, download_lambda.py:122-128)."""
+    buf = StringIO()
+    writer = csv.writer(buf)
+    writer.writerow(CSV_COLUMNS)
+    writer.writerows(rows)
+    return buf.getvalue()
+
+
+def write_csv_per_source(compat: DataFrame, store, dest_bucket: str) -> list[str]:
+    """1-in/1-out sink: one ``<date>.csv`` object per source date.
+
+    ``compat`` is the :func:`~parcialbigdata_spark.pipeline.parse.compat_view`
+    relation; ``store`` is any object with the ``put_object`` surface
+    (reference: s3_client.put_object, download_lambda.py:133-138).
+    Returns the keys written.
+    """
+    keys: list[str] = []
+    dates = [r[0] for r in compat.select("FechaDescarga").distinct().orderBy("FechaDescarga").collect()]
+    for fecha in dates:
+        rows = [
+            tuple(r)
+            for r in compat.filter(F.col("FechaDescarga") == fecha).collect()
+        ]
+        key = f"{fecha}.csv"
+        store.put_object(
+            Bucket=dest_bucket, Key=key, Body=csv_bytes(rows), ContentType="text/csv"
+        )
+        keys.append(key)
+    return keys
+
+
+def write_csv_distributed(compat: DataFrame, path: str) -> None:
+    """Scale path: distributed CSV write, header per part-file, hive
+    partitioning on the download date for pruning."""
+    (
+        compat.write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("FechaDescarga")
+        .csv(path)
+    )
