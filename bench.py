@@ -30,6 +30,12 @@ BENCH_QUERIES = [
     "rollup_revenue_region_nation",
     "sessionization_events",
     "json_event_props",
+    "minhash_near_dups_documents",
+    "simhash_near_dups_documents",
+    "canonical_dedup_documents",
+    "cosine_topk_embeddings",
+    "embedding_near_dup_pairs",
+    "text_metrics_by_lang",
 ]
 
 

@@ -5,10 +5,10 @@ Four families, all designed scale-first:
 - **Exact**: hash-groupBy on a canonical fingerprint. One shuffle on the
   16-byte md5 — the minimum possible data movement for exact dedup.
 - **MinHash + LSH**: word-shingle → k minhashes → b bands → candidate
-  pairs share a band bucket → exact Jaccard verification. Signatures are
-  computed with Spark's ``xxhash64`` inside higher-order functions — the
-  whole signature stage is a narrow, codegen'd map (no UDF, no MLlib
-  vector conversion). The only shuffle is the band-bucket self-join.
+  pairs share a band bucket → exact Jaccard verification. Signatures
+  are computed with Spark's ``xxhash64`` over exploded shingle rows and
+  a partial-aggregated groupBy — every operator stays inside
+  whole-stage codegen (no UDF, no MLlib vector conversion).
 - **SimHash**: 64-bit sign-of-weighted-sum fingerprint, pure SQL
   (aggregate over token bit-vectors), banding on 16-bit chunks for
   candidate generation, ``bit_count(a XOR b)`` Hamming verification.
@@ -54,37 +54,66 @@ def canonical_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 
 
 # ------------------------------------------------------------- MinHash
+#
+# Performance note (measured at sf0.01): building signatures as nested
+# higher-order-function lambdas (transform-over-transform on the shingle
+# array) runs ~100× slower than the equivalent explode → columnar hash →
+# groupBy(min) pipeline, because HOF lambdas are evaluated interpreted
+# (no whole-stage codegen) and the shingle expression is re-evaluated
+# inside every lambda. The explode/agg shape below keeps every operator
+# inside codegen; the groupBy is map-side partial-aggregated, so the
+# shuffle carries one num_hashes-wide row per (doc × partition).
 
 
-def minhash_signature(text_col: Column | str, num_hashes: int = 32, k_shingle: int = 3) -> Column:
-    """array<bigint> MinHash signature. Hash function *i* is
-    ``xxhash64(i, shingle)`` — seeding by prepending the index column,
-    which composes inside xxhash64's multi-argument chaining. All
-    JVM-side; zero Python."""
-    sh = T.shingles(text_col, k_shingle)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3) -> DataFrame:
+    """(id, shingle) rows — one row per word k-shingle occurrence.
+
+    Built as posexplode(tokens) → ``lead`` window per document instead
+    of materializing the shingle array with higher-order functions: the
+    window shape stays inside whole-stage codegen and costs one sort of
+    skinny (id, pos, token) rows, vs ~1 ms/row of interpreted lambda
+    evaluation for the array construction. Rows are NOT deduplicated
+    (fine for MinHash: min over a multiset equals min over its set).
+    Documents shorter than ``k_shingle`` tokens contribute their whole
+    token sequence as one shingle (same fallback as
+    ``functions.text.shingles``)."""
+    from pyspark.sql import Window
+
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(T.normalize(text_col))).alias("__pos", "__t"),
+    )
+    w = Window.partitionBy(id_col).orderBy("__pos")
+    parts = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, k_shingle)]
+    full = F.concat_ws(" ", *parts)
+    # lead() is NULL near the end of a doc; concat_ws skips NULLs, so the
+    # tail rows would emit partial shingles — keep only complete ones,
+    # except when the whole doc is shorter than k (then pos 0 carries the
+    # whole-text shingle).
+    n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
+    return (
+        ex.select(F.col(id_col), full.alias("__s"), F.col("__pos"), n_tok.alias("__n"))
+        .filter((F.col("__pos") <= F.col("__n") - k_shingle) | ((F.col("__n") < k_shingle) & (F.col("__pos") == 0)))
+        .select(id_col, "__s")
     )
 
 
-def _band_explode(
-    df: DataFrame, id_col: str, sig_col: str, num_hashes: int, bands: int
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    k_shingle: int = 3,
 ) -> DataFrame:
-    """signature → (id, band_idx, band_hash) rows; band_hash is the hash
-    of the band's signature slice so the shuffle key is 16 bytes."""
-    rows_per_band = num_hashes // bands
-    banded = F.transform(
-        F.sequence(F.lit(0), F.lit(bands - 1)),
-        lambda b: F.struct(
-            b.alias("band_idx"),
-            F.xxhash64(F.slice(F.col(sig_col), b * rows_per_band + 1, rows_per_band)).alias(
-                "band_hash"
-            ),
-        ),
-    )
-    return df.select(F.col(id_col), F.explode(banded).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
+    """(id, m0..m{num_hashes-1}) MinHash signature columns. The shingle
+    string is hashed ONCE (``xxhash64(shingle)``); hash function *i* is
+    ``xxhash64(i, base)`` — an integer remix, so the 32-function family
+    costs one string hash + 32 int hashes per shingle instead of 32
+    string hashes. All JVM-side, fully codegen'd."""
+    ex = shingle_rows(df, id_col, text_col, k_shingle)
+    hashed = ex.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    return hashed.groupBy(id_col).agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"m{i}") for i in range(num_hashes)]
     )
 
 
@@ -99,13 +128,29 @@ def minhash_candidate_pairs(
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band.
 
-    ``max_bucket`` drops degenerate buckets before the quadratic
-    self-join — at web scale a single boilerplate bucket would otherwise
-    emit billions of pairs."""
-    sigs = df.select(
-        F.col(id_col), minhash_signature(F.col(text_col), num_hashes, k_shingle).alias("sig")
+    Band *b*'s bucket key is ``xxhash64(m_{b·r}, …, m_{b·r+r-1})`` —
+    variadic column hashing, no array construction. ``max_bucket``
+    drops degenerate buckets before the quadratic self-join — at web
+    scale a single boilerplate bucket would otherwise emit billions of
+    pairs. The banded relation is persisted: three plan branches
+    (bucket counts + both self-join sides) would otherwise recompute
+    the signatures."""
+    r = num_hashes // bands
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k_shingle)
+    banded = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band_idx"),
+                F.xxhash64(*[F.col(f"m{b * r + j}") for j in range(r)]).alias("band_hash"),
+            )
+            for b in range(bands)
+        ]
     )
-    bb = _band_explode(sigs, id_col, "sig", num_hashes, bands)
+    bb = (
+        sigs.select(F.col(id_col), F.explode(banded).alias("band"))
+        .select(id_col, "band.band_idx", "band.band_hash")
+        .persist()
+    )
     if max_bucket:
         counts = bb.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
         bb = bb.join(
@@ -144,9 +189,16 @@ def minhash_near_dups(
     k_shingle: int = 3,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
-    Returns (id_a, id_b, jaccard_sim)."""
+    Returns (id_a, id_b, jaccard_sim). The shingle relation is persisted
+    once and joined to both pair sides (recomputing the shingle arrays
+    per side would double the dominant map cost)."""
     cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k_shingle)
-    sh = df.select(F.col(id_col), T.shingles(F.col(text_col), k_shingle).alias("sh"))
+    sh = (
+        shingle_rows(df, id_col, text_col, k_shingle)
+        .groupBy(id_col)
+        .agg(F.collect_set("__s").alias("sh"))
+        .persist()
+    )
     out = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -204,33 +256,33 @@ def ngram_jaccard_pairs(
 # ------------------------------------------------------------- SimHash
 
 
-def simhash64(text_col: Column | str) -> Column:
-    """64-bit SimHash, pure SQL: per-token 64-bit xxhash → ±1 bit vector
-    → element-wise sum over tokens → sign bits packed into a bigint.
-    A narrow map (aggregate over the row-local token array); the 64-lane
-    fold stays inside codegen."""
-    toks = T.tokens(T.normalize(text_col))
-    weights = F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("int"), 64),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(63)),
-                lambda b: F.when(
-                    F.shiftright(F.xxhash64(t), b).bitwiseAND(F.lit(1)) == 1, F.lit(1)
-                ).otherwise(F.lit(-1)),
-            ),
-            lambda a, x: a + x,
-        ),
+def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sh) with a 64-bit SimHash per document.
+
+    Shape: explode tokens → one ``xxhash64`` per token → groupBy(id)
+    with 64 ``sum(±1 bit)`` lanes → sign bits packed into a bigint.
+    Everything stays inside whole-stage codegen; the groupBy is
+    map-side partial-aggregated so the shuffle carries one 64-int row
+    per (doc × partition). (The earlier formulation — a higher-order
+    ``aggregate`` over the token array building a 64-wide array per
+    token — was ~100× slower: HOF lambdas evaluate interpreted.)
+
+    Documents with no tokens hash to 0, preserved via left join."""
+    toks = df.select(F.col(id_col), F.explode(T.tokens(T.normalize(text_col))).alias("__t"))
+    h = toks.select(id_col, F.xxhash64("__t").alias("__h"))
+    lanes = h.groupBy(id_col).agg(
+        *[
+            F.sum(F.shiftright(F.col("__h"), b).bitwiseAND(F.lit(1)) * 2 - 1).alias(f"w{b}")
+            for b in range(64)
+        ]
     )
-    return F.aggregate(
-        F.sequence(F.lit(0), F.lit(63)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.element_at(weights, b + 1) > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
-        ).otherwise(F.lit(0).cast("bigint")),
+    packed = F.lit(0).cast("bigint")
+    for b in range(64):
+        packed = packed + F.when(
+            F.col(f"w{b}") > 0, F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return df.select(id_col).join(lanes.select(id_col, packed.alias("sh")), id_col, "left").fillna(
+        {"sh": 0}
     )
 
 
@@ -244,20 +296,23 @@ def simhash_near_dups(
     """SimHash near-dup pairs: band the 64-bit hash into four 16-bit
     chunks — by pigeonhole any pair with Hamming distance ≤ 3 agrees on
     at least one chunk — join on chunk equality, verify exact Hamming.
-    Returns (id_a, id_b, hamming)."""
-    h = df.select(F.col(id_col), simhash64(F.col(text_col)).alias("sh"))
+    Returns (id_a, id_b, hamming). The signature relation is persisted
+    (both self-join sides read it)."""
+    h = simhash_signatures(df, id_col, text_col).persist()
     chunks = h.select(
         id_col,
         "sh",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(3)),
-                lambda i: F.struct(
-                    i.alias("chunk_idx"),
-                    F.shiftright(F.col("sh"), i * 16)
-                    .bitwiseAND(F.lit(0xFFFF))
-                    .alias("chunk_val"),
-                ),
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright(F.col("sh"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("chunk_val"),
+                    )
+                    for i in range(4)
+                ]
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk_idx", "c.chunk_val")

@@ -22,8 +22,11 @@ they are part of the index definition, not data.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, DoubleType, LongType
 
 from parcialbigdata_spark.functions import vectors as V
 
@@ -34,6 +37,56 @@ _SEED = 42
 def _planes(dim: int, nbits: int = DEFAULT_NBITS, seed: int = _SEED) -> list[list[float]]:
     rng = np.random.default_rng(seed)
     return rng.standard_normal((nbits, dim)).tolist()
+
+
+def _band_hashes_udf(planes: list[list[float]], bits_per_band: int, num_bands: int):
+    """Arrow-batched band-hash computation: one float64 matmul per batch
+    (vectors × hyperplanes), sign bits packed per band.
+
+    This is the documented drop-to-pandas-UDF case: 64 dot products per
+    row expressed as SQL higher-order folds evaluate interpreted (no
+    codegen) ~100× slower than one BLAS matmul over the Arrow batch.
+    Near-zero dots (|v·h| ≲ 1e-12) could in principle flip a sign bit
+    vs a differently-ordered summation; for unit-scale embeddings and
+    Gaussian planes that margin is never hit in practice, and multiprobe
+    covers single-bit perturbations."""
+    P = np.asarray(planes, dtype=np.float64)  # (num_bands*bits_per_band) × dim
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+
+    @pandas_udf(ArrayType(LongType()))
+    def bands(vec: pd.Series) -> pd.Series:
+        M = np.asarray(vec.tolist(), dtype=np.float64)  # n × dim
+        bits = (M @ P.T) > 0  # n × (num_bands*bits_per_band)
+        packed = bits.reshape(len(M), num_bands, bits_per_band) @ weights  # n × num_bands
+        return pd.Series(list(packed))
+
+    return bands
+
+
+@pandas_udf(DoubleType())
+def _pair_cosine_udf(va: pd.Series, vb: pd.Series) -> pd.Series:
+    """Arrow-batched row-wise cosine for candidate-pair verification:
+    one einsum per batch in float64. Used where no cross-engine oracle
+    parity is required (the SQL fold in ``functions.vectors.cosine``
+    stays the oracle-exact path); ~100× faster than the interpreted
+    higher-order fold on large candidate sets."""
+    A = np.asarray(va.tolist(), dtype=np.float64)
+    B = np.asarray(vb.tolist(), dtype=np.float64)
+    dots = np.einsum("ij,ij->i", A, B)
+    norms = np.linalg.norm(A, axis=1) * np.linalg.norm(B, axis=1)
+    return pd.Series(dots / np.where(norms == 0, 1.0, norms))
+
+
+def _query_band_hashes(
+    query_vec: list[float], planes: list[list[float]], bits_per_band: int, num_bands: int
+) -> list[int]:
+    """Driver-side twin of :func:`_band_hashes_udf` — identical float64
+    matmul so the query lands in the same buckets as an equal row."""
+    P = np.asarray(planes, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64).reshape(1, -1)
+    bits = (q @ P.T) > 0
+    weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+    return [int(x) for x in bits.reshape(num_bands, bits_per_band) @ weights]
 
 
 def _lit_vec(vec: list[float]) -> Column:
@@ -73,17 +126,6 @@ def add_lsh_bucket(
     return df.withColumn("lsh_bucket", hyperplane_bucket(vec_col, _planes(dim, nbits)))
 
 
-def _seq_dot(a: list[float], b: list[float]) -> float:
-    """Driver-side dot product with the SAME left-to-right double fold
-    Spark's ``F.aggregate`` uses — np.dot's pairwise/SIMD summation can
-    flip the sign of near-zero sums vs the sequential fold, putting the
-    query in a different bucket than an identical data vector."""
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc += float(x) * float(y)
-    return acc
-
-
 def ann_topk(
     df: DataFrame,
     query_vec: list[float],
@@ -97,7 +139,9 @@ def ann_topk(
     Hamming-1 neighbor buckets when ``multiprobe``), then exact rescore.
     ``nbits=8`` → 256 buckets; tune up with corpus size. The bucket
     filter is a pushed-down integer predicate when the table is stored
-    partitioned by bucket.
+    partitioned by bucket. Row buckets and the query bucket come from
+    the same float64 matmul (:func:`_band_hashes_udf` and its driver
+    twin), so an identical vector always shares the query's bucket.
 
     Raises ``ValueError`` if the table's vector length differs from
     ``len(query_vec)`` — a silent mismatch would null-pad ``zip_with``,
@@ -109,13 +153,11 @@ def ann_topk(
             f"query_vec has dim {dim} but {vec_col} rows have dim {sample['n']}"
         )
     planes = _planes(dim, nbits)
-    qbucket = 0
-    for i, plane in enumerate(planes):
-        if _seq_dot(query_vec, plane) > 0:
-            qbucket |= 1 << i
+    qbucket = _query_band_hashes(query_vec, planes, nbits, 1)[0]
     probes = [qbucket] + ([qbucket ^ (1 << i) for i in range(nbits)] if multiprobe else [])
 
-    bucketed = df.withColumn("lsh_bucket", hyperplane_bucket(vec_col, planes))
+    bucket = _band_hashes_udf(planes, nbits, 1)(F.col(vec_col))[0]
+    bucketed = df.withColumn("lsh_bucket", bucket)
     cand = bucketed.filter(F.col("lsh_bucket").isin(probes))
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
@@ -141,22 +183,16 @@ def embedding_near_dup_pairs(
 
     ``max_bucket`` drops degenerate buckets (zero vectors, mode-collapsed
     embeddings) before the quadratic self-join — same cap as the MinHash
-    path. Shuffle key is (band_idx, band_hash): two ints."""
+    path. Shuffle key is (band_idx, band_hash): two ints. Band hashes
+    come from one Arrow-batched matmul (:func:`_band_hashes_udf`); the
+    banded relation is persisted because three plan branches (bucket
+    counts + both self-join sides) read it."""
     planes = _planes(dim, bits_per_band * num_bands)
     base = df.select(id_col, vec_col)
-    bands = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band_idx"),
-                hyperplane_bucket(
-                    F.col(vec_col), planes[b * bits_per_band : (b + 1) * bits_per_band]
-                ).alias("band_hash"),
-            )
-            for b in range(num_bands)
-        ]
-    )
-    bb = base.select(F.col(id_col), F.explode(bands).alias("band")).select(
-        id_col, "band.band_idx", "band.band_hash"
+    hashes = _band_hashes_udf(planes, bits_per_band, num_bands)(F.col(vec_col))
+    bb = (
+        base.select(F.col(id_col), F.posexplode(hashes).alias("band_idx", "band_hash"))
+        .persist()
     )
     if max_bucket:
         counts = bb.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
@@ -184,7 +220,7 @@ def embedding_near_dup_pairs(
         .select(
             "id_a",
             "id_b",
-            F.round(V.cosine(F.col("__v_a"), F.col("__v_b")), 6).alias("cosine_sim"),
+            F.round(_pair_cosine_udf(F.col("__v_a"), F.col("__v_b")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
     )

@@ -655,3 +655,409 @@ def event_type_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(_dec("value", 18, 6)).cast("double").alias("sum_value"),
         F.countDistinct("user_id").alias("n_users"),
     )
+
+
+# =====================================================================
+# G. Relational gap-fillers: cross join, collect_list/set, stats,
+#    approx distinct, rank/lead, map functions (SURVEY.md §2.3-§2.7)
+# =====================================================================
+
+
+@query(
+    "cross_join_region_segment",
+    """
+    SELECT r_name, c_mktsegment
+    FROM region CROSS JOIN (SELECT DISTINCT c_mktsegment FROM customer)
+    """,
+)
+def cross_join_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cross join (SURVEY.md §2.3): all (region, segment)
+    combinations. Both sides are tiny dims → BroadcastNestedLoopJoin."""
+    region = load_table(spark, sf_dir, "region").select("r_name")
+    segments = load_table(spark, sf_dir, "customer").select("c_mktsegment").distinct()
+    return region.crossJoin(segments)
+
+
+@query(
+    "collect_nations_per_region",
+    """
+    SELECT n_regionkey, list_sort(list(n_name)) AS nations, COUNT(*) AS n
+    FROM nation GROUP BY n_regionkey
+    """,
+)
+def collect_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_list (§2.4) — sorted for cross-engine determinism."""
+    nation = load_table(spark, sf_dir, "nation")
+    return nation.groupBy("n_regionkey").agg(
+        F.sort_array(F.collect_list("n_name")).alias("nations"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "collect_segments_per_nation",
+    """
+    SELECT c_nationkey, list_sort(list(DISTINCT c_mktsegment)) AS segments,
+           COUNT(*) AS n_customers
+    FROM customer GROUP BY c_nationkey
+    """,
+)
+def collect_segments_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """collect_set (§2.4) — sorted for cross-engine determinism."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count(F.lit(1)).alias("n_customers"),
+    )
+
+
+@query(
+    "stats_quantity_price",
+    """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4)                 AS std_qty,
+           round(corr(l_quantity, l_extendedprice), 4)       AS corr_qty_price,
+           round(covar_samp(l_quantity, l_extendedprice), 4) AS covar_qty_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stddev / corr / covar (§2.4). Rounded to 4 decimals: the partial-
+    aggregate merge order differs between engines, so the last float
+    bits are not comparable — 4 decimals absorbs that while still
+    pinning the statistic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.stddev_samp("l_quantity"), 4).alias("std_qty"),
+        F.round(F.corr("l_quantity", "l_extendedprice"), 4).alias("corr_qty_price"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_qty_price"),
+    )
+
+
+@query("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++, §2.4). No oracle — sketch estimates
+    are engine-specific; the exact count is carried alongside so the
+    driver's rows-only check still pins the shape."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id").alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
+@query(
+    "rank_lead_orders",
+    """
+    SELECT * FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             RANK()       OVER w AS rnk,
+             DENSE_RANK() OVER w AS drnk,
+             LEAD(o_orderkey) OVER w AS next_orderkey
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC)
+    ) WHERE rnk <= 2
+    """,
+)
+def rank_lead_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / lead (§2.5) with a total-order tie-break."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.lead("o_orderkey").over(w).alias("next_orderkey"),
+        )
+        .filter(F.col("rnk") <= 2)
+    )
+
+
+@query(
+    "map_event_props",
+    """
+    SELECT k AS prop_key, COUNT(*) AS n,
+           CAST(SUM(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS BIGINT) AS sum_value,
+           MAX(CAST(json_extract_string(props, '$.' || k) AS INTEGER)) AS max_value
+    FROM (SELECT props, unnest(json_keys(props)) AS k FROM events)
+    GROUP BY k
+    """,
+)
+def map_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map functions (§2.7 F5): props JSON → MapType → explode →
+    per-key aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    m = F.from_json("props", "map<string,int>")
+    return (
+        ev.select(F.explode(m).alias("prop_key", "value"))
+        .groupBy("prop_key")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("value").alias("sum_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+
+
+# =====================================================================
+# H. LLM-data-pipeline operators over documents/embeddings
+#    (SURVEY.md §2.10 / north star)
+# =====================================================================
+
+# DuckDB mirror of functions.text.normalize / tokens (kept in lockstep —
+# the Spark builders were written to be SQL-expressible, text.py docstring).
+_NORM_SQL = "trim(regexp_replace(lower({c}), '\\s+', ' ', 'g'))"
+_TOKS_SQL = "list_filter(string_split_regex(trim({c}), '\\s+'), x -> x <> '')"
+
+
+@query(
+    "exact_dedup_stats",
+    """
+    SELECT COUNT(*) AS n_total,
+           COUNT(DISTINCT text) AS n_unique,
+           COUNT(*) - COUNT(DISTINCT text) AS n_dupes
+    FROM documents
+    """,
+)
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup (§2.10): dropDuplicates row count vs total."""
+    docs = load_table(spark, sf_dir, "documents")
+    uniq = dedup.exact_dedup(docs.select("text"), ["text"]).agg(
+        F.count(F.lit(1)).alias("n_unique")
+    )
+    total = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    return total.crossJoin(uniq).select(
+        "n_total", "n_unique", (F.col("n_total") - F.col("n_unique")).alias("n_dupes")
+    )
+
+
+@query(
+    "canonical_dedup_documents",
+    f"""
+    SELECT md5({_NORM_SQL.format(c="text")}) AS fp,
+           MIN(doc_id) AS survivor_id,
+           COUNT(*) AS dup_count
+    FROM documents GROUP BY 1
+    """,
+)
+def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical dedup (§2.10): md5-of-normalized-text fingerprint,
+    deterministic min-id survivor. Shuffles 16 bytes/doc, not text."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.canonical_dedup(docs, "doc_id", "text")
+
+
+@query("minhash_near_dups_documents")  # rows-only: xxhash64 has no DuckDB twin
+def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs (§2.10), exact-Jaccard verified.
+    Low threshold so the synthetic corpus (distinct random-word docs)
+    yields a non-trivial candidate set."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_near_dups(
+        docs, "doc_id", "text", threshold=0.2, k_shingle=2
+    ).orderBy("id_a", "id_b")
+
+
+@query("simhash_near_dups_documents")  # rows-only: xxhash64 has no DuckDB twin
+def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (§2.10): 64-bit fingerprint, 16-bit-chunk
+    pigeonhole banding (exhaustive for Hamming ≤ 3), exact Hamming
+    verify. The synthetic corpus has no near-dups, so an empty result
+    is the correct answer — the rows-only check pins that it runs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_near_dups(docs, "doc_id", "text", max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@query(
+    "ngram_jaccard_blocked",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      FROM (SELECT doc_id, lang, source,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) AS jaccard_sim
+    FROM sh a JOIN sh b
+      ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+    WHERE round(len(list_intersect(a.sh, b.sh)) /
+                greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.3
+    """,
+)
+def ngram_jaccard_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 2-gram Jaccard pairs blocked by (lang, source) — the
+    quadratic term is bounded by the largest block (§2.10). The DuckDB
+    oracle replays the same shingle set arithmetic with list lambdas."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", "source")
+    )
+    return dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.3, k_shingle=2, block_col="block"
+    )
+
+
+@query(
+    "text_metrics_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, n_chars,
+             {_TOKS_SQL.format(c="text")} AS toks,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+             length(text) AS n_len
+      FROM documents
+    ), m AS (
+      SELECT lang, n_chars, len(toks) AS n_tok, punct_ratio,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(toks, s -> CAST(length(s) AS DOUBLE)),
+                                   (a, b) -> a + b) END / greatest(len(toks), 1) AS mwl,
+             n_len
+      FROM t
+    ), q AS (
+      SELECT lang, n_chars, n_tok, punct_ratio,
+             ((CASE WHEN n_len BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM m
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(n_tok) AS DOUBLE) / COUNT(*) AS avg_tokens,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(SUM(CAST(round(punct_ratio, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_punct,
+           CAST(SUM(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_quality
+    FROM q GROUP BY lang
+    """,
+)
+def text_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis (§2.10): token counts, punctuation ratio and the
+    composite quality score, aggregated per language. Per-row doubles
+    are rounded then decimal-summed so the hash is engine-stable."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = T.token_count("text")
+    punct = F.round(T.punct_ratio("text"), 6).cast("decimal(18,6)")
+    quality = F.round(T.quality_score("text"), 6).cast("decimal(18,6)")
+    return (
+        docs.select("lang", "n_chars", tok.alias("n_tok"), punct.alias("p"), quality.alias("q"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            (F.sum("n_tok").cast("double") / F.count(F.lit(1))).alias("avg_tokens"),
+            (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+            (F.sum("p").cast("double") / F.count(F.lit(1))).alias("avg_punct"),
+            (F.sum("q").cast("double") / F.count(F.lit(1))).alias("avg_quality"),
+        )
+    )
+
+
+_MARKER_SQL = {
+    lang: "[" + ", ".join(f"'{m}'" for m in T.LANG_MARKERS[lang]) + "]"
+    for lang in ("en", "es", "fr", "de")
+}
+
+
+@query(
+    "lang_id_documents",
+    f"""
+    WITH t AS (
+      SELECT lang, lower(text) AS lt,
+             {_TOKS_SQL.format(c="lower(text)")} AS toks
+      FROM documents
+    ), h AS (
+      SELECT lang, lt,
+             len(list_filter(toks, x -> list_contains({_MARKER_SQL["en"]}, x))) AS h_en,
+             len(list_filter(toks, x -> list_contains({_MARKER_SQL["es"]}, x))) AS h_es,
+             len(list_filter(toks, x -> list_contains({_MARKER_SQL["fr"]}, x))) AS h_fr,
+             len(list_filter(toks, x -> list_contains({_MARKER_SQL["de"]}, x))) AS h_de
+      FROM t
+    )
+    SELECT lang,
+           CASE WHEN regexp_matches(lt, '[一-鿿]') THEN 'zh'
+                WHEN greatest(h_en, h_es, h_fr, h_de) = 0 THEN 'und'
+                WHEN h_en = greatest(h_en, h_es, h_fr, h_de) THEN 'en'
+                WHEN h_es = greatest(h_en, h_es, h_fr, h_de) THEN 'es'
+                WHEN h_fr = greatest(h_en, h_es, h_fr, h_de) THEN 'fr'
+                ELSE 'de' END AS pred_lang,
+           COUNT(*) AS n
+    FROM h GROUP BY 1, 2
+    """,
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic (§2.10): stopword-marker hits + CJK
+    codepoint check; confusion counts label × prediction."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang", T.lang_id("text").alias("pred_lang"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_COS_SQL = """
+  list_reduce(list_transform(list_zip({a}, {b}), x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)),
+              (s, t) -> s + t)
+  / (sqrt(list_reduce(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, t) -> s + t))
+   * sqrt(list_reduce(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (s, t) -> s + t)))
+"""
+
+
+def _query_vec(spark: SparkSession, sf_dir: str, vec_id: int = 0) -> list[float]:
+    row = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == vec_id)
+        .select("embedding")
+        .first()
+    )
+    return [float(x) for x in row["embedding"]]
+
+
+@query(
+    "cosine_topk_embeddings",
+    f"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS cosine_sim
+    FROM embeddings e, q
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k (§2.10): brute-force baseline, zero shuffle,
+    TakeOrderedAndProject. The DuckDB oracle folds the dot product in
+    the same left-to-right double order → identical bits."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
+
+
+@query("ann_topk_embeddings")  # rows-only: hyperplane index is not SQL-expressible
+def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k (§2.10): random-hyperplane LSH bucket + multiprobe,
+    exact rescore of the surviving bucket candidates."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10, nbits=8)
+
+
+@query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
+def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (§2.10): banded hyperplane LSH with
+    exact-cosine verification, default 8-bit × 8-band index (designed
+    for cos ≥ 0.95 near-dups at ~99% recall). The synthetic embeddings
+    are random (max pairwise cos ≈ 0.44), so the demo threshold is 0.3
+    — the result is the LSH-recalled subset of moderately-similar
+    pairs; a random pair collides in some band with P ≈ 8·2⁻⁸ ≈ 3%,
+    keeping the candidate set ~30× below brute force."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return similarity.embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
