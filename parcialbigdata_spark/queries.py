@@ -1050,6 +1050,254 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10, nbits=8)
 
 
+# =====================================================================
+# K. UDF surface: grouped-map UDAF and UDTF (SURVEY.md §2.9 U2-U3)
+# =====================================================================
+
+
+def _weighted_stats(pdf):
+    """applyInPandas kernel: weight = the JSON prop k. ``math.fsum`` is
+    exactly rounded, so the result is independent of row order — which
+    is what makes a float UDAF oracle-comparable at all."""
+    import math
+
+    import pandas as pd
+
+    w = pdf["k"].astype("float64")
+    v = pdf["value"].astype("float64")
+    sw = math.fsum(w)
+    swv = math.fsum(v * w)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n": [len(pdf)],
+            "wavg_value": [round(swv / sw, 6) if sw else None],
+        }
+    )
+
+
+@query(
+    "udaf_weighted_value",
+    """
+    SELECT event_type, COUNT(*) AS n,
+           round(SUM(value * CAST(json_extract_string(props, '$.k') AS INTEGER))
+                 / SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)), 6) AS wavg_value
+    FROM events GROUP BY event_type
+    """,
+)
+def udaf_weighted_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2: custom UDAF via grouped applyInPandas — k-weighted average of
+    event value per type (Arrow batch per group, pandas kernel)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.get_json_object("props", "$.k").cast("int").alias("k")
+    )
+    return ev.groupBy("event_type").applyInPandas(
+        _weighted_stats, "event_type string, n bigint, wavg_value double"
+    )
+
+
+@query(
+    "udtf_part_type_words",
+    """
+    WITH t AS (SELECT p_partkey, string_split(p_type, ' ') AS w FROM part),
+         u AS (SELECT p_partkey,
+                      unnest(list_transform(range(1, len(w) + 1),
+                                            i -> {'idx': i - 1, 'word': w[i]})) AS s
+               FROM t)
+    SELECT word AS word, COUNT(*) AS n, MIN(word_idx) AS min_idx, MAX(word_idx) AS max_idx
+    FROM (SELECT p_partkey, s.idx AS word_idx, s.word AS word FROM u)
+    GROUP BY word
+    """,
+)
+def udtf_part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U3: Python UDTF (Spark ≥3.5 @udtf) exploding p_type into
+    positioned words via a LATERAL join, aggregated per word."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word_idx int, word string")
+    class SplitWords:
+        def eval(self, text: str):
+            for i, w in enumerate((text or "").split(" ")):
+                if w:
+                    yield i, w
+
+    spark.udtf.register("split_words", SplitWords)
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT t.word, COUNT(*) AS n, MIN(t.word_idx) AS min_idx, MAX(t.word_idx) AS max_idx
+        FROM part_v, LATERAL split_words(p_type) t
+        GROUP BY t.word
+        """
+    )
+
+
+# =====================================================================
+# J. Multimodal binary columns (SURVEY.md §2.10 north star)
+# =====================================================================
+
+_MEDIA_DIR = "/root/repo/tests/fixtures/media"
+
+
+@query(
+    "binary_media_inventory",
+    f"""
+    SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+           size AS length,
+           md5(hex(content)) AS md5_hex
+    FROM read_blob('{_MEDIA_DIR}/*')
+    """,
+)
+def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """binaryFile scan of the committed media fixtures (independent of
+    sf_dir): name, size and a hex-payload md5 the DuckDB oracle can
+    reproduce with read_blob."""
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    return read_binary_dir(spark, _MEDIA_DIR).select("file_name", "length", "md5_hex")
+
+
+@query("binary_media_features")  # rows-only: the featurizer is a Python stub
+def binary_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode/feature-extract over binary media via mapInPandas (the
+    deterministic fake decoder — real codecs are stubbed, the Spark
+    plumbing is real)."""
+    from parcialbigdata_spark.sources.binary import extract_features
+
+    raw = spark.read.format("binaryFile").load(_MEDIA_DIR)
+    return extract_features(raw).select(
+        "file_name", "kind", "length", "width", "height", "sample_rate", "n_frames"
+    ).orderBy("file_name")
+
+
+# =====================================================================
+# I. Structured Streaming (SURVEY.md §2.8 E1-E4) — each query drains
+#    the events fixture as a file stream (availableNow) into a memory
+#    sink; once drained the result is deterministic, so the tumbling /
+#    session aggregations are checkable against batch DuckDB oracles.
+# =====================================================================
+
+_drain_counter = [0]
+
+
+def _drain(sdf: DataFrame, output_mode: str = "complete", timeout: float = 180.0) -> DataFrame:
+    """Run a streaming DataFrame to completion (availableNow) through a
+    memory sink and return the materialized result table."""
+    _drain_counter[0] += 1
+    name = f"__stream_result_{_drain_counter[0]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+    return sdf.sparkSession.table(name)
+
+
+@query(
+    "streaming_hourly_events",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def streaming_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: watermarked tumbling-window aggregation, drained availableNow.
+    Same oracle as the batch events_hourly_agg — the streaming and batch
+    answers must agree once the stream is exhausted."""
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        streaming_hourly_counts,
+    )
+
+    return _drain(streaming_hourly_counts(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "streaming_sessionization",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_es
+      FROM events
+    ), flagged AS (
+      SELECT *, CASE WHEN prev_es IS NULL OR es - prev_es >= 1800 THEN 1 ELSE 0 END AS new_session
+      FROM ordered
+    ), numbered AS (
+      SELECT *, SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts ASC, es ASC
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           MIN(es) AS session_start_epoch,
+           MAX(es) - MIN(es) AS duration_sec,
+           COUNT(*) AS n_events
+    FROM numbered GROUP BY user_id, session_seq
+    """,
+)
+def streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: F.session_window sessionization (30-min gap), drained
+    availableNow. session_window merges events at strictly-less-than-gap
+    spacing, so the oracle's gap CTE uses ``>= 1800`` for a new session
+    (the batch sessionization_events query uses ``> 1800`` — both are
+    valid conventions; each is pinned by its own oracle)."""
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        streaming_sessions,
+    )
+
+    return _drain(streaming_sessions(read_events_stream(spark, sf_dir)))
+
+
+@query(
+    "streaming_dedup_events",
+    """
+    SELECT COUNT(*) AS n_events, COUNT(DISTINCT event_id) AS n_distinct
+    FROM events
+    """,
+)
+def streaming_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: dropDuplicatesWithinWatermark on event_id. event_id is unique
+    in the fixture, so the drained count equals the distinct count —
+    both pinned by the oracle."""
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        streaming_dedup_events,
+    )
+
+    deduped = streaming_dedup_events(read_events_stream(spark, sf_dir))
+    out = _drain(deduped.select("event_id"), output_mode="append")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_id").alias("n_distinct"),
+    )
+
+
+@query("streaming_running_counts")  # rows-only: per-batch emission order is engine-specific
+def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/E4: custom stateful operator (applyInPandasWithState) — final
+    running count per user after draining the stream."""
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        running_count_per_user,
+    )
+
+    counts = _drain(
+        running_count_per_user(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    # One row per (user, batch): keep the final (max) count per user.
+    return counts.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with

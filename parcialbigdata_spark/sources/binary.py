@@ -1,0 +1,146 @@
+"""Multimodal binary-column plumbing (SURVEY.md §2.10 north star).
+
+Treat image/audio/video payloads as opaque ``binary`` columns with a
+typed metadata struct, read through Spark's built-in ``binaryFile``
+source. The Spark-side plumbing — schema, partition-friendly layout,
+Arrow-batched UDF signatures and batch shapes — is real and tested;
+the actual codec work is stubbed (no image/audio libraries in this
+environment) behind a deterministic fake featurizer plus a clearly
+marked ``NotImplementedError`` real path.
+
+Fixture format (tests/fixtures/media): 4-byte magic (``FIMG``/``FAUD``/
+``FVID``) + big-endian shape header + opaque payload. The fake decoder
+parses that header, which is exactly the shape a real decoder slot-in
+(Pillow / torchaudio / pyav) would fill.
+
+At 100 TB: ``binaryFile`` scans are narrow (no shuffle); payload bytes
+stay in the executors — only the extracted features/metadata (a few
+hundred bytes per asset) flow into downstream joins. Decode is
+embarrassingly parallel via ``mapInPandas``; partition by content hash
+or capture date for pruning.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+#: binaryFile source columns: path, modificationTime, length, content.
+MEDIA_KINDS = {b"FIMG": "image", b"FAUD": "audio", b"FVID": "video"}
+
+FEATURE_SCHEMA = (
+    "file_name string, kind string, length bigint, "
+    "width int, height int, sample_rate int, n_frames int, "
+    "feature array<double>"
+)
+
+
+def read_binary_dir(spark: SparkSession, path: str, glob: str = "*") -> DataFrame:
+    """Opaque-binary scan with typed metadata: one row per file with
+    (file_name, length, content, md5_hex). ``md5_hex`` hashes the hex
+    encoding of the payload so a SQL oracle can reproduce it without
+    raw-blob casting pitfalls."""
+    raw = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", glob)
+        .load(path)
+    )
+    return raw.select(
+        F.element_at(F.split("path", "/"), -1).alias("file_name"),
+        F.col("length"),
+        F.col("content"),
+        F.md5(F.hex("content")).alias("md5_hex"),
+    )
+
+
+def _fake_decode(content: bytes) -> dict:
+    """Deterministic stand-in for a real media decoder.
+
+    Parses the fixture magic/shape header; the "feature" is the first 8
+    payload bytes scaled to [0, 1] — stable, cheap, and shaped like a
+    real embedding so downstream similarity plumbing can be exercised.
+    A real deployment replaces this function (only) with Pillow/pyav
+    calls; everything around it — batching, schema, partitioning — is
+    production-shaped already.
+    """
+    kind = MEDIA_KINDS.get(content[:4], "unknown")
+    width = height = sample_rate = n_frames = None
+    payload_off = 4
+    if kind == "image":
+        width = int.from_bytes(content[4:6], "big")
+        height = int.from_bytes(content[6:8], "big")
+        payload_off = 8
+    elif kind == "audio":
+        sample_rate = int.from_bytes(content[4:8], "big")
+        payload_off = 8
+    elif kind == "video":
+        width = int.from_bytes(content[4:6], "big")
+        n_frames = int.from_bytes(content[6:8], "big")
+        payload_off = 8
+    payload = content[payload_off : payload_off + 8]
+    feature = [b / 255.0 for b in payload]
+    return {
+        "kind": kind,
+        "width": width,
+        "height": height,
+        "sample_rate": sample_rate,
+        "n_frames": n_frames,
+        "feature": feature,
+    }
+
+
+def real_decode(content: bytes) -> dict:
+    """The real-codec slot: intentionally unimplemented here (the
+    container has no image/audio libraries)."""
+    raise NotImplementedError(
+        "real media decoding requires Pillow/torchaudio/pyav; "
+        "use fake=True (deterministic header-parse featurizer) in this environment"
+    )
+
+
+def extract_features(df: DataFrame, fake: bool = True) -> DataFrame:
+    """Decode/feature-extract stage over a binaryFile relation:
+    ``mapInPandas`` so each Arrow batch decodes in one Python hop.
+
+    Input needs (path, content); output is FEATURE_SCHEMA. ``fake=False``
+    raises at task level via :func:`real_decode` (documented stub)."""
+    decode = _fake_decode if fake else real_decode
+
+    def _extract(batches: Iterator) -> Iterator:
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for path, content in zip(pdf["path"], pdf["content"]):
+                meta = decode(bytes(content))
+                rows.append(
+                    {
+                        "file_name": path.rsplit("/", 1)[-1],
+                        "kind": meta["kind"],
+                        "length": len(content),
+                        "width": meta["width"],
+                        "height": meta["height"],
+                        "sample_rate": meta["sample_rate"],
+                        "n_frames": meta["n_frames"],
+                        "feature": meta["feature"],
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    src = df.select("path", "content")
+    return src.mapInPandas(_extract, FEATURE_SCHEMA)
+
+
+def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
+    """Video frame-sampling stub: emits (file_name, frame_idx) for every
+    ``every_n``-th frame of the fake header's frame count — the row
+    explosion and schema of a real sampler, with the pixel work stubbed."""
+    feats = extract_features(df).filter(F.col("kind") == "video")
+    return feats.select(
+        "file_name",
+        F.explode(
+            F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
+        ).alias("frame_idx"),
+    )

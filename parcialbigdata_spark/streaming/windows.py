@@ -1,0 +1,145 @@
+"""Watermarked window analytics over event streams (SURVEY.md §2.8 E4).
+
+The reference has no time-windowed computation; these are the EXT
+streaming operators over the ``events`` fixture (FIXTURES.md §B):
+tumbling windows, session windows, streaming dedup, and a custom
+stateful counter via ``applyInPandasWithState``.
+
+Each builder takes a *streaming* DataFrame (``read_events_stream``
+below reads the parquet fixture as a file stream, so an
+``availableNow`` drain replays the whole table as micro-batches). The
+outputs are deterministic once the stream is fully drained — which is
+what lets the driver compare them against batch DuckDB oracles.
+
+Scale note: every aggregation here keys its state by (window, user) —
+state store size is bounded by watermark horizon × key cardinality,
+and the shuffle carries partial aggregates. That is the standard
+Structured Streaming scaling model; nothing custom.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+EVENTS_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", TimestampType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file stream (one-file parquet source).
+
+    ``events.parquet`` stores TIMESTAMP(NANOS); like the batch loader
+    (sources/tables.py), nanos are read as long and converted, so the
+    streaming and batch views agree to the second."""
+    raw_schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", LongType()),  # nanos-as-long
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+    raw = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # Integer DIV, exactly like the batch loader (sources/tables.py) — a
+    # double division would lose precision above 2^53 ns.
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+
+
+def streaming_hourly_counts(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Tumbling 1-hour window with watermark: count + value sum per
+    (window, event_type). Late rows beyond the watermark are dropped."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias("hour"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def streaming_sessions(events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours") -> DataFrame:
+    """Session windows (30-min inactivity gap) per user — the streaming
+    twin of the batch sessionizer (queries.py sessionization_events).
+
+    ``session_window`` end = last event + gap, so the session duration
+    is ``end - start - gap``."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_timestamp("w.start").alias("session_start_epoch"),
+            (F.unix_timestamp("w.end") - F.unix_timestamp("w.start") - F.lit(1800)).alias(
+                "duration_sec"
+            ),
+            "n_events",
+        )
+    )
+
+
+def streaming_dedup_events(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact dedup on event_id within the watermark horizon
+    (``dropDuplicatesWithinWatermark`` keeps state bounded)."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+
+
+_STATE_SCHEMA = "n bigint"
+_COUNT_OUT_SCHEMA = "user_id bigint, n_events bigint"
+
+
+def _count_fn(key, pdfs, state: GroupState):
+    n = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        n += len(pdf)
+    state.update((n,))
+    yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
+
+
+def running_count_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (``applyInPandasWithState``): running
+    event count per user, emitted once per micro-batch. State is one
+    bigint per user — the minimal arbitrary-state example; richer
+    per-key state (sketches, model snapshots) follows the same shape."""
+    return (
+        events.groupBy("user_id")
+        .applyInPandasWithState(
+            _count_fn,
+            outputStructType=_COUNT_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
