@@ -1114,7 +1114,7 @@ def udtf_part_type_words(spark: SparkSession, sf_dir: str) -> DataFrame:
     positioned words via a LATERAL join, aggregated per word."""
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="word_idx int, word string")
+    @udtf(returnType="word_idx int, word string", useArrow=True)
     class SplitWords:
         def eval(self, text: str):
             for i, w in enumerate((text or "").split(" ")):

@@ -1,0 +1,173 @@
+"""Operator-level unit tests: as-of join NULL semantics, quadratic-join
+guards, LSH bucket caps, text-function edge cases, vector math."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parcialbigdata_spark.functions import text as T
+from parcialbigdata_spark.operators import dedup, joins, similarity
+
+
+def test_as_of_join_backward(spark):
+    left = spark.createDataFrame(
+        [(1, 10), (1, 25), (2, 10)], "k int, t int"
+    )
+    right = spark.createDataFrame(
+        [(1, 5, "a"), (1, 20, "b"), (2, 50, "z")], "k int, t int, v string"
+    )
+    out = {
+        (r.k, r.t): r.v
+        for r in joins.as_of_join(left, right, on="k", left_time="t", right_time="t").collect()
+    }
+    assert out == {(1, 10): "a", (1, 25): "b", (2, 10): None}
+
+
+def test_as_of_join_null_value_not_mixed(spark):
+    """The ADVICE regression: when the most recent right row has a NULL
+    value column, that NULL must be carried — not backfilled from an
+    older right row (all carried columns come from ONE right row)."""
+    left = spark.createDataFrame([(1, 30)], "k int, t int")
+    right = spark.createDataFrame(
+        [(1, 10, "old", 100.0), (1, 20, None, 200.0)],
+        "k int, t int, v string, w double",
+    )
+    row = joins.as_of_join(left, right, on="k", left_time="t", right_time="t").first()
+    assert row.v is None  # from the t=20 row — NOT "old" from t=10
+    assert row.w == 200.0
+
+
+def test_as_of_join_forward(spark):
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 5, "a"), (1, 15, "b")], "k int, t int, v string")
+    row = joins.as_of_join(
+        left, right, on="k", left_time="t", right_time="t", direction="forward"
+    ).first()
+    assert row.v == "b"
+
+
+def test_ngram_jaccard_unblocked_guard(spark):
+    df = spark.range(0, 100).select(
+        F.col("id").alias("doc_id"), F.lit("a b c d e").alias("text")
+    )
+    with pytest.raises(ValueError, match="O\\(n²\\)"):
+        dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_unblocked_rows=50)
+    # explicit opt-out runs
+    out = dedup.ngram_jaccard_pairs(df, "doc_id", "text", max_unblocked_rows=0, threshold=0.9)
+    assert out.count() == 100 * 99 // 2  # identical docs → all pairs
+
+
+def test_minhash_finds_exact_dups(spark):
+    rows = [(i, "the quick brown fox jumps over the lazy dog every day") for i in range(3)]
+    rows += [(10, "completely different text about spark query engines and shuffles")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(df, "doc_id", "text", threshold=0.9).collect()
+    }
+    assert pairs == {(0, 1), (0, 2), (1, 2)}
+
+
+def test_minhash_max_bucket_caps_degenerate(spark):
+    """100 identical docs with max_bucket=10: every band bucket has 100
+    members → all dropped → zero candidate pairs."""
+    df = spark.createDataFrame(
+        [(i, "same text repeated in every document here") for i in range(100)],
+        "doc_id long, text string",
+    )
+    out = dedup.minhash_candidate_pairs(df, "doc_id", "text", max_bucket=10)
+    assert out.count() == 0
+
+
+def test_simhash_identical_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unrelated words entirely someplace")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_dups(df, "doc_id", "text", max_hamming=0).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+
+
+def test_canonical_dedup_normalizes(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello   World"), (2, "hello world"), (3, "bye")], "doc_id long, text string"
+    )
+    out = {r.survivor_id: r.dup_count for r in dedup.canonical_dedup(df, "doc_id", "text").collect()}
+    assert out == {1: 2, 3: 1}
+
+
+def test_ann_topk_dim_mismatch_raises(spark):
+    df = spark.createDataFrame([(1, [1.0, 2.0, 3.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="dim"):
+        similarity.ann_topk(df, [1.0, 2.0])
+
+
+def test_ann_topk_finds_identical_vector(spark):
+    """A row equal to the query must land in the query's bucket and
+    rank first with cosine 1.0."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(50)]
+    q = vecs[17][1]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    top = similarity.ann_topk(df, q, k=1, nbits=4).first()
+    assert top.vec_id == 17
+    assert top.cosine_sim == pytest.approx(1.0)
+
+
+def test_embedding_near_dup_max_bucket(spark):
+    """Identical vectors all share every band bucket; the cap drops the
+    degenerate bucket instead of emitting O(n²) pairs."""
+    vec = [1.0] * 8
+    df = spark.createDataFrame([(i, vec) for i in range(50)], "vec_id long, embedding array<float>")
+    out = similarity.embedding_near_dup_pairs(df, dim=8, max_bucket=10)
+    assert out.count() == 0
+
+
+def test_tokens_empty_and_whitespace(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("a b",)], "t string")
+    rows = df.select(T.token_count("t").alias("n")).collect()
+    assert [r.n for r in rows] == [0, 0, 2]
+
+
+def test_shingles_empty_doc_no_jaccard_one(spark):
+    df = spark.createDataFrame([("",), ("",)], "t string")
+    rows = df.select(T.shingles("t").alias("sh")).collect()
+    assert all(r.sh == [] for r in rows)
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog went to the house of cards which is made of paper and glue",),
+            ("el perro de la casa que los gatos",),
+            ("!!!???...",),
+        ],
+        "t string",
+    )
+    rows = df.select(T.lang_id("t").alias("lang"), T.quality_score("t").alias("q")).collect()
+    assert rows[0].lang == "en" and rows[1].lang == "es"
+    assert rows[2].q < 0.5
+
+
+def test_vector_cosine(spark):
+    from parcialbigdata_spark.functions import vectors as V
+
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0]), ([1.0, 1.0], [1.0, 1.0])], "a array<float>, b array<float>")
+    sims = [r.c for r in df.select(F.round(V.cosine("a", "b"), 6).alias("c")).collect()]
+    assert sims[0] == pytest.approx(0.0)
+    assert sims[1] == pytest.approx(1.0)
+
+
+def test_range_join_broadcast(spark):
+    left = spark.createDataFrame([(1, 5.0), (2, 15.0)], "id int, v double")
+    bands = spark.createDataFrame([("lo", 0.0, 10.0), ("hi", 10.0, 20.0)], "name string, lo double, hi double")
+    out = {
+        r.id: r.name
+        for r in joins.range_join(
+            left, bands, (F.col("v") >= F.col("lo")) & (F.col("v") < F.col("hi")), broadcast_right=True
+        ).collect()
+    }
+    assert out == {1: "lo", 2: "hi"}
