@@ -110,21 +110,23 @@ def minhash_signatures(
     ``xxhash64(i, base)`` — an integer remix, so the 32-function family
     costs one string hash + 32 int hashes per shingle instead of 32
     string hashes. All JVM-side, fully codegen'd."""
-    ex = shingle_rows(df, id_col, text_col, k_shingle)
-    hashed = ex.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
+    return _signatures_from_rows(shingle_rows(df, id_col, text_col, k_shingle), id_col, num_hashes)
+
+
+def _signatures_from_rows(rows: DataFrame, id_col: str, num_hashes: int) -> DataFrame:
+    """(id, __s) shingle rows → (id, m0..m{n-1}) signature columns."""
+    hashed = rows.select(F.col(id_col), F.xxhash64("__s").alias("__h"))
     return hashed.groupBy(id_col).agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("__h"))).alias(f"m{i}") for i in range(num_hashes)]
     )
 
 
-def minhash_candidate_pairs(
-    df: DataFrame,
+def _candidate_pairs_from_sigs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
-    num_hashes: int = 32,
-    bands: int = 8,
-    k_shingle: int = 3,
-    max_bucket: int = 10_000,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
 ) -> DataFrame:
     """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band.
 
@@ -136,7 +138,6 @@ def minhash_candidate_pairs(
     (bucket counts + both self-join sides) would otherwise recompute
     the signatures."""
     r = num_hashes // bands
-    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k_shingle)
     banded = F.array(
         *[
             F.struct(
@@ -172,6 +173,21 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band
+    (see :func:`_candidate_pairs_from_sigs` for the plan shape)."""
+    sigs = minhash_signatures(df, id_col, text_col, num_hashes, k_shingle)
+    return _candidate_pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket)
+
+
 def jaccard(sh_a: Column, sh_b: Column) -> Column:
     """Exact Jaccard over two distinct-shingle arrays."""
     inter = F.size(F.array_intersect(sh_a, sh_b))
@@ -189,16 +205,15 @@ def minhash_near_dups(
     k_shingle: int = 3,
 ) -> DataFrame:
     """LSH candidates verified by exact Jaccard ≥ threshold.
-    Returns (id_a, id_b, jaccard_sim). The shingle relation is persisted
-    once and joined to both pair sides (recomputing the shingle arrays
-    per side would double the dominant map cost)."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, num_hashes, bands, k_shingle)
-    sh = (
-        shingle_rows(df, id_col, text_col, k_shingle)
-        .groupBy(id_col)
-        .agg(F.collect_set("__s").alias("sh"))
-        .persist()
-    )
+    Returns (id_a, id_b, jaccard_sim). The shingle rows are computed
+    ONCE (persisted) and feed both the signature stage and the
+    verification arrays — tokenizing the corpus twice would double the
+    dominant map cost; the shingle-set relation is persisted too (both
+    pair sides read it)."""
+    rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
+    sigs = _signatures_from_rows(rows, id_col, num_hashes)
+    cands = _candidate_pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket=10_000)
+    sh = rows.groupBy(id_col).agg(F.collect_set("__s").alias("sh")).persist()
     out = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")

@@ -162,6 +162,54 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def knn_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    query_id: str = "qid",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    exact: bool = True,
+) -> DataFrame:
+    """Batch k-NN join: for EVERY query row, the top-k corpus rows by
+    cosine. Returns (qid, vec_id, cosine_sim, rank).
+
+    Plan: broadcast the (small) query side against the corpus scan —
+    each corpus partition scores all queries locally (narrow), then one
+    shuffle on qid ranks per query. At 100 TB the corpus side stays
+    partition-parallel; the query side must fit in a broadcast (typical
+    for eval/search batches). For corpus×corpus all-pairs use
+    :func:`embedding_near_dup_pairs` instead — a broadcast of a
+    fact-sized side would be the classic scale error.
+
+    ``exact=True`` scores with the sequential SQL fold
+    (``functions.vectors.cosine``) — bit-identical to a DuckDB oracle's
+    ``list_reduce`` fold, so rounded values never straddle a rounding
+    boundary differently. ``exact=False`` uses the Arrow/einsum batch
+    cosine: ~100× faster, with last-bit summation-order differences
+    that only matter under oracle comparison."""
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    cos = (
+        V.cosine(F.col("__cv"), F.col("__qv"))
+        if exact
+        else _pair_cosine_udf(F.col("__cv"), F.col("__qv"))
+    )
+    scored = c.join(F.broadcast(q)).select(
+        query_id,
+        corpus_id,
+        F.round(cos, 6).alias("cosine_sim"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(query_id).orderBy(
+        F.col("cosine_sim").desc(), F.col(corpus_id).asc()
+    )
+    return scored.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
 def embedding_near_dup_pairs(
     df: DataFrame,
     threshold: float = 0.95,

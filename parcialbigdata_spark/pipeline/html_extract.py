@@ -44,45 +44,68 @@ def _has_class(attrs: dict[str, str | None], cls: str) -> bool:
     return cls in (attrs.get("class") or "").split()
 
 
+# Tags whose opening implicitly closes an open <p> (the HTML5 subset
+# that matters for listing markup) — mirrors how html.parser-backed
+# BeautifulSoup recovers from the unclosed <p> tags that are endemic in
+# real scraped pages.
+_CLOSES_P = frozenset("p div section article ul ol li table form h1 h2 h3 h4 h5 h6".split())
+
+
 class _CardExtractor(HTMLParser):
     """Streaming extractor: accumulates one dict per listing card.
 
-    Depth bookkeeping lets cards contain arbitrarily nested markup and
-    lets several concatenated ``<html>`` documents (the reference joins
-    page bodies with ``"\\n"`` — download_lambda.py:40) be fed as one
-    string.
+    An explicit open-tag stack (not a bare depth counter) lets cards
+    contain arbitrarily nested markup, survives the unclosed/misnested
+    tags endemic in scraped HTML (implicit ``<p>`` close, stray end
+    tags), and lets several concatenated ``<html>`` documents (the
+    reference joins page bodies with ``"\\n"`` — download_lambda.py:40)
+    be fed as one string.
     """
 
     def __init__(self) -> None:
         super().__init__(convert_charrefs=True)
         self.cards: list[dict[str, str | None]] = []
-        self._depth = 0
+        self._stack: list[str] = []
         self._card: dict[str, str | None] | None = None
         self._card_depth = -1
         self._text_field: str | None = None
         self._text_depth = -1
         self._buf: list[str] = []
 
+    def _close_to_depth(self, depth: int) -> None:
+        """Pop the stack to ``depth``, firing card/text completion."""
+        while len(self._stack) > depth:
+            if self._text_field is not None and len(self._stack) == self._text_depth:
+                # get_text(strip=True) parity: strip fragments, drop empties.
+                self._card[self._text_field] = "".join(s.strip() for s in self._buf)
+                self._text_field = None
+            if self._card is not None and len(self._stack) == self._card_depth:
+                self.cards.append(self._card)
+                self._card = None
+            self._stack.pop()
+
     def handle_starttag(self, tag: str, attrs: list[tuple[str, str | None]]) -> None:
         if tag in _VOID:
             return
+        if self._stack and self._stack[-1] == "p" and tag in _CLOSES_P:
+            self._close_to_depth(len(self._stack) - 1)  # implicit </p>
         a = dict(attrs)
-        self._depth += 1
+        self._stack.append(tag)
         if self._card is None:
             if tag == "div" and _has_class(a, "listing-card__content"):
                 self._card = dict.fromkeys(FIELDS)
-                self._card_depth = self._depth
+                self._card_depth = len(self._stack)
             return
         # Inside a card: first match wins, like the reference's .find().
         if self._text_field is None:
             if tag == "span" and _has_class(a, "price__actual") and self._card["valor"] is None:
-                self._text_field, self._text_depth, self._buf = "valor", self._depth, []
+                self._text_field, self._text_depth, self._buf = "valor", len(self._stack), []
             elif (
                 tag == "div"
                 and _has_class(a, "listing-card__location__geo")
                 and self._card["barrio"] is None
             ):
-                self._text_field, self._text_depth, self._buf = "barrio", self._depth, []
+                self._text_field, self._text_depth, self._buf = "barrio", len(self._stack), []
             elif tag == "p":
                 field = _DATA_TEST_FIELD.get(a.get("data-test") or "")
                 # p present but no content attr → stays None ("N/A" at the
@@ -97,22 +120,15 @@ class _CardExtractor(HTMLParser):
     def handle_endtag(self, tag: str) -> None:
         if tag in _VOID:
             return
-        if self._text_field is not None and self._depth == self._text_depth:
-            # get_text(strip=True) parity: strip each fragment, drop empties.
-            text = "".join(s.strip() for s in self._buf)
-            self._card[self._text_field] = text  # may be "" like bs4
-            self._text_field = None
-        if self._card is not None and self._depth == self._card_depth:
-            self.cards.append(self._card)
-            self._card = None
-        if self._depth > 0:
-            self._depth -= 1
+        # Close the innermost matching open tag; ignore stray end tags.
+        for i in range(len(self._stack) - 1, -1, -1):
+            if self._stack[i] == tag:
+                self._close_to_depth(i)
+                break
 
     def finish(self) -> list[dict[str, str | None]]:
         self.close()
-        if self._card is not None:  # unclosed trailing card
-            self.cards.append(self._card)
-            self._card = None
+        self._close_to_depth(0)  # unclosed trailing elements
         return self.cards
 
 

@@ -1050,6 +1050,100 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10, nbits=8)
 
 
+@query(
+    "knn_join_embeddings",
+    f"""
+    WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.qid, e.vec_id,
+                  round({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS cosine_sim
+           FROM embeddings e CROSS JOIN q
+         )
+    SELECT * FROM (
+      SELECT qid, vec_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY qid
+                                ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def knn_join_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch similarity search (§2.10): k-NN JOIN — top-5 corpus
+    neighbors for each of 5 query vectors in one plan (broadcast query
+    side, narrow scoring, one shuffle to rank per query)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries_df = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("qid"), "embedding"
+    )
+    return similarity.knn_join(queries_df, emb, k=5)
+
+
+@query(
+    "training_corpus_prep",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, n_chars, text,
+             {_TOKS_SQL.format(c="text")} AS toks,
+             (length(text) - length(regexp_replace(text, '[^\\w\\s]', '', 'g')))
+               / greatest(length(text), 1) AS punct_ratio,
+             length(text) AS n_len
+      FROM documents
+    ), m AS (
+      SELECT doc_id, source, n_chars, text, len(toks) AS n_tok, punct_ratio, n_len,
+             CASE WHEN len(toks) = 0 THEN 0.0
+                  ELSE list_reduce(list_transform(toks, s -> CAST(length(s) AS DOUBLE)),
+                                   (a, b) -> a + b) END / greatest(len(toks), 1) AS mwl
+      FROM t
+    ), q AS (
+      SELECT doc_id, source, n_chars, text, n_tok,
+             ((CASE WHEN n_len BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN punct_ratio < 0.2 THEN 1.0 ELSE 0.0 END) +
+              (CASE WHEN mwl BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)) / 3.0 AS quality
+      FROM m
+    ), filtered AS (SELECT * FROM q WHERE quality >= 0.66),
+       survivors AS (
+         SELECT md5({_NORM_SQL.format(c="text")}) AS fp,
+                MIN(doc_id) AS doc_id
+         FROM filtered GROUP BY 1
+       )
+    SELECT f.source, COUNT(*) AS n_docs,
+           CAST(SUM(f.n_tok) AS BIGINT) AS total_tokens,
+           CAST(SUM(f.n_chars) AS BIGINT) AS total_chars
+    FROM filtered f JOIN survivors s ON f.doc_id = s.doc_id
+    GROUP BY f.source
+    """,
+)
+def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite LLM-data-prep pipeline (§2.10 end-to-end): quality
+    filter → canonical dedup (min-id survivor) → per-source token/char
+    budget. One narrow scoring scan, one 16-byte-fingerprint shuffle,
+    one final agg — the shape that holds at 100 TB."""
+    docs = load_table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        "text",
+        T.token_count("text").alias("n_tok"),
+        T.quality_score("text").alias("quality"),
+    ).filter(F.col("quality") >= 0.66)
+    survivors = (
+        scored.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    return (
+        scored.join(survivors, "doc_id", "left_semi")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("total_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
 # =====================================================================
 # K. UDF surface: grouped-map UDAF and UDTF (SURVEY.md §2.9 U2-U3)
 # =====================================================================

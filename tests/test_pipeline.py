@@ -187,3 +187,32 @@ def test_read_landing_multi_file(spark, tmp_path, n_files):
     assert parsed.count() == n_files
     dates = {str(r.fecha_descarga) for r in parsed.select("fecha_descarga").collect()}
     assert dates == {"2026-08-10", "2026-08-11", "2026-08-12"}
+
+
+def test_extract_unclosed_p_tags():
+    """Real scraped HTML routinely leaves <p> unclosed; the next block
+    tag implicitly closes it (bs4/html.parser recovery parity) — card
+    boundaries and attribute extraction must survive."""
+    html = """
+    <div class="listing-card__content">
+      <span class="price__actual">$ 100</span>
+      <p data-test="bedrooms" content="3">
+      <p data-test="bathrooms" content="2">
+      <div class="listing-card__location__geo">Suba</div>
+    </div>
+    <div class="listing-card__content">
+      <span class="price__actual">$ 200</span>
+    </div>
+    """
+    cards = extract_cards(f"<html><body>{html}</body></html>")
+    assert len(cards) == 2
+    assert cards[0]["num_habitaciones"] == "3"
+    assert cards[0]["num_banos"] == "2"
+    assert cards[0]["barrio"] == "Suba"
+    assert cards[1]["valor"] == "$ 200"
+
+
+def test_extract_stray_end_tags():
+    html = '<div class="listing-card__content"></span><span class="price__actual">$ 5</span></div>'
+    (card,) = extract_cards(html)
+    assert card["valor"] == "$ 5"
