@@ -1,3 +1,3 @@
-from parcialbigdata_spark.operators import dedup, joins, similarity
+from parcialbigdata_spark.operators import dedup, joins, similarity, skew
 
-__all__ = ["dedup", "joins", "similarity"]
+__all__ = ["dedup", "joins", "similarity", "skew"]

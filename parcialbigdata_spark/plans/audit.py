@@ -48,8 +48,12 @@ def audit_plan(df: DataFrame) -> dict:
     counts below parse only the detail headers, so each physical
     operator is counted exactly once."""
     plan = physical_plan(df)
-    ops = re.findall(r"^\(\d+\) ([A-Za-z]+[A-Za-z ]*?)(?: \[codegen id : \d+\])?$", plan, re.M)
-    op_count = lambda name: sum(1 for o in ops if o.strip() == name)  # noqa: E731
+    ops = [
+        o.strip()
+        for o in re.findall(r"^\(\d+\) (.+?)(?: \[codegen id : \d+\])?$", plan, re.M)
+    ]
+    # "Scan parquet" may be catalog-qualified ("Scan parquet spark_catalog.db.t")
+    op_count = lambda name: sum(1 for o in ops if o == name or o.startswith(name + " "))  # noqa: E731
     pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
     read_schema = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
     return {

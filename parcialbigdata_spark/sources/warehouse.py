@@ -1,0 +1,70 @@
+"""Bucketed / partitioned warehouse layout helpers (100 TB design).
+
+At fact scale the dominant cost of the star joins (orders ⋈ lineitem ⋈
+customer) is the shuffle. Spark's bucketing removes it: both sides
+written bucketed by the join key into the session catalog join with
+ZERO exchanges (bucket-local SortMergeJoin). These helpers encode that
+layout so the repartition/bucket strategy is code, not tribal
+knowledge:
+
+- ``write_bucketed``: save a DataFrame as a bucketed, sorted catalog
+  table (bucket count sized by target data volume).
+- ``write_partitioned``: hive-style date/category partitioning for
+  pruning (the pipeline's CSV sink uses the same idea).
+- ``bucket_join_ready``: quick check that two catalog tables share a
+  bucket spec on the join key.
+
+Bucketing requires the table to live in the session catalog
+(``saveAsTable``) — plain ``parquet(path)`` files cannot carry the
+bucket metadata. Verified by ``tests/test_warehouse.py``: the bucketed
+join plan contains no Exchange.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    num_buckets: int = 8,
+    sort: bool = True,
+    mode: str = "overwrite",
+    path: str | None = None,
+) -> None:
+    """Save as a bucketed (and bucket-sorted) catalog table.
+
+    Size ``num_buckets`` so each bucket lands in the 128 MB-1 GB range
+    at the target volume; both join sides must use the SAME count for
+    an exchange-free join. ``path`` makes it an external table (data at
+    an explicit location instead of the warehouse dir)."""
+    writer = df.write.format("parquet").mode(mode).bucketBy(num_buckets, bucket_col)
+    if sort:
+        writer = writer.sortBy(bucket_col)
+    if path:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], mode: str = "overwrite"
+) -> None:
+    """Hive-style partitioned parquet for partition pruning."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def bucket_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str) -> bool:
+    """True when both catalog tables are bucketed on ``key`` with equal
+    bucket counts (the precondition for an exchange-free join)."""
+
+    def spec(table: str) -> tuple[int, str] | None:
+        rows = spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+        info = {r.col_name: (r.data_type or "") for r in rows}
+        n = info.get("Num Buckets")
+        cols = info.get("Bucket Columns", "")
+        return (int(n), cols) if n else None
+
+    a, b = spec(table_a), spec(table_b)
+    return a is not None and a == b and f"`{key}`" in a[1]

@@ -1,0 +1,125 @@
+"""Scale-layout tests: bucketed joins plan without exchanges; salted
+joins and two-phase aggs return the same answers as their plain forms."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from parcialbigdata_spark.operators import skew
+from parcialbigdata_spark.plans import audit_plan
+from parcialbigdata_spark.sources.tables import load_table
+from parcialbigdata_spark.sources.warehouse import (
+    bucket_join_ready,
+    write_bucketed,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def bucketed_tables(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh")
+    write_bucketed(
+        load_table(spark, SF, "orders"),
+        "orders_b",
+        "o_orderkey",
+        num_buckets=4,
+        path=str(wh / "orders_b"),
+    )
+    write_bucketed(
+        load_table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+        "lineitem_b",
+        "o_orderkey",
+        num_buckets=4,
+        path=str(wh / "lineitem_b"),
+    )
+    yield "orders_b", "lineitem_b"
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    """The whole point of bucketing: both sides pre-hashed on the join
+    key → bucket-local join, zero shuffles. Auto-broadcast is disabled
+    for the assertion — at fixture scale Catalyst would (rightly)
+    broadcast instead, which hides the bucket-locality being tested."""
+    oa, lb = bucketed_tables
+    assert bucket_join_ready(spark, oa, lb, "o_orderkey")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (
+            spark.table(oa)
+            .join(spark.table(lb), "o_orderkey")
+            .groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        a = audit_plan(joined)
+        assert a["n_sortmerge_joins"] + a["n_shuffled_hash_joins"] >= 1
+        # Only the final aggregation may shuffle; the join itself must not.
+        assert a["n_exchanges"] <= 1
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_bucketed_join_matches_plain_join(spark, bucketed_tables):
+    oa, lb = bucketed_tables
+    bucketed = spark.table(oa).join(spark.table(lb), "o_orderkey").count()
+    plain = (
+        load_table(spark, SF, "orders")
+        .join(
+            load_table(spark, SF, "lineitem").withColumnRenamed("l_orderkey", "o_orderkey"),
+            "o_orderkey",
+        )
+        .count()
+    )
+    assert bucketed == plain
+
+
+def test_salted_join_matches_plain(spark):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    plain = orders.join(cust, "o_custkey").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("long").alias("s")
+    ).first()
+    salted = skew.salted_join(orders, cust, "o_custkey", salt=4).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("o_totalprice").cast("long").alias("s")
+    ).first()
+    assert (salted.n, salted.s) == (plain.n, plain.s)
+
+
+def test_salted_join_preserves_columns(spark):
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    out = skew.salted_join(orders, cust, "o_custkey", salt=4)
+    assert "__salt" not in out.columns
+    assert set(out.columns) == set(orders.columns) | (set(cust.columns) - {"o_custkey"})
+
+
+def test_two_phase_agg_matches_plain(spark):
+    ev = load_table(spark, SF, "events")
+    plain = {
+        (r.event_type, r.n, round(r.s, 6))
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("s"),
+        )
+        .collect()
+    }
+    two = {
+        (r.event_type, r.n, round(r.s, 6))
+        for r in skew.two_phase_agg(
+            ev,
+            "event_type",
+            {
+                "n": F.count(F.lit(1)),
+                "s": F.sum(F.col("value").cast("decimal(18,6)")),
+            },
+            {"n": F.sum("n"), "s": F.sum("s").cast("double")},
+            salt=4,
+        ).collect()
+    }
+    assert two == plain
