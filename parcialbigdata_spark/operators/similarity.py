@@ -162,6 +162,83 @@ def ann_topk(
     return cosine_topk(cand, query_vec, k, id_col, vec_col)
 
 
+def ivf_fit_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 10_000,
+    seed: int = _SEED,
+) -> list[list[float]]:
+    """Fit IVF coarse-quantizer centroids: deterministic k-means on a
+    bounded driver-side sample.
+
+    At 100 TB the sample (``sample_size`` rows, a few MB) is what comes
+    to the driver — never the table. k-means over the sample runs in
+    numpy; the resulting centroid matrix is broadcast back as part of
+    the index definition, exactly like the LSH hyperplanes. Fully
+    deterministic: ordered limit-sample + fixed seed + fixed
+    iteration count."""
+    rows = (
+        df.select(vec_col).orderBy(F.monotonically_increasing_id()).limit(sample_size).collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(n_iter):
+        # Assign to nearest centroid by L2; recompute means.
+        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C.tolist()
+
+
+def _centroid_assign_udf(centroids: list[list[float]]):
+    """Arrow-batched nearest-centroid assignment (one matmul per batch)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C**2).sum(axis=1)
+
+    @pandas_udf(LongType())
+    def assign(vec: pd.Series) -> pd.Series:
+        M = np.asarray(vec.tolist(), dtype=np.float64)
+        # argmin ||x-c||² = argmin (||c||² - 2 x·c); ||x||² is constant per row
+        d = Cn[None, :] - 2.0 * (M @ C.T)
+        return pd.Series(d.argmin(axis=1).astype(np.int64))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    centroids: list[list[float]],
+    k: int = 10,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: restrict the scan to the ``nprobe`` centroid cells
+    nearest the query, exact-rescore survivors.
+
+    The scale path pairs this with a table *written partitioned by*
+    ``ivf_cell`` (see sources/warehouse.write_partitioned): the cell
+    filter then becomes partition pruning and the query touches
+    nprobe/n_centroids of the data. Complementary to hyperplane LSH —
+    IVF adapts to the data distribution (clustered corpora), LSH is
+    data-independent."""
+    C = np.asarray(centroids, dtype=np.float64)
+    q = np.asarray(query_vec, dtype=np.float64)
+    d = ((C - q[None, :]) ** 2).sum(axis=1)
+    probes = [int(i) for i in d.argsort()[:nprobe]]
+
+    cells = df.withColumn("ivf_cell", _centroid_assign_udf(centroids)(F.col(vec_col)))
+    cand = cells.filter(F.col("ivf_cell").isin(probes))
+    return cosine_topk(cand, query_vec, k, id_col, vec_col)
+
+
 def knn_join(
     queries: DataFrame,
     corpus: DataFrame,

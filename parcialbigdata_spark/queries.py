@@ -1392,6 +1392,16 @@ def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@query("ivf_topk_embeddings")  # rows-only: the k-means index is not SQL-expressible
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k (§2.10): deterministic k-means coarse quantizer
+    (driver-side sample fit), Arrow-batched cell assignment, nprobe=4
+    cell scan, exact rescore."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_fit_centroids(emb, n_centroids=16)
+    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), centroids, k=10, nprobe=4)
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with

@@ -171,3 +171,28 @@ def test_range_join_broadcast(spark):
         ).collect()
     }
     assert out == {1: "lo", 2: "hi"}
+
+
+def test_ivf_topk_finds_identical_vector(spark):
+    """IVF: the query's own cell is probed first, so an identical corpus
+    vector must surface with cosine 1.0."""
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vecs = [(i, [float(x) for x in rng.standard_normal(16)]) for i in range(200)]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    centroids = similarity.ivf_fit_centroids(df, n_centroids=8)
+    assert len(centroids) == 8
+    top = similarity.ivf_topk(df, vecs[42][1], centroids, k=1, nprobe=1).first()
+    assert top.vec_id == 42
+    assert abs(top.cosine_sim - 1.0) < 1e-6
+
+
+def test_ivf_centroids_deterministic(spark):
+    df = spark.createDataFrame(
+        [(i, [float(i % 7), float(i % 3)]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    c1 = similarity.ivf_fit_centroids(df, n_centroids=4)
+    c2 = similarity.ivf_fit_centroids(df, n_centroids=4)
+    assert c1 == c2
