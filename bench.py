@@ -36,6 +36,8 @@ BENCH_QUERIES = [
     "cosine_topk_embeddings",
     "embedding_near_dup_pairs",
     "text_metrics_by_lang",
+    "training_corpus_prep",
+    "knn_join_embeddings",
 ]
 
 

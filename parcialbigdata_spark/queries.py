@@ -1051,6 +1051,32 @@ def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "salted_join_segment_revenue",
+    """
+    SELECT c_mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (scale infrastructure, operators/skew.py): the
+    salt rewrite must be answer-identical to the plain join — pinned by
+    the plain-SQL oracle. salt=8 spreads any hot customer key across 8
+    tasks."""
+    from parcialbigdata_spark.operators import skew
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    joined = skew.salted_join(orders, cust, "o_custkey", salt=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(_dec("o_totalprice")).cast("double").alias("revenue"),
+    )
+
+
+@query(
     "knn_join_embeddings",
     f"""
     WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 5),
