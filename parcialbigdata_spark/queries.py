@@ -1481,3 +1481,91 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the candidate set ~30× below brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query(
+    "scd2_order_price_history",
+    """
+    SELECT o_custkey, o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+           COALESCE(strftime(LEAD(o_orderdate) OVER w, '%Y-%m-%d'), '9999-12-31') AS valid_to,
+           CASE WHEN LEAD(o_orderdate) OVER w IS NULL THEN 1 ELSE 0 END AS is_current,
+           CAST(o_totalprice AS DOUBLE) AS totalprice
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    """,
+)
+def scd2_order_price_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge emulation (warehouse pattern): effective-date each
+    order per customer with [valid_from, valid_to) + is_current via a
+    single lead() window — one shuffle on the dimension key, no join.
+    At scale this is the standard "rebuild type-2 history from a change
+    log" plan; tie-break on o_orderkey makes the ordering total."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = F.lead("o_orderdate").over(w)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.coalesce(F.date_format(nxt, "yyyy-MM-dd"), F.lit("9999-12-31")).alias("valid_to"),
+        F.when(nxt.isNull(), F.lit(1)).otherwise(F.lit(0)).alias("is_current"),
+        F.col("o_totalprice").cast("double").alias("totalprice"),
+    )
+
+
+@query(
+    "grouping_sets_revenue",
+    """
+    SELECT n_name, c_mktsegment,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS (§2.4) via the SQL surface: two independent
+    one-column groupings + grand total in a single Expand+agg pass
+    (one shuffle) instead of three scans + union."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_v")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer_v")
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation_v")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+               COUNT(*) AS n_orders
+        FROM orders_v
+        JOIN customer_v ON o_custkey = c_custkey
+        JOIN nation_v   ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "range_window_order_density",
+    """
+    SELECT o_orderkey, o_custkey,
+           COUNT(*) OVER (PARTITION BY o_custkey ORDER BY epoch(o_orderdate)
+                          RANGE BETWEEN 7776000 PRECEDING AND CURRENT ROW) AS orders_90d
+    FROM orders
+    """,
+)
+def range_window_order_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-frame window (§2.5): per customer, orders in the trailing
+    90 days (7,776,000 s) — a value-based RANGE frame over epoch
+    seconds, not a row frame. COUNT over a range frame includes peers,
+    so equal timestamps need no tie-break for determinism."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.unix_timestamp("o_orderdate"))
+        .rangeBetween(-7776000, 0)
+    )
+    return orders.select(
+        "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("orders_90d")
+    )
