@@ -65,7 +65,9 @@ def canonical_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
 # shuffle carries one num_hashes-wide row per (doc × partition).
 
 
-def shingle_rows(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3) -> DataFrame:
+def shingle_rows(
+    df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3, with_pos: bool = False
+) -> DataFrame:
     """(id, shingle) rows — one row per word k-shingle occurrence.
 
     Built as posexplode(tokens) → ``lead`` window per document instead
@@ -91,11 +93,11 @@ def shingle_rows(df: DataFrame, id_col: str, text_col: str, k_shingle: int = 3) 
     # except when the whole doc is shorter than k (then pos 0 carries the
     # whole-text shingle).
     n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    return (
+    out = (
         ex.select(F.col(id_col), full.alias("__s"), F.col("__pos"), n_tok.alias("__n"))
         .filter((F.col("__pos") <= F.col("__n") - k_shingle) | ((F.col("__n") < k_shingle) & (F.col("__pos") == 0)))
-        .select(id_col, "__s")
     )
+    return out.select(id_col, "__s", "__pos") if with_pos else out.select(id_col, "__s")
 
 
 def minhash_signatures(
@@ -265,6 +267,75 @@ def ngram_jaccard_pairs(
             F.round(jaccard(F.col("a.sh"), F.col("b.sh")), 6).alias("jaccard_sim"),
         )
         .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------- winnowing (rolling hash)
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    window: int = 4,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): hash every k-gram with a rolling position, keep the
+    minimum hash of each window of ``window`` consecutive k-grams, and
+    return the distinct selected values per document as ``(id, fp)``.
+
+    Guarantee: any run of ``window + k_shingle - 1`` shared tokens
+    between two documents contributes at least one common fingerprint,
+    while only ~``2/(window+1)`` of all k-gram hashes are retained —
+    the standard plagiarism/near-dup fingerprinting density/coverage
+    trade-off.
+
+    Plan shape: the k-gram rows reuse :func:`shingle_rows` (one window
+    sort per document); the min-of-window is a ROWS frame over the same
+    (id, pos) ordering, so Catalyst evaluates both window specs in a
+    single sort pass — no extra shuffle. Everything stays in
+    whole-stage codegen; fingerprints shuffle as 8-byte ints."""
+    from pyspark.sql import Window
+
+    rows = shingle_rows(df, id_col, text_col, k_shingle, with_pos=True)
+    w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
+    return (
+        rows.select(F.col(id_col), F.min(F.xxhash64("__s")).over(w).alias("fp"))
+        .distinct()
+    )
+
+
+def winnow_overlap_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int = 3,
+    window: int = 4,
+    min_shared: int = 2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
+    ``(id_a, id_b, shared_fps)``. The self-join shuffles on the 8-byte
+    fingerprint; ``max_bucket`` drops degenerate fingerprints (shared
+    boilerplate) before the quadratic bucket join, same cap discipline
+    as the MinHash LSH path."""
+    fps = winnow_fingerprints(df, id_col, text_col, k_shingle, window).persist()
+    if max_bucket:
+        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
+        fps = fps.join(counts.filter(F.col("__n") <= max_bucket).drop("__n"), "fp", "inner")
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp")) & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("shared_fps") >= min_shared)
     )
 
 

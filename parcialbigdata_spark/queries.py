@@ -1569,3 +1569,153 @@ def range_window_order_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return orders.select(
         "o_orderkey", "o_custkey", F.count(F.lit(1)).over(w).alias("orders_90d")
     )
+
+
+@query(
+    "q6_forecast_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))
+                    * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01' AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount >= CAST(0.05 AS DOUBLE) AND l_discount <= CAST(0.07 AS DOUBLE)
+      AND l_quantity < 24
+    """,
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: scan + conjunctive filter + scalar agg — the
+    canonical predicate-pushdown showcase. All four predicates reach
+    the parquet reader (PushedFilters); the agg is a map-side partial
+    over the surviving rows, so the shuffle carries one row per
+    partition. At 100 TB this is bandwidth-bound and embarrassingly
+    parallel — exactly what the plan produces."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.filter(
+        (F.col("l_shipdate") >= "1994-01-01")
+        & (F.col("l_shipdate") < "1995-01-01")
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount")).cast("double").alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+
+
+@query(
+    "scalar_subquery_parts_above_avg",
+    """
+    SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS retailprice
+    FROM part
+    WHERE p_retailprice >
+          (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+           FROM part)
+    """,
+)
+def scalar_subquery_parts_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncorrelated scalar subquery (SQL surface): parts priced above
+    the global mean. Catalyst plans the subquery as an independent
+    single-row aggregate broadcast into the outer filter — two scans,
+    zero joins, no shuffle on the outer side. The mean is computed as
+    exact-decimal sum ÷ count so both engines compare against the
+    identical double."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT p_partkey, p_brand, CAST(p_retailprice AS DOUBLE) AS retailprice
+        FROM part_v
+        WHERE p_retailprice >
+              (SELECT CAST(SUM(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*)
+               FROM part_v)
+        """
+    )
+
+
+@query(
+    "q17_small_quantity_revenue",
+    """
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_brand = 'Brand#4'
+      AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                        FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+    """,
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar aggregate subquery
+    (per-part average quantity). Catalyst de-correlates it into an
+    aggregate-then-join — one extra shuffle on l_partkey instead of a
+    per-row subquery execution, which is the only plan that survives at
+    scale. AVG over integral quantities is exact in double, so the
+    threshold compare is engine-portable."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_v")
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part_v")
+    return spark.sql(
+        """
+        SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_price,
+               COUNT(*) AS n_lines
+        FROM lineitem_v
+        JOIN part_v ON p_partkey = l_partkey
+        WHERE p_brand = 'Brand#4'
+          AND l_quantity < (SELECT 0.5 * AVG(l2.l_quantity)
+                            FROM lineitem_v l2 WHERE l2.l_partkey = p_partkey)
+        """
+    )
+
+
+@query(
+    "ntile_customer_spend",
+    """
+    WITH spend AS (
+      SELECT c_custkey, c_mktsegment,
+             CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total_spend
+      FROM customer JOIN orders ON o_custkey = c_custkey
+      GROUP BY c_custkey, c_mktsegment
+    )
+    SELECT c_custkey, c_mktsegment, total_spend,
+           NTILE(4) OVER w AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM spend
+    WINDOW w AS (PARTITION BY c_mktsegment ORDER BY total_spend, c_custkey)
+    """,
+)
+def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution windows (§2.5): ntile / percent_rank / cume_dist
+    over per-customer spend, partitioned by market segment so the
+    window parallelizes (a global ORDER BY window would serialize on
+    one partition at scale — segment-local quartiles are the
+    scale-correct framing). (total_spend, c_custkey) is a total order,
+    so rank-derived ratios are deterministic."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    spend = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey)
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.sum(_dec("o_totalprice")).cast("double").alias("total_spend"))
+    )
+    w = Window.partitionBy("c_mktsegment").orderBy("total_spend", "c_custkey")
+    return spend.select(
+        "c_custkey",
+        "c_mktsegment",
+        "total_spend",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query("winnow_overlap_documents")  # rows-only: xxhash64 has no DuckDB twin
+def winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing rolling-hash fingerprint overlap (§2.10): document
+    pairs sharing ≥2 selected k-gram fingerprints (Schleimer et al.
+    winnowing — min-hash of each sliding window of k-gram hashes).
+    Complements MinHash (set-similarity) with run-locality: any shared
+    token run of window+k-1 tokens is guaranteed to collide."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.winnow_overlap_pairs(
+        docs, "doc_id", "text", k_shingle=3, window=4, min_shared=2
+    ).orderBy("id_a", "id_b")

@@ -196,3 +196,38 @@ def test_ivf_centroids_deterministic(spark):
     c1 = similarity.ivf_fit_centroids(df, n_centroids=4)
     c2 = similarity.ivf_fit_centroids(df, n_centroids=4)
     assert c1 == c2
+
+
+def test_winnow_guaranteed_collision_on_shared_run(spark):
+    # Two docs sharing a run of window + k - 1 = 6 tokens must share at
+    # least one winnowed fingerprint (the SIGMOD'03 coverage guarantee);
+    # a doc with disjoint vocabulary must not collide.
+    shared = "alpha beta gamma delta epsilon zeta"
+    df = spark.createDataFrame(
+        [
+            (1, f"one two three {shared} four five"),
+            (2, f"{shared} six seven eight nine ten"),
+            (3, "completely different words nothing common here at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = dedup.winnow_overlap_pairs(
+        df, "doc_id", "text", k_shingle=3, window=4, min_shared=1, max_bucket=0
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (1, 2) in got
+    assert all(3 not in p for p in got)
+
+
+def test_winnow_density(spark):
+    # Winnowing must select strictly fewer fingerprints than there are
+    # k-grams (density ~ 2/(window+1)), but at least one per document.
+    df = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(100)))], ["doc_id", "text"]
+    )
+    n_fp = dedup.winnow_fingerprints(df, "doc_id", "text", 3, 4).count()
+    n_grams = 98
+    assert 1 <= n_fp < n_grams
+    # selected set is deterministic across runs
+    n_fp2 = dedup.winnow_fingerprints(df, "doc_id", "text", 3, 4).count()
+    assert n_fp == n_fp2
