@@ -1719,3 +1719,86 @@ def winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.winnow_overlap_pairs(
         docs, "doc_id", "text", k_shingle=3, window=4, min_shared=2
     ).orderBy("id_a", "id_b")
+
+
+@query(
+    "hash_split_documents",
+    """
+    SELECT doc_id,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100 AS bucket
+      FROM documents
+    )
+    """,
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split (§2.10): bucket each document
+    by the first 16 bits of md5(doc_id) — stable across runs, engines,
+    cluster sizes, and data order, unlike ``rand(seed)`` whose draw
+    depends on partition layout. Shuffle-free narrow map; at 100 TB the
+    split is computed inline during the corpus scan, never materialized."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 4), 16, 10).cast(
+        "bigint"
+    ) % 100
+    return docs.select(
+        "doc_id",
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+
+
+@query(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tf, df,
+           ROUND(tf * ln(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+    FROM tf JOIN dfreq USING (term) CROSS JOIN n
+    QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, term) <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF top-3 terms per document (§2.10 text analysis). Plan:
+    explode → two hash aggs (term-frequency per doc, then document
+    frequency per term) → join + per-doc row_number top-k. The df
+    relation is tiny relative to the corpus (vocabulary-sized) so AQE
+    broadcasts it; the corpus-size scalar comes from a single-row agg
+    cross join, not a driver-side collect. Top-k ranks on exact integer
+    (tf, term) — the float tfidf is a reported value, never the sort
+    key, so last-ulp ln() differences can't flip row selection."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(T.tokens(T.normalize("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("tf").desc(), "term")
+    return (
+        tf.join(dfreq, "term")
+        .crossJoin(n)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= 3)
+        .select(
+            "doc_id",
+            "term",
+            "tf",
+            "df",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
+    )
