@@ -38,6 +38,12 @@ BENCH_QUERIES = [
     "text_metrics_by_lang",
     "training_corpus_prep",
     "knn_join_embeddings",
+    "q6_forecast_revenue",
+    "q17_small_quantity_revenue",
+    "scd2_order_price_history",
+    "grouping_sets_revenue",
+    "tfidf_top_terms",
+    "winnow_overlap_documents",
 ]
 
 
