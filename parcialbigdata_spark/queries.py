@@ -27,7 +27,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
-from parcialbigdata_spark.functions import vectors as V
 from parcialbigdata_spark.operators import dedup, joins, similarity
 from parcialbigdata_spark.sources.tables import load_table
 
