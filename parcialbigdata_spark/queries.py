@@ -1801,3 +1801,88 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "left_outer_order_counts",
+    """
+    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
+    FROM customer LEFT JOIN orders ON o_custkey = c_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+)
+def left_outer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer join (§2.3): per-customer order counts INCLUDING
+    zero-order customers (COUNT over a nullable key counts matches
+    only). Outer equi-join on o_custkey — fact-side shuffle, customer
+    side decided by AQE; the agg reuses the join's hash partitioning."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+@query(
+    "full_outer_nation_parties",
+    """
+    WITH c AS (SELECT c_nationkey AS nk, COUNT(*) AS n_customers FROM customer GROUP BY nk),
+         s AS (SELECT s_nationkey AS nk, COUNT(*) AS n_suppliers FROM supplier GROUP BY nk)
+    SELECT COALESCE(c.nk, s.nk) AS nationkey,
+           COALESCE(n_customers, 0) AS n_customers,
+           COALESCE(n_suppliers, 0) AS n_suppliers
+    FROM c FULL OUTER JOIN s ON c.nk = s.nk
+    """,
+)
+def full_outer_nation_parties(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join (§2.3): customer and supplier populations per
+    nation, keeping nations present on either side only. Both inputs
+    are pre-aggregated to nation grain before the join, so the full
+    outer join runs on two ~25-row relations — aggregate-then-join is
+    the scale rule when the join key is coarser than the fact grain."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    c = cust.groupBy(F.col("c_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_customers"))
+    s = supp.groupBy(F.col("s_nationkey").alias("nk")).agg(F.count(F.lit(1)).alias("n_suppliers"))
+    return (
+        c.join(s, c.nk == s.nk, "full_outer")
+        .select(
+            F.coalesce(c.nk, s.nk).alias("nationkey"),
+            F.coalesce("n_customers", F.lit(0)).alias("n_customers"),
+            F.coalesce("n_suppliers", F.lit(0)).alias("n_suppliers"),
+        )
+    )
+
+
+@query(
+    "first_last_order_values",
+    """
+    SELECT o_custkey, o_orderkey,
+           CAST(first_value(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+             AS first_price,
+           CAST(last_value(o_totalprice) OVER
+                (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS DOUBLE)
+             AS last_price
+    FROM orders
+    """,
+)
+def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """first_value / last_value windows (§2.5). last_value needs the
+    full-partition ROWS frame (the default frame ends at CURRENT ROW,
+    which would just echo each row); both windows share one sort on
+    (o_custkey, o_orderdate, o_orderkey), a total order, so the result
+    is deterministic and Catalyst evaluates them in a single Window
+    operator."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first("o_totalprice").over(w).cast("double").alias("first_price"),
+        F.last("o_totalprice").over(w_full).cast("double").alias("last_price"),
+    )
