@@ -1886,3 +1886,10 @@ def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).cast("double").alias("first_price"),
         F.last("o_totalprice").over(w_full).cast("double").alias("last_price"),
     )
+
+
+# ---------------------------------------------------------------------
+# The TPC-H query-shape sweep registers itself via the same decorator;
+# imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
+# ---------------------------------------------------------------------
+from parcialbigdata_spark import tpch  # noqa: E402,F401  (registration import)
