@@ -136,9 +136,13 @@ def _candidate_pairs_from_sigs(
     variadic column hashing, no array construction. ``max_bucket``
     drops degenerate buckets before the quadratic self-join — at web
     scale a single boilerplate bucket would otherwise emit billions of
-    pairs. The banded relation is persisted: three plan branches
-    (bucket counts + both self-join sides) would otherwise recompute
-    the signatures."""
+    pairs. The cap is a COUNT window over the self-join's own
+    (band_idx, band_hash) partitioning — one shuffle that the join then
+    reuses — instead of a separate groupBy + filter join (which costs an
+    extra shuffle and an extra join). The banded relation is persisted:
+    both self-join sides would otherwise recompute the signatures."""
+    from pyspark.sql import Window
+
     r = num_hashes // bands
     banded = F.array(
         *[
@@ -149,18 +153,13 @@ def _candidate_pairs_from_sigs(
             for b in range(bands)
         ]
     )
-    bb = (
-        sigs.select(F.col(id_col), F.explode(banded).alias("band"))
-        .select(id_col, "band.band_idx", "band.band_hash")
-        .persist()
+    bb = sigs.select(F.col(id_col), F.explode(banded).alias("band")).select(
+        id_col, "band.band_idx", "band.band_hash"
     )
     if max_bucket:
-        counts = bb.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
-        bb = bb.join(
-            counts.filter(F.col("__n") <= max_bucket).drop("__n"),
-            ["band_idx", "band_hash"],
-            "inner",
-        )
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    bb = bb.persist()
     a = bb.alias("a")
     b = bb.alias("b")
     return (
@@ -210,12 +209,21 @@ def minhash_near_dups(
     Returns (id_a, id_b, jaccard_sim). The shingle rows are computed
     ONCE (persisted) and feed both the signature stage and the
     verification arrays — tokenizing the corpus twice would double the
-    dominant map cost; the shingle-set relation is persisted too (both
-    pair sides read it)."""
+    dominant map cost. Verification runs over HASHED shingles
+    (``xxhash64``, 8-byte longs): Jaccard over the hashed sets equals
+    Jaccard over the strings up to 64-bit collisions (~n²·2⁻⁶⁴ —
+    negligible), and the collect_set/join shuffles move fixed-width
+    ints instead of arbitrary-length shingle text. The hashed-set
+    relation is persisted (both pair sides read it); AQE broadcasts the
+    small candidate side so the set relation never reshuffles."""
     rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
     cands = _candidate_pairs_from_sigs(sigs, id_col, num_hashes, bands, max_bucket=10_000)
-    sh = rows.groupBy(id_col).agg(F.collect_set("__s").alias("sh")).persist()
+    sh = (
+        rows.groupBy(id_col)
+        .agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+        .persist()
+    )
     out = (
         cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
         .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
@@ -320,10 +328,15 @@ def winnow_overlap_pairs(
     fingerprint; ``max_bucket`` drops degenerate fingerprints (shared
     boilerplate) before the quadratic bucket join, same cap discipline
     as the MinHash LSH path."""
-    fps = winnow_fingerprints(df, id_col, text_col, k_shingle, window).persist()
+    from pyspark.sql import Window
+
+    fps = winnow_fingerprints(df, id_col, text_col, k_shingle, window)
     if max_bucket:
-        counts = fps.groupBy("fp").agg(F.count(F.lit(1)).alias("__n"))
-        fps = fps.join(counts.filter(F.col("__n") <= max_bucket).drop("__n"), "fp", "inner")
+        # COUNT window on the join key — the self-join reuses this
+        # shuffle's partitioning, vs. an extra groupBy + filter join.
+        fp_n = F.count(F.lit(1)).over(Window.partitionBy("fp"))
+        fps = fps.withColumn("__n", fp_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    fps = fps.persist()
     a, b = fps.alias("a"), fps.alias("b")
     return (
         a.join(
@@ -415,6 +428,9 @@ def simhash_near_dups(
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
         )
-        .distinct()
+        # Hamming filter BEFORE the distinct: far-apart collision pairs
+        # (the common case) die per-partition instead of shuffling into
+        # the dedup exchange.
         .filter(F.col("hamming") <= max_hamming)
+        .distinct()
     )

@@ -308,24 +308,22 @@ def embedding_near_dup_pairs(
 
     ``max_bucket`` drops degenerate buckets (zero vectors, mode-collapsed
     embeddings) before the quadratic self-join — same cap as the MinHash
-    path. Shuffle key is (band_idx, band_hash): two ints. Band hashes
-    come from one Arrow-batched matmul (:func:`_band_hashes_udf`); the
-    banded relation is persisted because three plan branches (bucket
-    counts + both self-join sides) read it."""
+    path, expressed as a COUNT window over the join's own
+    (band_idx, band_hash) partitioning so the cap and the self-join
+    share one shuffle. Shuffle key is (band_idx, band_hash): two ints.
+    Band hashes come from one Arrow-batched matmul
+    (:func:`_band_hashes_udf`); the banded relation is persisted
+    because both self-join sides read it."""
+    from pyspark.sql import Window
+
     planes = _planes(dim, bits_per_band * num_bands)
     base = df.select(id_col, vec_col)
     hashes = _band_hashes_udf(planes, bits_per_band, num_bands)(F.col(vec_col))
-    bb = (
-        base.select(F.col(id_col), F.posexplode(hashes).alias("band_idx", "band_hash"))
-        .persist()
-    )
+    bb = base.select(F.col(id_col), F.posexplode(hashes).alias("band_idx", "band_hash"))
     if max_bucket:
-        counts = bb.groupBy("band_idx", "band_hash").agg(F.count(F.lit(1)).alias("__n"))
-        bb = bb.join(
-            counts.filter(F.col("__n") <= max_bucket).drop("__n"),
-            ["band_idx", "band_hash"],
-            "inner",
-        )
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    bb = bb.persist()
     a, b = bb.alias("a"), bb.alias("b")
     cands = (
         a.join(
