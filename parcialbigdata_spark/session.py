@@ -37,9 +37,18 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        # start high, let AQE coalesce; on 1000 executors this would be
-        # ~2-3x total cores instead.
-        .config("spark.sql.shuffle.partitions", str(max(cpus * 2, 32)))
+        # Locally: 1 shuffle partition per core — AQE coalesces further
+        # down for small shuffles, and measured bench time rises
+        # monotonically with extra partitions (pure task-scheduling
+        # overhead at single-node scale: 64 partitions costs ~10% more
+        # wall clock than 32 at sf0.1). On a 1000-executor cluster set
+        # SPARK_GRAFT_SHUFFLE_PARTITIONS (or spark.sql.shuffle.partitions
+        # via spark-submit) to ~2-3x total cores so AQE starts high and
+        # coalesces; stragglers/skew make the high start worth it there.
+        .config(
+            "spark.sql.shuffle.partitions",
+            os.environ.get("SPARK_GRAFT_SHUFFLE_PARTITIONS", str(max(cpus, 16))),
+        )
         # --- Python interop: Arrow everywhere ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
