@@ -1888,6 +1888,71 @@ def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "stratified_sample_documents",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('smp-' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 100
+               AS bucket
+      FROM documents
+    )
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 20 ELSE 50 END)
+    """,
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling (§2.10): per-language rates
+    (downsample the dominant 'en' stratum to 20%, keep 50% elsewhere)
+    decided by a salted md5 bucket of the id — reproducible across
+    runs, engines, partitionings, and data order, unlike
+    ``df.sampleBy(seed)`` whose draw depends on partition layout.
+    Shuffle-free narrow map: at 100 TB the sample is decided inline
+    during the scan, nothing is materialized, and strata rates can be
+    tuned per epoch by changing only the thresholds."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.concat(F.lit("smp-"), F.col("doc_id").cast("string"))), 1, 4), 16, 10)
+        .cast("bigint") % 100
+    )
+    rate = F.when(F.col("lang") == "en", F.lit(20)).otherwise(F.lit(50))
+    return docs.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate")).filter(
+        F.col("bucket") < F.col("rate")
+    ).select("doc_id", "lang")
+
+
+@query(
+    "embedding_centroids",
+    """
+    SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS centroid_val
+    FROM (
+      SELECT label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+      FROM embeddings
+    ) t
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding column (§2.10): posexplode →
+    one partial+final agg keyed by (label, dimension). The training-data
+    use is cluster auditing / IVF seeding. Elements are quantized to 6
+    decimals and summed as exact DECIMAL so the centroid is
+    order-independent and engine-exact (float addition is not
+    associative; a naive double sum would be partitioning-dependent).
+    Shuffle carries (label, pos, decimal) — 3 narrow columns; at 100 TB
+    the map-side partial agg reduces each partition to
+    |labels|·dim rows before the exchange."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .select("label", (F.col("pos0") + 1).alias("pos"), q.alias("q"))
+        .groupBy("label", "pos")
+        .agg((F.sum("q").cast("double") / F.count(F.lit(1))).alias("centroid_val"))
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -1,0 +1,98 @@
+"""Physical-plan audits for the TPC-H sweep — the scale contract.
+
+Correct rows are necessary but not sufficient: these tests pin the
+plan properties that decide whether each shape survives a 100×
+scale-up (semi/anti joins instead of nested loops, filters pushed to
+the parquet scan, pruned read schemas, top-k as TakeOrderedAndProject).
+"""
+
+from __future__ import annotations
+
+from parcialbigdata_spark.plans.audit import audit_plan, physical_plan
+from parcialbigdata_spark.queries import QUERIES
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_q4_exists_plans_semi_join_not_nested_loop(spark):
+    plan = physical_plan(QUERIES["q4_order_priority"](spark, SF_DIR))
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q4_date_filter_pushed_to_scan(spark):
+    df = QUERIES["q4_order_priority"](spark, SF_DIR)
+    audit = audit_plan(df)
+    assert audit["n_scans_with_pushed_filters"] >= 1
+    # Only the columns the query touches reach the orders scan.
+    assert any("o_orderdate" in s and "o_totalprice" not in s for s in audit["read_schemas"])
+
+
+def test_q16_not_in_plans_anti_join(spark):
+    plan = physical_plan(QUERIES["q16_supplier_cnt"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q19_or_brackets_push_single_side_conjuncts(spark):
+    """Catalyst must extract the union-of-brackets conjuncts
+    (p_brand IN / l_quantity bounds) below the join."""
+    plan = physical_plan(QUERIES["q19_bracket_revenue"](spark, SF_DIR))
+    audit = audit_plan(QUERIES["q19_bracket_revenue"](spark, SF_DIR))
+    # Both scans carry pushed filters: lineitem gets the quantity
+    # bracket union, part gets the brand/size bracket union.
+    assert audit["n_scans_with_pushed_filters"] == 2, plan
+
+
+def test_q10_topk_is_take_ordered(spark):
+    audit = audit_plan(QUERIES["q10_returned_items"](spark, SF_DIR))
+    assert audit["top_k"]
+    assert audit["n_scans_with_pushed_filters"] >= 2  # date + returnflag
+
+
+def test_q21_semi_anti_pair(spark):
+    plan = physical_plan(QUERIES["q21_sole_supplier_orders"](spark, SF_DIR))
+    assert "LeftSemi" in plan and "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark):
+    plan = physical_plan(QUERIES["q22_idle_customers"](spark, SF_DIR))
+    assert "LeftAnti" in plan
+    # The 1-row average joins by broadcast, never by shuffle.
+    assert "BroadcastExchange" in plan
+
+
+def test_q1_scan_schema_pruned(spark):
+    audit = audit_plan(QUERIES["q1_pricing_summary"](spark, SF_DIR))
+    # 7 needed columns, not the full 11-column lineitem schema.
+    schema = audit["read_schemas"][0]
+    assert "l_orderkey" not in schema and "l_partkey" not in schema
+    assert audit["n_scans_with_pushed_filters"] == 1
+
+
+def test_stratified_sample_is_shuffle_free(spark):
+    audit = audit_plan(QUERIES["stratified_sample_documents"](spark, SF_DIR))
+    assert audit["n_exchanges"] == 0
+    assert not audit["has_python_row_udf"]
+
+
+def test_no_query_uses_row_at_a_time_python(spark):
+    """No registered TPC-H query may fall off the codegen path into
+    row-at-a-time Python."""
+    for name in [
+        "q4_order_priority",
+        "q7_nation_volume",
+        "q8_market_share",
+        "q9_profit_by_nation_year",
+        "q12_priority_by_linestatus",
+        "q13_customer_distribution",
+        "q14_promo_revenue",
+        "q15_top_supplier",
+        "q18_large_volume_orders",
+        "q19_bracket_revenue",
+        "q20_red_part_suppliers",
+    ]:
+        audit = audit_plan(QUERIES[name](spark, SF_DIR))
+        assert not audit["has_python_row_udf"], name
