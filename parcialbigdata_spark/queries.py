@@ -1443,6 +1443,33 @@ def streaming_dedup_events_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_click_purchase_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+             AS secs_between
+    FROM events c JOIN events p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    """,
+)
+def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: watermarked stream-stream inner join — clicks paired with the
+    same user's purchases within 30 minutes. Fully drained it equals
+    the batch self-join, which is the oracle."""
+    from parcialbigdata_spark.streaming.windows import (
+        click_purchase_join,
+        read_events_stream,
+    )
+
+    joined = click_purchase_join(read_events_stream(spark, sf_dir))
+    return _drain(joined, output_mode="append")
+
+
 @query("streaming_running_counts")  # rows-only: per-batch emission order is engine-specific
 def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/E4: custom stateful operator (applyInPandasWithState) — final

@@ -116,6 +116,56 @@ def streaming_dedup_events(events: DataFrame, watermark: str = "1 hour") -> Data
     return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
 
 
+def click_purchase_join(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream inner join (E4): every click paired
+    with the same user's purchases within ``horizon`` after it.
+
+    Both sides carry a watermark and the join condition bounds event
+    time in both directions — the two things Structured Streaming
+    needs to know when buffered rows can be evicted, so state stays
+    bounded by (watermark + horizon) × arrival rate. Shuffle is on
+    user_id for both sides (one exchange each); output mode is append
+    (inner stream-stream joins emit exactly-once per matched pair).
+
+    Deterministic once drained, so the driver checks it against a
+    plain batch self-join oracle."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+            "inner",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_between"),
+        )
+    )
+
+
 _STATE_SCHEMA = "n bigint"
 _COUNT_OUT_SCHEMA = "user_id bigint, n_events bigint"
 

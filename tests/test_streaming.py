@@ -106,3 +106,37 @@ def test_checkpoint_dir_created(spark, tmp_path):
     store = RecordingStore(str(tmp_path / "store"))
     run_available_now(stream_landing_to_csv(spark, str(landing), str(ckpt), store=store))
     assert os.path.isdir(ckpt)
+
+
+def test_stream_stream_join_matches_batch(spark):
+    """E4: the drained watermarked stream-stream join equals the batch
+    self-join on the same fixture."""
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.queries import QUERIES
+    from parcialbigdata_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    streamed = QUERIES["streaming_click_purchase_join"](spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("event_id").alias("click_id"), F.col("ts").alias("cts")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"), F.col("event_id").alias("purchase_id"), F.col("ts").alias("pts")
+    )
+    batch = c.join(
+        p,
+        (F.col("cu") == F.col("pu"))
+        & (F.col("pts") >= F.col("cts"))
+        & (F.col("pts") <= F.col("cts") + F.expr("INTERVAL 30 minutes")),
+    ).select(
+        F.col("cu").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        (F.unix_timestamp("pts") - F.unix_timestamp("cts")).alias("secs_between"),
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b
+    assert s, "no click->purchase pairs at sf0.001 — fixture assumption broken"
