@@ -1,0 +1,109 @@
+"""Connected components over pair graphs (SURVEY.md §2.10 extension).
+
+Near-duplicate detection emits PAIRS (MinHash/SimHash/winnowing/
+embedding LSH all return ``(id_a, id_b)``); deduplication needs
+CLUSTERS — the transitive closure of those pairs — so that one
+survivor is kept per component, not per pair. This module provides
+the iterative min-label propagation that turns pairs into components.
+
+Algorithm: every node starts labeled with its own id; each round every
+node takes the min label in its closed neighborhood; stop when no
+label changes. Rounds = graph diameter (near-dup graphs are
+overwhelmingly tiny cliques/chains, so 2-4 rounds in practice — the
+classic HashToMin / Pregel-style propagation). Each round is one
+shuffle on the node id; the edge relation is persisted once and
+reused by every round.
+
+At 100 TB: near-dup graphs have billions of nodes but tiny components;
+min-propagation with early termination is the standard scalable
+answer (GraphFrames' connectedComponents uses the same family of
+algorithms). A pathological long-chain graph would need the
+large-star/small-star variant (O(log n) rounds); near-dup graphs do
+not produce such chains.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """(node, component) for every node in ``pairs``; ``component`` is
+    the minimum node id reachable through the pair graph.
+
+    ``pairs`` is undirected input (each row links two nodes). Raises
+    ``RuntimeError`` if the labels have not converged after
+    ``max_iter`` rounds (diameter > max_iter — not a near-dup graph).
+
+    Lineage discipline: every round's label relation is
+    ``localCheckpoint``-ed. Without this the logical plan re-embeds the
+    (possibly expensive) upstream pair plan once per round and grows
+    exponentially — planning itself OOMs after a handful of rounds, the
+    textbook failure of iterative DataFrame algorithms. On a cluster
+    with executor loss, swap for reliable ``checkpoint()`` against the
+    checkpoint dir; the loop is unchanged."""
+    # Symmetrize once; checkpoint cuts the upstream pair plan out of
+    # every round's lineage.
+    fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+    edges = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        # Min label over the closed neighborhood: own label ∪ neighbors'.
+        neighbor_min = (
+            edges.join(labels, edges.v == labels.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
+            .select(
+                "node",
+                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
+            .filter(F.col("n.comp") != F.col("o.comp"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select(F.col("node"), F.col("comp").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Cluster summary for a near-dup pair graph: one row per
+    component with its survivor (min id) and size.
+
+    Returns (component, survivor_id, cluster_size); singleton documents
+    (no pair) are by definition their own survivor and are not listed —
+    join this back to the corpus with a left join + coalesce to build
+    the keep-list."""
+    cc = connected_components(pairs, src, dst)
+    return cc.groupBy("component").agg(
+        F.min("node").alias("survivor_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )

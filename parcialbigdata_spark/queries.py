@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
-from parcialbigdata_spark.operators import dedup, joins, similarity
+from parcialbigdata_spark.operators import dedup, graph, joins, similarity
 from parcialbigdata_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -1913,6 +1913,58 @@ def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("o_totalprice").over(w).cast("double").alias("first_price"),
         F.last("o_totalprice").over(w_full).cast("double").alias("last_price"),
     )
+
+
+@query(
+    "dedup_clusters_documents",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      FROM (SELECT doc_id, lang, source,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+      WHERE round(len(list_intersect(a.sh, b.sh)) /
+                  greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    )
+    SELECT component, MIN(node) AS survivor_id, COUNT(*) AS cluster_size
+    FROM (
+      SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+    ) labeled
+    GROUP BY component
+    """,
+)
+def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS (§2.10): transitive closure of the 2-gram
+    Jaccard ≥ 0.05 pair graph (blocked by lang|source) via iterative
+    min-label propagation — pairs tell you who matches whom, clusters
+    tell you what to keep. Oracle: DuckDB recursive CTE computing the
+    same min-reachable-id labeling. (See operators/graph.py for the
+    scale analysis of the propagation loop.)"""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", "source")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="block"
+    )
+    return graph.dedup_clusters(pairs)
 
 
 @query(

@@ -231,3 +231,34 @@ def test_winnow_density(spark):
     # selected set is deterministic across runs
     n_fp2 = dedup.winnow_fingerprints(df, "doc_id", "text", 3, 4).count()
     assert n_fp == n_fp2
+
+
+def test_connected_components_known_graph(spark):
+    """Chain 1-2-3-4, triangle 10-11-12, isolated pair 20-21."""
+    from parcialbigdata_spark.operators.graph import connected_components, dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+    clusters = {
+        r["component"]: (r["survivor_id"], r["cluster_size"])
+        for r in dedup_clusters(pairs).collect()
+    }
+    assert clusters == {1: (1, 4), 10: (10, 3), 20: (20, 2)}
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    import pytest
+
+    from parcialbigdata_spark.operators.graph import connected_components
+
+    # A 6-chain needs ~5 rounds of min-propagation; cap at 1 must raise.
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 7)], ["id_a", "id_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iter=1)
