@@ -1916,6 +1916,39 @@ def first_last_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "variant_event_props",
+    """
+    SELECT event_type,
+           COUNT(*) AS n,
+           SUM(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+           MIN(CAST(json_extract(props, '$.k') AS BIGINT)) AS min_k,
+           MAX(CAST(json_extract(props, '$.k') AS BIGINT)) AS max_k
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4 via Spark 4 VariantType: ``parse_json`` → ``variant_get``
+    path extraction — the modern open-ended semi-structured path (no
+    schema declared up front, unlike ``from_json``; binary-encoded
+    variant beats per-row JSON string re-parsing when a column is
+    touched more than once). Integer aggregates, so no float
+    determinism caveats."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@query(
     "dedup_clusters_documents",
     f"""
     WITH RECURSIVE sh AS (

@@ -86,3 +86,28 @@ def test_download_handler_default_bucket(monkeypatch, tmp_path):
     result = download_handler(http_get=dummy_get_success, store=store)
     assert result["status"] == "downloaded"
     assert store.put_calls[0]["Bucket"] == "parcials"
+
+
+def test_http_pages_datasource(spark):
+    """S1 as a Spark 4 Python Data Source: one partition per page,
+    reference failure semantics (non-200 rows kept, run continues)."""
+    from parcialbigdata_spark.sources import http_pages
+
+    spark.dataSource.register(http_pages.HttpPagesDataSource)
+    df = (
+        spark.read.format("http_pages")
+        .option("base_url", "http://example.test/find?q=x")
+        .option("first", "1")
+        .option("last", "10")
+        .option("transport", "stub")
+        .option("fail_pages", "5")
+        .load()
+    )
+    rows = {r["page"]: r for r in df.collect()}
+    assert len(rows) == 10
+    assert rows[5]["status"] == 404
+    ok = [r for r in rows.values() if r["status"] == 200]
+    assert len(ok) == 9
+    assert all("Content from" in r["body"] for r in ok)
+    # Parallelism contract: one input partition per page.
+    assert df.rdd.getNumPartitions() == 10
