@@ -44,6 +44,11 @@ BENCH_QUERIES = [
     "grouping_sets_revenue",
     "tfidf_top_terms",
     "winnow_overlap_documents",
+    "q13_customer_distribution",
+    "q18_large_volume_orders",
+    "q21_sole_supplier_orders",
+    "variant_event_props",
+    "embedding_centroids",
 ]
 
 
