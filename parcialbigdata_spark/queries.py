@@ -2065,6 +2065,99 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "profile_documents",
+    """
+    SELECT COUNT(*) AS n_rows,
+           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+           COUNT(DISTINCT lang) AS n_langs,
+           COUNT(DISTINCT source) AS n_sources,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars
+    FROM documents
+    """,
+)
+def profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (§2.10): the null/distinct/range summary every
+    corpus intake step runs first. One full-scan aggregation; the two
+    count-distincts expand to Expand + two-phase agg but stay a single
+    scan. n_chars is integral so the average is exact-sum ÷ count."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("null_text"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+    )
+
+
+@query(
+    "histogram_order_totals",
+    """
+    WITH b AS (SELECT MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi FROM orders)
+    SELECT LEAST(CAST(FLOOR((o_totalprice - lo) / (hi - lo) * 20) AS INT), 19) AS bucket,
+           COUNT(*) AS n
+    FROM orders, b
+    GROUP BY 1
+    """,
+)
+def histogram_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width 20-bucket histogram with data-derived bounds: the
+    1-row (min, max) aggregate broadcasts into a constant-per-row
+    bucket expression — two scans, one 1-row exchange, one final agg.
+    The bucket arithmetic is the same IEEE double expression on both
+    engines, so bucket ids match exactly."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(F.min("o_totalprice").alias("lo"), F.max("o_totalprice").alias("hi"))
+    bucket = F.least(
+        F.floor((F.col("o_totalprice") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20).cast(
+            "int"
+        ),
+        F.lit(19),
+    )
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "sample_k_per_group",
+    """
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5('g-' || CAST(doc_id AS VARCHAR)) ASC, doc_id ASC
+             ) AS rn
+      FROM documents
+    )
+    WHERE rn <= 5
+    """,
+)
+def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic fixed-size per-stratum sample (§2.10): exactly 5
+    docs per language, chosen by ranking a salted md5 of the id —
+    engine- and partitioning-independent (a per-class eval subset that
+    never moves between runs). One shuffle on lang; at 100 TB swap the
+    full sort for an approximate per-key top-k if strata are huge."""
+    docs = load_table(spark, sf_dir, "documents")
+    order_key = F.md5(F.concat(F.lit("g-"), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("lang").orderBy(order_key.asc(), F.col("doc_id").asc())
+    return (
+        docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "lang")
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -262,3 +262,40 @@ def test_connected_components_nonconvergence_raises(spark):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iter=1)
+
+
+def test_connected_components_random_graphs_match_union_find(spark):
+    """Randomized cross-check: Spark min-label propagation must agree
+    with a driver-side union-find on arbitrary small graphs."""
+    import random
+
+    from parcialbigdata_spark.operators.graph import connected_components
+
+    for seed in (7, 21, 99):
+        rng = random.Random(seed)
+        n_nodes = 60
+        edges = [
+            (rng.randrange(n_nodes), rng.randrange(n_nodes)) for _ in range(70)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = list(range(n_nodes))
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        touched = {x for e in edges for x in e}
+        expected = {x: find(x) for x in touched}
+        # find() compresses to the min id because unions always attach
+        # the larger root under the smaller one.
+
+        pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+        got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
+        assert got == expected, f"seed {seed}"
