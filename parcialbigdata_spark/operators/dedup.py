@@ -89,14 +89,16 @@ def shingle_rows(
     parts = [F.col("__t")] + [F.lead("__t", j).over(w) for j in range(1, k_shingle)]
     full = F.concat_ws(" ", *parts)
     # lead() is NULL near the end of a doc; concat_ws skips NULLs, so the
-    # tail rows would emit partial shingles — keep only complete ones,
-    # except when the whole doc is shorter than k (then pos 0 carries the
-    # whole-text shingle).
-    n_tok = F.count(F.lit(1)).over(Window.partitionBy(id_col))
-    out = (
-        ex.select(F.col(id_col), full.alias("__s"), F.col("__pos"), n_tok.alias("__n"))
-        .filter((F.col("__pos") <= F.col("__n") - k_shingle) | ((F.col("__n") < k_shingle) & (F.col("__pos") == 0)))
-    )
+    # tail rows would emit partial shingles. A row's shingle is complete
+    # iff its last lead is non-NULL, and the short-doc fallback (doc with
+    # < k tokens contributes its whole token run at pos 0) is exactly the
+    # pos==0 row whose last lead is NULL — so the single predicate
+    # (last-lead NOT NULL) OR (pos == 0) covers both cases with no
+    # per-document count window (one window pass instead of two).
+    complete = parts[-1].isNotNull() if k_shingle > 1 else F.lit(True)
+    out = ex.select(
+        F.col(id_col), full.alias("__s"), F.col("__pos"), complete.alias("__c")
+    ).filter(F.col("__c") | (F.col("__pos") == 0))
     return out.select(id_col, "__s", "__pos") if with_pos else out.select(id_col, "__s")
 
 

@@ -717,3 +717,51 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
         )
     )
+
+
+# ---------------------------------------------------------------------
+# Q2 — min-cost supplier per part (correlated-min / argmin per group)
+# ---------------------------------------------------------------------
+
+
+@query(
+    "q2_min_cost_supplier",
+    f"""
+    WITH cost AS (
+        SELECT l_partkey, l_suppkey, SUM({_REV_SQL}) AS total_cost
+        FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT p_partkey, p_name, l_suppkey AS s_suppkey,
+           CAST(total_cost AS DOUBLE) AS cost
+    FROM cost
+    JOIN part ON p_partkey = l_partkey
+    WHERE p_size <= 5
+      AND total_cost = (SELECT MIN(c2.total_cost) FROM cost c2
+                        WHERE c2.l_partkey = cost.l_partkey)
+    """,
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (no partsupp in the fixture, so supply cost is
+    the aggregated lineitem spend): per part, the supplier(s) with the
+    minimum cost — the correlated-MIN subquery expressed as a MIN
+    window over the aggregation's own grouping key, so the argmin
+    reuses the agg's shuffle instead of self-joining the aggregate
+    (what Catalyst would plan for the correlated form). Exact decimal
+    comparison: ties return all minimal suppliers on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    from pyspark.sql import Window
+
+    cost = li.groupBy("l_partkey", "l_suppkey").agg(F.sum(_rev()).alias("total_cost"))
+    w = Window.partitionBy("l_partkey")
+    return (
+        cost.withColumn("min_cost", F.min("total_cost").over(w))
+        .filter(F.col("total_cost") == F.col("min_cost"))
+        .join(part, F.col("l_partkey") == part.p_partkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("l_suppkey").alias("s_suppkey"),
+            F.col("total_cost").cast("double").alias("cost"),
+        )
+    )
