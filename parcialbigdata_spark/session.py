@@ -58,6 +58,13 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         #     supplier stay broadcast-able far beyond sf0.1) ---
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # --- streaming state: RocksDB keeps state off-heap and spills
+        #     to disk, so watermarked joins/aggs scale past executor
+        #     memory (the default HDFS-backed in-memory store does not).
+        .config(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
         # events.parquet stores TIMESTAMP(NANOS) which the vectorized
         # reader rejects; read as long and convert in the loader.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -137,3 +137,36 @@ def test_asof_join_matches_bruteforce(spark):
         cands = [(rt, rv) for rk, rt, rv in right if rk == k and rt <= t]
         expect = max(cands)[1] if cands else None
         assert got[lid] == expect, (lid, k, t, got[lid], expect)
+
+
+def test_deterministic_sampling_partitioning_invariant(spark):
+    """hash_split / stratified sample / k-per-group must not change
+    when the input partitioning changes (the property rand(seed)-based
+    sampling lacks)."""
+    from parcialbigdata_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for name in ("hash_split_documents", "stratified_sample_documents", "sample_k_per_group"):
+        base = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+        import parcialbigdata_spark.sources.tables as tables
+
+        orig = tables.load_table
+
+        def skewed_loader(s, d, t, _orig=orig):
+            df = _orig(s, d, t)
+            return df.repartition(3) if t == "documents" else df
+
+        tables.load_table = skewed_loader
+        try:
+            # queries.py binds load_table by module attr at call time
+            import parcialbigdata_spark.queries as qmod
+
+            qorig = qmod.load_table
+            qmod.load_table = skewed_loader
+            try:
+                repartitioned = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
+            finally:
+                qmod.load_table = qorig
+        finally:
+            tables.load_table = orig
+        assert repartitioned == base, name
