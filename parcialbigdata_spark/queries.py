@@ -2066,6 +2066,33 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "right_outer_urgent_orders",
+    """
+    SELECT c_custkey, COUNT(o_orderkey) AS n_urgent
+    FROM orders RIGHT JOIN customer
+      ON o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    GROUP BY c_custkey
+    """,
+)
+def right_outer_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right outer join (§2.3) with a join-side predicate: every
+    customer appears, customers with no urgent orders count 0 via the
+    NULL-ignoring COUNT(col). Catalyst flips this to a left join with
+    swapped sides; semantics are what's under test."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        orders.join(
+            cust,
+            (orders.o_custkey == cust.c_custkey) & (orders.o_orderpriority == "1-URGENT"),
+            "right",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_urgent"))
+    )
+
+
+@query(
     "profile_documents",
     """
     SELECT COUNT(*) AS n_rows,

@@ -123,3 +123,41 @@ def test_two_phase_agg_matches_plain(spark):
         ).collect()
     }
     assert two == plain
+
+
+def test_aqe_splits_skewed_join(spark):
+    """Scale claim in SCALE.md §2: AQE splits skewed shuffle-join
+    partitions at runtime. Thresholds are lowered so local-scale data
+    exhibits the behavior; the mechanism is identical at 100 TB."""
+    from pyspark.sql import functions as F
+
+    conf = spark.conf
+    keys = (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+    )
+    old = {k: conf.get(k) for k in keys}
+    conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "8KB")
+    conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    try:
+        # 50% of rows share key 0; incompressible pad so shuffle bytes
+        # reflect row counts.
+        left = spark.range(300_000).select(
+            F.when(F.col("id") % 2 == 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("pad"),
+        )
+        right = spark.range(1000).select(F.col("id").alias("k"), F.lit("r").alias("rv"))
+        joined = left.join(right, "k")
+        n = len(joined.collect())
+        assert n == 300_000
+        # collect() finalizes THIS DataFrame's adaptive plan; count()
+        # would execute a different QueryExecution.
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in old.items():
+            conf.set(k, v)
