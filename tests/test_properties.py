@@ -170,3 +170,61 @@ def test_deterministic_sampling_partitioning_invariant(spark):
         finally:
             tables.load_table = orig
         assert repartitioned == base, name
+
+
+def test_simhash_hamming_tracks_similarity(spark):
+    """Algorithmic property: near-identical documents get small Hamming
+    distance, unrelated documents get ~32 (random 64-bit hashes)."""
+    import random
+
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from parcialbigdata_spark.operators.dedup import simhash_signatures
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(5000)]
+    base = [rng.choice(vocab) for _ in range(400)]
+    # doc 1 = doc 0 with 2% of tokens replaced; doc 2 unrelated.
+    near = list(base)
+    for i in rng.sample(range(len(near)), 8):
+        near[i] = rng.choice(vocab)
+    far = [rng.choice(vocab) for _ in range(400)]
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(near)), (2, " ".join(far))],
+        ["doc_id", "text"],
+    )
+    sh = {r["doc_id"]: r["sh"] for r in simhash_signatures(df, "doc_id", "text").collect()}
+    ham_near = bin((sh[0] ^ sh[1]) & (2**64 - 1)).count("1")
+    ham_far = bin((sh[0] ^ sh[2]) & (2**64 - 1)).count("1")
+    assert ham_near <= 10, ham_near
+    assert ham_far >= 16, ham_far
+
+
+def test_minhash_signature_agreement_estimates_jaccard(spark):
+    """The fraction of agreeing MinHash lanes is an unbiased Jaccard
+    estimator; with 32 lanes expect agreement within ~0.25 of truth."""
+    import random
+
+    from parcialbigdata_spark.operators.dedup import minhash_signatures
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(2000)]
+    base = [rng.choice(vocab) for _ in range(300)]
+    near = list(base)
+    for i in rng.sample(range(len(near)), 30):  # ~10% token churn
+        near[i] = rng.choice(vocab)
+    df = spark.createDataFrame(
+        [(0, " ".join(base)), (1, " ".join(near))], ["doc_id", "text"]
+    )
+    sigs = {r["doc_id"]: r for r in minhash_signatures(df, "doc_id", "text").collect()}
+    agree = sum(
+        1 for i in range(32) if sigs[0][f"m{i}"] == sigs[1][f"m{i}"]
+    ) / 32.0
+
+    # True shingle Jaccard, computed driver-side.
+    def shingles(toks):
+        return {" ".join(toks[i:i + 3]) for i in range(len(toks) - 2)}
+
+    s0, s1 = shingles(base), shingles(near)
+    true_j = len(s0 & s1) / len(s0 | s1)
+    assert abs(agree - true_j) <= 0.25, (agree, true_j)
