@@ -74,6 +74,11 @@ def main() -> None:
         # Execute the full plan; write nothing, pull only the count back.
         df.count()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Operator-internal persists (LSH band/shingle relations) are
+        # per-query state — clear so queries don't inherit cache from
+        # earlier ones and storage stays flat. Outside the timer: cache
+        # teardown is harness overhead, not query cost.
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 3)
     print(

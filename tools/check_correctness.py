@@ -72,6 +72,11 @@ def main() -> int:
             print(f"FAIL  {name}: spark error: {exc}")
             n_fail += 1
             continue
+        finally:
+            # Queries are independent; drop any operator-internal
+            # persists (LSH band/shingle relations) so a 90-query
+            # session keeps flat executor storage.
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok    {name}: rows-only ({len(srows)} rows)")
             n_pass += 1
