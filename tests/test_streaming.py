@@ -140,3 +140,82 @@ def test_stream_stream_join_matches_batch(spark):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert s, "no click->purchase pairs at sf0.001 — fixture assumption broken"
+
+
+def test_watermark_drops_late_events(spark, tmp_path):
+    """E4 semantics: an event arriving after the watermark has passed
+    its window is DROPPED from the windowed aggregation. Two parquet
+    files processed one per micro-batch (maxFilesPerTrigger=1): the
+    first advances the watermark far past hour 10; the second delivers
+    a late hour-10 event, which must not resurrect the closed window."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / name)
+
+    t = pd.Timestamp
+    # Batch 1: one event at 10:00, plus one at 20:00 that drags the
+    # 1-hour watermark to 19:00 — far past hour 10's close.
+    write("a.parquet", [
+        (1, t("2024-01-01 10:00:00"), 1, "click", 1.0, "{}"),
+        (2, t("2024-01-01 20:00:00"), 1, "click", 1.0, "{}"),
+    ])
+    # Batch 2: neutral event. The 19:00 watermark takes effect, hour 10
+    # is emitted (n=1) and its state evicted. (Eviction happens at
+    # batch boundaries, so this intermediate batch is what closes the
+    # window — dropping of late rows is only guaranteed AFTER eviction,
+    # which is exactly the contract this test pins.)
+    write("b.parquet", [
+        (4, t("2024-01-01 21:00:00"), 1, "click", 1.0, "{}"),
+    ])
+    # Batch 3: a too-late hour-10 event — must be dropped, not
+    # resurrect the closed window as a duplicate append row.
+    write("c.parquet", [
+        (3, t("2024-01-01 10:30:00"), 1, "click", 1.0, "{}"),
+    ])
+    # The file source orders batches by modification time — pin the
+    # arrival order a → b → c.
+    import time as _time
+
+    now = _time.time()
+    os.utime(src / "a.parquet", (now - 200, now - 200))
+    os.utime(src / "b.parquet", (now - 100, now - 100))
+    os.utime(src / "c.parquet", (now, now))
+
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    agg = (
+        events.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("w.start", "HH").alias("hour"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("late_drop_test")
+        .outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    rows = spark.table("late_drop_test").collect()
+    hour10 = [r for r in rows if r["hour"] == "10"]
+    # Hour 10 closed once, with exactly the on-time event; the late one
+    # (id 3) was dropped — no duplicate append row, no count bump.
+    assert [r["n"] for r in hour10] == [1], rows
