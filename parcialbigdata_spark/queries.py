@@ -1470,6 +1470,37 @@ def streaming_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame
     return _drain(joined, output_mode="append")
 
 
+@query(
+    "streaming_enriched_purchases",
+    """
+    SELECT e.user_id, c.c_mktsegment AS segment,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    WHERE e.event_type = 'purchase'
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+)
+def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: stream-static enrichment join — the streaming purchase feed
+    joined to the static customer dim (re-read per micro-batch, the
+    standard slowly-changing-dim enrichment pattern; at scale the
+    static side is broadcast by AQE size estimate per batch). Drained
+    aggregate equals the batch join, which is the oracle."""
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    ev = read_events_stream(spark, sf_dir).filter(F.col("event_type") == "purchase")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(cust, ev.user_id == cust.c_custkey).select(
+        "user_id", F.col("c_mktsegment").alias("segment"), "value"
+    )
+    agg = joined.groupBy("user_id", "segment").agg(
+        F.count(F.lit(1)).alias("n_purchases"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("total_value"),
+    )
+    return _drain(agg, output_mode="complete")
+
+
 @query("streaming_running_counts")  # rows-only: per-batch emission order is engine-specific
 def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/E4: custom stateful operator (applyInPandasWithState) — final
