@@ -333,6 +333,51 @@ def asof_latest_order_before_event(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "asof_next_order_after_event",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey,
+             CAST(MAX(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS o_totalprice
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), j AS (
+      SELECT e.event_id, e.user_id, r.o_orderkey, r.o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY r.o_orderdate ASC, r.o_orderkey ASC) AS rn
+      FROM events e LEFT JOIN r ON r.o_custkey = e.user_id AND r.o_orderdate >= e.ts
+    )
+    SELECT event_id, user_id, o_orderkey, o_totalprice FROM j WHERE rn = 1
+    """,
+)
+def asof_next_order_after_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (forward): each event picks the EARLIEST order at or
+    after its timestamp — same union+carry operator, reversed sort
+    (operators/joins.py direction='forward'). Same single-shuffle plan
+    as the backward query; the pair proves both directions against
+    independent oracles."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(
+            F.max("o_orderkey").alias("o_orderkey"),
+            F.max(_dec("o_totalprice")).cast("double").alias("o_totalprice"),
+        )
+    )
+    out = joins.as_of_join(
+        events.withColumnRenamed("user_id", "__uid"),
+        orders.withColumnRenamed("o_custkey", "__uid"),
+        on="__uid",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey", "o_totalprice"],
+        direction="forward",
+    )
+    return out.select(
+        "event_id", F.col("__uid").alias("user_id"), "o_orderkey", "o_totalprice"
+    )
+
+
 # =====================================================================
 # C. Window functions (SURVEY.md §2.5)
 # =====================================================================
