@@ -133,6 +133,67 @@ def fingerprint(text: Column | str) -> Column:
     return F.md5(normalize(_c(text)))
 
 
+# PII patterns kept RE2-compatible (no backrefs / lookaround) so the
+# DuckDB oracle replays them verbatim: Spark's Java regex and DuckDB's
+# RE2 agree on these exact strings.
+PII_PATTERNS: dict[str, str] = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "phone": r"\b\d{3}-\d{3}-\d{4}\b",
+    "ipv4": r"\b(?:\d{1,3}\.){3}\d{1,3}\b",
+}
+
+
+def pii_count(text: Column | str, kind: str) -> Column:
+    """Occurrences of one PII pattern (``email``/``phone``/``ipv4``)."""
+    return F.regexp_count(_c(text), F.lit(PII_PATTERNS[kind]))
+
+
+def redact_pii(text: Column | str) -> Column:
+    """Replace every PII match with ``[KIND]``. Order matters: emails
+    first (an email can contain digits), then phones, then IPv4 — the
+    oracle applies the same order. One narrow map, shuffle-free."""
+    out = _c(text)
+    for kind in ("email", "phone", "ipv4"):
+        out = F.regexp_replace(out, PII_PATTERNS[kind], f"[{kind.upper()}]")
+    return out
+
+
+def dup_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    Gopher-style repetition signal. 0 for empty docs."""
+    toks = tokens(F.lower(_c(text)))
+    n = F.size(toks)
+    return (n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1))
+
+
+def top_token_ratio(text: Column | str) -> Column:
+    """Share of the single most frequent token. Row-local: counts are a
+    transform over the distinct set (O(distinct×n) per row, zero
+    shuffle — documents are short relative to corpus size)."""
+    toks = tokens(F.lower(_c(text)))
+    dist = F.array_distinct(toks)
+    counts = F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
+    return F.coalesce(
+        F.array_max(counts) / F.greatest(F.size(toks), F.lit(1)), F.lit(0.0)
+    )
+
+
+def dup_bigram_ratio(text: Column | str) -> Column:
+    """Fraction of word bigrams that are repeats — the 2-gram variant
+    of the repetition filter. 0 for docs with <2 tokens."""
+    toks = tokens(F.lower(_c(text)))
+    n = F.size(toks)
+    grams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(0), n - 2),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    ng = F.size(grams)
+    return (ng - F.size(F.array_distinct(grams))) / F.greatest(ng, F.lit(1))
+
+
 def shingles(text: Column | str, k: int = 3) -> Column:
     """Word k-shingles (n-grams) as array<string>, distinct.
 

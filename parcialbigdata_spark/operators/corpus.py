@@ -1,0 +1,122 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+North-star surface (SURVEY.md §2.10): the operations a 100 TB
+pretraining-data pipeline runs between raw scrape and tokenizer —
+benchmark decontamination and document chunking. Both are pure
+DataFrame compositions (no UDFs): the hot path is explode → hash →
+join/agg, all whole-stage-codegen, all map-side-combined.
+
+The reference repo (juancho3104/parcialBigdata) has no corpus ops; its
+transform is a per-listing HTML parse (download_lambda.py:98-114).
+These operators extend the rebuilt engine the way SURVEY.md §2.10
+prescribes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from parcialbigdata_spark.functions import text as T
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+    broadcast_benchmark: bool = True,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing ANY word
+    ``k``-gram with a benchmark/eval set (the standard n-gram-overlap
+    decontamination used for pretraining corpora).
+
+    Plan shape (the part that must hold at 100 TB):
+
+    - Both sides shingle row-locally (``functions.text.shingles`` —
+      sequence+transform, no explode until after the narrow map).
+    - Grams travel as 8-byte ``xxhash64`` ints, never strings: the
+      shuffle/broadcast carries ``8 B × grams``, independent of gram
+      text length.
+    - The benchmark side is collapsed to DISTINCT gram hashes — its
+      size is ``O(benchmark tokens)``, tiny next to the corpus, so it
+      broadcasts (hint on by default; AQE drops to shuffled-hash if an
+      enormous benchmark exceeds the threshold when
+      ``broadcast_benchmark=False``).
+    - The corpus side LEFT-joins gram→gram and aggregates matches per
+      doc: one shuffle of (id, gram-hash) pairs when broadcast is on,
+      zero extra passes over full text.
+
+    Returns (id, matched_grams, contaminated) — one row per corpus doc.
+    """
+    gram = F.explode(T.shingles(text_col, k=k)).alias("gram")
+    corpus_grams = corpus.select(F.col(id_col), gram).select(
+        id_col, F.xxhash64("gram").alias("gh")
+    )
+    bench_grams = (
+        benchmark.select(gram)
+        .select(F.xxhash64("gram").alias("gh"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    if broadcast_benchmark:
+        bench_grams = F.broadcast(bench_grams)
+    matched = (
+        corpus_grams.join(bench_grams, "gh", "left")
+        .groupBy(id_col)
+        .agg(F.count_distinct(F.when(F.col("hit").isNotNull(), F.col("gh"))).alias("matched_grams"))
+    )
+    # Left join back so docs with no grams at all (empty text) survive
+    # with matched_grams = 0 — decontamination must not drop rows.
+    return (
+        corpus.select(id_col)
+        .join(matched, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("matched_grams", F.lit(0)).alias("matched_grams"),
+            (F.coalesce("matched_grams", F.lit(0)) > 0).alias("contaminated"),
+        )
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Split documents into fixed-size token windows with overlap —
+    the standard pre-tokenization chunking pass (context-length
+    packing feeds from these chunks).
+
+    Row-local until the final explode: tokenization, window starts
+    (``sequence(0, n-1, stride)``) and slices are array expressions
+    inside one narrow projection, so the only data growth is the
+    emitted chunks themselves (~``n/stride`` rows per doc). No shuffle,
+    no UDF; at 100 TB this is a single scan.
+
+    Empty documents produce zero chunks. The last chunk may be shorter
+    than ``chunk_tokens``; chunks starting past the end are never
+    emitted (``sequence`` stops at ``n-1``).
+    """
+    if stride <= 0 or chunk_tokens <= 0:
+        raise ValueError("chunk_tokens and stride must be positive")
+    toks = T.tokens(text_col)
+    n = F.size(toks)
+    starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
+        F.array().cast("array<int>")
+    )
+    chunks = F.transform(
+        starts, lambda s: F.slice(toks, s + F.lit(1), chunk_tokens)
+    )
+    return df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
+    ).select(
+        id_col,
+        "chunk_idx",
+        F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
+        F.size("chunk_toks").alias("n_tokens"),
+    )

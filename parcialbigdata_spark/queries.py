@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
-from parcialbigdata_spark.operators import dedup, graph, joins, similarity
+from parcialbigdata_spark.operators import corpus, dedup, graph, joins, similarity
 from parcialbigdata_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -2258,6 +2258,199 @@ def sample_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rn"))
         .filter(F.col("rn") <= 5)
         .select("doc_id", "lang")
+    )
+
+
+# shingle-list SQL for k=5 word shingles over normalized text, with the
+# same short-doc fallback as functions.text.shingles (n<k → one shingle
+# of the whole text): range collapses to [1] and the slice is clamped.
+_SH5_SQL = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 4, 1) + 1), "
+    "i -> array_to_string(toks[i:i+4], ' ')))"
+)
+
+
+@query(
+    "decontaminate_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id, {_SH5_SQL} AS sh
+      FROM (SELECT doc_id,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    ), bench AS (
+      SELECT DISTINCT g
+      FROM (SELECT unnest(sh) AS g FROM sh WHERE doc_id % 25 = 0)
+    ), grams AS (
+      SELECT doc_id, unnest(sh) AS g FROM sh
+    ), matches AS (
+      SELECT grams.doc_id, COUNT(DISTINCT bench.g) AS matched_grams
+      FROM grams LEFT JOIN bench ON grams.g = bench.g
+      GROUP BY grams.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(m.matched_grams, 0) AS matched_grams,
+           COALESCE(m.matched_grams, 0) > 0 AS contaminated
+    FROM documents d LEFT JOIN matches m ON d.doc_id = m.doc_id
+    """,
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (§2.10): flag corpus docs sharing any
+    word 5-gram with an eval set (here: every 25th doc stands in for
+    the benchmark). Grams travel as xxhash64 ints against a broadcast
+    DISTINCT benchmark-gram set — at 100 TB the corpus side is one
+    explode+agg pass; the benchmark side is eval-set-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    bench = docs.filter(F.col("doc_id") % 25 == 0)
+    return corpus.decontaminate(docs, bench, "doc_id", "text", k=5)
+
+
+@query(
+    "chunk_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c="text")} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 0), 24)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start // 24 AS INT) AS chunk_idx,
+           array_to_string(toks[start+1:start+32], ' ') AS chunk_text,
+           CAST(len(toks[start+1:start+32]) AS INT) AS n_tokens
+    FROM c
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size token chunking with overlap (§2.10): 32-token windows
+    every 24 tokens — the pre-tokenization pass context-length packing
+    feeds from. Row-local arrays until the final posexplode; zero
+    shuffle, zero UDF."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.chunk_documents(docs, "doc_id", "text", chunk_tokens=32, stride=24)
+    return out.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        "chunk_text",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+    )
+
+
+_PII_SYNTH_SQL = (
+    "text || ' reach user' || CAST(doc_id AS VARCHAR) || '@example.com or '"
+    " || '555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')"
+    " || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')"
+    " || ' at 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+    " || CAST(doc_id % 100 AS VARCHAR)"
+)
+
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+@query(
+    "redact_pii_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_PII_SYNTH_SQL} AS pii_text FROM documents
+    ), r AS (
+      SELECT doc_id,
+             len(regexp_extract_all(pii_text, '{_PII_EMAIL}')) AS email_ct,
+             len(regexp_extract_all(pii_text, '{_PII_PHONE}')) AS phone_ct,
+             len(regexp_extract_all(pii_text, '{_PII_IPV4}'))  AS ipv4_ct,
+             regexp_replace(regexp_replace(regexp_replace(pii_text,
+               '{_PII_EMAIL}', '[EMAIL]', 'g'),
+               '{_PII_PHONE}', '[PHONE]', 'g'),
+               '{_PII_IPV4}', '[IPV4]', 'g') AS redacted
+      FROM t
+    )
+    SELECT doc_id, email_ct, phone_ct, ipv4_ct,
+           md5(redacted) AS redacted_md5,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM r
+    """,
+)
+def redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (§2.10): regex redaction of emails/phones/IPv4
+    with per-kind match counts. The fixture text is synthetic words, so
+    deterministic fake PII derived from doc_id is appended first — the
+    point proven is cross-engine regex parity (patterns are written to
+    the RE2 ∩ Java-regex common subset) and byte-identical redaction
+    (md5 of the redacted text). One narrow map, shuffle-free."""
+    docs = load_table(spark, sf_dir, "documents")
+    pii_text = F.concat(
+        F.col("text"),
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or "),
+        F.lit("555-"),
+        F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+        F.lit("-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit(" at 10."),
+        (F.col("doc_id") % 256).cast("string"),
+        F.lit(".0."),
+        (F.col("doc_id") % 100).cast("string"),
+    )
+    t = docs.select("doc_id", pii_text.alias("pii_text"))
+    redacted = T.redact_pii("pii_text")
+    return t.select(
+        "doc_id",
+        T.pii_count("pii_text", "email").cast("bigint").alias("email_ct"),
+        T.pii_count("pii_text", "phone").cast("bigint").alias("phone_ct"),
+        T.pii_count("pii_text", "ipv4").cast("bigint").alias("ipv4_ct"),
+        F.md5(redacted).alias("redacted_md5"),
+        F.length(redacted).cast("bigint").alias("redacted_len"),
+    )
+
+
+@query(
+    "repetition_metrics_by_lang",
+    f"""
+    WITH t AS (
+      SELECT lang, {_TOKS_SQL.format(c="lower(text)")} AS toks FROM documents
+    ), m AS (
+      SELECT lang,
+             (len(toks) - len(list_distinct(toks)))
+               / greatest(len(toks), 1) AS dup_tok,
+             COALESCE(list_max(list_transform(list_distinct(toks),
+                 d -> len(list_filter(toks, x -> x = d))))
+               / greatest(len(toks), 1), 0.0) AS top_tok,
+             (SELECT (len(g) - len(list_distinct(g))) / greatest(len(g), 1)
+              FROM (SELECT CASE WHEN len(toks) >= 2 THEN
+                      list_transform(range(1, len(toks)),
+                                     i -> array_to_string(toks[i:i+1], ' '))
+                    ELSE [] END AS g)) AS dup_bi
+      FROM t
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(CAST(round(dup_tok, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_dup_token_ratio,
+           CAST(SUM(CAST(round(top_tok, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_top_token_ratio,
+           CAST(SUM(CAST(round(dup_bi, 6) AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS avg_dup_bigram_ratio
+    FROM m GROUP BY lang
+    """,
+)
+def repetition_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters (§2.10): duplicate-token,
+    top-token and duplicate-bigram fractions, averaged per language.
+    All three are row-local array expressions (zero shuffle before the
+    final agg); per-row doubles are rounded then decimal-summed so the
+    cross-engine hash is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    dup_tok = F.round(T.dup_token_ratio("text"), 6).cast("decimal(18,6)")
+    top_tok = F.round(T.top_token_ratio("text"), 6).cast("decimal(18,6)")
+    dup_bi = F.round(T.dup_bigram_ratio("text"), 6).cast("decimal(18,6)")
+    return (
+        docs.select("lang", dup_tok.alias("dt"), top_tok.alias("tt"), dup_bi.alias("db"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            (F.sum("dt").cast("double") / F.count(F.lit(1))).alias("avg_dup_token_ratio"),
+            (F.sum("tt").cast("double") / F.count(F.lit(1))).alias("avg_top_token_ratio"),
+            (F.sum("db").cast("double") / F.count(F.lit(1))).alias("avg_dup_bigram_ratio"),
+        )
     )
 
 

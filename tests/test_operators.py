@@ -7,7 +7,7 @@ import pyspark.sql.functions as F
 import pytest
 
 from parcialbigdata_spark.functions import text as T
-from parcialbigdata_spark.operators import dedup, joins, similarity
+from parcialbigdata_spark.operators import corpus, dedup, joins, similarity
 
 
 def test_as_of_join_backward(spark):
@@ -299,3 +299,80 @@ def test_connected_components_random_graphs_match_union_find(spark):
         pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
         got = {r["node"]: r["component"] for r in connected_components(pairs).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_decontaminate_flags_overlap_and_keeps_clean(spark):
+    corpus_df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta"),  # shares 5-grams w/ bench
+            (2, "one two three four five six"),          # disjoint
+            (3, ""),                                     # empty → 0 grams, kept
+        ],
+        "doc_id int, text string",
+    )
+    bench_df = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon")], "doc_id int, text string"
+    )
+    out = {
+        r.doc_id: (r.matched_grams, r.contaminated)
+        for r in corpus.decontaminate(corpus_df, bench_df, "doc_id", "text", k=5).collect()
+    }
+    assert out[1] == (1, True)   # exactly the one shared 5-gram
+    assert out[2] == (0, False)
+    assert out[3] == (0, False)  # empty doc survives with zero matches
+
+
+def test_chunk_documents_windows_and_edges(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "a b c d e f g"),  # 7 tokens → starts 0,3,6 with stride 3
+            (2, "x"),              # single token → one short chunk
+            (3, "   "),            # whitespace-only → no chunks
+        ],
+        "doc_id int, text string",
+    )
+    rows = corpus.chunk_documents(df, "doc_id", "text", chunk_tokens=4, stride=3).collect()
+    by_doc: dict[int, list] = {}
+    for r in sorted(rows, key=lambda r: (r.doc_id, r.chunk_idx)):
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_idx, r.chunk_text, r.n_tokens))
+    assert by_doc[1] == [(0, "a b c d", 4), (1, "d e f g", 4), (2, "g", 1)]
+    assert by_doc[2] == [(0, "x", 1)]
+    assert 3 not in by_doc
+    with pytest.raises(ValueError):
+        corpus.chunk_documents(df, stride=0)
+
+
+def test_redact_pii_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "mail a.b@x.io or 555-123-4567 from 10.0.0.1 twice a.b@x.io")],
+        "doc_id int, text string",
+    )
+    row = df.select(
+        T.redact_pii("text").alias("red"),
+        T.pii_count("text", "email").alias("e"),
+        T.pii_count("text", "phone").alias("p"),
+        T.pii_count("text", "ipv4").alias("i"),
+    ).first()
+    assert row.red == "mail [EMAIL] or [PHONE] from [IPV4] twice [EMAIL]"
+    assert (row.e, row.p, row.i) == (2, 1, 1)
+
+
+def test_repetition_ratios(spark):
+    df = spark.createDataFrame(
+        [(1, "spam spam spam ham"), (2, "all words differ here"), (3, "")],
+        "doc_id int, text string",
+    )
+    out = {
+        r.doc_id: (round(r.dt, 6), round(r.tt, 6), round(r.db, 6))
+        for r in df.select(
+            "doc_id",
+            T.dup_token_ratio("text").alias("dt"),
+            T.top_token_ratio("text").alias("tt"),
+            T.dup_bigram_ratio("text").alias("db"),
+        ).collect()
+    }
+    # doc 1: 4 tokens, 2 distinct → dup 0.5; top 'spam' 3/4; bigrams
+    # [spam spam, spam spam, spam ham] → 3 grams, 2 distinct → 1/3.
+    assert out[1] == (0.5, 0.75, round(1 / 3, 6))
+    assert out[2] == (0.0, 0.25, 0.0)
+    assert out[3] == (0.0, 0.0, 0.0)
