@@ -1363,17 +1363,66 @@ def binary_media_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_binary_dir(spark, _MEDIA_DIR).select("file_name", "length", "md5_hex")
 
 
-@query("binary_media_features")  # rows-only: the featurizer is a Python stub
+@query(
+    "binary_media_features",
+    f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_MEDIA_DIR}/*')
+    ), p AS (
+      SELECT file_name, length,
+             CASE substr(h, 1, 8)
+               WHEN '46494D47' THEN 'image'
+               WHEN '46415544' THEN 'audio'
+               WHEN '46564944' THEN 'video'
+               ELSE 'unknown' END AS kind,
+             ('0x' || substr(h, 9, 4))::INT  AS be16_a,
+             ('0x' || substr(h, 13, 4))::INT AS be16_b,
+             ('0x' || substr(h, 9, 8))::INT  AS be32,
+             h
+      FROM b
+    )
+    SELECT file_name, kind, length,
+           CASE WHEN kind IN ('image', 'video') THEN be16_a END AS width,
+           CASE WHEN kind = 'image' THEN be16_b END AS height,
+           CASE WHEN kind = 'audio' THEN be32 END AS sample_rate,
+           CASE WHEN kind = 'video' THEN be16_b END AS n_frames,
+           array_to_string(list_transform(range(0, 8),
+             i -> CAST(CAST(round(('0x' || substr(h, 17 + 2*i, 2))::INT / 255.0, 6)
+                       AS DECIMAL(9,6)) AS VARCHAR)),
+             ',') AS feature_sig
+    FROM p
+    """,
+)
 def binary_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode/feature-extract over binary media via mapInPandas (the
     deterministic fake decoder — real codecs are stubbed, the Spark
-    plumbing is real)."""
+    plumbing is real). Oracle-checked: the fake decoder only parses the
+    fixture's shape header and scales 8 payload bytes, all of which
+    DuckDB replays from read_blob via hex arithmetic — so the whole
+    Arrow batch path (schema, batching, NULL metadata per kind) is
+    verified bit-for-bit, and a real codec drop-in changes nothing
+    around it."""
     from parcialbigdata_spark.sources.binary import extract_features
 
     raw = spark.read.format("binaryFile").load(_MEDIA_DIR)
+    feature_sig = F.array_join(
+        F.transform(
+            F.col("feature"), lambda x: F.round(x, 6).cast("decimal(9,6)").cast("string")
+        ),
+        ",",
+    )
     return extract_features(raw).select(
-        "file_name", "kind", "length", "width", "height", "sample_rate", "n_frames"
-    ).orderBy("file_name")
+        "file_name",
+        "kind",
+        "length",
+        "width",
+        "height",
+        "sample_rate",
+        "n_frames",
+        feature_sig.alias("feature_sig"),
+    )
 
 
 # =====================================================================
