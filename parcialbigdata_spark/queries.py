@@ -778,16 +778,32 @@ def stats_quantity_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("approx_distinct_users")  # rows-only: HLL sketches differ per engine
+@query(
+    "approx_distinct_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++, §2.4). No oracle — sketch estimates
-    are engine-specific; the exact count is carried alongside so the
-    driver's rows-only check still pins the shape."""
+    """approx_count_distinct (HLL++, §2.4). The sketch estimate itself
+    is engine-specific, so the oracle verifies it the only honest way:
+    the query emits the exact count plus a boolean attesting the HLL
+    estimate landed within 10% (2× the default 5% rsd) of it, and the
+    oracle expects (exact, TRUE). A drifting sketch flips the boolean
+    and fails the hash."""
     ev = load_table(spark, sf_dir, "events")
-    return ev.groupBy("event_type").agg(
+    agg = ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id").alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
     )
+    within = (
+        F.abs(F.col("approx_users") - F.col("exact_users"))
+        / F.greatest(F.col("exact_users"), F.lit(1))
+    ) <= 0.10
+    return agg.select("event_type", "exact_users", within.alias("hll_within_10pct"))
 
 
 @query(
@@ -1595,10 +1611,17 @@ def streaming_enriched_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain(agg, output_mode="complete")
 
 
-@query("streaming_running_counts")  # rows-only: per-batch emission order is engine-specific
+@query(
+    "streaming_running_counts",
+    "SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id",
+)
 def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """U2/E4: custom stateful operator (applyInPandasWithState) — final
-    running count per user after draining the stream."""
+    running count per user after draining the stream. Per-batch emission
+    is batching-dependent, but the FINAL running count per user is not:
+    it must equal the batch count of that user's events, which is
+    exactly what the oracle checks (state correctness across arbitrary
+    micro-batch splits)."""
     from parcialbigdata_spark.streaming.windows import (
         read_events_stream,
         running_count_per_user,
