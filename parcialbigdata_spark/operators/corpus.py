@@ -14,7 +14,7 @@ prescribes.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
@@ -86,6 +86,7 @@ def chunk_documents(
     text_col: str = "text",
     chunk_tokens: int = 32,
     stride: int = 24,
+    keep_cols: list[str] | None = None,
 ) -> DataFrame:
     """Split documents into fixed-size token windows with overlap —
     the standard pre-tokenization chunking pass (context-length
@@ -111,12 +112,45 @@ def chunk_documents(
     chunks = F.transform(
         starts, lambda s: F.slice(toks, s + F.lit(1), chunk_tokens)
     )
+    keep = list(keep_cols or [])
     return df.select(
         F.col(id_col),
+        *[F.col(c) for c in keep],
         F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),
     ).select(
         id_col,
+        *keep,
         "chunk_idx",
         F.concat_ws(" ", "chunk_toks").alias("chunk_text"),
         F.size("chunk_toks").alias("n_tokens"),
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    part_col: str,
+    order_cols: list[str],
+    token_col: str = "n_tokens",
+    budget: int = 256,
+) -> DataFrame:
+    """Assign chunks to ~``budget``-token packs (sequence packing — the
+    pass that fills fixed-size context windows before training).
+
+    Deterministic streaming-greedy spec: within each ``part_col``
+    stream, ordered by ``order_cols``, a chunk joins pack
+    ``floor(tokens_before_it / budget)``. One window over one shuffle
+    on ``part_col``; a pack can overflow by at most one chunk (the
+    straddling chunk stays in the earlier pack), which is the standard
+    trade for a single-pass distributed packer.
+
+    Skew note: ``part_col`` streams are processed serially per
+    partition — at 10⁹-document scale use a composite stream key
+    (e.g. lang × doc_id range) so no single stream dominates.
+    """
+    w = (
+        Window.partitionBy(part_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    return chunks.withColumn("pack_id", F.floor(cum_before / budget))

@@ -2526,6 +2526,114 @@ def repetition_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "incremental_dedup_documents",
+    f"""
+    WITH fp AS (
+      SELECT doc_id, md5({_NORM_SQL.format(c="text")}) AS fp FROM documents
+    )
+    SELECT i.doc_id,
+           i.fp IN (SELECT fp FROM fp WHERE doc_id < 400) AS dup_of_corpus
+    FROM fp i WHERE i.doc_id >= 400
+    """,
+)
+def incremental_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-run) dedup (§2.10): an incoming batch is
+    checked against the fingerprint store of the already-ingested
+    corpus — the daily-ingest shape, where re-deduplicating 100 TB from
+    scratch per batch is not an option. Fingerprints are 16-byte md5 of
+    normalized text, so the store join carries hashes, not documents;
+    the store side is date-partitioned parquet in production and the
+    join is fingerprint-equi (AQE broadcasts while the daily delta
+    fits)."""
+    docs = load_table(spark, sf_dir, "documents")
+    fp = docs.select("doc_id", T.fingerprint("text").alias("fp"))
+    existing = fp.filter(F.col("doc_id") < 400).select("fp").distinct()
+    incoming = fp.filter(F.col("doc_id") >= 400)
+    seen = existing.withColumn("seen", F.lit(True))
+    return incoming.join(seen, "fp", "left").select(
+        "doc_id", F.coalesce("seen", F.lit(False)).alias("dup_of_corpus")
+    )
+
+
+@query(
+    "pack_chunks_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, lang, {_TOKS_SQL.format(c="text")} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, lang, toks, unnest(range(0, greatest(len(toks), 0), 24)) AS start
+      FROM t
+    ), ch AS (
+      SELECT doc_id, lang, CAST(start // 24 AS INT) AS chunk_idx,
+             len(toks[start+1:start+32]) AS n_tokens
+      FROM c
+    ), p AS (
+      SELECT lang, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY lang ORDER BY doc_id, chunk_idx
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+      FROM ch
+    )
+    SELECT lang, CAST(floor(cum_before / 256) AS BIGINT) AS pack_id,
+           COUNT(*) AS n_chunks, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+    FROM p GROUP BY lang, pack_id
+    """,
+)
+def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (§2.10): chunk every document, then assign
+    chunks to ~256-token packs per language with the deterministic
+    streaming-greedy packer (floor of the running token count). Chunking
+    is shuffle-free; packing is one window over one shuffle on lang."""
+    docs = load_table(spark, sf_dir, "documents")
+    chunks = corpus.chunk_documents(
+        docs, "doc_id", "text", chunk_tokens=32, stride=24, keep_cols=["lang"]
+    )
+    packed = corpus.pack_chunks(chunks, "lang", ["doc_id", "chunk_idx"], budget=256)
+    return packed.groupBy("lang", "pack_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("n_tokens").cast("bigint").alias("pack_tokens"),
+    )
+
+
+@query(
+    "corrupt_json_tolerance",
+    """
+    WITH t AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, length(props) - 2)
+                  ELSE props END AS p
+      FROM events
+    )
+    SELECT event_type, COUNT(*) AS n,
+           CAST(SUM(CASE WHEN NOT json_valid(p) THEN 1 ELSE 0 END) AS BIGINT) AS n_invalid,
+           CAST(SUM(CASE WHEN json_valid(p)
+                         THEN CAST(json_extract_string(p, '$.k') AS INTEGER) END) AS BIGINT)
+             AS sum_k_valid
+    FROM t GROUP BY event_type
+    """,
+)
+def corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input tolerance (F4 hardening): every 7th event's JSON
+    props is truncated mid-value; the pipeline must COUNT the failures
+    and keep aggregating the valid rest — never abort the job. Spark's
+    get_json_object yields NULL on malformed input (the fixture
+    guarantees '$.k' exists in every valid row, so NULL ⇔ malformed);
+    the oracle guards with json_valid since DuckDB raises instead."""
+    ev = load_table(spark, sf_dir, "events")
+    p = F.when(
+        F.col("event_id") % 7 == 0,
+        F.expr("substring(props, 1, length(props) - 2)"),
+    ).otherwise(F.col("props"))
+    k = F.get_json_object(p, "$.k").cast("int")
+    return ev.select("event_type", k.alias("k")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.col("k").isNull(), 1).otherwise(0)).cast("bigint").alias("n_invalid"),
+        F.sum("k").cast("bigint").alias("sum_k_valid"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -376,3 +376,25 @@ def test_repetition_ratios(spark):
     assert out[1] == (0.5, 0.75, round(1 / 3, 6))
     assert out[2] == (0.0, 0.25, 0.0)
     assert out[3] == (0.0, 0.0, 0.0)
+
+
+def test_pack_chunks_budget_overflow_bound(spark):
+    """Greedy packing invariant: every pack except a stream's last holds
+    >= budget tokens only via its final (straddling) chunk — i.e. pack
+    tokens < budget + max_chunk, and tokens before the last chunk of a
+    pack are < budget."""
+    df = spark.createDataFrame(
+        [("a", i, 10 + (i % 3)) for i in range(40)],
+        "part string, idx int, n_tokens int",
+    )
+    packed = corpus.pack_chunks(df, "part", ["idx"], budget=32).collect()
+    by_pack: dict[int, list] = {}
+    for r in sorted(packed, key=lambda r: r.idx):
+        by_pack.setdefault(r.pack_id, []).append(r.n_tokens)
+    assert len(by_pack) > 1
+    max_chunk = 12
+    for pid, toks in by_pack.items():
+        assert sum(toks) < 32 + max_chunk
+        assert sum(toks[:-1]) < 32
+    # Packs are dense: consecutive ids from 0.
+    assert sorted(by_pack) == list(range(len(by_pack)))
