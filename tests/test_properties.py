@@ -228,3 +228,43 @@ def test_minhash_signature_agreement_estimates_jaccard(spark):
     s0, s1 = shingles(base), shingles(near)
     true_j = len(s0 & s1) / len(s0 | s1)
     assert abs(agree - true_j) <= 0.25, (agree, true_j)
+
+
+def test_chunking_partition_property(spark):
+    """With stride == chunk_tokens (no overlap), concatenating a doc's
+    chunks in order must reproduce its full token stream exactly — for
+    ANY batch of random word documents."""
+    import random
+
+    from parcialbigdata_spark.functions import text as T
+    from parcialbigdata_spark.operators import corpus
+
+    rng = random.Random(1234)
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    docs = [
+        (i, " ".join(rng.choice(words) for _ in range(rng.randrange(0, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    chunks = corpus.chunk_documents(df, chunk_tokens=7, stride=7).collect()
+    rebuilt: dict[int, list[str]] = {}
+    for r in sorted(chunks, key=lambda r: (r.doc_id, r.chunk_idx)):
+        assert 1 <= r.n_tokens <= 7  # no empty and no oversized chunks
+        rebuilt.setdefault(r.doc_id, []).extend(r.chunk_text.split(" "))
+    for doc_id, text in docs:
+        expect = text.split()
+        assert rebuilt.get(doc_id, []) == expect
+
+
+def test_decontaminate_self_is_total(spark):
+    """Screening a corpus against ITSELF must flag every doc that has at
+    least one gram (each doc trivially shares its own grams)."""
+    from parcialbigdata_spark.operators import corpus
+
+    df = spark.createDataFrame(
+        [(i, f"w{i} x{i} y{i} z{i} q{i} r{i}") for i in range(20)] + [(99, "")],
+        "doc_id int, text string",
+    )
+    out = {r.doc_id: r.contaminated for r in corpus.decontaminate(df, df, k=5).collect()}
+    assert all(out[i] for i in range(20))
+    assert out[99] is False
