@@ -96,3 +96,24 @@ def test_no_query_uses_row_at_a_time_python(spark):
     ]:
         audit = audit_plan(QUERIES[name](spark, SF_DIR))
         assert not audit["has_python_row_udf"], name
+
+
+def test_chunk_documents_plan_is_shuffle_free(spark):
+    """Chunking must stay a narrow map + generate: any Exchange here
+    would shuffle full document text at corpus scale."""
+    audit = audit_plan(QUERIES["chunk_documents"](spark, SF_DIR))
+    assert audit["n_exchanges"] == 0
+
+
+def test_decontaminate_plan_broadcasts_benchmark(spark):
+    """The eval-set gram side must broadcast — a sort-merge join here
+    would shuffle the full corpus gram stream against a tiny side."""
+    plan = physical_plan(QUERIES["decontaminate_documents"](spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_redact_pii_plan_is_shuffle_free_codegen(spark):
+    audit = audit_plan(QUERIES["redact_pii_documents"](spark, SF_DIR))
+    assert audit["n_exchanges"] == 0
+    assert audit["has_python_row_udf"] is False
