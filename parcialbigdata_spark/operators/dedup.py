@@ -408,13 +408,18 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def simhash_near_dups(
-    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into four 16-bit
     chunks — by pigeonhole any pair with Hamming distance ≤ 3 agrees on
     at least one chunk — join on chunk equality, verify exact Hamming.
     Returns (id_a, id_b, hamming). The signature relation is persisted
-    (both self-join sides read it)."""
+    (both self-join sides read it). ``max_bucket`` drops degenerate
+    chunk buckets (boilerplate corpora collapse many docs onto one
+    16-bit chunk value) before the quadratic self-join, with the same
+    COUNT-window-on-the-join-key trick as the MinHash/winnowing paths —
+    the cap shares the join's own shuffle."""
     h = simhash_signatures(df, id_col, text_col).persist()
     chunks = h.select(
         id_col,
@@ -433,6 +438,13 @@ def simhash_near_dups(
             )
         ).alias("c"),
     ).select(id_col, "sh", "c.chunk_idx", "c.chunk_val")
+    if max_bucket:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("chunk_idx", "chunk_val"))
+        chunks = chunks.withColumn("__n", bucket_n).filter(
+            F.col("__n") <= max_bucket
+        ).drop("__n")
     a, b = chunks.alias("a"), chunks.alias("b")
     return (
         a.join(

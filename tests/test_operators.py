@@ -398,3 +398,16 @@ def test_pack_chunks_budget_overflow_bound(spark):
         assert sum(toks[:-1]) < 32
     # Packs are dense: consecutive ids from 0.
     assert sorted(by_pack) == list(range(len(by_pack)))
+
+
+def test_simhash_max_bucket_caps_degenerate(spark):
+    """Identical docs share every chunk bucket; the cap drops those
+    degenerate buckets instead of emitting O(n²) pairs (exact dedup is
+    the pass responsible for identical docs)."""
+    df = spark.createDataFrame(
+        [(i, "same words in every single document") for i in range(50)],
+        "doc_id long, text string",
+    )
+    assert dedup.simhash_near_dups(df, "doc_id", "text", max_bucket=10).count() == 0
+    # With the cap off, the pairs come back.
+    assert dedup.simhash_near_dups(df, "doc_id", "text", max_bucket=0).count() == 50 * 49 // 2
