@@ -42,3 +42,28 @@ def norm2(a: Column | str) -> Column:
 def cosine(a: Column | str, b: Column | str) -> Column:
     """Cosine similarity; NULL-safe only insofar as inputs are non-null."""
     return dot(a, b) / (norm2(a) * norm2(b))
+
+
+def quantize_int8(a: Column | str) -> Column:
+    """Symmetric int8 quantization: ``q_i = floor(x_i·127/scale + 0.5)``
+    with ``scale = max|x|`` per vector (zero vectors quantize to zeros).
+    ``floor(v + 0.5)`` instead of ``round`` because engines disagree on
+    round-half ties while floor is exact — the DuckDB oracle replays
+    this formula bit-for-bit. 4× memory cut for ANN indexes; pair with
+    :func:`dequantize_int8` to audit the error."""
+    a = F.col(a) if isinstance(a, str) else a
+    scale = F.array_max(F.transform(a, lambda x: F.abs(x.cast("double"))))
+    return F.when(scale == 0.0, F.transform(a, lambda x: F.lit(0))).otherwise(
+        F.transform(
+            a,
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / scale + F.lit(0.5)).cast(
+                "int"
+            ),
+        )
+    )
+
+
+def dequantize_int8(q: Column | str, scale: Column) -> Column:
+    """Inverse of :func:`quantize_int8`: ``x̂_i = q_i·scale/127``."""
+    q = F.col(q) if isinstance(q, str) else q
+    return F.transform(q, lambda v: v.cast("double") * scale / F.lit(127.0))

@@ -2597,6 +2597,114 @@ def pack_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "token_freq_score_documents",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))}) AS t
+      FROM documents
+    ), freq AS (
+      SELECT t, COUNT(*) AS c FROM tok GROUP BY t
+    ), per_doc AS (
+      SELECT tok.doc_id, COUNT(*) AS n_tok, SUM(freq.c) AS sum_freq
+      FROM tok JOIN freq ON tok.t = freq.t
+      GROUP BY tok.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_tok, 0) AS BIGINT) AS n_tok,
+           CAST(COALESCE(p.sum_freq, 0) AS BIGINT) AS sum_freq,
+           CAST(COALESCE(p.sum_freq, 0) AS DOUBLE)
+             / greatest(COALESCE(p.n_tok, 0), 1) AS avg_token_freq
+    FROM documents d LEFT JOIN per_doc p ON d.doc_id = p.doc_id
+    """,
+)
+def token_freq_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency token score (§2.10): each document scored by the
+    average corpus frequency of its tokens — the integer-exact stand-in
+    for an n-gram LM quality filter (rare-token-heavy docs score low,
+    boilerplate scores high). Two hash aggs + one join on token; the
+    frequency table is vocabulary-sized, so it broadcasts at any corpus
+    scale. All-integer arithmetic → bit-exact across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(T.tokens(T.normalize("text"))).alias("t"))
+    freq = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = (
+        tok.join(freq, "t")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_tok"), F.sum("c").alias("sum_freq"))
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_tok", F.lit(0)).cast("bigint").alias("n_tok"),
+        F.coalesce("sum_freq", F.lit(0)).cast("bigint").alias("sum_freq"),
+        (
+            F.coalesce("sum_freq", F.lit(0)).cast("double")
+            / F.greatest(F.coalesce("n_tok", F.lit(0)), F.lit(1))
+        ).alias("avg_token_freq"),
+    )
+
+
+@query(
+    "quantize_embeddings",
+    """
+    WITH q AS (
+      SELECT label, embedding,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS scale
+      FROM embeddings
+    ), e AS (
+      SELECT label,
+             CASE WHEN scale = 0 THEN 0.0 ELSE
+               list_max(list_transform(embedding,
+                 x -> round(abs(CAST(x AS DOUBLE)
+                       - floor(CAST(x AS DOUBLE) * 127.0 / scale + 0.5)
+                         * scale / 127.0), 6)))
+             END AS max_err
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n_vecs,
+           CAST(SUM(CAST(max_err AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+             AS avg_max_abs_err,
+           CAST(MAX(max_err) AS DOUBLE) AS worst_abs_err
+    FROM e GROUP BY label
+    """,
+)
+def quantize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 embedding quantization audit (§2.10): quantize every vector
+    symmetrically to int8, dequantize, and report per-label worst/mean
+    absolute element error — the memory-vs-recall trade an ANN index
+    makes explicit. The floor(x+0.5) formulation keeps Spark and DuckDB
+    bit-identical (round-half ties differ between engines); per-vector
+    errors are rounded then decimal-summed."""
+    from parcialbigdata_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    deq = V.dequantize_int8(V.quantize_int8("embedding"), F.col("scale"))
+    err = F.array_max(
+        F.zip_with(
+            "embedding",
+            "deq",
+            lambda x, y: F.round(F.abs(x.cast("double") - y), 6),
+        )
+    )
+    per_vec = (
+        emb.withColumn("scale", scale)
+        .withColumn("deq", deq)
+        .select(
+            "label",
+            F.when(F.col("scale") == 0.0, F.lit(0.0)).otherwise(err).alias("max_err"),
+        )
+    )
+    return per_vec.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        (
+            F.sum(F.col("max_err").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_max_abs_err"),
+        F.max("max_err").cast("double").alias("worst_abs_err"),
+    )
+
+
+@query(
     "corrupt_json_tolerance",
     """
     WITH t AS (

@@ -411,3 +411,27 @@ def test_simhash_max_bucket_caps_degenerate(spark):
     assert dedup.simhash_near_dups(df, "doc_id", "text", max_bucket=10).count() == 0
     # With the cap off, the pairs come back.
     assert dedup.simhash_near_dups(df, "doc_id", "text", max_bucket=0).count() == 50 * 49 // 2
+
+
+def test_quantize_int8_roundtrip_error_bound(spark):
+    """Symmetric int8 quantization: every element's reconstruction error
+    is <= scale/254 + eps (half a quantization step)."""
+    from parcialbigdata_spark.functions import vectors as V
+
+    df = spark.createDataFrame(
+        [(1, [0.5, -1.0, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id int, embedding array<float>",
+    )
+    scale = F.array_max(F.transform("embedding", lambda x: F.abs(x.cast("double"))))
+    out = (
+        df.withColumn("scale", scale)
+        .withColumn("q", V.quantize_int8("embedding"))
+        .withColumn("deq", V.dequantize_int8("q", F.col("scale")))
+        .collect()
+    )
+    for r in out:
+        assert all(isinstance(v, int) and -127 <= v <= 127 for v in r.q)
+        step = (r.scale / 127.0) if r.scale else 0.0
+        for x, xh in zip(r.embedding, r.deq):
+            assert abs(x - xh) <= step / 2 + 1e-9
+    assert out[1].q == [0, 0, 0, 0]  # zero vector stays zeros
