@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "embedding_centroids",
     "decontaminate_documents",
     "chunk_documents",
+    "semantic_dedup_embeddings",
+    "hot_ngram_documents",
+    "vocab_stats_by_source",
 ]
 
 

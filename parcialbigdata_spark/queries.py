@@ -2742,6 +2742,321 @@ def corrupt_json_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "shuffle_order_documents",
+    """
+    SELECT doc_id, shard,
+           row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS pos
+    FROM (
+      SELECT doc_id,
+             md5('ord-' || CAST(doc_id AS VARCHAR)) AS h,
+             ('0x' || substr(md5('ord-' || CAST(doc_id AS VARCHAR)), 1, 4))::BIGINT % 8
+               AS shard
+      FROM documents
+    )
+    """,
+)
+def shuffle_order_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle (§2.10): every epoch
+    reader must see the same pseudo-random document order regardless of
+    cluster size or scan order, so the order key is md5 of the id — not
+    ``rand()``, whose draw depends on partition layout. Docs are first
+    hashed into a fixed shard (the training reader's file unit), then
+    ordered within shard: one shuffle on ``shard``, per-shard sort —
+    no global single-partition sort, so at 100 TB this is
+    ``repartition(shard).sortWithinPartitions`` writing one file group
+    per shard, and rank within shard is the in-file position."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("ord-"), F.col("doc_id").cast("string")))
+    shard = F.conv(F.substring(h, 1, 4), 16, 10).cast("bigint") % 8
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+_MIX_W_SQL = (
+    "CASE WHEN source IN ('src0','src1','src2','src3') "
+    "THEN CAST(0.1 AS DOUBLE) ELSE CAST(0.0375 AS DOUBLE) END"
+)
+
+
+@query(
+    "mixture_resample_documents",
+    f"""
+    WITH stats AS (
+      SELECT source, SUM(n_chars) AS src_chars, COUNT(*) AS n_docs
+      FROM documents GROUP BY source
+    ), r AS (
+      SELECT source, src_chars, n_docs,
+             least(CAST(1 AS DOUBLE),
+                   CAST(60000 AS DOUBLE) * ({_MIX_W_SQL}) / CAST(src_chars AS DOUBLE))
+               AS rate
+      FROM stats
+    ), k AS (
+      SELECT d.source, d.n_chars,
+             CASE WHEN ('0x' || substr(md5('mix-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                       % 1000000 < CAST(floor(r.rate * 1000000) AS BIGINT)
+                  THEN 1 ELSE 0 END AS kept
+      FROM documents d JOIN r USING (source)
+    )
+    SELECT k.source,
+           MIN(r.src_chars) AS src_chars,
+           MIN(r.n_docs) AS n_docs,
+           round(MIN(r.rate), 6) AS rate,
+           CAST(SUM(kept) AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN kept = 1 THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+    FROM k JOIN r USING (source)
+    GROUP BY k.source
+    """,
+)
+def mixture_resample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budget-driven mixture resampling (§2.10): give each source a
+    target share of a global character budget (here 60k chars; the four
+    'head' sources get 10% each, the tail splits the rest), derive a
+    per-source keep rate from the observed size, then keep documents by
+    a salted md5 bucket — deterministic across engines, runs, and
+    partitionings. Two-pass plan: one agg over the corpus for per-source
+    sizes (|sources| rows — catalog-bounded, broadcastable by
+    construction, unlike a per-customer table), broadcast-join the rates
+    back, narrow filter. The rate math is pure IEEE double on identical
+    operands, floored to an integer threshold, so both engines make the
+    identical keep decision for every row."""
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.groupBy("source").agg(
+        F.sum("n_chars").alias("src_chars"), F.count(F.lit(1)).alias("n_docs")
+    )
+    w = F.when(
+        F.col("source").isin("src0", "src1", "src2", "src3"), F.lit(0.1)
+    ).otherwise(F.lit(0.0375))
+    rates = stats.withColumn(
+        "rate", F.least(F.lit(1.0), F.lit(60000.0) * w / F.col("src_chars"))
+    )
+    bucket = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("mix-"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    kept = F.when(bucket < F.floor(F.col("rate") * 1000000).cast("bigint"), 1).otherwise(0)
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .select("source", "n_chars", "src_chars", "n_docs", "rate", kept.alias("kept"))
+        .groupBy("source")
+        .agg(
+            F.min("src_chars").alias("src_chars"),
+            F.min("n_docs").alias("n_docs"),
+            F.round(F.min("rate"), 6).alias("rate"),
+            F.sum("kept").cast("bigint").alias("n_kept"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_chars")).otherwise(0))
+            .cast("bigint")
+            .alias("kept_chars"),
+        )
+    )
+
+
+@query(
+    "semantic_dedup_embeddings",
+    f"""
+    WITH e AS (SELECT vec_id, label, embedding FROM embeddings),
+    d AS (
+      SELECT DISTINCT b.vec_id
+      FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+      WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.3
+    )
+    SELECT e.label, COUNT(*) AS n_vecs,
+           COUNT(d.vec_id) AS n_dups,
+           COUNT(*) - COUNT(d.vec_id) AS n_kept
+    FROM e LEFT JOIN d ON e.vec_id = d.vec_id
+    GROUP BY e.label
+    """,
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (§2.10; Abbas et al. 2023): within
+    each cluster, a vector is a duplicate if some lower-id vector in the
+    same cluster has cosine ≥ θ (greedy min-id survivor — the standard
+    SemDeDup rule, not transitive closure; θ=0.3 is fixture-tuned, the
+    real knob is ~0.95+). Here the cluster key is the gold ``label``;
+    at 100 TB it's the IVF coarse-quantizer cell
+    (``similarity.ivf_fit_centroids``), so the quadratic term is bounded
+    by cluster size, exactly like the capped LSH-bucket self-joins. The
+    cosine folds left-to-right in double on both engines and is rounded
+    before the threshold, so the keep/drop decision is bit-identical."""
+    from parcialbigdata_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label", "embedding")
+    a = emb.alias("a")
+    b = emb.alias("b")
+    cos = F.round(V.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+    dups = (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= 0.3)
+        .select(F.col("b.vec_id").alias("dup_id"))
+        .distinct()
+    )
+    return (
+        emb.join(dups, emb.vec_id == dups.dup_id, "left")
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.count("dup_id").alias("n_dups"),
+            (F.count(F.lit(1)) - F.count("dup_id")).alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "vocab_stats_by_source",
+    f"""
+    WITH tok AS (
+      SELECT source, t.term
+      FROM (SELECT source, {_TOKS_SQL.format(c="lower(text)")} AS toks FROM documents),
+           LATERAL unnest(toks) AS t(term)
+    ), per_term AS (
+      SELECT source, term, COUNT(*) AS c FROM tok GROUP BY source, term
+    )
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS total_tokens,
+           COUNT(*) AS distinct_terms,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS hapax_terms,
+           round(COUNT(*) / CAST(SUM(c) AS DOUBLE), 6) AS type_token_ratio
+    FROM per_term GROUP BY source
+    """,
+)
+def vocab_stats_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary statistics per source (§2.10): total tokens, distinct
+    terms, hapax legomena, type-token ratio — the Heaps'-law intake
+    profile that flags machine-generated or boilerplate-heavy sources
+    (low TTR) before training. Two-level agg: explode → partial+final
+    count per (source, term), then a per-source roll-up of the term
+    table; both shuffles carry narrow (source, term) keys and the first
+    agg does map-side combine, so at 100 TB the exchanged rows are the
+    per-partition distinct terms, not the token stream."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_term = (
+        docs.select("source", F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return per_term.groupBy("source").agg(
+        F.sum("c").cast("bigint").alias("total_tokens"),
+        F.count(F.lit(1)).alias("distinct_terms"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("bigint").alias("hapax_terms"),
+        F.round(F.count(F.lit(1)) / F.sum("c").cast("double"), 6).alias("type_token_ratio"),
+    )
+
+
+@query(
+    "length_bounds_by_lang",
+    """
+    WITH b AS (
+      SELECT lang,
+             round(quantile_cont(n_chars, 0.05), 6) AS p05,
+             round(quantile_cont(n_chars, 0.95), 6) AS p95,
+             COUNT(*) AS n_docs
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, MIN(b.p05) AS p05, MIN(b.p95) AS p95, MIN(b.n_docs) AS n_docs,
+           CAST(SUM(CASE WHEN d.n_chars >= b.p05 AND d.n_chars <= b.p95
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM documents d JOIN b USING (lang)
+    GROUP BY d.lang
+    """,
+)
+def length_bounds_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percentile length filter (§2.10): per-language p05/p95 character
+    bounds and how many documents survive trimming to them — the
+    outlier-length cut every corpus cleaning recipe applies (truncated
+    boilerplate at the short end, concatenation accidents at the long
+    end). Two-pass: exact interpolated percentiles per language
+    (|langs| rows, broadcast back), then a narrow in-bounds count.
+    Both engines use linear interpolation on the sorted values
+    (Spark ``percentile`` ≡ DuckDB ``quantile_cont``), rounded to 6
+    decimals before the comparison. At 100 TB swap the exact
+    percentile for ``approx_percentile`` — the plan shape is
+    unchanged."""
+    docs = load_table(spark, sf_dir, "documents")
+    pct = docs.groupBy("lang").agg(
+        F.round(F.expr("percentile(n_chars, 0.05)"), 6).alias("p05"),
+        F.round(F.expr("percentile(n_chars, 0.95)"), 6).alias("p95"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+    return (
+        docs.join(F.broadcast(pct), "lang")
+        .groupBy("lang")
+        .agg(
+            F.min("p05").alias("p05"),
+            F.min("p95").alias("p95"),
+            F.min("n_docs").alias("n_docs"),
+            F.sum(
+                F.when(
+                    (F.col("n_chars") >= F.col("p05")) & (F.col("n_chars") <= F.col("p95")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_kept"),
+        )
+    )
+
+
+@query(
+    "hot_ngram_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS shs
+      FROM (SELECT doc_id, {_TOKS_SQL.format(c="lower(text)")} AS toks FROM documents)
+    ), ex AS (
+      SELECT doc_id, s.sh FROM sh, LATERAL unnest(shs) AS s(sh)
+    ), hot AS (
+      SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= 5
+    )
+    SELECT e.doc_id,
+           MIN(n.n_shingles) AS n_shingles,
+           COUNT(h.sh) AS n_hot
+    FROM ex e
+    JOIN (SELECT doc_id, COUNT(*) AS n_shingles FROM ex GROUP BY doc_id) n USING (doc_id)
+    LEFT JOIN hot h ON e.sh = h.sh
+    GROUP BY e.doc_id
+    """,
+)
+def hot_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style repeated-n-gram audit (§2.10; Raffel et al. 2020 §2.2
+    drop lines repeated across the corpus): for each document, how many
+    of its distinct 3-grams are 'hot' — present in ≥5 documents. High
+    ``n_hot/n_shingles`` marks boilerplate/template docs for removal.
+    Plan: distinct (doc, shingle) explode → doc-frequency agg on the
+    shingle key (map-side combine collapses the stream to distinct
+    shingles per partition) → join the hot set back to the exploded
+    pairs. The hot set is small by construction (df≥K trims the Zipf
+    tail) so AQE turns the join-back into a broadcast at any scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    ex = docs.select(
+        "doc_id",
+        F.explode(T.shingles(F.col("text"), 3)).alias("sh"),
+    )
+    hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 5)
+    per_doc = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    return (
+        ex.join(hot, "sh", "left")
+        .groupBy("doc_id")
+        .agg(F.count("df").alias("n_hot"))
+        .join(per_doc, "doc_id")
+        .select("doc_id", "n_shingles", "n_hot")
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

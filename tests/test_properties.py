@@ -146,7 +146,13 @@ def test_deterministic_sampling_partitioning_invariant(spark):
     from parcialbigdata_spark.queries import QUERIES
 
     sf_dir = "/root/testdata/sf0.001"
-    for name in ("hash_split_documents", "stratified_sample_documents", "sample_k_per_group"):
+    for name in (
+        "hash_split_documents",
+        "stratified_sample_documents",
+        "sample_k_per_group",
+        "shuffle_order_documents",
+        "mixture_resample_documents",
+    ):
         base = {tuple(r) for r in QUERIES[name](spark, sf_dir).collect()}
         import parcialbigdata_spark.sources.tables as tables
 
@@ -268,3 +274,36 @@ def test_decontaminate_self_is_total(spark):
     out = {r.doc_id: r.contaminated for r in corpus.decontaminate(df, df, k=5).collect()}
     assert all(out[i] for i in range(20))
     assert out[99] is False
+
+
+def test_semantic_dedup_partition_of_vectors(spark):
+    """Within-label semantic dedup must partition each label exactly:
+    n_kept + n_dups == n_vecs, the min-id vector of every label always
+    survives, and label counts match the raw table."""
+    from parcialbigdata_spark.queries import QUERIES
+    from parcialbigdata_spark.sources.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    out = {r.label: r for r in QUERIES["semantic_dedup_embeddings"](spark, sf_dir).collect()}
+    raw = (
+        load_table(spark, sf_dir, "embeddings")
+        .groupBy("label")
+        .count()
+        .collect()
+    )
+    for r in raw:
+        row = out[r.label]
+        assert row.n_vecs == r["count"]
+        assert row.n_kept + row.n_dups == row.n_vecs
+        assert row.n_kept >= 1  # min-id survivor can never be a dup
+
+
+def test_hot_ngram_counts_bounded(spark):
+    """Every document's hot-shingle count is bounded by its distinct
+    shingle count, and a corpus of identical docs makes every shingle
+    hot (n_hot == n_shingles)."""
+    from parcialbigdata_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    for r in QUERIES["hot_ngram_documents"](spark, sf_dir).collect():
+        assert 0 <= r.n_hot <= r.n_shingles
