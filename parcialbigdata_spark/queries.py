@@ -3057,6 +3057,59 @@ def hot_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "heavy_hitter_terms",
+    f"""
+    WITH tok AS (
+      SELECT t.term
+      FROM (SELECT {_TOKS_SQL.format(c="lower(text)")} AS toks FROM documents),
+           LATERAL unnest(toks) AS t(term)
+    )
+    SELECT term, COUNT(*) AS cnt, TRUE AS cms_within_eps
+    FROM tok GROUP BY term
+    ORDER BY cnt DESC, term ASC
+    LIMIT 20
+    """,
+)
+def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heavy hitters with a count-min-sketch attestation (§2.4/§2.10):
+    the exact top-20 terms come from a distributed two-phase count +
+    TakeOrderedAndProject; alongside, one ``count_min_sketch`` aggregate
+    (eps=0.001, conf=0.99, fixed seed) summarizes the whole token
+    stream in a few KB. Like the HLL query, the sketch itself is
+    engine-specific, so the honest oracle check is an attestation: CMS
+    never under-counts and over-counts by at most eps·N w.h.p., so each
+    row asserts ``cnt ≤ est ≤ cnt + eps·N``. The probe of 20 terms
+    against the deserialized sketch is driver-side on literals (the
+    sketch is the collapsed 1-row result, not row data). At 100 TB the
+    sketch is THE mergeable substitute for the exact count when only
+    hot-term magnitudes are needed — partial sketches merge
+    associatively, no term-keyed shuffle at all."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(T.tokens(F.lower(F.col("text")))).alias("term"))
+    counts = toks.groupBy("term").agg(F.count(F.lit(1)).alias("cnt"))
+    top = counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(20)
+
+    eps = 0.001
+    n_tokens = toks.count()
+    sk = toks.agg(
+        F.count_min_sketch("term", F.lit(eps), F.lit(0.99), F.lit(42)).alias("sk")
+    ).head()["sk"]
+    cms = spark._jvm.org.apache.spark.util.sketch.CountMinSketch.readFrom(bytes(sk))
+    probe = spark.createDataFrame(
+        [(r.term, cms.estimateCount(r.term)) for r in top.collect()],
+        "term string, est long",
+    )
+    ok = (F.col("est") >= F.col("cnt")) & (
+        F.col("est") <= F.col("cnt") + F.lit(float(eps * n_tokens))
+    )
+    return (
+        top.join(F.broadcast(probe), "term")
+        .select("term", "cnt", ok.alias("cms_within_eps"))
+        .orderBy(F.col("cnt").desc(), F.col("term").asc())
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -91,3 +91,49 @@ def bucket_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str)
 
     a, b = spec(table_a), spec(table_b)
     return a is not None and a == b and f"`{key}`" in a[1]
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    order_key: str,
+    num_shards: int = 8,
+    fmt: str = "json",
+    mode: str = "overwrite",
+) -> None:
+    """Write a deterministically shuffled training-shard layout: one
+    file per shard, rows ordered by ``order_key`` inside each shard.
+
+    This is the sink half of the ``shuffle_order_documents`` contract:
+    the order key is a salted hash of the id (NOT ``rand()``), so the
+    epoch order every reader sees is identical across runs, engines,
+    and cluster sizes. The shard is the hash prefix modulo
+    ``num_shards`` (the same formula as the ``shuffle_order_documents``
+    query), the write is ``repartition(shard)`` +
+    ``sortWithinPartitions(order_key)`` + ``partitionBy(shard)`` — one
+    shuffle, no global sort. ``partitionBy`` (not the repartition alone)
+    is what guarantees exactly one sorted file per shard directory:
+    hash collisions may co-locate two shards in one task, but the
+    writer then splits them into their own directories preserving
+    in-task order. At 100 TB shard files are independent, the write
+    parallelizes across executors, and a training job maps one reader
+    per shard directory. ``json`` (= JSONL, the common LLM-corpus
+    interchange format) or ``parquet``."""
+    from pyspark.sql import functions as F
+
+    shard = (
+        F.conv(F.substring(F.col(order_key), 1, 4), 16, 10).cast("bigint") % num_shards
+    )
+    (
+        df.withColumn("shard", shard)
+        .repartition(num_shards, "shard")
+        # Leading with the partition column matters: the parquet/json
+        # FileFormatWriter requires task rows sorted by partition cols
+        # and would inject its OWN (order-destroying) sort if the
+        # existing ordering didn't already start with `shard`.
+        .sortWithinPartitions("shard", order_key)
+        .write.mode(mode)
+        .partitionBy("shard")
+        .format(fmt)
+        .save(path)
+    )

@@ -117,3 +117,34 @@ def test_redact_pii_plan_is_shuffle_free_codegen(spark):
     audit = audit_plan(QUERIES["redact_pii_documents"](spark, SF_DIR))
     assert audit["n_exchanges"] == 0
     assert audit["has_python_row_udf"] is False
+
+
+def test_shuffle_order_has_no_global_sort(spark):
+    """The training-order shuffle must be per-shard (hash exchange +
+    in-partition sort), never a single-range global sort."""
+    plan = physical_plan(QUERIES["shuffle_order_documents"](spark, SF_DIR))
+    assert "rangepartitioning" not in plan.lower()
+    assert "SinglePartition" not in plan
+
+
+def test_mixture_and_length_bounds_broadcast_their_stat_pass(spark):
+    """Two-pass curation queries must broadcast the catalog-bounded
+    stats table back, not shuffle the corpus against it."""
+    for name in ("mixture_resample_documents", "length_bounds_by_lang"):
+        plan = physical_plan(QUERIES[name](spark, SF_DIR))
+        assert "BroadcastHashJoin" in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_semantic_dedup_joins_on_cluster_key(spark):
+    """The quadratic term must be bounded by the cluster: the self-join
+    carries the label equi-key (never a nested-loop all-pairs)."""
+    plan = physical_plan(QUERIES["semantic_dedup_embeddings"](spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_heavy_hitter_topk_is_take_ordered(spark):
+    audit = audit_plan(QUERIES["heavy_hitter_terms"](spark, SF_DIR))
+    assert audit["top_k"]
+    assert not audit["has_python_row_udf"]

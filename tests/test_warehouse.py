@@ -220,3 +220,39 @@ def test_runtime_bloom_filter_injected(spark):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_write_training_shards_matches_shuffle_order(spark, tmp_path):
+    """The shard writer must realize exactly the order contract of the
+    shuffle_order_documents query: one sorted JSONL file per shard
+    directory, and (shard, in-file position) identical to the query's
+    (shard, pos) for every doc."""
+    import json
+    import pathlib
+
+    from parcialbigdata_spark.queries import QUERIES
+    from parcialbigdata_spark.sources.warehouse import write_training_shards
+
+    docs = load_table(spark, SF, "documents")
+    h = F.md5(F.concat(F.lit("ord-"), F.col("doc_id").cast("string")))
+    out = str(tmp_path / "shards")
+    write_training_shards(
+        docs.select("doc_id", h.alias("h")), out, order_key="h", num_shards=8
+    )
+
+    expect = {
+        (r.shard, r.pos): r.doc_id
+        for r in QUERIES["shuffle_order_documents"](spark, SF).collect()
+    }
+
+    got = {}
+    shard_dirs = sorted(pathlib.Path(out).glob("shard=*"))
+    assert shard_dirs, "no shard directories written"
+    for d in shard_dirs:
+        shard = int(d.name.split("=")[1])
+        files = [p for p in d.iterdir() if p.suffix == ".json"]
+        assert len(files) == 1, f"expected exactly one file in {d}"
+        with open(files[0]) as fh:
+            for pos, line in enumerate(fh, start=1):
+                got[(shard, pos)] = json.loads(line)["doc_id"]
+    assert got == expect
