@@ -3040,19 +3040,23 @@ def hot_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle key (map-side combine collapses the stream to distinct
     shingles per partition) → join the hot set back to the exploded
     pairs. The hot set is small by construction (df≥K trims the Zipf
-    tail) so AQE turns the join-back into a broadcast at any scale."""
+    tail) so AQE turns the join-back into a broadcast at any scale.
+    The left join preserves every exploded row, so the per-doc shingle
+    count folds into the same final aggregation — two explode passes
+    total (df-agg + join-back), no third pass or doc-keyed re-join."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
         "doc_id",
         F.explode(T.shingles(F.col("text"), 3)).alias("sh"),
     )
     hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 5)
-    per_doc = ex.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
     return (
         ex.join(hot, "sh", "left")
         .groupBy("doc_id")
-        .agg(F.count("df").alias("n_hot"))
-        .join(per_doc, "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("df").alias("n_hot"),
+        )
         .select("doc_id", "n_shingles", "n_hot")
     )
 

@@ -32,6 +32,28 @@ TABLES = (
 BROADCAST_DIMS = frozenset({"region", "nation", "supplier"})
 
 
+def spread(df: DataFrame, *keys: str) -> DataFrame:
+    """Raise scan parallelism to the cluster default ahead of a
+    CPU-heavy narrow map (tokenize/shingle/hash over full text).
+
+    A source that produced fewer splits than cores — tiny files, a
+    single parquet row-group — would otherwise run the whole expensive
+    map in ≤ a handful of tasks while the rest of the cluster idles.
+    At 100 TB the scan has thousands of splits, so this is a no-op
+    (``getNumPartitions() >= defaultParallelism``) and costs nothing;
+    the exchange only appears exactly when the input is too small to
+    saturate the cluster, where shuffling it is cheap by definition.
+    Hash-partitions on ``keys`` when given (deterministic placement,
+    no round-robin sort); plain round-robin otherwise.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    if keys:
+        return df.repartition(target, *[F.col(k) for k in keys])
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events" and isinstance(df.schema["ts"].dataType, LongType):
