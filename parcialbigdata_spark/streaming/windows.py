@@ -47,13 +47,20 @@ EVENTS_SCHEMA = StructType(
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events fixture as a file stream (one-file parquet source).
 
-    ``events.parquet`` stores TIMESTAMP(NANOS); like the batch loader
-    (sources/tables.py), nanos are read as long and converted, so the
-    streaming and batch views agree to the second."""
+    ``events.parquet`` may store TIMESTAMP(NANOS) — which the session's
+    ``nanosAsLong`` setting surfaces as long — or plain TIMESTAMP(MICROS).
+    A file stream needs an explicit schema, so probe the physical type
+    with a batch read of the same file (footer-only, no data scan) and
+    mirror the batch loader's handling (sources/tables.py) so the
+    streaming and batch views agree to the microsecond."""
+    import os
+
+    physical = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    nanos = isinstance(physical["ts"].dataType, LongType)
     raw_schema = StructType(
         [
             StructField("event_id", LongType()),
-            StructField("ts", LongType()),  # nanos-as-long
+            StructField("ts", LongType() if nanos else TimestampType()),
             StructField("user_id", LongType()),
             StructField("event_type", StringType()),
             StructField("value", DoubleType()),
@@ -65,6 +72,8 @@ def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
+    if not nanos:
+        return raw
     # Integer DIV, exactly like the batch loader (sources/tables.py) — a
     # double division would lose precision above 2^53 ns.
     return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
