@@ -54,6 +54,8 @@ BENCH_QUERIES = [
     "semantic_dedup_embeddings",
     "hot_ngram_documents",
     "vocab_stats_by_source",
+    "embedding_outliers",
+    "quality_classifier_documents",
 ]
 
 

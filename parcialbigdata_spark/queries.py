@@ -3114,6 +3114,254 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "snapshot_diff_documents",
+    """
+    WITH old AS (
+      SELECT doc_id, md5(text) AS fp FROM documents WHERE doc_id % 10 <> 3
+    ),
+    new AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 5 = 0 THEN md5(text || '!') ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % 10 <> 7
+    )
+    SELECT CASE WHEN o.doc_id IS NULL THEN 'added'
+                WHEN n.doc_id IS NULL THEN 'removed'
+                WHEN o.fp <> n.fp THEN 'changed'
+                ELSE 'same' END AS status,
+           COUNT(*) AS n_docs
+    FROM old o FULL JOIN new n ON o.doc_id = n.doc_id
+    GROUP BY status
+    """,
+)
+def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC-style snapshot diff (§2.10): classify every key across two
+    corpus snapshots as added / removed / changed / same. The two
+    snapshots are deterministic derivations of the fixture (doc_id
+    residues simulate arrivals, deletions, and in-place edits) so the
+    oracle sees identical inputs. Plan: each side reduces to
+    (key, 16-byte md5 fingerprint) *before* the full-outer join — the
+    shuffle carries 24 bytes/row instead of the document text, which is
+    what makes daily-snapshot diffing feasible at 100 TB; the join and
+    the status counting are one exchange on doc_id plus a tiny final
+    agg on 4 statuses."""
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.col("doc_id") % 10 != 3).select(
+        F.col("doc_id").alias("o_id"), F.md5("text").alias("o_fp")
+    )
+    new = docs.filter(F.col("doc_id") % 10 != 7).select(
+        F.col("doc_id").alias("n_id"),
+        F.when(
+            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("!")))
+        )
+        .otherwise(F.md5("text"))
+        .alias("n_fp"),
+    )
+    status = (
+        F.when(F.col("o_id").isNull(), F.lit("added"))
+        .when(F.col("n_id").isNull(), F.lit("removed"))
+        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
+        .otherwise(F.lit("same"))
+    )
+    return (
+        old.join(new, old.o_id == new.n_id, "full")
+        .select(status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+@query(
+    "upsert_latest_events",
+    """
+    SELECT user_id, event_type,
+           CAST(floor(epoch(ts)) AS BIGINT) AS last_ts_epoch,
+           value AS last_value,
+           n_versions
+    FROM (
+      SELECT user_id, event_type, ts, value,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_versions
+      FROM events
+    )
+    WHERE rn = 1
+    """,
+)
+def upsert_latest_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Merge/upsert compaction (SCD1, §2.5/§2.10): collapse an
+    append-only event log to the latest row per (user, event_type) —
+    the read-side of every merge-on-read table format. One shuffle on
+    the compaction key; row_number and the version count share the same
+    window partition so Catalyst evaluates both in a single Window
+    operator on that one exchange. The order key (ts DESC, event_id
+    DESC) is a total order, so the surviving row is unique and
+    engine-portable. At 100 TB this is the standard log-compaction
+    plan: no driver state, skew bounded by per-key version counts."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    wc = Window.partitionBy("user_id", "event_type")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_versions", F.count(F.lit(1)).over(wc))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.unix_timestamp("ts").alias("last_ts_epoch"),
+            F.col("value").alias("last_value"),
+            "n_versions",
+        )
+    )
+
+
+@query(
+    "embedding_outliers",
+    """
+    WITH el AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+      FROM embeddings
+    ),
+    cent AS (
+      SELECT label, pos, CAST(SUM(q) AS DOUBLE) / COUNT(*) AS cv
+      FROM el GROUP BY label, pos
+    ),
+    dist AS (
+      SELECT e.label, e.vec_id,
+             SUM(CAST(round((CAST(q AS DOUBLE) - cv) * (CAST(q AS DOUBLE) - cv), 12)
+                      AS DECIMAL(38,12))) AS d2
+      FROM el e JOIN cent c ON e.label = c.label AND e.pos = c.pos
+      GROUP BY e.label, e.vec_id
+    )
+    SELECT label, vec_id, CAST(d2 AS DOUBLE) AS dist2
+    FROM dist
+    QUALIFY row_number() OVER (PARTITION BY label ORDER BY d2 DESC, vec_id ASC) <= 10
+    """,
+)
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding outlier detection (§2.10): squared L2
+    distance of each vector to its label centroid, top-10 farthest per
+    label — the standard mislabeled-/junk-sample audit before training.
+    Two-phase plan sharing one posexplode: (1) centroid per (label,
+    dim) via exact-decimal mean (order-independent, engine-exact);
+    (2) join the tiny centroid frame (|labels|·dim rows → broadcast)
+    back to the exploded elements and sum per-element squared
+    deviations as DECIMAL(38,12) — so the ranking key is exact and the
+    top-10 cut is deterministic; the float dist2 is only a reported
+    value. At 100 TB the element shuffle for phase 1 partial-aggregates
+    map-side to |labels|·dim rows per partition, and phase 2 is a
+    broadcast join plus one agg keyed by (label, vec_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("q"),
+    )
+    cent = el.groupBy("label", "pos").agg(
+        (F.sum("q").cast("double") / F.count(F.lit(1))).alias("cv")
+    )
+    d = F.col("q").cast("double") - F.col("cv")
+    dist = (
+        el.join(F.broadcast(cent), ["label", "pos"])
+        .select("label", "vec_id", F.round(d * d, 12).cast("decimal(38,12)").alias("t"))
+        .groupBy("label", "vec_id")
+        .agg(F.sum("t").alias("d2"))
+    )
+    w = Window.partitionBy("label").orderBy(F.col("d2").desc(), F.col("vec_id").asc())
+    return (
+        dist.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("label", "vec_id", F.col("d2").cast("double").alias("dist2"))
+    )
+
+
+@query(
+    "quality_classifier_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source,
+             {_TOKS_SQL.format(c="lower(text)")} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, source, toks[i] || '_' || toks[i + 1] AS b
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    feat AS (
+      SELECT doc_id, source,
+             ((('0x' || substr(md5(b), 1, 4))::BIGINT % 64) * 37 + 11) % 201 - 100 AS w
+      FROM bg
+    ),
+    perdoc AS (
+      SELECT doc_id, source, SUM(w) AS sum_w, COUNT(*) AS n
+      FROM feat GROUP BY doc_id, source
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           SUM(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END) AS n_pass,
+           ROUND(CAST(SUM(CAST(round(CAST(sum_w AS DOUBLE) / (100 * n), 9)
+                               AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logit
+    FROM perdoc GROUP BY source
+    """,
+)
+def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-n-gram linear classifier inference (§2.10): a
+    fastText-shaped quality filter run entirely as relational algebra —
+    token bigrams → feature-hash (md5 → 64 buckets) → fixed integer
+    weight per bucket → per-doc score → per-source pass rate. The
+    'model' is a deterministic weight function of the bucket id, so
+    both engines reproduce inference bit-for-bit with no model file;
+    swapping in trained weights is a broadcast join against a 64-row
+    table. All per-doc accumulation is INTEGER (sum of weights), so the
+    classification threshold (sum_w > 0) is exact; the reported logit
+    divides once at the end and aggregates via rounded decimals. Plan:
+    narrow map (tokenize + slice bigrams, no UDF) → explode → one hash
+    agg per doc → one per source. At 100 TB this is the shape of every
+    learned-filter inference pass: shuffle rows are (doc_id, int),
+    never text."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens(F.lower(F.col("text")))
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bucket = F.conv(F.substring(F.md5(F.col("b")), 1, 4), 16, 10).cast("bigint") % 64
+    weight = (bucket * 37 + 11) % 201 - 100
+    perdoc = (
+        docs.select("doc_id", "source", F.explode(bigrams).alias("b"))
+        .select("doc_id", "source", weight.alias("w"))
+        .groupBy("doc_id", "source")
+        .agg(F.sum("w").alias("sum_w"), F.count(F.lit(1)).alias("n"))
+    )
+    logit = F.round(
+        F.col("sum_w").cast("double") / (F.lit(100) * F.col("n")), 9
+    ).cast("decimal(18,9)")
+    return (
+        perdoc.select(
+            "source",
+            (F.col("sum_w") > 0).cast("int").alias("pass_flag"),
+            logit.alias("logit_d"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("pass_flag").alias("n_pass"),
+            F.round(F.sum("logit_d").cast("double") / F.count(F.lit(1)), 6).alias(
+                "avg_logit"
+            ),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
