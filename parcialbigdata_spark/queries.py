@@ -1634,6 +1634,36 @@ def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
 
 
+@query(
+    "streaming_spend_totals",
+    """
+    SELECT user_id, COUNT(*) AS n_seen,
+           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+    FROM events GROUP BY user_id
+    """,
+)
+def streaming_spend_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """U2/E4 on the Spark 4 stateful-v2 API (``transformWithState``):
+    exact integer-cents running spend per user. Update mode emits one
+    row per (user, batch); the final state is selected by the monotone
+    ``n_seen`` counter (max_by), so the check is independent of how the
+    drain splits micro-batches. The oracle replays the same
+    floor(x·100+.5) cents conversion — integer arithmetic end-to-end,
+    no float accumulation anywhere."""
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        running_spend_per_user,
+    )
+
+    out = _drain(
+        running_spend_per_user(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    return out.groupBy("user_id").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.max_by("total_cents", "n_seen").alias("total_cents"),
+    )
+
+
 @query("ivf_topk_embeddings")  # rows-only: the k-means index is not SQL-expressible
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (§2.10): deterministic k-means coarse quantizer

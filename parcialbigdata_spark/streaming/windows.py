@@ -187,6 +187,100 @@ def _count_fn(key, pdfs, state: GroupState):
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
 
+from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: E402
+
+
+class _SpendProcessor(StatefulProcessor):
+    """``transformWithState`` processor: exact running spend per user.
+
+    State is a single BIGINT of integer cents — floats are converted
+    per row with floor(x·100 + .5) (half-away rounding, matching
+    DuckDB/Spark ``round``), so the accumulated total is exact integer
+    arithmetic and independent of micro-batch splits. Alongside, a
+    monotone ``n_seen`` row counter lets the drained update-mode output
+    identify each key's final emission without assuming the total is
+    monotone (refunds/negative values would break a max-based pick)."""
+
+    def init(self, handle) -> None:
+        self._cents = handle.getValueState("cents", "cents BIGINT")
+        self._seen = handle.getValueState("seen", "seen BIGINT")
+
+    def handleInputRows(self, key, rows, timerValues):
+        import math
+
+        cents = self._cents.get()[0] if self._cents.exists() else 0
+        seen = self._seen.get()[0] if self._seen.exists() else 0
+        for pdf in rows:
+            for v in pdf["value"]:
+                cents += int(math.floor(float(v) * 100.0 + 0.5))
+            seen += len(pdf)
+        self._cents.update((cents,))
+        self._seen.update((seen,))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_seen": [seen], "total_cents": [cents]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+_SPEND_OUT_SCHEMA = "user_id bigint, n_seen bigint, total_cents bigint"
+
+
+def _spend_fn(key, pdfs, state: GroupState):
+    """applyInPandasWithState twin of ``_SpendProcessor`` — same exact
+    integer-cents state transition, v1 state API."""
+    import math
+
+    cents, seen = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        for v in pdf["value"]:
+            cents += int(math.floor(float(v) * 100.0 + 0.5))
+        seen += len(pdf)
+    state.update((cents, seen))
+    yield pd.DataFrame({"user_id": [key[0]], "n_seen": [seen], "total_cents": [cents]})
+
+
+def stateful_v2_available() -> bool:
+    """``transformWithState``'s state server speaks protobuf between the
+    JVM and a Python driver worker; without ``google.protobuf`` the
+    worker crashes at schema validation. Probe once, up front."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def running_spend_per_user(events: DataFrame) -> DataFrame:
+    """Custom stateful operator on the Spark 4 ``transformWithState``
+    API (stateful v2): typed per-key state handles (ValueState here;
+    ListState/MapState and timers for richer operators), RocksDB-backed
+    like ``applyInPandasWithState`` but with explicit state evolution
+    and TTL support — the forward-looking home for custom streaming
+    state.
+
+    Falls back to an ``applyInPandasWithState`` twin with the identical
+    state transition when the runtime lacks ``google.protobuf`` (which
+    the v2 state-server protocol requires) — output and semantics are
+    the same either way, so the oracle check covers both paths."""
+    if stateful_v2_available():
+        return events.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=_SpendProcessor(),
+            outputStructType=_SPEND_OUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    return events.groupBy("user_id").applyInPandasWithState(
+        _spend_fn,
+        outputStructType=_SPEND_OUT_SCHEMA,
+        stateStructType="cents bigint, seen bigint",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def running_count_per_user(events: DataFrame) -> DataFrame:
     """Custom stateful operator (``applyInPandasWithState``): running
     event count per user, emitted once per micro-batch. State is one

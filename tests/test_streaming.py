@@ -219,3 +219,64 @@ def test_watermark_drops_late_events(spark, tmp_path):
     # Hour 10 closed once, with exactly the on-time event; the late one
     # (id 3) was dropped — no duplicate append row, no count bump.
     assert [r["n"] for r in hour10] == [1], rows
+
+
+def test_running_spend_exact_cents_across_batch_splits(spark, tmp_path):
+    """The spend state transition is exact integer cents, so the final
+    per-user total is identical however the stream is micro-batched —
+    here: whole-fixture drain vs a 1-file-per-trigger replay of the
+    same rows split across three files."""
+    import pyspark.sql.functions as F
+
+    from parcialbigdata_spark.streaming.windows import (
+        read_events_stream,
+        running_spend_per_user,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    whole = _drain_update(running_spend_per_user(read_events_stream(spark, sf_dir)))
+    final_whole = {
+        r["user_id"]: r["total_cents"]
+        for r in whole.groupBy("user_id")
+        .agg(F.max_by("total_cents", "n_seen").alias("total_cents"))
+        .collect()
+    }
+
+    src = tmp_path / "split_src"
+    src.mkdir()
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    for i in range(3):
+        ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.parquet(
+            str(src / f"part{i}.parquet")
+        )
+    split_stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    split = _drain_update(running_spend_per_user(split_stream))
+    final_split = {
+        r["user_id"]: r["total_cents"]
+        for r in split.groupBy("user_id")
+        .agg(F.max_by("total_cents", "n_seen").alias("total_cents"))
+        .collect()
+    }
+    assert final_whole == final_split
+    assert len(final_whole) > 0
+
+
+def _drain_update(sdf):
+    import uuid
+
+    name = f"spend_{uuid.uuid4().hex[:8]}"
+    q = (
+        sdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    return sdf.sparkSession.table(name)
