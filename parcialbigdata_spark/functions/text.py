@@ -40,7 +40,17 @@ def tokens(text: Column | str) -> Column:
     text yields an EMPTY array (``F.split`` alone would yield ``['']``,
     making token_count('')==1 and giving empty docs Jaccard 1.0). The
     BPE-ish variant below (``subword_count``) approximates tokenizer
-    load for budget planning."""
+    load for budget planning.
+
+    PERF: tokenization is the single most expensive narrow expression
+    in the corpus pipeline (regex split over full text). Every function
+    below that consumes the token array more than once has a
+    ``*_from_tokens`` twin taking a pre-projected ``toks`` column —
+    project ``tokens(...)`` ONCE per query and feed the twin. Catalyst
+    only materializes the projection when the alias is non-cheap and
+    multiply-referenced (CollapseProject would otherwise inline it back
+    into each consumer, re-running the regex per reference — measured
+    9× slower on the shingle explode)."""
     return F.filter(F.split(F.trim(_c(text)), _WS), lambda t: t != F.lit(""))
 
 
@@ -66,15 +76,18 @@ def punct_ratio(text: Column | str) -> Column:
     return (F.length(t) - F.length(stripped)) / F.greatest(F.length(t), F.lit(1))
 
 
-def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
-    toks = tokens(F.lower(_c(text)))
+def stopword_ratio_from_tokens(toks: Column, lang: str = "en") -> Column:
+    """``toks`` must be lowercased tokens."""
     markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
     hits = F.size(F.filter(toks, lambda t: F.array_contains(markers, t)))
     return hits / F.greatest(F.size(toks), F.lit(1))
 
 
-def mean_word_len(text: Column | str) -> Column:
-    toks = tokens(_c(text))
+def stopword_ratio(text: Column | str, lang: str = "en") -> Column:
+    return stopword_ratio_from_tokens(tokens(F.lower(_c(text))), lang)
+
+
+def mean_word_len_from_tokens(toks: Column) -> Column:
     total = F.aggregate(
         F.transform(toks, lambda t: F.length(t).cast("double")),
         F.lit(0.0),
@@ -83,26 +96,31 @@ def mean_word_len(text: Column | str) -> Column:
     return total / F.greatest(F.size(toks), F.lit(1))
 
 
-def quality_score(text: Column | str) -> Column:
-    """Composite document-quality heuristic in [0, 1]:
-    length sweet spot + low punctuation + sane mean word length.
-    Mirrors the C4/Gopher-style rule-based filters, expressible in SQL."""
+def mean_word_len(text: Column | str) -> Column:
+    return mean_word_len_from_tokens(tokens(_c(text)))
+
+
+def quality_score_from_tokens(text: Column | str, toks: Column) -> Column:
+    """``toks`` = ``tokens(text)`` (any case; only lengths are used)."""
     t = _c(text)
     n = F.length(t)
     len_ok = F.when((n >= 50) & (n <= 10000), F.lit(1.0)).otherwise(F.lit(0.0))
     punct_ok = F.when(punct_ratio(t) < 0.2, F.lit(1.0)).otherwise(F.lit(0.0))
-    mwl = mean_word_len(t)
+    mwl = mean_word_len_from_tokens(toks)
     word_ok = F.when((mwl >= 2.0) & (mwl <= 12.0), F.lit(1.0)).otherwise(F.lit(0.0))
     return (len_ok + punct_ok + word_ok) / F.lit(3.0)
 
 
-def lang_id(text: Column | str) -> Column:
-    """Heuristic language ID: CJK codepoint presence → 'zh'; otherwise the
-    language whose marker stopwords hit the most tokens; ties → 'und'.
+def quality_score(text: Column | str) -> Column:
+    """Composite document-quality heuristic in [0, 1]:
+    length sweet spot + low punctuation + sane mean word length.
+    Mirrors the C4/Gopher-style rule-based filters, expressible in SQL."""
+    return quality_score_from_tokens(text, tokens(_c(text)))
 
-    One narrow map — at 100 TB this is a single scan with no shuffle."""
+
+def lang_id_from_tokens(text: Column | str, toks: Column) -> Column:
+    """``toks`` must be lowercased tokens of ``text``."""
     t = F.lower(_c(text))
-    toks = tokens(t)
 
     def hits(lang: str) -> Column:
         markers = F.array(*[F.lit(m) for m in LANG_MARKERS[lang]])
@@ -119,6 +137,14 @@ def lang_id(text: Column | str) -> Column:
         .when(fr == best, F.lit("fr"))
         .otherwise(F.lit("de"))
     )
+
+
+def lang_id(text: Column | str) -> Column:
+    """Heuristic language ID: CJK codepoint presence → 'zh'; otherwise the
+    language whose marker stopwords hit the most tokens; ties → 'und'.
+
+    One narrow map — at 100 TB this is a single scan with no shuffle."""
+    return lang_id_from_tokens(text, tokens(F.lower(_c(text))))
 
 
 def normalize(text: Column | str) -> Column:
@@ -158,19 +184,20 @@ def redact_pii(text: Column | str) -> Column:
     return out
 
 
-def dup_token_ratio(text: Column | str) -> Column:
-    """Fraction of tokens that are repeats of an earlier token —
-    Gopher-style repetition signal. 0 for empty docs."""
-    toks = tokens(F.lower(_c(text)))
+def dup_token_ratio_from_tokens(toks: Column) -> Column:
+    """``toks`` must be lowercased tokens."""
     n = F.size(toks)
     return (n - F.size(F.array_distinct(toks))) / F.greatest(n, F.lit(1))
 
 
-def top_token_ratio(text: Column | str) -> Column:
-    """Share of the single most frequent token. Row-local: counts are a
-    transform over the distinct set (O(distinct×n) per row, zero
-    shuffle — documents are short relative to corpus size)."""
-    toks = tokens(F.lower(_c(text)))
+def dup_token_ratio(text: Column | str) -> Column:
+    """Fraction of tokens that are repeats of an earlier token —
+    Gopher-style repetition signal. 0 for empty docs."""
+    return dup_token_ratio_from_tokens(tokens(F.lower(_c(text))))
+
+
+def top_token_ratio_from_tokens(toks: Column) -> Column:
+    """``toks`` must be lowercased tokens."""
     dist = F.array_distinct(toks)
     counts = F.transform(dist, lambda d: F.size(F.filter(toks, lambda t: t == d)))
     return F.coalesce(
@@ -178,10 +205,15 @@ def top_token_ratio(text: Column | str) -> Column:
     )
 
 
-def dup_bigram_ratio(text: Column | str) -> Column:
-    """Fraction of word bigrams that are repeats — the 2-gram variant
-    of the repetition filter. 0 for docs with <2 tokens."""
-    toks = tokens(F.lower(_c(text)))
+def top_token_ratio(text: Column | str) -> Column:
+    """Share of the single most frequent token. Row-local: counts are a
+    transform over the distinct set (O(distinct×n) per row, zero
+    shuffle — documents are short relative to corpus size)."""
+    return top_token_ratio_from_tokens(tokens(F.lower(_c(text))))
+
+
+def dup_bigram_ratio_from_tokens(toks: Column) -> Column:
+    """``toks`` must be lowercased tokens."""
     n = F.size(toks)
     grams = F.when(
         n >= 2,
@@ -194,12 +226,14 @@ def dup_bigram_ratio(text: Column | str) -> Column:
     return (ng - F.size(F.array_distinct(grams))) / F.greatest(ng, F.lit(1))
 
 
-def shingles(text: Column | str, k: int = 3) -> Column:
-    """Word k-shingles (n-grams) as array<string>, distinct.
+def dup_bigram_ratio(text: Column | str) -> Column:
+    """Fraction of word bigrams that are repeats — the 2-gram variant
+    of the repetition filter. 0 for docs with <2 tokens."""
+    return dup_bigram_ratio_from_tokens(tokens(F.lower(_c(text))))
 
-    Built with sequence+transform — no UDF, no explode (the shingle set
-    stays row-local, so shingling is shuffle-free)."""
-    toks = tokens(normalize(_c(text)))
+
+def shingles_from_tokens(toks: Column, k: int = 3) -> Column:
+    """``toks`` = ``tokens(normalize(text))`` (normalized tokens)."""
     n = F.size(toks)
     idx = F.sequence(F.lit(0), F.greatest(n - k, F.lit(0)))
     return F.array_distinct(
@@ -211,3 +245,11 @@ def shingles(text: Column | str, k: int = 3) -> Column:
             F.filter(F.array(F.concat_ws(" ", toks)), lambda s: s != F.lit(""))
         )
     )
+
+
+def shingles(text: Column | str, k: int = 3) -> Column:
+    """Word k-shingles (n-grams) as array<string>, distinct.
+
+    Built with sequence+transform — no UDF, no explode (the shingle set
+    stays row-local, so shingling is shuffle-free)."""
+    return shingles_from_tokens(tokens(normalize(_c(text))), k)

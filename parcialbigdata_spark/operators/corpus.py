@@ -50,12 +50,16 @@ def decontaminate(
 
     Returns (id, matched_grams, contaminated) — one row per corpus doc.
     """
-    gram = F.explode(T.shingles(text_col, k=k)).alias("gram")
-    corpus_grams = corpus.select(F.col(id_col), gram).select(
-        id_col, F.xxhash64("gram").alias("gh")
+    toks = T.tokens(T.normalize(text_col)).alias("__toks")
+    gram = F.explode(T.shingles_from_tokens(F.col("__toks"), k=k)).alias("gram")
+    corpus_grams = (
+        corpus.select(F.col(id_col), toks)
+        .select(F.col(id_col), gram)
+        .select(id_col, F.xxhash64("gram").alias("gh"))
     )
     bench_grams = (
-        benchmark.select(gram)
+        benchmark.select(toks)
+        .select(gram)
         .select(F.xxhash64("gram").alias("gh"))
         .distinct()
         .withColumn("hit", F.lit(1))
@@ -104,7 +108,7 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0:
         raise ValueError("chunk_tokens and stride must be positive")
-    toks = T.tokens(text_col)
+    toks = F.col("__toks")
     n = F.size(toks)
     starts = F.when(n > 0, F.sequence(F.lit(0), n - 1, F.lit(stride))).otherwise(
         F.array().cast("array<int>")
@@ -114,6 +118,10 @@ def chunk_documents(
     )
     keep = list(keep_cols or [])
     return df.select(
+        F.col(id_col),
+        *[F.col(c) for c in keep],
+        T.tokens(text_col).alias("__toks"),
+    ).select(
         F.col(id_col),
         *[F.col(c) for c in keep],
         F.posexplode(chunks).alias("chunk_idx", "chunk_toks"),

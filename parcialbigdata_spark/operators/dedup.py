@@ -263,7 +263,11 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        T.shingles(F.col(text_col), k_shingle).alias("sh"),
+        T.tokens(T.normalize(F.col(text_col))).alias("__toks"),
+    ).select(
+        F.col(id_col),
+        *([F.col(block_col)] if block_col else []),
+        T.shingles_from_tokens(F.col("__toks"), k_shingle).alias("sh"),
     )
     a, b = sh.alias("a"), sh.alias("b")
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")

@@ -1006,11 +1006,15 @@ def text_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     composite quality score, aggregated per language. Per-row doubles
     are rounded then decimal-summed so the hash is engine-stable."""
     docs = load_table(spark, sf_dir, "documents")
-    tok = T.token_count("text")
+    with_toks = docs.select("lang", "n_chars", "text", T.tokens("text").alias("toks"))
     punct = F.round(T.punct_ratio("text"), 6).cast("decimal(18,6)")
-    quality = F.round(T.quality_score("text"), 6).cast("decimal(18,6)")
+    quality = F.round(T.quality_score_from_tokens("text", F.col("toks")), 6).cast(
+        "decimal(18,6)"
+    )
     return (
-        docs.select("lang", "n_chars", tok.alias("n_tok"), punct.alias("p"), quality.alias("q"))
+        with_toks.select(
+            "lang", "n_chars", F.size("toks").alias("n_tok"), punct.alias("p"), quality.alias("q")
+        )
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -1059,8 +1063,13 @@ def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic (§2.10): stopword-marker hits + CJK
     codepoint check; confusion counts label × prediction."""
     docs = load_table(spark, sf_dir, "documents")
+    with_toks = docs.select(
+        "lang", "text", T.tokens(F.lower(F.col("text"))).alias("toks")
+    )
     return (
-        docs.groupBy("lang", T.lang_id("text").alias("pred_lang"))
+        with_toks.groupBy(
+            "lang", T.lang_id_from_tokens("text", F.col("toks")).alias("pred_lang")
+        )
         .agg(F.count(F.lit(1)).alias("n"))
     )
 
@@ -1247,14 +1256,18 @@ def training_corpus_prep(spark: SparkSession, sf_dir: str) -> DataFrame:
     budget. One narrow scoring scan, one 16-byte-fingerprint shuffle,
     one final agg — the shape that holds at 100 TB."""
     docs = load_table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "source",
-        "n_chars",
-        "text",
-        T.token_count("text").alias("n_tok"),
-        T.quality_score("text").alias("quality"),
-    ).filter(F.col("quality") >= 0.66)
+    scored = (
+        docs.select("doc_id", "source", "n_chars", "text", T.tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            "n_chars",
+            "text",
+            F.size("toks").alias("n_tok"),
+            T.quality_score_from_tokens("text", F.col("toks")).alias("quality"),
+        )
+        .filter(F.col("quality") >= 0.66)
+    )
     survivors = (
         scored.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
         .groupBy("fp")
@@ -2541,11 +2554,12 @@ def repetition_metrics_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     final agg); per-row doubles are rounded then decimal-summed so the
     cross-engine hash is exact."""
     docs = load_table(spark, sf_dir, "documents")
-    dup_tok = F.round(T.dup_token_ratio("text"), 6).cast("decimal(18,6)")
-    top_tok = F.round(T.top_token_ratio("text"), 6).cast("decimal(18,6)")
-    dup_bi = F.round(T.dup_bigram_ratio("text"), 6).cast("decimal(18,6)")
+    with_toks = docs.select("lang", T.tokens(F.lower(F.col("text"))).alias("toks"))
+    dup_tok = F.round(T.dup_token_ratio_from_tokens(F.col("toks")), 6).cast("decimal(18,6)")
+    top_tok = F.round(T.top_token_ratio_from_tokens(F.col("toks")), 6).cast("decimal(18,6)")
+    dup_bi = F.round(T.dup_bigram_ratio_from_tokens(F.col("toks")), 6).cast("decimal(18,6)")
     return (
-        docs.select("lang", dup_tok.alias("dt"), top_tok.alias("tt"), dup_bi.alias("db"))
+        with_toks.select("lang", dup_tok.alias("dt"), top_tok.alias("tt"), dup_bi.alias("db"))
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
@@ -3076,8 +3090,10 @@ def hot_ngram_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (df-agg + join-back), no third pass or doc-keyed re-join."""
     docs = load_table(spark, sf_dir, "documents")
     ex = docs.select(
+        "doc_id", T.tokens(T.normalize("text")).alias("toks")
+    ).select(
         "doc_id",
-        F.explode(T.shingles(F.col("text"), 3)).alias("sh"),
+        F.explode(T.shingles_from_tokens(F.col("toks"), 3)).alias("sh"),
     )
     hot = ex.groupBy("sh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 5)
     return (
@@ -3355,7 +3371,7 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     learned-filter inference pass: shuffle rows are (doc_id, int),
     never text."""
     docs = load_table(spark, sf_dir, "documents")
-    toks = T.tokens(F.lower(F.col("text")))
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.zip_with(
@@ -3367,7 +3383,10 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket = F.conv(F.substring(F.md5(F.col("b")), 1, 4), 16, 10).cast("bigint") % 64
     weight = (bucket * 37 + 11) % 201 - 100
     perdoc = (
-        docs.select("doc_id", "source", F.explode(bigrams).alias("b"))
+        docs.select(
+            "doc_id", "source", T.tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .select("doc_id", "source", F.explode(bigrams).alias("b"))
         .select("doc_id", "source", weight.alias("w"))
         .groupBy("doc_id", "source")
         .agg(F.sum("w").alias("sum_w"), F.count(F.lit(1)).alias("n"))
