@@ -93,6 +93,111 @@ def bucket_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str)
     return a is not None and a == b and f"`{key}`" in a[1]
 
 
+def merge_upsert(
+    spark: SparkSession,
+    base_path: str,
+    updates: DataFrame,
+    key_cols: list[str],
+    partition_cols: list[str],
+    delete_col: str | None = None,
+) -> None:
+    """MERGE INTO for a hive-partitioned parquet dataset: upsert (and
+    optionally delete) ``updates`` rows into ``base_path``, rewriting
+    ONLY the partitions the updates touch.
+
+    The write side of every incremental-ingest pipeline without a table
+    format: (1) the updates' distinct partition values — a
+    catalog-sized list, the one legitimately driver-sized collect —
+    select the affected base partitions (pushed-down ``isin`` filter →
+    partition pruning, so 100 TB of untouched partitions are never
+    read); (2) affected base rows full-outer-merge with updates on the
+    key (updates win; ``delete_col`` = true drops the key); (3) dynamic
+    partition overwrite replaces exactly the partition directories
+    present in the merged output, leaving every other directory's files
+    byte-untouched (asserted in ``tests/test_warehouse.py``). New
+    partitions appearing only in ``updates`` are created by the same
+    write. One shuffle (the merge join) over affected-partition data
+    only; update-heavy skew is AQE's problem, not a plan change.
+
+    Assumes the partition values of a key are stable (date-partitioned
+    facts, the standard upsert case) — a key that MOVES partitions
+    needs a table format with a global index, not path-level merge."""
+    from pyspark.sql import functions as F
+
+    # Partition columns as verbatim directory strings on BOTH sides:
+    # type inference would e.g. parse dt=2024-01-01 as DATE and make the
+    # pruning filter (and the rewrite's directory names) type-sensitive.
+    infer_key = "spark.sql.sources.partitionColumnTypeInference.enabled"
+    prev_infer = spark.conf.get(infer_key, "true")
+    spark.conf.set(infer_key, "false")
+    try:
+        base = spark.read.parquet(base_path)
+        base.schema  # force analysis while inference is off
+    finally:
+        spark.conf.set(infer_key, prev_infer)
+    data_cols = [c for c in base.columns if c not in key_cols]
+    upd = updates
+    for c in partition_cols:
+        upd = upd.withColumn(c, F.col(c).cast("string"))
+    touched = [tuple(r) for r in upd.select(*partition_cols).distinct().collect()]
+    part_filter = F.struct(*[F.col(c) for c in partition_cols]).isin(
+        [F.struct(*[F.lit(v) for v in t]) for t in touched]
+    )
+    affected = base.filter(part_filter)
+    if delete_col is None:
+        delete_flag = F.lit(False)
+    else:
+        delete_flag = F.coalesce(F.col(f"u.{delete_col}"), F.lit(False))
+        data_cols = [c for c in data_cols if c != delete_col]
+    b, u = affected.alias("b"), upd.alias("u")
+    cond = F.lit(True)
+    for k in key_cols:
+        cond = cond & (F.col(f"b.{k}") == F.col(f"u.{k}"))
+    has_update = F.col(f"u.{key_cols[0]}").isNotNull()
+    merged = (
+        b.join(u, cond, "full")
+        .filter(~delete_flag)
+        .select(
+            *[
+                F.coalesce(F.col(f"u.{k}"), F.col(f"b.{k}")).alias(k)
+                for k in key_cols
+            ],
+            *[
+                F.when(has_update, F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+                for c in data_cols
+            ],
+        )
+    )
+
+    # Dynamic overwrite only replaces partitions PRESENT in the output:
+    # a touched partition whose rows were all deleted is absent from
+    # `merged` and its stale directory would survive. Identify those
+    # BEFORE the write (the lazy plan reads the pre-write files) and
+    # clear them through the Hadoop FS API (works on any storage).
+    surviving = {
+        tuple(r) for r in merged.select(*partition_cols).distinct().collect()
+    }
+    emptied = [t for t in touched if t not in surviving]
+
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        merged.write.mode("overwrite").partitionBy(*partition_cols).parquet(base_path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if emptied:
+        jvm = spark.sparkContext._jvm
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        for t in emptied:
+            rel = "/".join(f"{c}={v}" for c, v in zip(partition_cols, t))
+            p = jvm.org.apache.hadoop.fs.Path(f"{base_path}/{rel}")
+            fs = p.getFileSystem(hconf)
+            if fs.exists(p):
+                fs.delete(p, True)
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

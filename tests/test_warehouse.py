@@ -256,3 +256,66 @@ def test_write_training_shards_matches_shuffle_order(spark, tmp_path):
             for pos, line in enumerate(fh, start=1):
                 got[(shard, pos)] = json.loads(line)["doc_id"]
     assert got == expect
+
+
+def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
+    """merge_upsert: updates win, deletes drop, new partitions appear —
+    and the untouched partition's files are byte-identical afterwards."""
+    import pathlib
+
+    from parcialbigdata_spark.sources.warehouse import merge_upsert
+
+    base_path = str(tmp_path / "fact")
+    base = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 10.0),
+            (2, "2024-01-01", 20.0),
+            (3, "2024-01-02", 30.0),
+            (4, "2024-01-03", 40.0),
+        ],
+        "id bigint, dt string, amount double",
+    )
+    base.repartition(1).write.partitionBy("dt").parquet(base_path)
+
+    untouched = sorted(
+        (p.name, p.stat().st_mtime, p.stat().st_size)
+        for p in pathlib.Path(base_path, "dt=2024-01-03").glob("*.parquet")
+    )
+    assert untouched
+
+    updates = spark.createDataFrame(
+        [
+            (1, "2024-01-01", 11.0, False),   # update
+            (5, "2024-01-01", 50.0, False),   # insert, existing partition
+            (3, "2024-01-02", 0.0, True),     # delete
+            (6, "2024-01-04", 60.0, False),   # insert, NEW partition
+        ],
+        "id bigint, dt string, amount double, deleted boolean",
+    )
+    merge_upsert(
+        spark,
+        base_path,
+        updates,
+        key_cols=["id"],
+        partition_cols=["dt"],
+        delete_col="deleted",
+    )
+
+    got = {
+        r["id"]: (r["dt"], r["amount"])
+        for r in spark.read.parquet(base_path)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .collect()
+    }
+    assert got == {
+        1: ("2024-01-01", 11.0),
+        2: ("2024-01-01", 20.0),
+        4: ("2024-01-03", 40.0),
+        5: ("2024-01-01", 50.0),
+        6: ("2024-01-04", 60.0),
+    }
+    after = sorted(
+        (p.name, p.stat().st_mtime, p.stat().st_size)
+        for p in pathlib.Path(base_path, "dt=2024-01-03").glob("*.parquet")
+    )
+    assert after == untouched, "untouched partition was rewritten"
