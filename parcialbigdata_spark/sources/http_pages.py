@@ -32,7 +32,12 @@ exist.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 from parcialbigdata_spark.pipeline.fetch import BASE_URL, HEADERS
 
@@ -81,6 +86,40 @@ class HttpPagesReader(DataSourceReader):
         yield (partition.page, partition.url, status, body)
 
 
+class HttpPagesStreamReader(SimpleDataSourceStreamReader):
+    """Incremental paginated scan (SURVEY.md §2.8 E1/E2 source side):
+    each micro-batch fetches the next ``pages_per_batch`` pages, the
+    committed offset is simply the next page number, and recovery
+    replays an exact page range (``readBetweenOffsets``) — pagination
+    IS an offset-based log, which is what makes the reference's
+    "poll the listing site on a schedule" loop a checkpointable stream
+    (``trigger(availableNow)`` bounded by ``last``; a production poller
+    would leave ``last`` open-ended).
+
+    Uses the ``Simple`` reader variant deliberately: page fetches are
+    driver-side sequential like the reference's own loop; the
+    partition-parallel batch reader above is the throughput path."""
+
+    def __init__(self, options: dict):
+        self._r = HttpPagesReader(options)
+        self.pages_per_batch = int(options.get("pages_per_batch", 3))
+
+    def initialOffset(self) -> dict:
+        return {"page": self._r.first}
+
+    def _fetch(self, page: int):
+        return next(iter(self._r.read(_PagePartition(page, f"{self._r.base_url}&page={page}"))))
+
+    def read(self, start: dict):
+        lo = start["page"]
+        hi = min(lo + self.pages_per_batch, self._r.last + 1)
+        rows = [self._fetch(p) for p in range(lo, hi)]
+        return iter(rows), {"page": hi}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        return iter([self._fetch(p) for p in range(start["page"], end["page"])])
+
+
 class HttpPagesDataSource(DataSource):
     @classmethod
     def name(cls) -> str:
@@ -91,3 +130,6 @@ class HttpPagesDataSource(DataSource):
 
     def reader(self, schema) -> HttpPagesReader:
         return HttpPagesReader(self.options)
+
+    def simpleStreamReader(self, schema) -> HttpPagesStreamReader:
+        return HttpPagesStreamReader(self.options)

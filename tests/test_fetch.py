@@ -111,3 +111,43 @@ def test_http_pages_datasource(spark):
     assert all("Content from" in r["body"] for r in ok)
     # Parallelism contract: one input partition per page.
     assert df.rdd.getNumPartitions() == 10
+
+
+def test_http_pages_stream_reader(spark, tmp_path):
+    """S1/E1-E2 streaming: the paginated scan as a checkpointable
+    stream — pages_per_batch pages per micro-batch, offsets = page
+    numbers, availableNow drains exactly pages first..last once."""
+    from parcialbigdata_spark.sources import http_pages
+
+    spark.dataSource.register(http_pages.HttpPagesDataSource)
+    stream = (
+        spark.readStream.format("http_pages")
+        .option("base_url", "http://example.test/find?q=x")
+        .option("first", "1")
+        .option("last", "10")
+        .option("pages_per_batch", "3")
+        .option("transport", "stub")
+        .option("fail_pages", "5")
+        .load()
+    )
+    q = (
+        stream.writeStream.format("memory")
+        .queryName("http_pages_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    # Offsets advance pages_per_batch per micro-batch; poll until the
+    # bounded page range has fully drained (4 batches), then stop.
+    import time
+
+    deadline = time.time() + 120
+    while time.time() < deadline:
+        if spark.table("http_pages_stream").count() >= 10:
+            break
+        time.sleep(0.5)
+    q.stop()
+    rows = {r["page"]: r for r in spark.table("http_pages_stream").collect()}
+    assert sorted(rows) == list(range(1, 11))
+    assert rows[5]["status"] == 404
+    assert sum(1 for r in rows.values() if r["status"] == 200) == 9
