@@ -3161,6 +3161,72 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dq_checks_orders",
+    """
+    WITH m AS (
+      SELECT COUNT(*) AS n_rows,
+             COUNT(*) - COUNT(DISTINCT o_orderkey) AS n_dup_keys,
+             SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS n_null_cust,
+             SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS n_bad_price
+      FROM orders
+    ),
+    o AS (
+      SELECT COUNT(*) AS n_orphans
+      FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+    )
+    SELECT chk.check, chk.metric,
+           CASE WHEN chk.check = 'row_count' THEN chk.metric > 0
+                ELSE chk.metric = 0 END AS pass
+    FROM m, o, LATERAL (VALUES
+      ('row_count', n_rows),
+      ('dup_pk', n_dup_keys),
+      ('null_custkey', n_null_cust),
+      ('nonpositive_totalprice', n_bad_price),
+      ('orphan_custkey', n_orphans)
+    ) AS chk("check", metric)
+    """,
+)
+def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deequ-style data-quality gate (§2.10 intake validation): primary
+    key uniqueness, completeness, value range, and referential
+    integrity as one result set of (check, metric, pass) rows. Plan:
+    the four scan metrics come from ONE full-scan aggregate (a single
+    pass however many checks are added — the Deequ trick), referential
+    integrity is one anti-join agg, and the two 1-row frames cross-join
+    and unpivot via ``stack`` — no per-check scans, no driver-side
+    looping. At 100 TB adding a 20th check costs zero extra I/O."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    m = orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("o_orderkey"))).alias("n_dup_keys"),
+        F.sum(F.when(F.col("o_custkey").isNull(), 1).otherwise(0)).alias("n_null_cust"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0)).alias("n_bad_price"),
+    )
+    orphans = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey, "left_anti")
+        .agg(F.count(F.lit(1)).alias("n_orphans"))
+    )
+    stacked = m.crossJoin(orphans).select(
+        F.expr(
+            "stack(5,"
+            " 'row_count', n_rows,"
+            " 'dup_pk', n_dup_keys,"
+            " 'null_custkey', n_null_cust,"
+            " 'nonpositive_totalprice', n_bad_price,"
+            " 'orphan_custkey', n_orphans) AS (check, metric)"
+        )
+    )
+    return stacked.select(
+        "check",
+        "metric",
+        F.when(F.col("check") == "row_count", F.col("metric") > 0)
+        .otherwise(F.col("metric") == 0)
+        .alias("pass"),
+    )
+
+
+@query(
     "snapshot_diff_documents",
     """
     WITH old AS (
