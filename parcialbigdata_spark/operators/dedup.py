@@ -468,3 +468,61 @@ def simhash_near_dups(
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# ------------------------------------------- exact shared-substring windows
+
+
+def shared_window_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_tokens: int = 15,
+    max_bucket: int = 100,
+) -> DataFrame:
+    """Document pairs sharing an EXACT run of ``k_tokens`` normalized
+    tokens — the fixed-window form of suffix-array substring dedup
+    (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    Models Better"): any shared substring of >= k tokens contains at
+    least one shared k-token window, so window-equality join finds
+    every such pair (no sampling miss, unlike winnowing's 2/(w+1)
+    retention).
+
+    Plan: tokenize once (projected column) → slide windows row-locally
+    → distinct (id, md5(window)) → self-join on the 16-byte digest
+    with the standard count-window ``max_bucket`` cap (boilerplate
+    windows shared by >max_bucket docs are exact-dedup's job, and an
+    uncapped hot window is a quadratic pair bomb). md5 rather than
+    xxhash64 keeps the digest engine-portable, so the DuckDB oracle
+    reproduces the join exactly. Returns (id_a, id_b,
+    n_shared_windows); docs shorter than ``k_tokens`` emit nothing.
+
+    At 100 TB the shuffle carries (id, 16 B digest) rows — window text
+    never moves — and the cap bounds every join bucket."""
+    toks = df.select(
+        F.col(id_col), T.tokens(T.normalize(F.col(text_col))).alias("__toks")
+    )
+    n = F.size("__toks")
+    win = F.transform(
+        F.sequence(F.lit(0), n - k_tokens),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(F.col("__toks"), i + 1, k_tokens))),
+    )
+    w = (
+        toks.filter(n >= k_tokens)
+        .select(F.col(id_col), F.explode(F.array_distinct(win)).alias("h"))
+    )
+    from pyspark.sql import Window as W
+
+    capped = (
+        w.withColumn("__cnt", F.count(F.lit(1)).over(W.partitionBy("h")))
+        .filter(F.col("__cnt") <= max_bucket)
+        .drop("__cnt")
+    )
+    a = capped.select(F.col(id_col).alias("id_a"), "h")
+    b = capped.select(F.col(id_col).alias("id_b"), "h")
+    return (
+        a.join(b, "h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_windows"))
+    )

@@ -3161,6 +3161,38 @@ def heavy_hitter_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "shared_substring_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+      FROM documents
+    ),
+    w AS (
+      SELECT DISTINCT doc_id, md5(array_to_string(toks[i:i+14], ' ')) AS h
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 14)) AS g(i)
+      WHERE len(toks) >= 15
+    ),
+    capped AS (
+      SELECT doc_id, h FROM (
+        SELECT doc_id, h, COUNT(*) OVER (PARTITION BY h) AS cnt FROM w
+      ) WHERE cnt <= 100
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared_windows
+    FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id
+    """,
+)
+def shared_substring_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact shared-substring dedup audit (§2.10; Lee et al. 2022
+    fixed-window form): pairs of documents sharing an exact 15-token
+    normalized run, found by self-joining 16-byte md5 window digests
+    (engine-portable, so the oracle replays the join exactly). See
+    ``operators/dedup.py shared_window_pairs`` for the 100 TB story."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.shared_window_pairs(docs, "doc_id", "text", k_tokens=15, max_bucket=100)
+
+
+@query(
     "dq_checks_orders",
     """
     WITH m AS (
