@@ -319,3 +319,66 @@ def test_merge_upsert_rewrites_only_touched_partitions(spark, tmp_path):
         for p in pathlib.Path(base_path, "dt=2024-01-03").glob("*.parquet")
     )
     assert after == untouched, "untouched partition was rewritten"
+
+
+def test_stream_cdc_apply_foreachbatch(spark, tmp_path):
+    """CDC apply: a stream of change batches applied to the warehouse
+    through foreachBatch(merge_upsert) — the streaming write path of
+    the lakehouse pattern. Batches must apply in arrival order (later
+    update wins)."""
+    import os
+    import time
+
+    from parcialbigdata_spark.sources.warehouse import merge_upsert
+
+    base_path = str(tmp_path / "fact")
+    spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0)],
+        "id bigint, dt string, amount double",
+    ).repartition(1).write.partitionBy("dt").parquet(base_path)
+
+    cdc_dir = tmp_path / "cdc"
+    cdc_dir.mkdir()
+    schema = "id bigint, dt string, amount double, deleted boolean"
+    spark.createDataFrame(
+        [(1, "2024-01-01", 11.0, False), (3, "2024-01-03", 30.0, False)], schema
+    ).coalesce(1).write.parquet(str(cdc_dir / "b1.parquet"))
+    spark.createDataFrame(
+        [(1, "2024-01-01", 12.0, False), (2, "2024-01-02", 0.0, True)], schema
+    ).coalesce(1).write.parquet(str(cdc_dir / "b2.parquet"))
+    now = time.time()
+    os.utime(cdc_dir / "b1.parquet", (now - 100, now - 100))
+    os.utime(cdc_dir / "b2.parquet", (now, now))
+
+    def apply_batch(batch_df, _batch_id):
+        merge_upsert(
+            batch_df.sparkSession,
+            base_path,
+            batch_df,
+            key_cols=["id"],
+            partition_cols=["dt"],
+            delete_col="deleted",
+        )
+
+    q = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(cdc_dir) + "/*")
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    import pyspark.sql.functions as F
+
+    got = {
+        r["id"]: (r["dt"], r["amount"])
+        for r in spark.read.parquet(base_path)
+        .withColumn("dt", F.col("dt").cast("string"))
+        .collect()
+    }
+    assert got == {1: ("2024-01-01", 12.0), 3: ("2024-01-03", 30.0)}
