@@ -435,3 +435,40 @@ def test_quantize_int8_roundtrip_error_bound(spark):
         for x, xh in zip(r.embedding, r.deq):
             assert abs(x - xh) <= step / 2 + 1e-9
     assert out[1].q == [0, 0, 0, 0]  # zero vector stays zeros
+
+
+def test_shared_window_pairs_exact_guarantee(spark):
+    """shared_window_pairs finds every pair sharing an exact >=k-token
+    run (each such run contains a k-window on both sides) and never
+    pairs docs whose longest shared run is < k tokens."""
+    run = " ".join(f"shared{i}" for i in range(5))  # 5-token run
+    df = spark.createDataFrame(
+        [
+            (1, f"aa bb {run} cc dd"),
+            (2, f"{run} xx yy zz ww"),
+            (3, f"pp qq {' '.join(f'shared{i}' for i in range(4))} rr ss tt"),  # only 4
+            (4, "totally different vocabulary with no overlap at all here"),
+        ],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared_windows
+        for r in dedup.shared_window_pairs(df, "doc_id", "text", k_tokens=5).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1  # exactly one shared 5-window
+    # doc 3 shares only a 4-token run with 1 and 2 → below k, no pair
+    assert all(3 not in p and 4 not in p for p in pairs)
+
+
+def test_shared_window_pairs_bucket_cap_drops_hot_window(spark):
+    """A window shared by more docs than max_bucket contributes no
+    pairs (boilerplate is exact-dedup's job)."""
+    boiler = " ".join(f"b{i}" for i in range(5))
+    rows = [(i, f"unique{i} {boiler} tail{i}") for i in range(6)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    n_uncapped = dedup.shared_window_pairs(df, "doc_id", "text", k_tokens=5).count()
+    n_capped = dedup.shared_window_pairs(
+        df, "doc_id", "text", k_tokens=5, max_bucket=5
+    ).count()
+    assert n_uncapped == 15  # C(6,2)
+    assert n_capped == 0
