@@ -26,7 +26,7 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import ArrayType, DoubleType, LongType
+from pyspark.sql.types import ArrayType, DoubleType, IntegerType, LongType
 
 from parcialbigdata_spark.functions import vectors as V
 
@@ -346,4 +346,118 @@ def embedding_near_dup_pairs(
             F.round(_pair_cosine_udf(F.col("__v_a"), F.col("__v_b")), 6).alias("cosine_sim"),
         )
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+# ---------------------------------------------------- product quantization
+
+
+def pq_fit(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m: int = 8,
+    k_codes: int = 16,
+    n_iter: int = 5,
+    sample_size: int = 10_000,
+    seed: int = _SEED,
+) -> list[list[list[float]]]:
+    """Fit PQ codebooks (Jégou et al. 2011): split the vector into
+    ``m`` contiguous subspaces and k-means each on a bounded
+    driver-side sample (same deterministic sampling discipline as
+    ``ivf_fit_centroids``). Returns ``codebooks[s][c]`` — m × k_codes
+    sub-centroids.
+
+    PQ is the memory half of billion-scale ANN: a 64-dim float32
+    vector (256 B) compresses to m=8 uint8 codes (8 B, 32×), so the
+    candidate set of an IVF probe fits executor memory and distance
+    scoring never touches the raw vectors."""
+    rows = (
+        df.select(vec_col).orderBy(F.monotonically_increasing_id()).limit(sample_size).collect()
+    )
+    X = np.asarray([list(r[0]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    sub = dim // m
+    rng = np.random.default_rng(seed)
+    books = []
+    for s in range(m):
+        Xs = X[:, s * sub : (s + 1) * sub]
+        C = Xs[rng.choice(len(Xs), size=min(k_codes, len(Xs)), replace=False)]
+        for _ in range(n_iter):
+            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = d.argmin(axis=1)
+            for c in range(len(C)):
+                members = Xs[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        books.append(C.tolist())
+    return books
+
+
+def _pq_encode_udf(codebooks: list[list[list[float]]]):
+    """Arrow-batched PQ encoding: per subspace, one argmin-matmul per
+    batch — the same ADC-transposed trick as ``_centroid_assign_udf``."""
+    Cs = [np.asarray(b, dtype=np.float64) for b in codebooks]
+    sub = Cs[0].shape[1]
+
+    @pandas_udf(ArrayType(IntegerType()))
+    def encode(vec: pd.Series) -> pd.Series:
+        M = np.asarray(vec.tolist(), dtype=np.float64)
+        codes = np.empty((len(M), len(Cs)), dtype=np.int32)
+        for s, C in enumerate(Cs):
+            Ms = M[:, s * sub : (s + 1) * sub]
+            d = (C**2).sum(axis=1)[None, :] - 2.0 * (Ms @ C.T)
+            codes[:, s] = d.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return encode
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks: list[list[list[float]]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<int>) — the compressed corpus representation."""
+    return df.select(F.col(id_col), _pq_encode_udf(codebooks)(F.col(vec_col)).alias("codes"))
+
+
+def pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebooks: list[list[list[float]]],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ ANN top-k by asymmetric distance computation (ADC): the
+    query's squared distance to every sub-centroid forms an m×k_codes
+    lookup table (a LITERAL — broadcast with the plan, no join), and a
+    row's approximate distance is the SUM of m table lookups on its
+    codes — pure codegen'd array indexing over the 8-byte codes, no
+    float vector access at scan time. TakeOrderedAndProject keeps the
+    scan shuffle-free. Returns (id, adc_dist2) ordered ascending."""
+    q = np.asarray(query_vec, dtype=np.float64)
+    sub = len(codebooks[0][0])
+    lut = [
+        [float(((q[s * sub : (s + 1) * sub] - np.asarray(c)) ** 2).sum()) for c in book]
+        for s, book in enumerate(codebooks)
+    ]
+    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    encoded = pq_encode(df, codebooks, id_col, vec_col)
+    dist = F.aggregate(
+        F.zip_with(
+            lut_col,
+            F.col("codes"),
+            lambda row, code: F.element_at(row, code + 1),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return (
+        encoded.select(F.col(id_col), F.round(dist, 6).alias("adc_dist2"))
+        .orderBy(F.col("adc_dist2").asc(), F.col(id_col).asc())
+        .limit(k)
     )

@@ -1687,6 +1687,19 @@ def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), centroids, k=10, nprobe=4)
 
 
+@query("pq_topk_embeddings")  # rows-only: the k-means codebooks are not SQL-expressible
+def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ ANN top-k (§2.10): product-quantization codebooks (driver-fit
+    on a deterministic sample), Arrow-batched encoding to m=8 4-bit
+    codes, ADC scoring as a literal lookup table summed per row — the
+    memory-compressed complement to IVF/LSH ANN (32× smaller candidate
+    representation). Reconstruction-identity and determinism pinned in
+    ``tests/test_operators.py``."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    books = similarity.pq_fit(emb, m=8, k_codes=16)
+    return similarity.pq_topk(emb, _query_vec(spark, sf_dir), books, k=10)
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with

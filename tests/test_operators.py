@@ -472,3 +472,51 @@ def test_shared_window_pairs_bucket_cap_drops_hot_window(spark):
     ).count()
     assert n_uncapped == 15  # C(6,2)
     assert n_capped == 0
+
+
+def test_pq_adc_exact_on_reconstructed_vectors(spark):
+    """ADC identity: when a corpus vector IS a concatenation of
+    sub-centroids, its ADC distance equals its true squared distance to
+    the query — so over such a corpus, PQ ranking == exact ranking."""
+    import numpy as np
+
+    from parcialbigdata_spark.operators import similarity
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(40, 8)).astype("float64")
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(base)],
+        "vec_id bigint, embedding array<double>",
+    )
+    books = similarity.pq_fit(df, m=4, k_codes=4, sample_size=40)
+    # Rebuild each corpus row from its own codes → exactly representable.
+    codes = {
+        r["vec_id"]: r["codes"] for r in similarity.pq_encode(df, books).collect()
+    }
+    recon_rows = []
+    for i in range(len(base)):
+        v = []
+        for s, c in enumerate(codes[i]):
+            v.extend(books[s][c])
+        recon_rows.append((i, [float(x) for x in v]))
+    recon = spark.createDataFrame(recon_rows, "vec_id bigint, embedding array<double>")
+
+    q = [float(x) for x in rng.normal(size=8)]
+    got = {r["vec_id"]: r["adc_dist2"] for r in similarity.pq_topk(recon, q, books, k=40).collect()}
+    qa = np.asarray(q)
+    for vid, adc in got.items():
+        true = float(((np.asarray(dict(recon_rows)[vid]) - qa) ** 2).sum())
+        assert abs(adc - true) < 1e-4, (vid, adc, true)
+
+
+def test_pq_encode_codes_in_range_and_deterministic(spark):
+    from parcialbigdata_spark.operators import similarity
+    from parcialbigdata_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    books = similarity.pq_fit(emb, m=8, k_codes=16)
+    a = similarity.pq_encode(emb, books).collect()
+    b = similarity.pq_encode(emb, books).collect()
+    assert {r["vec_id"]: r["codes"] for r in a} == {r["vec_id"]: r["codes"] for r in b}
+    assert all(0 <= c < 16 for r in a for c in r["codes"])
+    assert all(len(r["codes"]) == 8 for r in a)
