@@ -3272,6 +3272,67 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "drift_psi_orders",
+    """
+    WITH b AS (
+      SELECT LEAST(CAST(floor(o_totalprice / 60000) AS BIGINT), 9) AS bucket,
+             CASE WHEN o_orderdate < TIMESTAMP '1997-01-01' THEN 'ref' ELSE 'cur' END AS side
+      FROM orders
+    ),
+    c AS (
+      SELECT bucket,
+             SUM(CASE WHEN side = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN side = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM b GROUP BY bucket
+    ),
+    t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
+    SELECT bucket, n_ref, n_cur,
+           ROUND(
+             (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
+             * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)) / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))),
+             6) AS psi_contrib
+    FROM c, t
+    """,
+)
+def drift_psi_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor (§2.10 corpus ops): population
+    stability index of the order-value distribution between a
+    reference and a current period, per fixed bucket. The standard
+    data-drift gate before retraining / remixing. Plan: ONE scan
+    builds both sides via conditional aggregation (no self-join of the
+    table), the 10-bucket frame and the 1-row totals cross-join
+    broadcast into the final projection. Laplace smoothing (+1/+10)
+    keeps ln() finite on empty buckets deterministically. At 100 TB
+    this is a single pass however many buckets or features are
+    monitored — add columns, not scans."""
+    orders = load_table(spark, sf_dir, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 60000).cast("bigint"), F.lit(9))
+    side_ref = (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).cast("int")
+    c = (
+        orders.select(bucket.alias("bucket"), side_ref.alias("is_ref"))
+        .groupBy("bucket")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(F.lit(1) - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    # Totals via an unpartitioned window over the BUCKET frame (a
+    # fixed 10-row relation, not the table) — a second aggregate
+    # DataFrame would re-scan orders (no subplan sharing pre-AQE).
+    w = Window.partitionBy()
+    t_cur = F.sum("n_cur").over(w)
+    t_ref = F.sum("n_ref").over(w)
+    p_cur = (F.col("n_cur") + 1).cast("double") / (t_cur + 10)
+    p_ref = (F.col("n_ref") + 1).cast("double") / (t_ref + 10)
+    return c.select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref), 6).alias("psi_contrib"),
+    )
+
+
+@query(
     "snapshot_diff_documents",
     """
     WITH old AS (

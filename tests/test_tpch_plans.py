@@ -148,3 +148,60 @@ def test_heavy_hitter_topk_is_take_ordered(spark):
     audit = audit_plan(QUERIES["heavy_hitter_terms"](spark, SF_DIR))
     assert audit["top_k"]
     assert not audit["has_python_row_udf"]
+
+
+def test_snapshot_diff_shuffles_fingerprints_not_text(spark):
+    """The full-outer diff join must consume md5-projected sides — the
+    text column must not survive into the join's read schema beyond
+    the fingerprint projection (shuffle carries ~24 B/row)."""
+    df = QUERIES["snapshot_diff_documents"](spark, SF_DIR)
+    audit = audit_plan(df)
+    plan = physical_plan(df)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+    # Both scans read only (doc_id, text) — no wider schema leaks in.
+    assert all("lang" not in s and "source" not in s for s in audit["read_schemas"])
+
+
+def test_upsert_latest_single_window_exchange(spark):
+    """row_number and the version count share one window partition →
+    exactly one exchange in the whole compaction plan."""
+    df = QUERIES["upsert_latest_events"](spark, SF_DIR)
+    assert audit_plan(df)["n_exchanges"] == 1
+
+
+def test_embedding_outliers_broadcasts_centroids_no_self_join(spark):
+    df = QUERIES["embedding_outliers"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
+def test_quality_classifier_is_codegen_no_python(spark):
+    audit = audit_plan(QUERIES["quality_classifier_documents"](spark, SF_DIR))
+    assert not audit["has_python_row_udf"]
+    assert not audit["has_arrow_udf"]
+
+
+def test_dq_checks_single_scan_for_scalar_metrics(spark):
+    """Four scan metrics come from ONE aggregate: at most two scans of
+    orders total (metrics pass + anti-join probe side) plus customer."""
+    df = QUERIES["dq_checks_orders"](spark, SF_DIR)
+    assert audit_plan(df)["n_parquet_scans"] <= 3
+    assert "LeftAnti" in physical_plan(df)
+
+
+def test_shared_substring_caps_before_join(spark):
+    """The window-digest self-join must see the count-capped relation:
+    a Window (bucket count) precedes the join in the plan."""
+    df = QUERIES["shared_substring_documents"](spark, SF_DIR)
+    plan = physical_plan(df)
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_drift_psi_single_scan_conditional_agg(spark):
+    """Both drift sides come from ONE orders scan via conditional
+    aggregation — no self-join/union of the table; totals come from a
+    window over the 10-row bucket frame, not a second scan."""
+    df = QUERIES["drift_psi_orders"](spark, SF_DIR)
+    assert audit_plan(df)["n_parquet_scans"] == 1
