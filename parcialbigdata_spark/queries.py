@@ -3272,6 +3272,120 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "funnel_click_purchase",
+    """
+    WITH u AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click
+      FROM events GROUP BY user_id
+    ),
+    conv AS (
+      SELECT u.user_id,
+             MIN(e.ts) AS first_purchase
+      FROM u JOIN events e
+        ON e.user_id = u.user_id
+       AND e.event_type = 'purchase'
+       AND e.ts >= u.first_click
+       AND e.ts <= u.first_click + INTERVAL 7 DAY
+      GROUP BY u.user_id
+    ),
+    m AS (
+      SELECT COUNT(*) AS n_users,
+             COUNT(first_click) AS n_clicked,
+             (SELECT COUNT(*) FROM conv) AS n_converted
+      FROM u
+    )
+    SELECT s.stage, s.n_users
+    FROM m, LATERAL (VALUES
+      ('all_users', n_users),
+      ('clicked', n_clicked),
+      ('purchased_within_7d', n_converted)
+    ) AS s(stage, n_users)
+    """,
+)
+def funnel_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel analysis (§2.10 events analytics): users → first click →
+    purchase within 7 days of it, as (stage, n_users) rows. Plan: the
+    per-user first-click frame is ONE aggregate over the event scan;
+    conversions are a join of that frame back to the purchase slice
+    (shuffle on user_id both sides, AQE decides broadcast) with the
+    time bound as a join-side predicate — no window over the full
+    event log, no per-stage scans. At 100 TB the funnel frame is
+    |users| rows, the only full-scan work is the two event passes."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click")
+    )
+    conv = (
+        u.join(
+            ev.filter(F.col("event_type") == "purchase").select(
+                F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+            ),
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_click"))
+            & (F.col("p_ts") <= F.col("first_click") + F.expr("INTERVAL 7 DAY")),
+        )
+        .groupBy("user_id")
+        .agg(F.min("p_ts").alias("first_purchase"))
+    )
+    m = u.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.count("first_click").alias("n_clicked"),
+    ).crossJoin(F.broadcast(conv.agg(F.count(F.lit(1)).alias("n_converted"))))
+    return m.select(
+        F.expr(
+            "stack(3,"
+            " 'all_users', n_users,"
+            " 'clicked', n_clicked,"
+            " 'purchased_within_7d', n_converted) AS (stage, n_users)"
+        )
+    )
+
+
+@query(
+    "cohort_retention_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    )
+    SELECT strftime(cohort_week, '%Y-%m-%d') AS cohort_week,
+           CAST(floor(date_diff('day', cohort_week, date_trunc('week', e.ts)) / 7) AS BIGINT)
+             AS weeks_since,
+           COUNT(DISTINCT e.user_id) AS active_users
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY cohort_week, weeks_since
+    """,
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention (§2.10 events analytics): users grouped by
+    first-seen week, activity counted per week offset — the standard
+    retention triangle. Plan: the first-seen frame is one aggregate
+    (|users| rows); joined back on user_id (one shuffle the final
+    count-distinct agg reuses via AQE); week arithmetic is integer
+    date math, engine-portable. At 100 TB the event scan happens
+    twice (agg + join) and nothing else touches the log."""
+    ev = load_table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    return (
+        ev.join(first_seen, "user_id")
+        .select(
+            F.date_format("cohort_week", "yyyy-MM-dd").alias("cohort_week"),
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "weeks_since")
+        .agg(F.count_distinct("user_id").alias("active_users"))
+    )
+
+
+@query(
     "drift_psi_orders",
     """
     WITH b AS (
