@@ -29,6 +29,7 @@ def as_of_join(
     right_time: str,
     right_values: list[str] | None = None,
     direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
@@ -41,12 +42,21 @@ def as_of_join(
     timestamp resolve to the right row (right sorts before left at equal
     times). If (on, right_time) is not unique on the right, ties among
     right rows resolve arbitrarily — pre-aggregate for determinism.
-    """
+
+    ``tolerance`` (an INTERVAL string, e.g. ``"7 days"``) bounds the
+    match's staleness like ``pandas.merge_asof(tolerance=...)``: a
+    carried right row further than the tolerance from ``left_time``
+    yields NULLs instead. The bound is applied AFTER the carry — the
+    plan is unchanged (same single shuffle), only the final projection
+    masks out-of-window matches, since the nearest row being too old
+    means every older row is too."""
     right_values = right_values or [c for c in right.columns if c not in (on, right_time)]
 
     l_struct = F.struct(*[F.col(c) for c in left.columns])
     l_type = left.select(l_struct.alias("x")).schema["x"].dataType
-    r_struct = F.struct(*[F.col(c) for c in right_values])
+    r_struct = F.struct(
+        F.col(right_time).alias("__rt"), *[F.col(c) for c in right_values]
+    )
     r_type = right.select(r_struct.alias("x")).schema["x"].dataType
 
     lefts = left.select(
@@ -81,12 +91,19 @@ def as_of_join(
 
     carried = lefts.unionByName(rights).select(
         "__is_left",
+        "__t",
         "__l",
         F.last("__rv", ignorenulls=True).over(w).alias("__rv"),
     )
+    if tolerance is None:
+        within = F.lit(True)
+    elif direction == "backward":
+        within = F.col("__rv.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+    else:
+        within = F.col("__rv.__rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__l.*"),
-        *[F.col(f"__rv.{c}").alias(c) for c in right_values],
+        *[F.when(within, F.col(f"__rv.{c}")).alias(c) for c in right_values],
     )
     return out
 

@@ -3272,6 +3272,50 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_order_within_90d",
+    """
+    WITH r AS (
+      SELECT o_custkey, o_orderdate, MAX(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ), j AS (
+      SELECT e.event_id, e.user_id, r.o_orderkey,
+             ROW_NUMBER() OVER (PARTITION BY e.event_id
+                                ORDER BY r.o_orderdate DESC, r.o_orderkey DESC) AS rn
+      FROM events e LEFT JOIN r
+        ON r.o_custkey = e.user_id
+       AND r.o_orderdate <= e.ts
+       AND r.o_orderdate >= e.ts - INTERVAL 90 DAY
+    )
+    SELECT event_id, user_id, o_orderkey FROM j WHERE rn = 1
+    """,
+)
+def asof_order_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with tolerance (§2.3): latest order at or before each
+    event, but only if within 90 days — the ``merge_asof(tolerance=)``
+    semantics. Same single-shuffle union+LOCF plan as the unbounded
+    as-of (the staleness mask is a projection on the carried struct,
+    not a plan change); matches older than the window become NULLs."""
+    events = load_table(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    out = joins.as_of_join(
+        events.withColumnRenamed("user_id", "__uid"),
+        orders.withColumnRenamed("o_custkey", "__uid"),
+        on="__uid",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_values=["o_orderkey"],
+        tolerance="90 days",
+    )
+    return out.select(
+        "event_id", F.col("__uid").alias("user_id"), "o_orderkey"
+    )
+
+
+@query(
     "funnel_click_purchase",
     """
     WITH u AS (

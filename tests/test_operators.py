@@ -520,3 +520,25 @@ def test_pq_encode_codes_in_range_and_deterministic(spark):
     assert {r["vec_id"]: r["codes"] for r in a} == {r["vec_id"]: r["codes"] for r in b}
     assert all(0 <= c < 16 for r in a for c in r["codes"])
     assert all(len(r["codes"]) == 8 for r in a)
+
+
+def test_as_of_join_tolerance_masks_stale_matches(spark):
+    """tolerance: a right row older than the window yields NULLs, a
+    fresh one matches — same rows either way, only the mask differs."""
+    from datetime import datetime
+
+    left = spark.createDataFrame(
+        [(1, datetime(2024, 1, 10)), (2, datetime(2024, 3, 1))], ["k", "t"]
+    )
+    right = spark.createDataFrame(
+        [(1, datetime(2024, 1, 8), 100.0), (2, datetime(2024, 1, 1), 200.0)],
+        ["k", "t", "v"],
+    )
+    rows = {
+        r["k"]: r["v"]
+        for r in joins.as_of_join(
+            left, right, on="k", left_time="t", right_time="t", tolerance="7 days"
+        ).collect()
+    }
+    assert rows[1] == 100.0   # 2 days old, within 7d
+    assert rows[2] is None    # 60 days old, masked
