@@ -1700,6 +1700,34 @@ def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.pq_topk(emb, _query_vec(spark, sf_dir), books, k=10)
 
 
+@query("ivfpq_topk_embeddings")  # rows-only: k-means index state is not SQL-expressible
+def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF+PQ composed ANN (§2.10) — the billion-scale recipe end to
+    end: the IVF coarse quantizer prunes the scan to nprobe cells
+    (partition pruning when the table is written partitioned by cell),
+    then PQ/ADC scores only the surviving candidates from their 8-byte
+    codes, and the exact cosine rescoring of the short list restores
+    full precision. Memory touched per query: nprobe/ncells of the
+    corpus, at 32× compression."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_fit_centroids(emb, n_centroids=16)
+    books = similarity.pq_fit(emb, m=8, k_codes=16)
+    q = _query_vec(spark, sf_dir)
+
+    import numpy as np
+
+    C = np.asarray(centroids)
+    qa = np.asarray(q)
+    probes = [int(i) for i in (((C - qa[None, :]) ** 2).sum(axis=1)).argsort()[:4]]
+    cells = emb.withColumn(
+        "ivf_cell", similarity._centroid_assign_udf(centroids)(F.col("embedding"))
+    )
+    cand = cells.filter(F.col("ivf_cell").isin(probes))
+    shortlist = similarity.pq_topk(cand, q, books, k=50)
+    rescored = cand.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
+    return similarity.cosine_topk(rescored, q, k=10)
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with
@@ -3268,6 +3296,60 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col("check") == "row_count", F.col("metric") > 0)
         .otherwise(F.col("metric") == 0)
         .alias("pass"),
+    )
+
+
+@query(
+    "approx_quantiles_attested",
+    """
+    SELECT CAST(0.5 AS DOUBLE) AS p,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS exact_val,
+           TRUE AS sketch_rank_ok FROM lineitem
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE),
+           ROUND(quantile_cont(l_extendedprice, 0.9), 6), TRUE FROM lineitem
+    UNION ALL
+    SELECT CAST(0.99 AS DOUBLE),
+           ROUND(quantile_cont(l_extendedprice, 0.99), 6), TRUE FROM lineitem
+    """,
+)
+def approx_quantiles_attested(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable quantile sketch with attestation (§2.4, HLL/CMS
+    pattern): the hash-checked values are the EXACT interpolated
+    percentiles; alongside, ``approx_percentile`` (accuracy 10⁴ —
+    Greenwald-Khanna style, the mergeable 100 TB path that several
+    per-group percentile queries name as their scale fallback) is
+    attested by its published guarantee: the sketch value's actual
+    rank must lie within n/accuracy (+1 interpolation slack) of the
+    target rank. Rank-checking all three sketch outputs costs one
+    extra conditional aggregate over the same scan; the 1-row sketch
+    result is the only driver-side value (same discipline as the CMS
+    probe)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = [0.5, 0.9, 0.99]
+    acc = 10_000
+    head = li.agg(
+        F.percentile_approx("l_extendedprice", qs, acc).alias("ap"),
+        F.count(F.lit(1)).alias("n"),
+    ).first()
+    approx, n = list(head["ap"]), head["n"]
+    tol = n / acc + 1
+    ranks = li.agg(
+        *[
+            F.sum((F.col("l_extendedprice") <= F.lit(a)).cast("bigint")).alias(f"r{i}")
+            for i, a in enumerate(approx)
+        ],
+        *[
+            F.round(F.expr(f"percentile(l_extendedprice, {q})"), 6).alias(f"e{i}")
+            for i, q in enumerate(qs)
+        ],
+    )
+    parts = ", ".join(
+        f"{q}D, e{i}, CAST(abs(r{i} - {q} * {n}D) <= {tol}D AS BOOLEAN)"
+        for i, q in enumerate(qs)
+    )
+    return ranks.select(
+        F.expr(f"stack(3, {parts}) AS (p, exact_val, sketch_rank_ok)")
     )
 
 
