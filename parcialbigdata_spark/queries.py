@@ -3300,6 +3300,47 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "string_funcs_parts",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_uc,
+           trim(p_type) AS type_trim,
+           substr(p_name, 1, 5) AS name5,
+           lpad(CAST(p_size AS VARCHAR), 4, '0') AS size_pad,
+           regexp_extract(p_type, '([A-Z]+)', 1) AS type_word,
+           replace(p_type, ' ', '_') AS type_us,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type
+    FROM part
+    ORDER BY p_partkey
+    LIMIT 200
+    """,
+)
+def string_funcs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string-function surface (SURVEY §2.7 F1) in one named
+    query: case mapping, trim, substring, padding, regexp extraction,
+    replace, length, concat — all JVM codegen expressions in a single
+    narrow projection (the reference's strip/replace usage generalized).
+    TakeOrderedAndProject bounds the result."""
+    part = load_table(spark, sf_dir, "part")
+    return (
+        part.select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_uc"),
+            F.trim("p_type").alias("type_trim"),
+            F.substring("p_name", 1, 5).alias("name5"),
+            F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+            F.regexp_extract("p_type", "([A-Z]+)", 1).alias("type_word"),
+            F.replace(F.col("p_type"), F.lit(" "), F.lit("_")).alias("type_us"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("p_partkey")
+        .limit(200)
+    )
+
+
+@query(
     "approx_quantiles_attested",
     """
     SELECT CAST(0.5 AS DOUBLE) AS p,
