@@ -56,6 +56,12 @@ BENCH_QUERIES = [
     "vocab_stats_by_source",
     "embedding_outliers",
     "quality_classifier_documents",
+    "shared_substring_documents",
+    "snapshot_diff_documents",
+    "upsert_latest_events",
+    "funnel_click_purchase",
+    "cohort_retention_events",
+    "pq_topk_embeddings",
 ]
 
 

@@ -3300,6 +3300,112 @@ def dq_checks_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "contrastive_pairs_embeddings",
+    """
+    WITH el AS (
+      SELECT vec_id, label, generate_subscripts(embedding, 1) AS pos,
+             CAST(round(CAST(unnest(embedding) AS DOUBLE), 6) AS DECIMAL(18,6)) AS q
+      FROM embeddings
+    ),
+    pairs AS (
+      SELECT a.vec_id AS va, a.label, b.vec_id AS vb,
+             SUM(CAST(round((CAST(a.q AS DOUBLE) - CAST(b.q AS DOUBLE))
+                            * (CAST(a.q AS DOUBLE) - CAST(b.q AS DOUBLE)), 12)
+                      AS DECIMAL(38,12))) AS d2
+      FROM el a JOIN el b
+        ON a.label = b.label AND a.pos = b.pos AND a.vec_id <> b.vec_id
+      GROUP BY a.vec_id, a.label, b.vec_id
+    ),
+    pos AS (
+      SELECT va AS vec_id, label, vb AS pos_id, CAST(d2 AS DOUBLE) AS pos_dist2
+      FROM pairs
+      QUALIFY row_number() OVER (PARTITION BY va ORDER BY d2 ASC, vb ASC) = 1
+    ),
+    reps AS (
+      SELECT vec_id AS rep_id, label AS rep_label
+      FROM embeddings
+      QUALIFY row_number() OVER (PARTITION BY label
+                                 ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC) <= 2
+    ),
+    neg AS (
+      SELECT p.vec_id, r.rep_id AS neg_id
+      FROM pos p JOIN reps r ON r.rep_label <> p.label
+      QUALIFY row_number() OVER (PARTITION BY p.vec_id
+                                 ORDER BY md5(CAST(p.vec_id AS VARCHAR) || ':' || CAST(r.rep_id AS VARCHAR)) ASC,
+                                          r.rep_id ASC) = 1
+    )
+    SELECT p.vec_id, p.label, p.pos_id, ROUND(p.pos_dist2, 6) AS pos_dist2, n.neg_id
+    FROM pos p JOIN neg n ON n.vec_id = p.vec_id
+    """,
+)
+def contrastive_pairs_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive training-pair mining (§2.10): for every vector, its
+    hardest positive (exact nearest same-label neighbor, decimal-exact
+    ranking) and a deterministic pseudo-random negative drawn from a
+    tiny per-label representative set (2 per label, chosen by md5 —
+    engine-portable randomness, so the oracle reproduces the draw).
+    Plans for 100 TB: the positive search is a label-blocked self-join
+    (same capped-block discipline as SemDeDup — production uses IVF
+    cells as blocks); the negative pool is |labels|·2 rows → broadcast,
+    so negatives cost one narrow join, never a cross-label n² pass."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    el = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "val")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.round(F.col("val").cast("double"), 6).cast("decimal(18,6)").alias("q"),
+    )
+    a = el.select(
+        F.col("vec_id").alias("va"), "label", "pos", F.col("q").alias("qa")
+    )
+    b = el.select(
+        F.col("vec_id").alias("vb"), F.col("label").alias("lb"), "pos", F.col("q").alias("qb")
+    )
+    d = F.col("qa").cast("double") - F.col("qb").cast("double")
+    pairs = (
+        a.join(b, (F.col("label") == F.col("lb")) & (a.pos == b.pos) & (F.col("va") != F.col("vb")))
+        .select("va", "label", "vb", F.round(d * d, 12).cast("decimal(38,12)").alias("t"))
+        .groupBy("va", "label", "vb")
+        .agg(F.sum("t").alias("d2"))
+    )
+    wp = Window.partitionBy("va").orderBy(F.col("d2").asc(), F.col("vb").asc())
+    pos = (
+        pairs.withColumn("rn", F.row_number().over(wp))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("va").alias("vec_id"),
+            "label",
+            F.col("vb").alias("pos_id"),
+            F.round(F.col("d2").cast("double"), 6).alias("pos_dist2"),
+        )
+    )
+    wr = Window.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")).asc(), F.col("vec_id").asc()
+    )
+    reps = (
+        emb.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 2)
+        .select(F.col("vec_id").alias("rep_id"), F.col("label").alias("rep_label"))
+    )
+    wn = Window.partitionBy("vec_id").orderBy(
+        F.md5(F.concat(F.col("vec_id").cast("string"), F.lit(":"), F.col("rep_id").cast("string"))).asc(),
+        F.col("rep_id").asc(),
+    )
+    neg = (
+        pos.select("vec_id", "label")
+        .join(F.broadcast(reps), F.col("rep_label") != F.col("label"))
+        .withColumn("rn", F.row_number().over(wn))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", F.col("rep_id").alias("neg_id"))
+    )
+    return pos.join(neg, "vec_id").select(
+        "vec_id", "label", "pos_id", "pos_dist2", "neg_id"
+    )
+
+
+@query(
     "string_funcs_parts",
     """
     SELECT p_partkey,
