@@ -382,3 +382,51 @@ def test_stream_cdc_apply_foreachbatch(spark, tmp_path):
         .collect()
     }
     assert got == {1: ("2024-01-01", 12.0), 3: ("2024-01-03", 30.0)}
+
+
+def test_run_sql_facade_matches_dataframe(spark):
+    """The SQL entry point plans through the same views: a SQL
+    aggregation equals its DataFrame twin."""
+    from parcialbigdata_spark.sql import run_sql
+
+    got = {
+        (r["o_orderstatus"], r["n"])
+        for r in run_sql(
+            spark,
+            SF,
+            "SELECT o_orderstatus, COUNT(*) AS n FROM orders GROUP BY o_orderstatus",
+        ).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["n"])
+        for r in load_table(spark, SF, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert got == want
+
+
+def test_scan_tolerates_corrupt_file_when_configured(spark, tmp_path):
+    """E3 at the scan layer: with ignoreCorruptFiles a garbage parquet
+    file is skipped and the good files' rows all arrive — the
+    continue-on-failure semantics of the reference's fetch loop,
+    applied to the warehouse read path."""
+    d = tmp_path / "mixed"
+    d.mkdir()
+    spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string").coalesce(
+        1
+    ).write.parquet(str(d / "good.parquet"))
+    (d / "bad.parquet" / "part-corrupt.parquet").parent.mkdir()
+    (d / "bad.parquet" / "part-corrupt.parquet").write_bytes(b"PAR1 this is not parquet")
+
+    prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles", "false")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try:
+        # Explicit schema, as any production warehouse read: schema
+        # inference itself would die on the corrupt footer before the
+        # scan-level skip can apply.
+        rows = spark.read.schema("id bigint, v string").parquet(str(d / "*")).collect()
+    finally:
+        spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+    assert {r["id"] for r in rows} == {1, 2}
