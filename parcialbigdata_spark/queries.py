@@ -1375,6 +1375,72 @@ _MEDIA_DIR = "/root/repo/tests/fixtures/media"
 
 
 @query(
+    "frame_sample_media",
+    f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_MEDIA_DIR}/*')
+    ),
+    v AS (
+      SELECT file_name, length, h,
+             ('0x' || substr(h, 13, 4))::INT AS nf
+      FROM b WHERE substr(h, 1, 8) = '46564944'
+    ),
+    f AS (
+      SELECT DISTINCT file_name, length, h,
+             CAST(floor(j * nf / 4) AS INT) AS frame_idx
+      FROM v, LATERAL unnest(generate_series(0, 3)) AS g(j)
+    )
+    SELECT file_name, frame_idx,
+           8 + (frame_idx * 16) % greatest(length - 24, 1) AS byte_offset,
+           md5(substr(h, CAST((8 + (frame_idx * 16) % greatest(length - 24, 1)) * 2 + 1 AS INT), 32))
+             AS frame_md5
+    FROM f
+    """,
+)
+def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame sampling (§2.10 multimodal): per video asset, 4
+    evenly-spaced frame indices from the header's frame count, each
+    emitting (byte_offset, digest of its byte window). The 'frame
+    grab' is the deterministic fake (a 16-byte window — a real pyav
+    slot-in replaces exactly that expression); the Spark plumbing
+    being exercised is real: binaryFile scan → header parse → index
+    explode → row-local byte slicing, all narrow, payload bytes never
+    shuffle. The oracle replays every byte from read_blob hex."""
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _MEDIA_DIR)
+    h = F.hex("content")
+    v = raw.select(
+        "file_name",
+        "length",
+        h.alias("h"),
+        F.conv(F.substring(h, 13, 4), 16, 10).cast("int").alias("nf"),
+    ).filter(F.substring("h", 1, 8) == "46564944")
+    idx = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.lit(3)),
+            lambda j: F.floor(j * F.col("nf") / 4).cast("int"),
+        )
+    )
+    off = F.lit(8) + (F.col("frame_idx") * 16) % F.greatest(
+        F.col("length") - 24, F.lit(1)
+    )
+    return (
+        v.select("file_name", "length", "h", F.explode(idx).alias("frame_idx"))
+        .select(
+            "file_name",
+            "frame_idx",
+            off.alias("byte_offset"),
+            F.md5(F.substring(F.col("h"), (off * 2 + 1).cast("int"), 32)).alias(
+                "frame_md5"
+            ),
+        )
+    )
+
+
+@query(
     "binary_media_inventory",
     f"""
     SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
