@@ -17,8 +17,39 @@ Scale design notes (100 TB):
 
 from __future__ import annotations
 
+import datetime
+import re
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: INTERVAL unit grammar accepted for as_of_join tolerance strings —
+#: validated up front so a typo fails with a clear ValueError instead of
+#: an opaque Catalyst parse error at analysis time (and so the string
+#: interpolated into F.expr can never smuggle arbitrary SQL).
+_TOLERANCE_RE = re.compile(
+    r"^\s*\d+\s+(microsecond|millisecond|second|minute|hour|day|week)s?\s*$",
+    re.IGNORECASE,
+)
+
+
+def _tolerance_interval(tolerance: "str | datetime.timedelta") -> Column:
+    """A validated INTERVAL column from a tolerance spec.
+
+    Accepts a ``datetime.timedelta`` (built from its exact components)
+    or a single ``"<n> <unit>"`` string matching :data:`_TOLERANCE_RE`.
+    """
+    if isinstance(tolerance, datetime.timedelta):
+        micros = int(tolerance / datetime.timedelta(microseconds=1))
+        if micros < 0:
+            raise ValueError(f"as_of_join tolerance must be non-negative, got {tolerance!r}")
+        return F.expr(f"INTERVAL {micros} microseconds")
+    if not isinstance(tolerance, str) or not _TOLERANCE_RE.match(tolerance):
+        raise ValueError(
+            "as_of_join tolerance must be a datetime.timedelta or a string "
+            f"like '7 days' / '90 seconds', got {tolerance!r}"
+        )
+    return F.expr(f"INTERVAL {tolerance.strip()}")
 
 
 def as_of_join(
@@ -29,7 +60,7 @@ def as_of_join(
     right_time: str,
     right_values: list[str] | None = None,
     direction: str = "backward",
-    tolerance: str | None = None,
+    tolerance: str | datetime.timedelta | None = None,
 ) -> DataFrame:
     """For each left row, attach the most recent right row with
     ``right_time <= left_time`` (direction='backward'; 'forward' takes the
@@ -98,9 +129,9 @@ def as_of_join(
     if tolerance is None:
         within = F.lit(True)
     elif direction == "backward":
-        within = F.col("__rv.__rt") >= F.col("__t") - F.expr(f"INTERVAL {tolerance}")
+        within = F.col("__rv.__rt") >= F.col("__t") - _tolerance_interval(tolerance)
     else:
-        within = F.col("__rv.__rt") <= F.col("__t") + F.expr(f"INTERVAL {tolerance}")
+        within = F.col("__rv.__rt") <= F.col("__t") + _tolerance_interval(tolerance)
     out = carried.filter(F.col("__is_left") == 1).select(
         F.col("__l.*"),
         *[F.when(within, F.col(f"__rv.{c}")).alias(c) for c in right_values],

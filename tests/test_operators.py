@@ -542,3 +542,24 @@ def test_as_of_join_tolerance_masks_stale_matches(spark):
     }
     assert rows[1] == 100.0   # 2 days old, within 7d
     assert rows[2] is None    # 60 days old, masked
+
+
+def test_as_of_join_tolerance_accepts_timedelta_and_rejects_garbage(spark):
+    """A timedelta builds the same mask as its string form; a malformed
+    string fails fast with ValueError instead of a Catalyst parse error
+    (ADVICE r2)."""
+    from datetime import datetime, timedelta
+
+    import pytest
+
+    left = spark.createDataFrame([(1, datetime(2024, 1, 10))], ["k", "t"])
+    right = spark.createDataFrame([(1, datetime(2024, 1, 8), 100.0)], ["k", "t", "v"])
+    row = joins.as_of_join(
+        left, right, on="k", left_time="t", right_time="t", tolerance=timedelta(days=7)
+    ).first()
+    assert row["v"] == 100.0
+    for bad in ("7 fortnights", "7; DROP TABLE x", "", "days 7", timedelta(days=-1)):
+        with pytest.raises(ValueError):
+            joins.as_of_join(
+                left, right, on="k", left_time="t", right_time="t", tolerance=bad
+            ).first()

@@ -20,7 +20,26 @@ from parcialbigdata_spark.session import get_spark  # noqa: E402
 
 
 def main(argv: list[str]) -> int:
-    args = [a for a in argv if not a.startswith("--")]
+    # Parse flags (and their values) out FIRST so a flag value like the
+    # N of `--limit N` never lands in the positional list.
+    argv = list(argv)
+    explain = "--explain" in argv
+    if explain:
+        argv.remove("--explain")
+    limit = 20
+    if "--limit" in argv:
+        i = argv.index("--limit")
+        try:
+            limit = int(argv[i + 1])
+        except (IndexError, ValueError):
+            print("--limit requires an integer value")
+            return 1
+        del argv[i : i + 2]
+    unknown = [a for a in argv if a.startswith("--")]
+    if unknown:
+        print(f"unknown flags: {', '.join(unknown)}")
+        return 1
+    args = argv
     if not args:
         print(__doc__)
         print("Available queries:")
@@ -35,13 +54,10 @@ def main(argv: list[str]) -> int:
         print(f"unknown query {name!r}; did you mean: {', '.join(close)}?")
         return 1
     sf_dir = args[1] if len(args) > 1 else "/root/testdata/sf0.01"
-    limit = 20
-    if "--limit" in argv:
-        limit = int(argv[argv.index("--limit") + 1])
 
     spark = get_spark("run-query")
     df = QUERIES[name](spark, sf_dir)
-    if "--explain" in argv:
+    if explain:
         df.explain("formatted")
     df.show(limit, truncate=40)
     print(f"({df.count()} rows total)")
