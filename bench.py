@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "funnel_click_purchase",
     "cohort_retention_events",
     "pq_topk_embeddings",
+    # r3: the 5-8-table TPC-H join sweeps — the heaviest shuffle/join
+    # plans in the registry (VERDICT r2 bench-set hygiene item).
+    "q8_market_share",
+    "q9_profit_by_nation_year",
 ]
 
 

@@ -24,6 +24,8 @@ pathological buckets (dropping them is standard practice: a bucket with
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -361,7 +363,24 @@ def winnow_overlap_pairs(
 # ------------------------------------------------------------- SimHash
 
 
-def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def md5_hash60(c: Column) -> Column:
+    """Engine-portable 60-bit token hash: the first 15 hex chars of
+    md5, parsed as an integer. Unlike ``xxhash64`` it has an exact
+    DuckDB twin (``('0x' || substr(md5(t),1,15))::BIGINT``), which is
+    what lets a SimHash built from it be oracle-checked bit-for-bit.
+    15 hex chars = 60 bits < 2⁶³, so the conv→bigint cast is exact and
+    non-negative. ~3-5× more hash cost per token than xxhash64 — use
+    only where cross-engine replay matters; the scale default stays
+    xxhash64."""
+    return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("bigint")
+
+
+def simhash_signatures(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: "Callable[[Column], Column]" = F.xxhash64,
+) -> DataFrame:
     """(id, sh) with a 64-bit SimHash per document.
 
     Shape: explode tokens → one ``xxhash64`` per token → groupBy(id)
@@ -379,9 +398,14 @@ def simhash_signatures(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     map-side partial-aggregated. (A higher-order ``aggregate`` over the
     token array was ~100× slower: HOF lambdas evaluate interpreted.)
 
-    Documents with no tokens hash to 0, preserved via left join."""
+    Documents with no tokens hash to 0, preserved via left join.
+
+    ``hash_fn`` maps a token column to a 64-bit-or-narrower integer
+    hash (default ``xxhash64``; pass :func:`md5_hash60` for the
+    DuckDB-replayable variant — its 4 always-zero top bits simply pin
+    the 4 top sign-lanes to 0 on both engines)."""
     toks = df.select(F.col(id_col), F.explode(T.tokens(T.normalize(text_col))).alias("__t"))
-    h = toks.select(id_col, F.xxhash64("__t").alias("__h"))
+    h = toks.select(id_col, hash_fn(F.col("__t")).alias("__h"))
 
     def packed_term(g: int) -> F.Column:
         # Four bit-counters per bigint: bits 4g..4g+3 at 16-bit offsets.
@@ -414,6 +438,7 @@ def hamming64(a: Column, b: Column) -> Column:
 def simhash_near_dups(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
     max_bucket: int = 10_000,
+    hash_fn: "Callable[[Column], Column]" = F.xxhash64,
 ) -> DataFrame:
     """SimHash near-dup pairs: band the 64-bit hash into four 16-bit
     chunks — by pigeonhole any pair with Hamming distance ≤ 3 agrees on
@@ -424,7 +449,7 @@ def simhash_near_dups(
     16-bit chunk value) before the quadratic self-join, with the same
     COUNT-window-on-the-join-key trick as the MinHash/winnowing paths —
     the cap shares the join's own shuffle."""
-    h = simhash_signatures(df, id_col, text_col).persist()
+    h = simhash_signatures(df, id_col, text_col, hash_fn=hash_fn).persist()
     chunks = h.select(
         id_col,
         "sh",

@@ -5,43 +5,24 @@ compares it against ``oracle_sql()`` via DuckDB: row count + sorted
 column names + order-insensitive value hash. Queries without an oracle
 get a rows-only check (must run and return a DataFrame).
 
+The compare kernel lives in ``parcialbigdata_spark.oracle`` (shared
+with tests/test_correctness_full.py).
+
 Usage: python tools/check_correctness.py [query_name ...]
 """
 
 from __future__ import annotations
 
-import hashlib
 import os
 import sys
 
-import duckdb
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from parcialbigdata_spark.oracle import (  # noqa: E402
+    compare_query,
+    duckdb_fixture_connection,
+)
 from parcialbigdata_spark.session import get_spark  # noqa: E402
-from parcialbigdata_spark.sources.tables import TABLES  # noqa: E402
-
-
-def _norm_cell(v) -> str:
-    if v is None:
-        return "NULL"
-    if isinstance(v, float):
-        if v != v:
-            return "NaN"
-        return f"{v:.6g}"
-    if isinstance(v, bool):
-        return str(int(v))
-    return str(v)
-
-
-def value_hash(rows: list[tuple], colnames: list[str]) -> str:
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("\x01".join(_norm_cell(r[i]) for i in order) for r in rows)
-    h = hashlib.sha256()
-    for line in lines:
-        h.update(line.encode())
-        h.update(b"\x02")
-    return h.hexdigest()[:16]
 
 
 def main() -> int:
@@ -52,55 +33,22 @@ def main() -> int:
 
     qs = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
-
-    con = duckdb.connect()
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')"
-        )
-
+    con = duckdb_fixture_connection(sf_dir)
     spark = get_spark("correctness-check")
+
     n_pass = n_fail = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
-        try:
-            sdf = fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: spark error: {exc}")
-            n_fail += 1
-            continue
-        finally:
-            # Queries are independent; drop any operator-internal
-            # persists (LSH band/shingle relations) so a 90-query
-            # session keeps flat executor storage.
-            spark.catalog.clearCache()
-        if name not in oracles:
-            print(f"ok    {name}: rows-only ({len(srows)} rows)")
-            n_pass += 1
-            continue
-        try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = [tuple(r) for r in res.fetchall()]
-        except Exception as exc:  # noqa: BLE001
-            print(f"FAIL  {name}: oracle error: {exc}")
-            n_fail += 1
-            continue
-        problems = []
-        if len(srows) != len(orows):
-            problems.append(f"rows {len(srows)} != {len(orows)}")
-        if sorted(scols) != sorted(ocols):
-            problems.append(f"schema {sorted(scols)} != {sorted(ocols)}")
-        elif value_hash(srows, scols) != value_hash(orows, ocols):
-            problems.append("value-hash mismatch")
+        problems = compare_query(spark, con, fn, oracles.get(name), sf_dir)
         if problems:
             print(f"FAIL  {name}: {'; '.join(problems)}")
             n_fail += 1
+        elif name not in oracles:
+            print(f"ok    {name}: rows-only")
+            n_pass += 1
         else:
-            print(f"PASS  {name} ({len(srows)} rows)")
+            print(f"PASS  {name}")
             n_pass += 1
 
     print(f"\n{n_pass} pass, {n_fail} fail")
