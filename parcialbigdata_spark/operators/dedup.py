@@ -295,6 +295,7 @@ def winnow_fingerprints(
     text_col: str,
     k_shingle: int = 3,
     window: int = 4,
+    hash_fn: "Callable[[Column], Column]" = F.xxhash64,
 ) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003): hash every k-gram with a rolling position, keep the
@@ -317,7 +318,7 @@ def winnow_fingerprints(
     rows = shingle_rows(df, id_col, text_col, k_shingle, with_pos=True)
     w = Window.partitionBy(id_col).orderBy("__pos").rowsBetween(0, window - 1)
     return (
-        rows.select(F.col(id_col), F.min(F.xxhash64("__s")).over(w).alias("fp"))
+        rows.select(F.col(id_col), F.min(hash_fn(F.col("__s"))).over(w).alias("fp"))
         .distinct()
     )
 
@@ -330,6 +331,7 @@ def winnow_overlap_pairs(
     window: int = 4,
     min_shared: int = 2,
     max_bucket: int = 10_000,
+    hash_fn: "Callable[[Column], Column]" = F.xxhash64,
 ) -> DataFrame:
     """Document pairs sharing ≥ ``min_shared`` winnowed fingerprints:
     ``(id_a, id_b, shared_fps)``. The self-join shuffles on the 8-byte
@@ -338,7 +340,7 @@ def winnow_overlap_pairs(
     as the MinHash LSH path."""
     from pyspark.sql import Window
 
-    fps = winnow_fingerprints(df, id_col, text_col, k_shingle, window)
+    fps = winnow_fingerprints(df, id_col, text_col, k_shingle, window, hash_fn=hash_fn)
     if max_bucket:
         # COUNT window on the join key — the self-join reuses this
         # shuffle's partitioning, vs. an extra groupBy + filter join.

@@ -2187,16 +2187,50 @@ def ntile_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("winnow_overlap_documents")  # rows-only: xxhash64 has no DuckDB twin
+@query(
+    "winnow_overlap_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+      FROM documents
+    ),
+    g AS (
+      SELECT doc_id, i - 1 AS pos, array_to_string(toks[i:i+2], ' ') AS s
+      FROM t, LATERAL unnest(generate_series(1, greatest(len(toks) - 2, 1))) AS u(i)
+      WHERE len(toks) > 0
+    ),
+    h AS (
+      SELECT doc_id, pos, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h FROM g
+    ),
+    w AS (
+      SELECT DISTINCT doc_id,
+             min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                          ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+      FROM h
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS shared_fps
+    FROM w a JOIN w b ON a.fp = b.fp AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
 def winnow_overlap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing rolling-hash fingerprint overlap (§2.10): document
     pairs sharing ≥2 selected k-gram fingerprints (Schleimer et al.
     winnowing — min-hash of each sliding window of k-gram hashes).
     Complements MinHash (set-similarity) with run-locality: any shared
-    token run of window+k-1 tokens is guaranteed to collide."""
+    token run of window+k-1 tokens is guaranteed to collide.
+
+    Oracle (upgraded from rows-only in r3): winnowing is fully
+    deterministic — no probabilistic banding — so with the
+    engine-portable :func:`operators.dedup.md5_hash60` token-gram hash
+    DuckDB replays the entire pipeline exactly (3-gram rows incl. the
+    short-doc fallback, min-of-4-window frame, distinct, fp self-join,
+    ≥2 shared). xxhash64 remains the scale-path default."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.winnow_overlap_pairs(
-        docs, "doc_id", "text", k_shingle=3, window=4, min_shared=2
+        docs, "doc_id", "text", k_shingle=3, window=4, min_shared=2,
+        hash_fn=dedup.md5_hash60,
     ).orderBy("id_a", "id_b")
 
 

@@ -89,6 +89,40 @@ def test_simhash_identical_docs(spark):
     assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
 
 
+def test_md5_hash60_matches_duckdb(spark):
+    """The engine-portable token hash must agree bit-for-bit with its
+    DuckDB twin — this equality is the entire basis of the simhash and
+    winnowing oracles."""
+    import duckdb
+
+    words = ["hello", "wörld", "", "a b", "ñandú", "0", "the the"]
+    got = {
+        r.w: r.h
+        for r in spark.createDataFrame([(w,) for w in words], "w string")
+        .select("w", dedup.md5_hash60(F.col("w")).alias("h"))
+        .collect()
+    }
+    con = duckdb.connect()
+    for w in words:
+        (want,) = con.execute(
+            "SELECT ('0x' || substr(md5(?), 1, 15))::BIGINT", [w]
+        ).fetchone()
+        assert got[w] == want, w
+
+
+def test_simhash_md5_variant_same_exact_dup_behavior(spark):
+    """hash_fn=md5_hash60 preserves the core property: identical docs
+    at Hamming 0, nothing else at max_hamming=0."""
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta"), (3, "unrelated words entirely someplace")],
+        "doc_id long, text string",
+    )
+    pairs = dedup.simhash_near_dups(
+        df, "doc_id", "text", max_hamming=0, hash_fn=dedup.md5_hash60
+    ).collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in pairs} == {(1, 2, 0)}
+
+
 def test_canonical_dedup_normalizes(spark):
     df = spark.createDataFrame(
         [(1, "Hello   World"), (2, "hello world"), (3, "bye")], "doc_id long, text string"
