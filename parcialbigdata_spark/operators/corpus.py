@@ -162,3 +162,73 @@ def pack_chunks(
     )
     cum_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
     return chunks.withColumn("pack_id", F.floor(cum_before / budget))
+
+
+def boilerplate_prune(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    segment_tokens: int = 10,
+    max_doc_freq: int = 1,
+) -> DataFrame:
+    """Repeated-segment (boilerplate) pruning, RefinedWeb/C4-line-dedup
+    style: split every document into fixed non-overlapping token
+    segments, count how many DISTINCT documents each segment occurs in,
+    and drop segments whose document frequency exceeds ``max_doc_freq``
+    (navigation chrome, license banners, templated headers — anything
+    shared across documents).
+
+    Returns one row per document that produced ≥1 segment:
+    ``(id, n_segments, n_pruned, kept_tokens, kept_md5)`` where
+    ``kept_md5`` is the md5 of the surviving text reassembled in
+    segment order — a byte-parity attestation of the pruned document,
+    engine-portable (md5 + space joins only).
+
+    Plan shape at 100 TB:
+    - segmentation reuses :func:`chunk_documents` (row-local slices,
+      no shuffle, no UDF);
+    - the document-frequency pass groups on the 16-byte md5 of the
+      segment — two-phase agg, map-side combined, shuffle volume
+      O(16 B × segments), never the text;
+    - frequencies join back to segments on the same md5 key, so the
+      join reuses the aggregation's hash partitioning (no extra
+      shuffle of the big side under AQE);
+    - per-document reassembly is one more narrow agg; segment order is
+      restored with ``sort_array`` over (idx, text) structs — per-doc
+      arrays, bounded by document length, never a global sort.
+    """
+    segs = chunk_documents(
+        df, id_col, text_col, chunk_tokens=segment_tokens, stride=segment_tokens
+    ).select(
+        F.col(id_col), "chunk_idx", "chunk_text", "n_tokens",
+        F.md5("chunk_text").alias("fp"),
+    )
+    freq = segs.groupBy("fp").agg(F.count_distinct(F.col(id_col)).alias("df"))
+    tagged = segs.join(freq, "fp").withColumn(
+        "__pruned", (F.col("df") > max_doc_freq).cast("int")
+    )
+    kept_struct = F.when(
+        F.col("__pruned") == 0, F.struct("chunk_idx", "chunk_text")
+    )
+    return (
+        tagged.groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("__pruned").alias("n_pruned"),
+            F.sum(
+                F.when(F.col("__pruned") == 0, F.col("n_tokens")).otherwise(F.lit(0))
+            ).alias("kept_tokens"),
+            F.sort_array(F.collect_list(kept_struct)).alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_segments",
+            "n_pruned",
+            "kept_tokens",
+            F.md5(
+                F.array_join(
+                    F.transform(F.col("__kept"), lambda s: s.chunk_text), " "
+                )
+            ).alias("kept_md5"),
+        )
+    )

@@ -107,3 +107,90 @@ def dedup_clusters(
         F.min("node").alias("survivor_id"),
         F.count(F.lit(1)).alias("cluster_size"),
     )
+
+
+def pagerank_scaled(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic: ranks are maintained as
+    bigint micro-units (``scale`` = 1.0) and every step uses integral
+    ``DIV`` — no floating point anywhere — so two engines replaying the
+    same edge list produce bit-identical ranks. That is what makes an
+    iterative graph algorithm oracle-checkable at all: float PageRank
+    differs in the last ulps across engines/partitionings.
+
+    Per iteration: ``contrib = rank DIV out_degree`` flows along each
+    edge, ``rank' = base + damping·inflow DIV 100`` where
+    ``base = ((100-damping)·scale DIV 100) DIV N``. Dangling mass (and
+    DIV truncation dust) is dropped, the standard simplified PR; ranks
+    therefore sum to ≤ scale. Deterministic regardless of join order
+    because integer addition is associative-commutative.
+
+    Plan shape (the 100 TB story): the edge relation and the static
+    (node, out_degree) relation are computed once and persisted; each
+    iteration is one join edges⋈ranks on ``src`` (both sides hashed on
+    the same key — co-partitioned under AQE) + one groupBy(dst) agg —
+    the canonical 2-shuffle PR round. Lineage is cut per round with
+    ``localCheckpoint`` exactly like :func:`connected_components`
+    (iterative-DataFrame discipline; swap for ``checkpoint()`` on a
+    cluster). Rounds are a constant, so total cost is
+    O(iterations · |edges|) with no driver-side data movement."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    # (node, out_degree) is static across rounds; nodes with no
+    # out-edges carry degree 0 and contribute nothing.
+    base_nodes = (
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .fillna({"out_degree": 0})
+        .persist()
+    )
+    n_total = base_nodes.agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("n"),
+        F.expr(f"(({100 - damping_pct}L * {scale}L) DIV 100) DIV n").alias("base"),
+        F.expr(f"{scale}L DIV n").alias("init"),
+    )
+    ranks = base_nodes.crossJoin(F.broadcast(n_total)).select(
+        "node", "out_degree", "base", F.col("init").alias("rank_scaled")
+    )
+    for _ in range(iterations):
+        contrib = (
+            e.join(
+                ranks.filter(F.col("out_degree") > 0).select(
+                    F.col("node").alias("src"), "out_degree", "rank_scaled"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled DIV out_degree").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = (
+            ranks.join(contrib, "node", "left")
+            .fillna({"inflow": 0})
+            .select(
+                "node",
+                "out_degree",
+                "base",
+                F.expr(f"base + ({damping_pct}L * inflow) DIV 100").alias(
+                    "rank_scaled"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select("node", "out_degree", "rank_scaled")

@@ -4234,6 +4234,187 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "boilerplate_prune_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c="text")} AS toks FROM documents
+    ), c AS (
+      SELECT doc_id, toks, unnest(range(0, greatest(len(toks), 0), 10)) AS start
+      FROM t
+    ), seg AS (
+      SELECT doc_id, CAST(start // 10 AS INT) AS chunk_idx,
+             array_to_string(toks[start+1:start+10], ' ') AS seg,
+             len(toks[start+1:start+10]) AS n_tokens
+      FROM c
+    ), freq AS (
+      SELECT md5(seg) AS fp, COUNT(DISTINCT doc_id) AS df
+      FROM seg GROUP BY 1
+    ), tagged AS (
+      SELECT s.*, (f.df > 1) AS pruned
+      FROM seg s JOIN freq f ON md5(s.seg) = f.fp
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_segments,
+           CAST(SUM(CASE WHEN pruned THEN 1 ELSE 0 END) AS BIGINT) AS n_pruned,
+           CAST(SUM(CASE WHEN pruned THEN 0 ELSE n_tokens END) AS BIGINT)
+             AS kept_tokens,
+           md5(coalesce(string_agg(CASE WHEN NOT pruned THEN seg END,
+                                   ' ' ORDER BY chunk_idx), '')) AS kept_md5
+    FROM tagged GROUP BY doc_id
+    """,
+)
+def boilerplate_prune_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-segment boilerplate pruning (§2.10; RefinedWeb/C4
+    line-dedup style): 10-token non-overlapping segments, drop segments
+    occurring in >1 distinct document (shared chrome/banners), reattest
+    the surviving text per document as an md5 of the ordered
+    reassembly. The DuckDB oracle replays segmentation, document
+    frequency, pruning, and the byte-level reassembly digest exactly —
+    every column including ``kept_md5`` is hash-checked. See
+    ``operators/corpus.py boilerplate_prune`` for the 100 TB plan
+    shape (16-byte fingerprint shuffles, agg-partition-reusing join,
+    per-doc bounded reassembly)."""
+    docs = load_table(spark, sf_dir, "documents")
+    out = corpus.boilerplate_prune(
+        docs, "doc_id", "text", segment_tokens=10, max_doc_freq=1
+    )
+    return out.select(
+        "doc_id",
+        "n_segments",
+        F.col("n_pruned").cast("bigint").alias("n_pruned"),
+        F.col("kept_tokens").cast("bigint").alias("kept_tokens"),
+        "kept_md5",
+    )
+
+
+@query(
+    "mixture_temperature_weights",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ), p AS (
+      SELECT source, n_docs,
+             n_docs * 1.0 / SUM(n_docs) OVER () AS p,
+             CAST(round(sqrt(n_docs * 1.0 / SUM(n_docs) OVER ()), 9)
+                  AS DECIMAL(18,9)) AS w
+      FROM s
+    )
+    SELECT source, n_docs, round(p, 6) AS p_source,
+           round(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6) AS weight,
+           CAST(floor(round(CAST(w AS DOUBLE) / CAST(SUM(w) OVER () AS DOUBLE), 6)
+                      * 100000) AS BIGINT) AS quota_docs
+    FROM p
+    """,
+)
+def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture sampling weights (§2.10): the
+    multilingual/multi-source re-balancing rule q_s ∝ p_s^α used by
+    mT5/XLM-R-style pipelines, at α=0.5 so the exponent is IEEE
+    ``sqrt`` — correctly rounded on every engine, hence bit-identical
+    cross-engine (a general ``pow`` would not be). Sums of the rounded
+    weights go through exact DECIMAL so the normalization constant is
+    order-independent; ``quota_docs`` scales the weight to a 100k-doc
+    budget. Single scan → |sources|-row agg → two tiny window passes
+    over the aggregate (the window input is ~|sources| rows at any
+    SF)."""
+    docs = load_table(spark, sf_dir, "documents")
+    w_all = Window.partitionBy()
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    p = F.col("n_docs") / F.sum("n_docs").over(w_all)
+    weighted = s.select(
+        "source",
+        "n_docs",
+        p.alias("p"),
+        F.round(F.sqrt(p), 9).cast("decimal(18,9)").alias("w"),
+    )
+    weight = F.col("w").cast("double") / F.sum("w").over(w_all).cast("double")
+    return weighted.select(
+        "source",
+        "n_docs",
+        F.round("p", 6).alias("p_source"),
+        F.round(weight, 6).alias("weight"),
+        F.floor(F.round(weight, 6) * 100000).cast("bigint").alias("quota_docs"),
+    )
+
+
+@query(
+    "pagerank_trade_graph",
+    """
+    WITH pairs AS (
+      SELECT DISTINCT 'c:' || o_custkey AS c, 's:' || l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    e AS (
+      SELECT c AS src, s AS dst FROM pairs
+      UNION
+      SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    params AS (
+      SELECT n, ((15 * 1000000000000) // 100) // n AS base,
+             1000000000000 // n AS init
+      FROM (SELECT COUNT(*) AS n FROM deg)
+    ),
+    r0 AS (
+      SELECT d.src AS node, d.out_degree, p.base, p.init AS rank_scaled
+      FROM deg d, params p
+    ),
+    r1 AS (
+      SELECT r.node, r.out_degree, r.base,
+             r.base + (85 * COALESCE(i.inflow, 0)) // 100 AS rank_scaled
+      FROM r0 r LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_scaled // r.out_degree) AS inflow
+        FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst
+      ) i ON r.node = i.node
+    ),
+    r2 AS (
+      SELECT r.node, r.out_degree, r.base,
+             r.base + (85 * COALESCE(i.inflow, 0)) // 100 AS rank_scaled
+      FROM r1 r LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_scaled // r.out_degree) AS inflow
+        FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst
+      ) i ON r.node = i.node
+    ),
+    r3 AS (
+      SELECT r.node, r.out_degree, r.base,
+             r.base + (85 * COALESCE(i.inflow, 0)) // 100 AS rank_scaled
+      FROM r2 r LEFT JOIN (
+        SELECT e.dst AS node, SUM(r.rank_scaled // r.out_degree) AS inflow
+        FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst
+      ) i ON r.node = i.node
+    )
+    SELECT node, out_degree, CAST(rank_scaled AS BIGINT) AS rank_scaled
+    FROM r3
+    """,
+)
+def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 rounds, d=0.85) over the bidirectional
+    customer↔supplier trade graph (distinct (custkey, suppkey) pairs
+    from orders⋈lineitem, both directions). Ranks are exact bigint
+    micro-units with integral DIV everywhere — see
+    ``operators/graph.py pagerank_scaled`` — which is what lets DuckDB
+    replay all three iterations bit-for-bit in chained CTEs. Every
+    node of the bidirectional graph has out-degree ≥ 1, so no dangling
+    redistribution is needed; rank mass ≤ 1.0 by construction."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    pairs = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c:"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s:"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+    return graph.pagerank_scaled(edges, iterations=3).select(
+        "node", "out_degree", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -597,3 +597,84 @@ def test_as_of_join_tolerance_accepts_timedelta_and_rejects_garbage(spark):
             joins.as_of_join(
                 left, right, on="k", left_time="t", right_time="t", tolerance=bad
             ).first()
+
+
+def test_boilerplate_prune_drops_shared_segments(spark):
+    """A segment shared by two docs is pruned from both; unique
+    segments survive; the reassembly digest reflects exactly the kept
+    text in order."""
+    import hashlib
+
+    shared = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [
+            (1, shared + " u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j"),
+            (2, shared + " u2a u2b u2c u2d u2e u2f u2g u2h u2i u2j"),
+            (3, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: r
+        for r in corpus.boilerplate_prune(
+            df, segment_tokens=10, max_doc_freq=1
+        ).collect()
+    }
+    assert got[1].n_segments == 2 and got[1].n_pruned == 1
+    assert got[1].kept_tokens == 10
+    assert got[1].kept_md5 == hashlib.md5(
+        b"u1a u1b u1c u1d u1e u1f u1g u1h u1i u1j"
+    ).hexdigest()
+    # doc 3 shares nothing: everything kept, digest == its own text
+    assert got[3].n_pruned == 0 and got[3].kept_tokens == 12
+    assert got[3].kept_md5 == hashlib.md5(
+        b"w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    ).hexdigest()
+
+
+def test_boilerplate_prune_all_pruned_doc_hashes_empty(spark):
+    import hashlib
+
+    same = "a b c d e f g h i j"
+    df = spark.createDataFrame(
+        [(1, same), (2, same)], "doc_id long, text string"
+    )
+    rows = corpus.boilerplate_prune(df, segment_tokens=10).collect()
+    assert {r.kept_md5 for r in rows} == {hashlib.md5(b"").hexdigest()}
+    assert all(r.kept_tokens == 0 and r.n_pruned == 1 for r in rows)
+
+
+def test_pagerank_scaled_star_graph_exact(spark):
+    """Hub-and-spoke: hub 'h' <-> spokes a,b,c (bidirectional). Exact
+    integer replay of one iteration by hand pins the arithmetic."""
+    from parcialbigdata_spark.operators.graph import pagerank_scaled
+
+    edges = spark.createDataFrame(
+        [("h", x) for x in "abc"] + [(x, "h") for x in "abc"],
+        ["src", "dst"],
+    )
+    got = {
+        r.node: (r.out_degree, r.rank_scaled)
+        for r in pagerank_scaled(edges, iterations=1).collect()
+    }
+    scale = 1_000_000_000_000
+    n = 4
+    init, base = scale // n, ((15 * scale) // 100) // n
+    # hub receives each spoke's whole rank (out_degree 1); spokes
+    # receive a third of the hub's.
+    hub_rank = base + (85 * (3 * (init // 1))) // 100
+    spoke_rank = base + (85 * (init // 3)) // 100
+    assert got["h"] == (3, hub_rank)
+    assert all(got[x] == (1, spoke_rank) for x in "abc")
+    # mass never exceeds 1.0 in scaled units
+    assert sum(r for _, r in got.values()) <= scale
+
+
+def test_pagerank_rejects_zero_iterations(spark):
+    import pytest
+
+    from parcialbigdata_spark.operators.graph import pagerank_scaled
+
+    edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
+    with pytest.raises(ValueError, match="iterations"):
+        pagerank_scaled(edges, iterations=0)
