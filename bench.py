@@ -66,6 +66,9 @@ BENCH_QUERIES = [
     # plans in the registry (VERDICT r2 bench-set hygiene item).
     "q8_market_share",
     "q9_profit_by_nation_year",
+    # r3 new operators: segment-dedup agg+join-back, iterative PR.
+    "boilerplate_prune_documents",
+    "pagerank_trade_graph",
 ]
 
 
