@@ -78,6 +78,77 @@ def write_sorted(
     part.sortWithinPartitions(*cols).write.mode(mode).parquet(path)
 
 
+def zorder_key(cols: "list[str]", bounds: "dict[str, tuple[float, float]]", bits: int = 16):
+    """Morton (Z-order) key over numeric columns: each column is
+    min/max-quantized to ``bits`` levels and the bit planes are
+    interleaved into one bigint. Rows close in the key are close in
+    EVERY listed column, so range-partitioning by the key gives parquet
+    files tight min/max stats on all of them simultaneously — the
+    multi-column generalization of :func:`write_sorted`'s single-column
+    layout (same idea as Delta/Iceberg Z-ordering).
+
+    ``bounds`` maps column → (min, max), typically from one tiny
+    aggregate over the input (see :func:`write_zordered`). Degenerate
+    columns (min == max) quantize to 0 everywhere and contribute
+    nothing, which is correct. Pure codegen arithmetic — no UDF.
+    """
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols × {bits} bits exceeds a signed bigint")
+    levels = (1 << bits) - 1
+    qs = []
+    for c in cols:
+        lo, hi = bounds[c]
+        span = (hi - lo) or 1.0
+        scaled = (F.col(c).cast("double") - F.lit(float(lo))) / F.lit(float(span))
+        q = F.floor(
+            F.least(F.greatest(scaled, F.lit(0.0)), F.lit(1.0)) * F.lit(levels)
+        ).cast("bigint")
+        qs.append(q)
+    z = F.lit(0).cast("bigint")
+    for j in range(bits):
+        for i, q in enumerate(qs):
+            bit = F.shiftright(q, j).bitwiseAND(F.lit(1))
+            z = z + F.shiftleft(bit, j * n + i)
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: "list[str]",
+    num_files: int | None = None,
+    bits: int = 16,
+    mode: str = "overwrite",
+) -> None:
+    """Z-ordered parquet layout: range-partition + sort by the Morton
+    key of ``zorder_cols`` so selective predicates on ANY of those
+    columns skip files/row groups via footer stats — where
+    :func:`write_sorted` only serves its leading column.
+
+    Column bounds come from one small aggregate over the input (a
+    second scan at write time; at 100 TB both scans are the write
+    job's own I/O and every later multi-dimension-filtered read
+    amortizes them). The key is dropped before writing — the layout is
+    invisible to readers."""
+    from pyspark.sql import functions as F
+
+    agg = df.agg(
+        *[F.min(F.col(c).cast("double")).alias(f"__lo_{c}") for c in zorder_cols],
+        *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in zorder_cols],
+    ).first()
+    bounds = {c: (agg[f"__lo_{c}"], agg[f"__hi_{c}"]) for c in zorder_cols}
+    withz = df.withColumn("__z", zorder_key(zorder_cols, bounds, bits=bits))
+    part = (
+        withz.repartitionByRange(num_files, "__z")
+        if num_files
+        else withz.repartitionByRange("__z")
+    )
+    part.sortWithinPartitions("__z").drop("__z").write.mode(mode).parquet(path)
+
+
 def bucket_join_ready(spark: SparkSession, table_a: str, table_b: str, key: str) -> bool:
     """True when both catalog tables are bucketed on ``key`` with equal
     bucket counts (the precondition for an exchange-free join)."""

@@ -307,3 +307,48 @@ def test_hot_ngram_counts_bounded(spark):
     sf_dir = "/root/testdata/sf0.001"
     for r in QUERIES["hot_ngram_documents"](spark, sf_dir).collect():
         assert 0 <= r.n_hot <= r.n_shingles
+
+
+@given(
+    docs=st.lists(
+        st.lists(st.sampled_from("abcdefgh"), min_size=0, max_size=35).map(" ".join),
+        min_size=1,
+        max_size=12,
+    ),
+    seg=st.integers(min_value=1, max_value=7),
+)
+@settings(max_examples=8, deadline=None)
+def test_boilerplate_prune_conservation(spark, docs, seg):
+    """For ANY corpus: per doc, pruned + kept segment tokens == total
+    tokens; with an infinite doc-frequency cap nothing is pruned and
+    the reassembly digest equals the md5 of the doc's own normalized
+    token stream."""
+    import hashlib
+
+    from parcialbigdata_spark.operators.corpus import boilerplate_prune
+
+    df = spark.createDataFrame(
+        list(enumerate(docs)), "doc_id long, text string"
+    )
+    out = {r.doc_id: r for r in boilerplate_prune(df, segment_tokens=seg).collect()}
+    loose = {
+        r.doc_id: r
+        for r in boilerplate_prune(
+            df, segment_tokens=seg, max_doc_freq=10**9
+        ).collect()
+    }
+    for i, text in enumerate(docs):
+        toks = text.split()
+        if not toks:
+            assert i not in out  # empty docs yield no segments
+            continue
+        r = out[i]
+        assert r.n_segments == (len(toks) + seg - 1) // seg
+        # conservation: kept tokens + tokens inside pruned segments == all
+        pruned_tokens = len(toks) - r.kept_tokens
+        assert 0 <= pruned_tokens <= len(toks)
+        assert r.n_pruned <= r.n_segments
+        # no pruning under an infinite cap; digest is byte parity
+        lr = loose[i]
+        assert lr.n_pruned == 0 and lr.kept_tokens == len(toks)
+        assert lr.kept_md5 == hashlib.md5(" ".join(toks).encode()).hexdigest()

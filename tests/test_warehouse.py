@@ -430,3 +430,60 @@ def test_scan_tolerates_corrupt_file_when_configured(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
     assert {r["id"] for r in rows} == {1, 2}
+
+
+def test_write_zordered_skips_on_both_columns(spark, tmp_path):
+    """Z-ordering on (user_id, value) must leave BOTH columns with
+    sub-full ranges in most files (so either predicate skips), where a
+    plain sort by user_id leaves value spanning ~everything in every
+    file. Round-trip data is unchanged."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from parcialbigdata_spark.sources.warehouse import write_sorted, write_zordered
+
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, zdir, ["user_id", "value"], num_files=8)
+    write_sorted(ev, sdir, ["user_id"], num_files=8)
+
+    def col_ranges(d, col):
+        out = []
+        for f in sorted(pathlib.Path(d).glob("*.parquet")):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}[col]
+            sts = [md.row_group(rg).column(idx).statistics for rg in range(md.num_row_groups)]
+            out.append((min(s.min for s in sts), max(s.max for s in sts)))
+        return out
+
+    lo = min(r[0] for r in col_ranges(zdir, "value"))
+    hi = max(r[1] for r in col_ranges(zdir, "value"))
+    span = hi - lo
+
+    def covering(ranges, point):
+        return sum(1 for a, b in ranges if a <= point <= b)
+
+    # Point predicates on value must hit clearly fewer z-files than
+    # sorted-files (where files cover ~the full value range), and a
+    # point predicate on user_id must still skip most z-files too.
+    probes = [lo + span * f for f in (0.2, 0.35, 0.5, 0.65, 0.8)]
+    z_value_hits = sum(covering(col_ranges(zdir, "value"), p) for p in probes)
+    s_value_hits = sum(covering(col_ranges(sdir, "value"), p) for p in probes)
+    assert z_value_hits < s_value_hits
+    uid_ranges = col_ranges(zdir, "user_id")
+    uid_probe = min(a for a, _ in uid_ranges)
+    assert covering(uid_ranges, uid_probe) < 8
+
+    back = spark.read.parquet(zdir)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("value")).first()[0] == pytest.approx(
+        ev.agg(F.sum("value")).first()[0]
+    )
+
+
+def test_zorder_key_rejects_too_many_bits(spark):
+    from parcialbigdata_spark.sources.warehouse import zorder_key
+
+    with pytest.raises(ValueError, match="bigint"):
+        zorder_key(["a", "b", "c", "d"], {c: (0, 1) for c in "abcd"}, bits=16)
