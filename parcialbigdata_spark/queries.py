@@ -4339,6 +4339,68 @@ def mixture_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "skew_diagnostics_orders",
+    """
+    WITH k AS (
+      SELECT o_custkey AS key, COUNT(*) AS cnt FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT cnt, row_number() OVER (ORDER BY cnt DESC, key ASC) AS rn FROM k
+    )
+    SELECT 'o_custkey' AS key_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           COUNT(*) AS n_keys,
+           CAST(MAX(cnt) AS BIGINT) AS max_key_rows,
+           round(MAX(cnt) * 100.0 / SUM(cnt), 6) AS top1_share_pct,
+           round(SUM(CASE WHEN rn <= 10 THEN cnt ELSE 0 END) * 100.0 / SUM(cnt), 6)
+             AS top10_share_pct,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_key_rows,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_key_rows,
+           round(MAX(cnt) * COUNT(*) * 1.0 / SUM(cnt), 6) AS skew_factor
+    FROM ranked
+    """,
+)
+def skew_diagnostics_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew diagnostics (§2.10 intake / scale ops): the
+    pre-flight report a 100 TB pipeline runs before shuffling on a key
+    — hottest-key share, top-10 concentration, key-size percentiles,
+    and ``skew_factor`` = max/mean key size (the number AQE's skew-join
+    split threshold reasons about; >10 means salting or skew-join
+    handling is mandatory). One groupBy on the key (the same shuffle
+    the later join would do, at count-only width) then one tiny
+    ranked-window pass over the per-key counts. Spark's exact
+    ``percentile`` matches DuckDB ``quantile_cont`` (same linear
+    interpolation — the proven pattern from length_bounds_by_lang).
+    At 10⁹+ distinct keys swap ``percentile`` → ``approx_percentile``
+    and the global rank window → ``TakeOrdered(10)``; the report's
+    semantics tolerate both."""
+    orders = load_table(spark, sf_dir, "orders")
+    k = orders.groupBy(F.col("o_custkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    ranked = k.select(
+        "cnt",
+        F.row_number()
+        .over(Window.orderBy(F.col("cnt").desc(), F.col("key").asc()))
+        .alias("rn"),
+    )
+    top10 = F.sum(F.when(F.col("rn") <= 10, F.col("cnt")).otherwise(F.lit(0)))
+    return ranked.agg(
+        F.lit("o_custkey").alias("key_col"),
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_key_rows"),
+        F.round(F.max("cnt") * 100.0 / F.sum("cnt"), 6).alias("top1_share_pct"),
+        F.round(top10 * 100.0 / F.sum("cnt"), 6).alias("top10_share_pct"),
+        F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_key_rows"),
+        F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_key_rows"),
+        F.round(F.max("cnt") * F.count(F.lit(1)) * 1.0 / F.sum("cnt"), 6).alias(
+            "skew_factor"
+        ),
+    )
+
+
+@query(
     "pagerank_trade_graph",
     """
     WITH pairs AS (
