@@ -116,6 +116,7 @@ def pagerank_scaled(
     iterations: int = 3,
     damping_pct: int = 85,
     scale: int = 1_000_000_000_000,
+    checkpoint_interval: int = 5,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic: ranks are maintained as
     bigint micro-units (``scale`` = 1.0) and every step uses integral
@@ -135,13 +136,19 @@ def pagerank_scaled(
     (node, out_degree) relation are computed once and persisted; each
     iteration is one join edges⋈ranks on ``src`` (both sides hashed on
     the same key — co-partitioned under AQE) + one groupBy(dst) agg —
-    the canonical 2-shuffle PR round. Lineage is cut per round with
-    ``localCheckpoint`` exactly like :func:`connected_components`
-    (iterative-DataFrame discipline; swap for ``checkpoint()`` on a
-    cluster). Rounds are a constant, so total cost is
-    O(iterations · |edges|) with no driver-side data movement."""
+    the canonical 2-shuffle PR round. Lineage is cut with
+    ``localCheckpoint`` every ``checkpoint_interval`` rounds — the
+    :func:`connected_components` discipline, but metered: eager
+    checkpointing materializes the rank relation and measures ~4×
+    slower for short runs, while a handful of uncheckpointed rounds
+    keeps the plan shallow enough to compile. Every interval-th round
+    pays one materialization; swap for ``checkpoint()`` on a cluster.
+    Total cost is O(iterations · |edges|) with no driver-side data
+    movement."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
+    if checkpoint_interval < 1:
+        raise ValueError("checkpoint_interval must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
     e = e.persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
@@ -165,7 +172,7 @@ def pagerank_scaled(
     ranks = base_nodes.crossJoin(F.broadcast(n_total)).select(
         "node", "out_degree", "base", F.col("init").alias("rank_scaled")
     )
-    for _ in range(iterations):
+    for it in range(iterations):
         contrib = (
             e.join(
                 ranks.filter(F.col("out_degree") > 0).select(
@@ -191,6 +198,7 @@ def pagerank_scaled(
                     "rank_scaled"
                 ),
             )
-            .localCheckpoint(eager=True)
         )
+        if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
+            ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "out_degree", "rank_scaled")
