@@ -117,6 +117,7 @@ def pagerank_scaled(
     damping_pct: int = 85,
     scale: int = 1_000_000_000_000,
     checkpoint_interval: int = 5,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic: ranks are maintained as
     bigint micro-units (``scale`` = 1.0) and every step uses integral
@@ -149,7 +150,12 @@ def pagerank_scaled(
         raise ValueError("iterations must be >= 1")
     if checkpoint_interval < 1:
         raise ValueError("checkpoint_interval must be >= 1")
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    # Duplicate edges would double-count contributions, so dedup unless
+    # the caller certifies distinctness (skips one full-edge shuffle —
+    # at web scale the edge list is usually already a distinct relation).
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
     e = e.persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     nodes = (

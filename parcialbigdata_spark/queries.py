@@ -4472,7 +4472,10 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionByName(
         pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
     )
-    return graph.pagerank_scaled(edges, iterations=3).select(
+    # pairs is distinct and the two directions live in disjoint ('c:'/
+    # 's:'-prefixed) namespaces, so the union is distinct by
+    # construction — skip the operator's dedup shuffle.
+    return graph.pagerank_scaled(edges, iterations=3, assume_distinct=True).select(
         "node", "out_degree", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
     )
 
