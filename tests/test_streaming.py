@@ -280,3 +280,46 @@ def _drain_update(sdf):
     if q.isActive:
         q.stop()
     return sdf.sparkSession.table(name)
+
+
+def test_stream_incremental_dedup_against_store(spark, tmp_path):
+    """Dedup-at-arrival: batch 2 repeats a batch-1 doc (cross-batch dup,
+    must be dropped via the store) and contains an in-batch dup (min id
+    survives). Restarting on new files must not resurrect old docs."""
+    import os
+    import time
+
+    from parcialbigdata_spark.streaming.dedup_store import stream_dedup_to_corpus
+
+    src = tmp_path / "in"
+    src.mkdir()
+    schema = "doc_id bigint, text string"
+    spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta epsilon zeta")], schema
+    ).coalesce(1).write.parquet(str(src / "b1.parquet"))
+    spark.createDataFrame(
+        [
+            (3, "alpha  beta gamma"),   # dup of doc 1 after normalization
+            (4, "eta theta iota"),
+            (5, "eta theta iota"),      # in-batch dup: 4 survives
+        ],
+        schema,
+    ).coalesce(1).write.parquet(str(src / "b2.parquet"))
+    now = time.time()
+    os.utime(src / "b1.parquet", (now - 100, now - 100))
+    os.utime(src / "b2.parquet", (now, now))
+
+    store, out, ckpt = (str(tmp_path / d) for d in ("store", "corpus", "ckpt"))
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src) + "/*")
+    )
+    q = stream_dedup_to_corpus(stream, store, out, ckpt)
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert got == {1, 2, 4}
+    assert spark.read.parquet(store).count() == 3  # one fp per accepted doc
