@@ -352,3 +352,44 @@ def test_boilerplate_prune_conservation(spark, docs, seg):
         lr = loose[i]
         assert lr.n_pruned == 0 and lr.kept_tokens == len(toks)
         assert lr.kept_md5 == hashlib.md5(" ".join(toks).encode()).hexdigest()
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 8), st.integers(0, 8)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=20,
+    ),
+    iters=st.integers(1, 4),
+)
+@settings(max_examples=10, deadline=None)
+def test_pagerank_matches_pure_python_integer_reference(spark, edges, iters):
+    """For ANY small directed graph, the distributed PageRank must equal
+    a from-scratch pure-Python big-int replay exactly — bit-for-bit, not
+    approximately. This is the determinism claim the DuckDB oracle
+    rests on, checked against a third, independent implementation."""
+    from parcialbigdata_spark.operators.graph import pagerank_scaled
+
+    e = sorted(set(edges))
+    df = spark.createDataFrame(e, ["src", "dst"])
+    got = {
+        r.node: (r.out_degree, r.rank_scaled)
+        for r in pagerank_scaled(df, iterations=iters).collect()
+    }
+
+    scale, damp = 1_000_000_000_000, 85
+    nodes = sorted({u for u, _ in e} | {v for _, v in e})
+    out_deg = {n: 0 for n in nodes}
+    for u, _ in e:
+        out_deg[u] += 1
+    n = len(nodes)
+    base = ((100 - damp) * scale // 100) // n
+    rank = {x: scale // n for x in nodes}
+    for _ in range(iters):
+        inflow = {x: 0 for x in nodes}
+        for u, v in e:
+            if out_deg[u] > 0:
+                inflow[v] += rank[u] // out_deg[u]
+        rank = {x: base + (damp * inflow[x]) // 100 for x in nodes}
+    want = {x: (out_deg[x], rank[x]) for x in nodes}
+    assert got == want
