@@ -144,3 +144,69 @@ def frame_sample_stub(df: DataFrame, every_n: int = 10) -> DataFrame:
             F.sequence(F.lit(0), F.greatest(F.col("n_frames") - 1, F.lit(0)), F.lit(every_n))
         ).alias("frame_idx"),
     )
+
+
+PNG_SCHEMA = (
+    "file_name string, length bigint, width int, height int, "
+    "bit_depth int, color_type int, interlace int, chunk_count int, "
+    "chunk_types string, idat_bytes bigint, crc_ok boolean"
+)
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _parse_png_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: REAL PNG container parsing — signature,
+    IHDR fields, full chunk walk, and zlib.crc32 validation of every
+    chunk. This is genuine byte-level decoding (stdlib only), unlike
+    the deliberately-stubbed pixel codecs: the container layer of a
+    media pipeline never needs an image library."""
+    import struct
+    import zlib
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> dict:
+        row = {
+            "file_name": name, "length": len(b), "width": None, "height": None,
+            "bit_depth": None, "color_type": None, "interlace": None,
+            "chunk_count": 0, "chunk_types": "", "idat_bytes": 0, "crc_ok": False,
+        }
+        if len(b) < 33 or b[:8] != _PNG_SIG:
+            return row
+        pos, types, idat, ok = 8, [], 0, True
+        while pos + 12 <= len(b):
+            (ln,) = struct.unpack(">I", b[pos:pos + 4])
+            ctype = b[pos + 4:pos + 8]
+            data = b[pos + 8:pos + 8 + ln]
+            if pos + 12 + ln > len(b):
+                ok = False
+                break
+            (crc,) = struct.unpack(">I", b[pos + 8 + ln:pos + 12 + ln])
+            ok = ok and crc == (zlib.crc32(ctype + data) & 0xFFFFFFFF)
+            types.append(ctype.decode("latin1"))
+            if ctype == b"IDAT":
+                idat += ln
+            if ctype == b"IHDR" and ln == 13:
+                w, h, bd, ct, _, _, il = struct.unpack(">IIBBBBB", data)
+                row.update(width=w, height=h, bit_depth=bd, color_type=ct, interlace=il)
+            pos += 12 + ln
+        row.update(
+            chunk_count=len(types), chunk_types=",".join(types),
+            idat_bytes=idat, crc_ok=ok and bool(types) and types[-1] == "IEND",
+        )
+        return row
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [parse(n, bytes(c)) for n, c in zip(pdf["file_name"], pdf["content"])]
+        )
+
+
+def parse_png(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one typed header row per PNG: IHDR
+    fields, ordered chunk-type list, IDAT payload size, and an
+    every-chunk CRC32 validation flag. Arrow-batched ``mapInPandas`` —
+    per-file Python cost amortized over the batch; payload bytes never
+    leave the executor."""
+    return df.select("file_name", "content").mapInPandas(_parse_png_batches, PNG_SCHEMA)

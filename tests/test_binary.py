@@ -67,3 +67,46 @@ def test_frame_sample_stub(spark):
 def test_real_decode_is_stubbed():
     with pytest.raises(NotImplementedError):
         real_decode(b"FIMG\x00\x01\x00\x01")
+
+
+def test_parse_png_real_files_and_corruption(spark, tmp_path):
+    """The committed fixtures are REAL PNGs: parse recovers IHDR fields
+    and every-chunk CRC validates. A flipped payload byte must flip
+    crc_ok; truncation and non-PNG bytes degrade gracefully."""
+    import shutil
+
+    from parcialbigdata_spark.sources.binary import parse_png, read_binary_dir
+
+    src = "/root/repo/tests/fixtures/png"
+    rows = {
+        r.file_name: r
+        for r in parse_png(read_binary_dir(spark, src, glob="*.png")).collect()
+    }
+    red = rows["red_7x5.png"]
+    assert (red.width, red.height, red.bit_depth, red.color_type) == (7, 5, 8, 2)
+    assert red.chunk_types == "IHDR,IDAT,IEND" and red.crc_ok
+    gray = rows["gray_16x9.png"]
+    assert (gray.width, gray.height, gray.color_type) == (16, 9, 0)
+    assert gray.chunk_types == "IHDR,tEXt,IDAT,IEND" and gray.crc_ok
+    assert rows["rgba_4x4.png"].color_type == 6
+    assert all(r.idat_bytes > 0 for r in rows.values())
+
+    # corrupt: flip one IDAT payload byte; truncate; garbage
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    orig = (pathlib := __import__("pathlib")).Path(src) / "red_7x5.png"
+    data = bytearray(orig.read_bytes())
+    data[-20] ^= 0xFF
+    (bad / "flipped.png").write_bytes(bytes(data))
+    (bad / "truncated.png").write_bytes(orig.read_bytes()[:40])
+    (bad / "noise.png").write_bytes(b"not a png at all, clearly")
+    shutil.copy(orig, bad / "good.png")
+    got = {
+        r.file_name: r
+        for r in parse_png(read_binary_dir(spark, str(bad), glob="*.png")).collect()
+    }
+    assert got["good.png"].crc_ok
+    assert not got["flipped.png"].crc_ok          # CRC catches the bit flip
+    assert got["flipped.png"].width == 7          # header still parses
+    assert not got["truncated.png"].crc_ok
+    assert not got["noise.png"].crc_ok and got["noise.png"].chunk_count == 0
