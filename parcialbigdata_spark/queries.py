@@ -1528,6 +1528,92 @@ def ref_parse_listings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MEDIA_DIR = "/root/repo/tests/fixtures/media"
 _PNG_DIR = "/root/repo/tests/fixtures/png"
+_WAV_DIR = "/root/repo/tests/fixtures/wav"
+
+
+def _le_sql(pos_expr: str, nbytes: int) -> str:
+    """DuckDB SQL for a little-endian unsigned int of ``nbytes`` read
+    from hex string ``h`` at 1-based BYTE position ``pos_expr`` —
+    per-byte parse + positional weights (RIFF is little-endian, so a
+    plain hex-substring cast would read the bytes backwards)."""
+    terms = [
+        f"try_cast('0x' || substr(h, (({pos_expr}) - 1 + {i}) * 2 + 1, 2) AS BIGINT)"
+        f" * {1 << (8 * i)}"
+        for i in range(nbytes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_WAV_CLEN = _le_sql("pos + 4", 4)
+
+_WAV_ORACLE = f"""
+    WITH RECURSIVE b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_WAV_DIR}/*.wav')
+      WHERE substr(hex(content), 1, 8) = '52494646'
+        AND substr(hex(content), 17, 8) = '57415645'
+    ),
+    walk(file_name, length, h, pos, idx, ctype, clen, dpos) AS (
+      SELECT file_name, length, h, 13, 0, CAST(NULL AS VARCHAR),
+             CAST(0 AS BIGINT), 0
+      FROM b
+      UNION ALL
+      SELECT file_name, length, h,
+             CAST(pos + 8 + {_WAV_CLEN} + ({_WAV_CLEN} % 2) AS INT),
+             idx + 1,
+             trim(decode(from_hex(substr(h, (pos-1)*2 + 1, 8)))),
+             {_WAV_CLEN},
+             pos + 8
+      FROM walk
+      WHERE pos + 7 + coalesce({_WAV_CLEN}, length) <= length
+    ),
+    fmt AS (
+      SELECT file_name,
+             CAST({_le_sql("dpos", 2)} AS INT)      AS audio_format,
+             CAST({_le_sql("dpos + 2", 2)} AS INT)  AS channels,
+             CAST({_le_sql("dpos + 4", 4)} AS INT)  AS sample_rate,
+             {_le_sql("dpos + 12", 2)}              AS block_align,
+             CAST({_le_sql("dpos + 14", 2)} AS INT) AS bits_per_sample
+      FROM walk WHERE ctype = 'fmt'
+    ),
+    agg AS (
+      SELECT file_name,
+             CAST(MAX(idx) AS INT) AS chunk_count,
+             string_agg(ctype, ',' ORDER BY idx) AS chunk_types,
+             CAST(SUM(CASE WHEN ctype = 'data' THEN clen ELSE 0 END) AS BIGINT)
+               AS data_bytes
+      FROM walk WHERE idx > 0 GROUP BY file_name
+    )
+    SELECT b.file_name, b.length,
+           f.audio_format, f.channels, f.sample_rate, f.bits_per_sample,
+           a.data_bytes,
+           a.data_bytes // f.block_align AS n_frames,
+           (a.data_bytes // f.block_align) * 1000 // f.sample_rate AS duration_ms,
+           a.chunk_types,
+           ({_le_sql("5", 4)} = b.length - 8) AS riff_size_ok
+    FROM b JOIN fmt f ON b.file_name = f.file_name
+           JOIN agg a ON b.file_name = a.file_name
+"""
+
+
+@query("wav_header_media", _WAV_ORACLE)
+def wav_header_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio container decoding (§2.10): the committed fixtures
+    are genuine PCM WAVs (stdlib ``wave``-written tones) and the parser
+    walks the RIFF chunks — fmt fields, data size, exact integer frame
+    count and duration — plus the RIFF size-field integrity equality,
+    which BOTH engines compute (no attestation column needed, unlike
+    the PNG CRC). The oracle's recursive CTE replays the walk with
+    little-endian per-byte parsing (``_le_sql``), including the
+    odd-size chunk padding rule. Audio analog of
+    :func:`png_header_media`; pixel/PCM decoding stays out of scope
+    for the container layer."""
+    from parcialbigdata_spark.sources.binary import parse_wav, read_binary_dir
+
+    raw = read_binary_dir(spark, _WAV_DIR, glob="*.wav")
+    return parse_wav(raw).orderBy("file_name")
+
 
 
 @query(

@@ -210,3 +210,69 @@ def parse_png(df: DataFrame) -> DataFrame:
     per-file Python cost amortized over the batch; payload bytes never
     leave the executor."""
     return df.select("file_name", "content").mapInPandas(_parse_png_batches, PNG_SCHEMA)
+
+
+WAV_SCHEMA = (
+    "file_name string, length bigint, audio_format int, channels int, "
+    "sample_rate int, bits_per_sample int, data_bytes bigint, "
+    "n_frames bigint, duration_ms bigint, chunk_types string, "
+    "riff_size_ok boolean"
+)
+
+
+def _parse_wav_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: REAL RIFF/WAVE container parsing — RIFF
+    size-field validation, little-endian chunk walk with odd-size
+    padding, fmt fields, and exact integer duration. Stdlib struct
+    only — the audio analog of :func:`_parse_png_batches`."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> dict:
+        row = {
+            "file_name": name, "length": len(b), "audio_format": None,
+            "channels": None, "sample_rate": None, "bits_per_sample": None,
+            "data_bytes": 0, "n_frames": None, "duration_ms": None,
+            "chunk_types": "", "riff_size_ok": False,
+        }
+        if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+            return row
+        (riff_size,) = struct.unpack("<I", b[4:8])
+        ok = riff_size == len(b) - 8
+        pos, types, block_align = 12, [], None
+        while pos + 8 <= len(b):
+            cid = b[pos:pos + 4]
+            (clen,) = struct.unpack("<I", b[pos + 4:pos + 8])
+            if pos + 8 + clen > len(b):
+                ok = False
+                break
+            types.append(cid.decode("latin1").strip())
+            if cid == b"fmt " and clen >= 16:
+                fmt, ch, sr, _br, ba, bits = struct.unpack("<HHIIHH", b[pos + 8:pos + 24])
+                row.update(
+                    audio_format=fmt, channels=ch, sample_rate=sr, bits_per_sample=bits
+                )
+                block_align = ba
+            elif cid == b"data":
+                row["data_bytes"] = clen
+            pos += 8 + clen + (clen % 2)  # chunks pad to even offsets
+        row["chunk_types"] = ",".join(types)
+        row["riff_size_ok"] = ok
+        if block_align and row["sample_rate"]:
+            row["n_frames"] = row["data_bytes"] // block_align
+            row["duration_ms"] = row["n_frames"] * 1000 // row["sample_rate"]
+        return row
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [parse(n, bytes(c)) for n, c in zip(pdf["file_name"], pdf["content"])]
+        )
+
+
+def parse_wav(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one typed header row per WAV: fmt
+    fields, chunk-type list, PCM frame count and exact integer
+    duration, and the RIFF size-field check (an integrity equality
+    BOTH engines can compute — no attestation needed)."""
+    return df.select("file_name", "content").mapInPandas(_parse_wav_batches, WAV_SCHEMA)

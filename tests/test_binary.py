@@ -110,3 +110,45 @@ def test_parse_png_real_files_and_corruption(spark, tmp_path):
     assert got["flipped.png"].width == 7          # header still parses
     assert not got["truncated.png"].crc_ok
     assert not got["noise.png"].crc_ok and got["noise.png"].chunk_count == 0
+
+
+def test_parse_wav_real_files_and_corruption(spark, tmp_path):
+    """Committed fixtures are genuine PCM WAVs; fmt fields, frame math
+    and the RIFF size equality must hold. A wrong RIFF size field or a
+    truncated chunk flips riff_size_ok."""
+    import pathlib
+    import shutil
+
+    from parcialbigdata_spark.sources.binary import parse_wav, read_binary_dir
+
+    src = "/root/repo/tests/fixtures/wav"
+    rows = {
+        r.file_name: r
+        for r in parse_wav(read_binary_dir(spark, src, glob="*.wav")).collect()
+    }
+    mono = rows["tone_8k_mono.wav"]
+    assert (mono.channels, mono.sample_rate, mono.bits_per_sample) == (1, 8000, 16)
+    assert mono.audio_format == 1 and mono.chunk_types == "fmt,data"
+    assert mono.n_frames == 160 and mono.duration_ms == 160 * 1000 // 8000
+    stereo = rows["tone_16k_stereo.wav"]
+    assert (stereo.channels, stereo.sample_rate) == (2, 16000)
+    assert stereo.data_bytes == 200 * 2 * 2
+    assert rows["tone_22k_8bit.wav"].bits_per_sample == 8
+    assert all(r.riff_size_ok for r in rows.values())
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    orig = pathlib.Path(src) / "tone_8k_mono.wav"
+    data = bytearray(orig.read_bytes())
+    data[4] ^= 0x01  # corrupt the RIFF size field
+    (bad / "badsize.wav").write_bytes(bytes(data))
+    (bad / "truncated.wav").write_bytes(orig.read_bytes()[:50])
+    shutil.copy(orig, bad / "good.wav")
+    got = {
+        r.file_name: r
+        for r in parse_wav(read_binary_dir(spark, str(bad), glob="*.wav")).collect()
+    }
+    assert got["good.wav"].riff_size_ok
+    assert not got["badsize.wav"].riff_size_ok
+    assert got["badsize.wav"].sample_rate == 8000  # fields still parse
+    assert not got["truncated.wav"].riff_size_ok
