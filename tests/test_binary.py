@@ -152,3 +152,32 @@ def test_parse_wav_real_files_and_corruption(spark, tmp_path):
     assert not got["badsize.wav"].riff_size_ok
     assert got["badsize.wav"].sample_rate == 8000  # fields still parse
     assert not got["truncated.wav"].riff_size_ok
+
+
+def test_parse_png_roundtrips_generator_parameters(spark):
+    """Property: for a grid of generated (width, height, color_type)
+    PNGs, the parser must recover exactly the parameters the generator
+    was called with — parser and generator are independent codepaths
+    (struct-pack vs struct-unpack)."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from gen_png_fixtures import png
+
+    from parcialbigdata_spark.sources.binary import parse_png
+
+    cases = [
+        (w, h, ct, px)
+        for (w, h) in ((1, 1), (3, 7), (31, 2))
+        for (ct, px) in ((2, b"\x01\x02\x03"), (0, b"\x7f"), (6, b"\x01\x02\x03\x04"))
+    ]
+    rows = [
+        (f"{w}x{h}-{ct}.png", bytearray(png(w, h, ct, 8, px)))
+        for w, h, ct, px in cases
+    ]
+    df = spark.createDataFrame(rows, "file_name string, content binary")
+    got = {r.file_name: r for r in parse_png(df).collect()}
+    for w, h, ct, _px in cases:
+        r = got[f"{w}x{h}-{ct}.png"]
+        assert (r.width, r.height, r.color_type, r.bit_depth) == (w, h, ct, 8)
+        assert r.crc_ok and r.chunk_types == "IHDR,IDAT,IEND"
