@@ -1544,6 +1544,86 @@ def _le_sql(pos_expr: str, nbytes: int) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+_MP4_DIR = "/root/repo/tests/fixtures/mp4"
+
+_MP4_S32 = "try_cast('0x' || substr(h, (pos-1)*2 + 1, 8) AS BIGINT)"
+_MP4_S64 = "try_cast('0x' || substr(h, (pos+7)*2 + 1, 16) AS BIGINT)"
+_MP4_SIZE = (
+    f"CASE WHEN {_MP4_S32} = 1 AND pos + 15 <= length THEN {_MP4_S64} "
+    f"WHEN {_MP4_S32} = 0 THEN length - pos + 1 ELSE {_MP4_S32} END"
+)
+_MP4_HDR = f"CASE WHEN {_MP4_S32} = 1 THEN 16 ELSE 8 END"
+
+_MP4_ORACLE = f"""
+    WITH RECURSIVE b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_MP4_DIR}/*.mp4')
+    ),
+    walk(file_name, length, h, pos, idx, btype, bsize, hdr, bpos) AS (
+      SELECT file_name, length, h, 1, 0, CAST(NULL AS VARCHAR),
+             CAST(0 AS BIGINT), 0, 0
+      FROM b
+      UNION ALL
+      SELECT file_name, length, h,
+             CAST(pos + {_MP4_SIZE} AS INT),
+             idx + 1,
+             decode(from_hex(substr(h, (pos+3)*2 + 1, 8))),
+             {_MP4_SIZE},
+             {_MP4_HDR},
+             pos
+      FROM walk
+      WHERE pos + 7 <= length
+        AND {_MP4_SIZE} IS NOT NULL
+        AND {_MP4_SIZE} >= {_MP4_HDR}
+        AND pos + {_MP4_SIZE} - 1 <= length
+    ),
+    ftyp AS (
+      SELECT file_name,
+             decode(from_hex(substr(h, (bpos + hdr - 1)*2 + 1, 8))) AS major_brand,
+             array_to_string(list_transform(
+               range(0, CAST(greatest(bsize - hdr - 8, 0) // 4 AS INT)),
+               i -> decode(from_hex(substr(h, (bpos + hdr + 8 + i*4 - 1)*2 + 1, 8)))
+             ), ',') AS compatible_brands
+      FROM walk WHERE btype = 'ftyp' AND idx = 1
+    ),
+    agg AS (
+      SELECT file_name,
+             CAST(MAX(idx) AS INT) AS box_count,
+             string_agg(btype, ',' ORDER BY idx) AS box_types,
+             CAST(SUM(CASE WHEN btype = 'mdat' THEN bsize - hdr ELSE 0 END)
+                  AS BIGINT) AS mdat_bytes,
+             bool_or(hdr = 16) AS uses_largesize,
+             (MAX(bpos + bsize) = MIN(length) + 1
+              AND MIN(CASE WHEN idx = 1 THEN btype END) = 'ftyp')
+               AS structure_ok
+      FROM walk WHERE idx > 0 GROUP BY file_name
+    )
+    SELECT b.file_name, b.length, f.major_brand, f.compatible_brands,
+           a.box_count, a.box_types, a.mdat_bytes, a.uses_largesize,
+           a.structure_ok
+    FROM b JOIN ftyp f ON b.file_name = f.file_name
+           JOIN agg a ON b.file_name = a.file_name
+"""
+
+
+@query("mp4_box_media", _MP4_ORACLE)
+def mp4_box_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container decoding (§2.10): the committed fixtures
+    are structurally valid ISO-BMFF box streams (ISO/IEC 14496-12 §4.2
+    — including the size==1 64-bit largesize and size==0 to-end
+    forms) and the parser walks the top-level boxes: ftyp brands, mdat
+    payload size, and an exact-tiling structural check. The oracle's
+    recursive CTE replays the walk — big-endian casts plus both special
+    size forms — so every column is hash-checked on both engines.
+    Completes the image(PNG)/audio(WAV)/video(BMFF) real-container
+    triad; sample decoding stays the documented stub."""
+    from parcialbigdata_spark.sources.binary import parse_mp4, read_binary_dir
+
+    raw = read_binary_dir(spark, _MP4_DIR, glob="*.mp4")
+    return parse_mp4(raw).orderBy("file_name")
+
+
 _WAV_CLEN = _le_sql("pos + 4", 4)
 
 _WAV_ORACLE = f"""

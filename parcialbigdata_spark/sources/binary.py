@@ -276,3 +276,74 @@ def parse_wav(df: DataFrame) -> DataFrame:
     duration, and the RIFF size-field check (an integrity equality
     BOTH engines can compute — no attestation needed)."""
     return df.select("file_name", "content").mapInPandas(_parse_wav_batches, WAV_SCHEMA)
+
+
+MP4_SCHEMA = (
+    "file_name string, length bigint, major_brand string, "
+    "compatible_brands string, box_count int, box_types string, "
+    "mdat_bytes bigint, uses_largesize boolean, structure_ok boolean"
+)
+
+
+def _parse_mp4_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: REAL ISO-BMFF (MP4) top-level box walk —
+    big-endian sizes including the ``size == 1`` 64-bit largesize and
+    ``size == 0`` to-end forms (ISO/IEC 14496-12 §4.2), ftyp brand
+    extraction, and structural validation (boxes tile the file
+    exactly). Video analog of the PNG/WAV container parsers."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> dict:
+        row = {
+            "file_name": name, "length": len(b), "major_brand": None,
+            "compatible_brands": "", "box_count": 0, "box_types": "",
+            "mdat_bytes": 0, "uses_largesize": False, "structure_ok": False,
+        }
+        pos, types, ok = 0, [], True
+        while pos + 8 <= len(b):
+            (size32,) = struct.unpack(">I", b[pos:pos + 4])
+            btype = b[pos + 4:pos + 8]
+            hdr = 8
+            if size32 == 1:
+                if pos + 16 > len(b):
+                    ok = False
+                    break
+                (size,) = struct.unpack(">Q", b[pos + 8:pos + 16])
+                hdr = 16
+                row["uses_largesize"] = True
+            elif size32 == 0:
+                size = len(b) - pos  # box extends to end of file
+            else:
+                size = size32
+            if size < hdr or pos + size > len(b):
+                ok = False
+                break
+            types.append(btype.decode("latin1"))
+            if btype == b"mdat":
+                row["mdat_bytes"] += size - hdr
+            if btype == b"ftyp" and size >= hdr + 8:
+                data = b[pos + hdr:pos + size]
+                row["major_brand"] = data[:4].decode("latin1")
+                row["compatible_brands"] = ",".join(
+                    data[i:i + 4].decode("latin1") for i in range(8, len(data) - 3, 4)
+                )
+            pos += size
+        row.update(
+            box_count=len(types), box_types=",".join(types),
+            structure_ok=ok and pos == len(b) and bool(types) and types[0] == "ftyp",
+        )
+        return row
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [parse(n, bytes(c)) for n, c in zip(pdf["file_name"], pdf["content"])]
+        )
+
+
+def parse_mp4(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one typed row per ISO-BMFF file:
+    brands, top-level box walk (largesize/to-end forms included), mdat
+    payload size, exact-tiling structural check."""
+    return df.select("file_name", "content").mapInPandas(_parse_mp4_batches, MP4_SCHEMA)

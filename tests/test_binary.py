@@ -181,3 +181,47 @@ def test_parse_png_roundtrips_generator_parameters(spark):
         r = got[f"{w}x{h}-{ct}.png"]
         assert (r.width, r.height, r.color_type, r.bit_depth) == (w, h, ct, 8)
         assert r.crc_ok and r.chunk_types == "IHDR,IDAT,IEND"
+
+
+def test_parse_mp4_box_forms_and_corruption(spark, tmp_path):
+    """All three ISO-BMFF size forms parse; corrupt structures fail the
+    exact-tiling check but salvage what they can."""
+    import pathlib
+    import shutil
+    import struct
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from parcialbigdata_spark.sources.binary import parse_mp4, read_binary_dir
+
+    src = "/root/repo/tests/fixtures/mp4"
+    rows = {
+        r.file_name: r
+        for r in parse_mp4(read_binary_dir(spark, src, glob="*.mp4")).collect()
+    }
+    plain = rows["plain.mp4"]
+    assert plain.major_brand == "isom" and plain.compatible_brands == "isom,mp41"
+    assert plain.box_types == "ftyp,free,mdat" and plain.mdat_bytes == 64
+    assert plain.structure_ok and not plain.uses_largesize
+    large = rows["largesize.mp4"]
+    assert large.uses_largesize and large.mdat_bytes == 40 and large.structure_ok
+    toend = rows["toend.mp4"]
+    assert toend.major_brand == "mp42" and toend.mdat_bytes == 24 and toend.structure_ok
+
+    bad = tmp_path / "bad"
+    bad.mkdir()
+    orig = pathlib.Path(src) / "plain.mp4"
+    data = bytearray(orig.read_bytes())
+    struct.pack_into(">I", data, 24, 10_000)  # free box claims 10kB
+    (bad / "oversize.mp4").write_bytes(bytes(data))
+    (bad / "truncated.mp4").write_bytes(orig.read_bytes()[:30])
+    shutil.copy(orig, bad / "good.mp4")
+    got = {
+        r.file_name: r
+        for r in parse_mp4(read_binary_dir(spark, str(bad), glob="*.mp4")).collect()
+    }
+    assert got["good.mp4"].structure_ok
+    over = got["oversize.mp4"]
+    assert not over.structure_ok and over.box_types == "ftyp"  # walk stops at the lie
+    assert over.major_brand == "isom"
+    assert not got["truncated.mp4"].structure_ok
