@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
+from parcialbigdata_spark.functions import vectors as V
 from parcialbigdata_spark.operators import corpus, dedup, graph, joins, similarity
 from parcialbigdata_spark.sources.tables import load_table
 
@@ -1193,12 +1194,69 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=10)
 
 
-@query("ann_topk_embeddings")  # rows-only: hyperplane index is not SQL-expressible
+# ---------------------------------------------------------------------
+# Planted-cluster ANN attestation (r4). The driver's synthetic
+# embeddings are structure-free noise, so ANN recall over them is
+# unmeasurable-by-construction (R3_NOTES.md documents 1-5 of top-10 for
+# ANY LSH family on random points — that is a property of the fixture,
+# not the index). tests/fixtures/embeddings_clustered.parquet plants the
+# structure recall needs: 16 unit centroids (cross cos ≈ 0.1), 256
+# points each at within-cluster cos ≈ 0.90 (tools/
+# make_clustered_embeddings.py, seeded). Both engines read the same
+# committed parquet bytes (same discipline as the media fixtures above),
+# the exact top-10 is DuckDB-reproducible via the bit-exact _COS_SQL
+# fold, and each ANN query emits it plus a boolean attesting its own
+# recall@10 cleared a floor set well under the measured value — the
+# HLL/CMS attestation pattern. A broken index flips the boolean and
+# fails the value hash.
+# ---------------------------------------------------------------------
+_CLUSTERED_PARQUET = "/root/repo/tests/fixtures/embeddings_clustered.parquet"
+
+
+def _clustered_topk_oracle(flag_name: str) -> str:
+    return f"""
+    WITH t AS (SELECT * FROM read_parquet('{_CLUSTERED_PARQUET}')),
+         q AS (SELECT embedding AS qv FROM t WHERE vec_id = 0)
+    SELECT e.vec_id,
+           round({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS cosine_sim,
+           TRUE AS {flag_name}
+    FROM t e, q
+    ORDER BY cosine_sim DESC, e.vec_id ASC
+    LIMIT 10
+    """
+
+
+def _clustered_fixture(spark: SparkSession) -> tuple[DataFrame, list[float]]:
+    emb = spark.read.parquet(_CLUSTERED_PARQUET)
+    row = emb.filter(F.col("vec_id") == 0).select("embedding").first()
+    return emb, [float(x) for x in row["embedding"]]
+
+
+def _attest_recall(
+    emb: DataFrame, qv: list[float], approx: DataFrame, floor_hits: int, flag_name: str
+) -> DataFrame:
+    """Exact top-10 rows + a recall flag: |approx ∩ exact| ≥ floor_hits.
+    The flag is a one-row broadcast — the attestation costs one small
+    join, never a second corpus scan."""
+    exact = similarity.cosine_topk(emb, qv, k=10)
+    flag = (
+        exact.select("vec_id")
+        .join(approx.select("vec_id"), "vec_id")
+        .agg((F.count(F.lit(1)) >= floor_hits).alias(flag_name))
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
+@query("ann_topk_embeddings", _clustered_topk_oracle("ann_recall_ok"))
 def ann_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k (§2.10): random-hyperplane LSH bucket + multiprobe,
-    exact rescore of the surviving bucket candidates."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return similarity.ann_topk(emb, _query_vec(spark, sf_dir), k=10, nbits=8)
+    exact rescore of the surviving bucket candidates. Runs on the
+    planted-cluster fixture (sf-independent, like ``ref_parse_listings``
+    and the media queries) so recall@10 is attestable: measured 7/10,
+    floor 5/10. Was rows-only through r3."""
+    emb, qv = _clustered_fixture(spark)
+    ann = similarity.ann_topk(emb, qv, k=10, nbits=8)
+    return _attest_recall(emb, qv, ann, floor_hits=5, flag_name="ann_recall_ok")
 
 
 @query(
@@ -2121,55 +2179,67 @@ def streaming_spend_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("ivf_topk_embeddings")  # rows-only: the k-means index is not SQL-expressible
+@query("ivf_topk_embeddings", _clustered_topk_oracle("ivf_recall_ok"))
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (§2.10): deterministic k-means coarse quantizer
-    (driver-side sample fit), Arrow-batched cell assignment, nprobe=4
-    cell scan, exact rescore."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    (driver-side sample fit), Arrow-batched cell assignment, nprobe=2
+    cell scan, exact rescore. On the planted-cluster fixture k-means
+    recovers the 16 planted cells, so the query's cell contains its
+    whole neighborhood: measured recall 10/10, floor 8/10. Was
+    rows-only through r3."""
+    emb, qv = _clustered_fixture(spark)
     centroids = similarity.ivf_fit_centroids(emb, n_centroids=16)
-    return similarity.ivf_topk(emb, _query_vec(spark, sf_dir), centroids, k=10, nprobe=4)
+    ivf = similarity.ivf_topk(emb, qv, centroids, k=10, nprobe=2)
+    return _attest_recall(emb, qv, ivf, floor_hits=8, flag_name="ivf_recall_ok")
 
 
-@query("pq_topk_embeddings")  # rows-only: the k-means codebooks are not SQL-expressible
+@query("pq_topk_embeddings", _clustered_topk_oracle("pq_recall_ok"))
 def pq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PQ ANN top-k (§2.10): product-quantization codebooks (driver-fit
-    on a deterministic sample), Arrow-batched encoding to m=8 4-bit
-    codes, ADC scoring as a literal lookup table summed per row — the
-    memory-compressed complement to IVF/LSH ANN (32× smaller candidate
-    representation). Reconstruction-identity and determinism pinned in
-    ``tests/test_operators.py``."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    books = similarity.pq_fit(emb, m=8, k_codes=16)
-    return similarity.pq_topk(emb, _query_vec(spark, sf_dir), books, k=10)
+    on a deterministic sample), Arrow-batched encoding to m=8 codes,
+    ADC scoring as a literal lookup table summed per row — the
+    memory-compressed complement to IVF/LSH ANN. k_codes=256 (standard
+    PQ8): with 16-code books every cluster mate quantizes to the same
+    codes and intra-cluster ranking degenerates (measured 1/10);
+    256-code books resolve it to 6/10, floor 4/10. Raw PQ ranks from
+    8-byte codes alone — the composed ivfpq query below shows the
+    rescored path that restores full recall. Reconstruction-identity
+    and determinism pinned in ``tests/test_operators.py``. Was
+    rows-only through r3."""
+    emb, qv = _clustered_fixture(spark)
+    books = similarity.pq_fit(emb, m=8, k_codes=256)
+    pq = similarity.pq_topk(emb, qv, books, k=10)
+    return _attest_recall(emb, qv, pq, floor_hits=4, flag_name="pq_recall_ok")
 
 
-@query("ivfpq_topk_embeddings")  # rows-only: k-means index state is not SQL-expressible
+@query("ivfpq_topk_embeddings", _clustered_topk_oracle("ivfpq_recall_ok"))
 def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF+PQ composed ANN (§2.10) — the billion-scale recipe end to
     end: the IVF coarse quantizer prunes the scan to nprobe cells
     (partition pruning when the table is written partitioned by cell),
-    then PQ/ADC scores only the surviving candidates from their 8-byte
-    codes, and the exact cosine rescoring of the short list restores
-    full precision. Memory touched per query: nprobe/ncells of the
-    corpus, at 32× compression."""
-    emb = load_table(spark, sf_dir, "embeddings")
+    PQ/ADC scores only the surviving candidates from their 8-byte
+    codes, and the exact cosine rescoring of the k=50 short list
+    restores full precision. Memory touched per query: nprobe/ncells
+    of the corpus, at compressed width. On the planted-cluster
+    fixture the composition attests what raw PQ cannot: measured
+    recall 10/10, floor 8/10. Was rows-only through r3."""
+    emb, qv = _clustered_fixture(spark)
     centroids = similarity.ivf_fit_centroids(emb, n_centroids=16)
-    books = similarity.pq_fit(emb, m=8, k_codes=16)
-    q = _query_vec(spark, sf_dir)
+    books = similarity.pq_fit(emb, m=8, k_codes=256)
 
     import numpy as np
 
     C = np.asarray(centroids)
-    qa = np.asarray(q)
+    qa = np.asarray(qv)
     probes = [int(i) for i in (((C - qa[None, :]) ** 2).sum(axis=1)).argsort()[:4]]
     cells = emb.withColumn(
         "ivf_cell", similarity._centroid_assign_udf(centroids)(F.col("embedding"))
     )
     cand = cells.filter(F.col("ivf_cell").isin(probes))
-    shortlist = similarity.pq_topk(cand, q, books, k=50)
+    shortlist = similarity.pq_topk(cand, qv, books, k=50)
     rescored = cand.join(F.broadcast(shortlist.select("vec_id")), "vec_id")
-    return similarity.cosine_topk(rescored, q, k=10)
+    ivfpq = similarity.cosine_topk(rescored, qv, k=10)
+    return _attest_recall(emb, qv, ivfpq, floor_hits=8, flag_name="ivfpq_recall_ok")
 
 
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
@@ -2183,6 +2253,75 @@ def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     keeping the candidate set ~30× below brute force."""
     emb = load_table(spark, sf_dir, "embeddings")
     return similarity.embedding_near_dup_pairs(emb, threshold=0.3).orderBy("id_a", "id_b")
+
+
+@query(
+    "embedding_near_dup_clustered",
+    f"""
+    WITH t AS (
+      SELECT vec_id, cluster_id, embedding
+      FROM read_parquet('{_CLUSTERED_PARQUET}')
+      WHERE vec_id % 256 < 32
+    )
+    SELECT a.cluster_id,
+           COUNT(*) AS n_pairs,
+           TRUE AS recall_ok,
+           TRUE AS precision_ok
+    FROM t a JOIN t b
+      ON a.cluster_id = b.cluster_id AND a.vec_id < b.vec_id
+    WHERE round({_COS_SQL.format(a="a.embedding", b="b.embedding")}, 6) >= 0.9
+    GROUP BY a.cluster_id
+    """,
+)
+def embedding_near_dup_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded-LSH near-dup recall attestation (§2.10) on the planted-
+    cluster fixture (32/cluster subset → 512 rows, cos ≥ 0.9). Ground
+    truth is the exact same-cluster pair set — complete because cross-
+    cluster cosine tops out ≈ 0.1, an order below the threshold — and
+    is DuckDB-reproducible (bit-exact fold, 16 per-cluster counts).
+    The query emits those counts plus two attested booleans: the 8×8
+    banded index re-found ≥ 90% of the true pairs (measured 96.4%) and
+    produced zero pairs outside the truth set (measured 0 — which also
+    re-verifies truth-set completeness at run time). The scale-shaped
+    rows-only demo over the sf embeddings stays above; this pins that
+    the same operator is *right*, not just that it runs."""
+    emb = spark.read.parquet(_CLUSTERED_PARQUET).filter(F.col("vec_id") % 256 < 32)
+    a = emb.select(
+        F.col("vec_id").alias("id_a"), "cluster_id", F.col("embedding").alias("__va")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster_id").alias("__cb"),
+        F.col("embedding").alias("__vb"),
+    )
+    truth = (
+        a.join(b, (F.col("cluster_id") == F.col("__cb")) & (F.col("id_a") < F.col("id_b")))
+        .select(
+            "id_a", "id_b", "cluster_id", F.round(V.cosine("__va", "__vb"), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= 0.9)
+        .persist()  # read by the per-cluster counts, the hit join, and the anti join
+    )
+    found = (
+        similarity.embedding_near_dup_pairs(emb, threshold=0.9)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    n_truth = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    n_hit = truth.join(found, ["id_a", "id_b"]).agg(F.count(F.lit(1)).alias("n_hit"))
+    n_extra = found.join(truth.select("id_a", "id_b"), ["id_a", "id_b"], "left_anti").agg(
+        F.count(F.lit(1)).alias("n_extra")
+    )
+    flags = (
+        n_hit.crossJoin(n_truth)
+        .crossJoin(n_extra)
+        .select(
+            ((F.col("n_hit") / F.col("n_truth")) >= 0.9).alias("recall_ok"),
+            (F.col("n_extra") == 0).alias("precision_ok"),
+        )
+    )
+    per_cluster = truth.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("n_pairs"))
+    return per_cluster.crossJoin(F.broadcast(flags))
 
 
 @query(
@@ -4739,10 +4878,11 @@ _DRIVER_WINDOW = [
     "percentile_quantity_by_flag",
     "stats_quantity_price",
     "collect_nations_per_region",
-    "collect_segments_per_nation",
-    # windows
+    # windows (collect_segments_per_nation / window_running_revenue
+    # rotated out in r4 — family siblings of the two lines above — to
+    # make room for the newly recall-attested ANN entries below; both
+    # stay CI-oracle green via tests/test_correctness_full.py)
     "window_top_orders_per_customer",
-    "window_running_revenue",
     "sessionization_events",
     "scd2_order_price_history",
     # top-k / set ops / scalar functions
@@ -4768,10 +4908,13 @@ _DRIVER_WINDOW = [
     "simhash_near_dups_documents",
     "ngram_jaccard_blocked",
     "dedup_clusters_documents",
-    # LLM pipeline: embeddings
+    # LLM pipeline: embeddings (r4: ivfpq + clustered near-dup carry
+    # the planted-cluster recall attestations into the hard signal)
     "cosine_topk_embeddings",
     "knn_join_embeddings",
     "semantic_dedup_embeddings",
+    "ivfpq_topk_embeddings",
+    "embedding_near_dup_clustered",
     # LLM pipeline: text + corpus + multimodal
     "text_metrics_by_lang",
     "lang_id_documents",
