@@ -16,8 +16,42 @@ import os
 import sys
 import time
 
+from pyspark.sql import functions as F
+
 from parcialbigdata_spark.queries import QUERIES
 from parcialbigdata_spark.session import get_spark
+
+# ---------------------------------------------------------------------
+# Calibration kernel: a fixed, sf-independent, pure-CPU codegen
+# workload (integer hash-mix + agg over an in-memory range, 32 splits,
+# no I/O, one tiny final shuffle). Its wall time tracks the rig's
+# effective CPU throughput, so cross-round query ratios can be
+# normalized: r3's post-mortem showed a flat ~1.19x environment drift
+# band across UNCHANGED queries, which masks any real regression below
+# ~1.3x. kernel_now / CALIBRATION_REF_SEC estimates that ambient
+# factor each run; queries_normalized divides it out.
+# CALIBRATION_REF_SEC is the r4 reference measurement on the round-4
+# rig (min-of-3) — rebaseline it only together with BENCH history.
+# ---------------------------------------------------------------------
+CALIBRATION_REF_SEC = 0.765
+
+
+def _calibration_kernel(spark) -> None:
+    df = spark.range(0, 400_000_000, 1, 32)
+    h = F.col("id")
+    for _ in range(8):
+        h = F.xxhash64(h)
+    mixed = df.select(h.alias("h"))
+    mixed.agg(F.sum("h"), F.count(F.lit(1))).collect()
+
+
+def measure_calibration(spark, n: int = 3) -> float:
+    best = float("inf")
+    for _ in range(n):
+        t0 = time.perf_counter()
+        _calibration_kernel(spark)
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
 
 # Headline set: the most expensive/representative plans, one per family.
 BENCH_QUERIES = [
@@ -112,6 +146,16 @@ def main() -> None:
             spark.catalog.clearCache()
             jvm_gc()
 
+    # Calibration AFTER the timed passes: the kernel itself is warm
+    # (JIT'd codegen) only after its first run, so measure_calibration's
+    # min-of-3 both warms and measures. drift ≈ how much slower this
+    # rig/VM is than the r4 reference; dividing it out of the raw
+    # timings gives cross-round-comparable numbers (r3's ambient ~1.19×
+    # band would normalize to ~1.0).
+    calibration = measure_calibration(spark)
+    drift = round(calibration / CALIBRATION_REF_SEC, 3)
+    normalized = {n: round(t / drift, 3) for n, t in timings.items()}
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -121,6 +165,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "calibration": {
+                    "kernel_sec": calibration,
+                    "ref_sec": CALIBRATION_REF_SEC,
+                    "drift": drift,
+                },
+                "value_normalized": round(total / drift, 3),
+                "queries_normalized": normalized,
             }
         )
     )
