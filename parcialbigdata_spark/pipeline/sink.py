@@ -26,6 +26,30 @@ import pyspark.sql.functions as F
 from parcialbigdata_spark.pipeline.parse import CSV_COLUMNS
 
 
+# The faithful per-file sink materializes rows on the driver; its
+# contract (reference download_lambda.py:121-138) is a handful of pages
+# per file, so anything near this bound means the sink was pointed at a
+# corpus-scale relation by mistake. 100k rows ≈ a few tens of MB — far
+# above any legitimate compat batch, far below driver-OOM territory.
+COMPAT_SINK_MAX_ROWS = 100_000
+
+
+def guard_compat_size(compat: DataFrame, max_rows: int = COMPAT_SINK_MAX_ROWS) -> None:
+    """Refuse to drive-collect an oversized compat relation.
+
+    ``limit(max_rows + 1).count()`` bounds the probe itself — Spark
+    stops scanning after max_rows+1 rows, so the guard never pays a full
+    count of the oversized input it is rejecting. Route large relations
+    through :func:`write_csv_distributed` instead."""
+    n = compat.limit(max_rows + 1).count()
+    if n > max_rows:
+        raise ValueError(
+            f"compat relation exceeds {max_rows} rows; the per-file CSV "
+            "sink is the driver-side fidelity path for small per-date "
+            "batches - use write_csv_distributed for corpus-scale output"
+        )
+
+
 def csv_bytes(rows: list[tuple]) -> str:
     """Header CSV exactly as the reference builds it in memory
     (csv.writer over StringIO, download_lambda.py:122-128)."""
@@ -44,6 +68,7 @@ def write_csv_per_source(compat: DataFrame, store, dest_bucket: str) -> list[str
     (reference: s3_client.put_object, download_lambda.py:133-138).
     Returns the keys written.
     """
+    guard_compat_size(compat)
     keys: list[str] = []
     dates = [r[0] for r in compat.select("FechaDescarga").distinct().orderBy("FechaDescarga").collect()]
     for fecha in dates:

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming import StreamingQuery
 
 from parcialbigdata_spark.pipeline.parse import compat_view, exploded_cards
-from parcialbigdata_spark.pipeline.sink import csv_bytes
+from parcialbigdata_spark.pipeline.sink import csv_bytes, guard_compat_size
 from parcialbigdata_spark.pipeline.storage import LocalObjectStore
 
 
@@ -80,6 +80,7 @@ def _csv_batch_writer(store: LocalObjectStore, dest_bucket: str, error_bucket: s
 
 
 def _rows_by_file(compat: DataFrame):
+    guard_compat_size(compat)  # micro-batches are per-file-small by contract
     dates = [r[0] for r in compat.select("FechaDescarga").distinct().collect()]
     for fecha in sorted(dates):
         rows = [

@@ -216,3 +216,16 @@ def test_extract_stray_end_tags():
     html = '<div class="listing-card__content"></span><span class="price__actual">$ 5</span></div>'
     (card,) = extract_cards(html)
     assert card["valor"] == "$ 5"
+
+
+def test_compat_sink_size_guard(spark):
+    """The driver-side per-file CSV sink refuses corpus-scale input
+    (VERDICT r3 item 4): the guard trips before any per-date collect."""
+    import pytest as _pytest
+
+    from parcialbigdata_spark.pipeline.sink import guard_compat_size
+
+    big = spark.range(25).selectExpr("CAST(id AS STRING) AS FechaDescarga")
+    with _pytest.raises(ValueError, match="write_csv_distributed"):
+        guard_compat_size(big, max_rows=10)
+    guard_compat_size(big, max_rows=25)  # at the bound: no trip
