@@ -433,6 +433,79 @@ def simhash_signatures(
     )
 
 
+def simhash_signatures_long(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    hash_fn: "Callable[[Column], Column]" = F.xxhash64,
+    chunk_tokens: int = 32_768,
+) -> DataFrame:
+    """Truncation-free SimHash for documents beyond the 65,535-token cap
+    of :func:`simhash_signatures` (SCALE.md §8 → lifted in r4).
+
+    The per-bit one-counts are associative sums, so the signature can be
+    built chunk-then-merge: ``posexplode`` gives each token a position,
+    ``pos div chunk_tokens`` a hard ≤32,768-token chunk — level 1
+    aggregates (doc, chunk) with the same SWAR-packed 16-bit lanes
+    (exact: a chunk counter never exceeds 32,768), level 2 merges chunk
+    lane-sums per doc into 32-bit lanes (2 counters per bigint, 32
+    columns) before the sign fold. Result is BIT-IDENTICAL to the
+    single-pass signature on a truncation-free engine for any document
+    up to 2³¹−1 tokens (the offset-32 lane of a *signed* bigint must
+    not reach its sign bit; ~8 TB of text in one row — effectively
+    unbounded); equality with the classic path under the cap and
+    chunk-split invariance are property-tested.
+
+    Cost vs the classic path: one extra narrow agg level. The level-1
+    groupBy keys are (id, chunk) — same shuffle key cardinality order —
+    and level-2 input is ≤ total_tokens/chunk_tokens rows per doc.
+    Use the classic path when every doc is known to fit the cap."""
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(T.tokens(T.normalize(text_col))).alias("__pos", "__t"),
+    )
+    h = toks.select(
+        id_col,
+        (F.col("__pos") / chunk_tokens).cast("bigint").alias("__chunk"),
+        hash_fn(F.col("__t")).alias("__h"),
+    )
+
+    def packed_term(g: int) -> F.Column:
+        term = F.lit(0).cast("bigint")
+        for j in range(4):
+            bit = F.shiftright(F.col("__h"), 4 * g + j).bitwiseAND(F.lit(1)).cast("bigint")
+            term = term + F.shiftleft(bit, 16 * j)
+        return term
+
+    level1 = h.groupBy(id_col, "__chunk").agg(
+        F.count(F.lit(1)).alias("__n"),
+        *[F.sum(packed_term(g)).alias(f"p{g}") for g in range(16)],
+    )
+
+    def lane16(b: int) -> F.Column:
+        g, j = divmod(b, 4)
+        return F.shiftright(F.col(f"p{g}"), 16 * j).bitwiseAND(F.lit(0xFFFF))
+
+    def merged_term(k: int) -> F.Column:
+        # Counters 2k (offset 0) and 2k+1 (offset 32) re-packed wide.
+        return lane16(2 * k) + F.shiftleft(lane16(2 * k + 1), 32)
+
+    level2 = level1.groupBy(id_col).agg(
+        F.sum("__n").alias("__n"),
+        *[F.sum(merged_term(k)).alias(f"q{k}") for k in range(32)],
+    )
+    sh = F.lit(0).cast("bigint")
+    for b in range(64):
+        k, j = divmod(b, 2)
+        cnt = F.shiftright(F.col(f"q{k}"), 32 * j).bitwiseAND(F.lit(0xFFFFFFFF))
+        sh = sh + F.when(
+            cnt * 2 > F.col("__n"), F.shiftleft(F.lit(1).cast("bigint"), b)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return df.select(id_col).join(level2.select(id_col, sh.alias("sh")), id_col, "left").fillna(
+        {"sh": 0}
+    )
+
+
 def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 

@@ -1019,6 +1019,54 @@ def simhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "simhash_long_documents",
+    f"""
+    WITH tok AS (
+      SELECT lang, unnest(toks) AS t
+      FROM (SELECT lang,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    ),
+    h AS (
+      SELECT lang, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    lanes AS (
+      SELECT lang, b, SUM((h >> b) & 1) AS cnt, COUNT(*) AS n
+      FROM h, LATERAL unnest(generate_series(0, 59)) AS g(b)
+      GROUP BY lang, b
+    )
+    SELECT lang,
+           CAST(SUM(CASE WHEN 2 * cnt > n THEN (1::BIGINT << b) ELSE 0 END)
+                AS BIGINT) AS sh
+    FROM lanes GROUP BY lang
+    """,
+)
+def simhash_long_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Long-document SimHash (r4): one mega-doc per language — every
+    text of the language concatenated, then repeated ×8, which pushes
+    the ``en`` group past the classic path's 65,535-token cap at
+    sf≥0.01 — fingerprinted with the truncation-free chunk-then-merge
+    kernel (:func:`operators.dedup.simhash_signatures_long`).
+
+    The oracle replays the *definition* on the single-copy token
+    multiset: repetition scales every per-bit count and the total by
+    the same factor, so the majority vote — and therefore the
+    signature — is invariant (``2·(8·cnt) > 8·n ⟺ 2·cnt > n``). That
+    makes the DuckDB side cheap while the Spark side still exercises
+    the >cap physical path end to end. Concatenation order also cancels
+    (SimHash sees the token multiset, not the sequence), so the
+    unsorted ``collect_list`` is safe."""
+    docs = load_table(spark, sf_dir, "documents")
+    longdocs = docs.groupBy("lang").agg(
+        F.concat_ws(" ", F.collect_list("text")).alias("__one")
+    )
+    rep = longdocs.select(
+        "lang", F.concat_ws(" ", F.array_repeat(F.col("__one"), 8)).alias("text")
+    )
+    return dedup.simhash_signatures_long(rep, "lang", "text", hash_fn=dedup.md5_hash60)
+
+
+@query(
     "ngram_jaccard_blocked",
     f"""
     WITH sh AS (

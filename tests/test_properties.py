@@ -393,3 +393,71 @@ def test_pagerank_matches_pure_python_integer_reference(spark, edges, iters):
         rank = {x: base + (damp * inflow[x]) // 100 for x in nodes}
     want = {x: (out_deg[x], rank[x]) for x in nodes}
     assert got == want
+
+
+# ------------------------------------------ long-doc SimHash (r4, VERDICT #5)
+
+
+def test_simhash_long_matches_classic_under_cap(spark):
+    """Chunk-then-merge == single-pass, bit-for-bit, for docs under the
+    65,535-token cap (both paths are exact there)."""
+    from parcialbigdata_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    classic = {
+        r.doc_id: r.sh
+        for r in dedup.simhash_signatures(docs, "doc_id", "text").collect()
+    }
+    merged = {
+        r.doc_id: r.sh
+        for r in dedup.simhash_signatures_long(docs, "doc_id", "text").collect()
+    }
+    assert classic == merged
+
+
+def test_simhash_long_chunk_split_invariance(spark):
+    """The signature is independent of the chunk size — the lane sums
+    are associative, so any split merges to the same result."""
+    from parcialbigdata_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    sigs = {}
+    for chunk in (7, 100, 32_768):
+        sigs[chunk] = {
+            r.doc_id: r.sh
+            for r in dedup.simhash_signatures_long(
+                docs, "doc_id", "text", chunk_tokens=chunk
+            ).collect()
+        }
+    assert sigs[7] == sigs[100] == sigs[32_768]
+
+
+def test_simhash_long_beyond_cap_exact(spark):
+    """A >65,535-token doc: the classic packed-16-bit path overflows its
+    lanes (documented cap), the long path stays exact. Analytic truth:
+    40k copies of token A + 30k of token B -> majority per bit is
+    exactly A's bit (2*40k > 70k; B alone 2*30k < 70k; both -> set), so
+    the signature must equal hash(A)."""
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.operators import dedup
+
+    text = " ".join(["aaa"] * 40_000 + ["bbb"] * 30_000)
+    df = spark.createDataFrame([(1, text)], "doc_id INT, text STRING")
+
+    expected = spark.range(1).select(
+        dedup.md5_hash60(F.lit("aaa")).alias("h")
+    ).first()["h"]
+
+    long_sh = dedup.simhash_signatures_long(
+        df, "doc_id", "text", hash_fn=dedup.md5_hash60
+    ).first()["sh"]
+    assert long_sh == expected
+
+    classic_sh = dedup.simhash_signatures(
+        df, "doc_id", "text", hash_fn=dedup.md5_hash60
+    ).first()["sh"]
+    assert classic_sh != expected, (
+        "classic path unexpectedly survived a 70k-token doc - if the cap "
+        "was lifted there, update SCALE.md and this test"
+    )
