@@ -461,3 +461,45 @@ def test_simhash_long_beyond_cap_exact(spark):
         "classic path unexpectedly survived a 70k-token doc - if the cap "
         "was lifted there, update SCALE.md and this test"
     )
+
+
+# ------------------------- large-star/small-star CC (r4, VERDICT #6)
+
+
+def test_cc_star_long_path_olog_rounds(spark):
+    """1,000-node path graph: diameter 999. Min-label propagation needs
+    ~999 rounds (raises at max_iter=20); the star variant converges in
+    O(log n) alternations — max_iter=30 is ample — with every node
+    labeled 0."""
+    import pytest as _pytest
+
+    from parcialbigdata_spark.operators import graph
+
+    pairs = spark.range(999).selectExpr("id AS id_a", "id + 1 AS id_b")
+
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        graph.connected_components(pairs, max_iter=20).collect()
+
+    cc = graph.connected_components(pairs, max_iter=30, algorithm="star").collect()
+    assert len(cc) == 1000
+    assert all(r.component == 0 for r in cc)
+
+
+def test_cc_star_equals_label_propagation(spark):
+    """On a random sparse graph (small components), both algorithms
+    produce the identical (node, component) map."""
+    import random
+
+    from parcialbigdata_spark.operators import graph
+
+    rng = random.Random(11)
+    pairs = [(rng.randrange(300), rng.randrange(300)) for _ in range(150)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    df = spark.createDataFrame(pairs, "id_a BIGINT, id_b BIGINT")
+
+    label = {r.node: r.component for r in graph.connected_components(df).collect()}
+    star = {
+        r.node: r.component
+        for r in graph.connected_components(df, algorithm="star").collect()
+    }
+    assert label == star
