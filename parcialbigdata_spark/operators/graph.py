@@ -228,10 +228,12 @@ def pagerank_scaled(
     because integer addition is associative-commutative.
 
     Plan shape (the 100 TB story): the edge relation and the static
-    (node, out_degree) relation are computed once and persisted; each
-    iteration is one join edges⋈ranks on ``src`` (both sides hashed on
-    the same key — co-partitioned under AQE) + one groupBy(dst) agg —
-    the canonical 2-shuffle PR round. Lineage is cut with
+    (node, out_degree) relation are shared across rounds via
+    ReusedExchange (the whole run is one query when iterations ≤
+    checkpoint_interval — no cache needed, no cached-relation leak);
+    each iteration is one join edges⋈ranks on ``src`` (both sides
+    hashed on the same key — co-partitioned under AQE) + one
+    groupBy(dst) agg — the canonical 2-shuffle PR round. Lineage is cut with
     ``localCheckpoint`` every ``checkpoint_interval`` rounds — the
     :func:`connected_components` discipline, but metered: eager
     checkpointing materializes the rank relation and measures ~4×
@@ -247,10 +249,17 @@ def pagerank_scaled(
     # Duplicate edges would double-count contributions, so dedup unless
     # the caller certifies distinctness (skips one full-edge shuffle —
     # at web scale the edge list is usually already a distinct relation).
+    # No persist() here (r4, ADVICE r3 cache-leak fix): with
+    # iterations ≤ checkpoint_interval the whole computation is ONE
+    # query at the caller's action, and Catalyst's ReusedExchange
+    # dedups the repeated edge-relation subplan across the per-round
+    # joins within that execution — a cache would add a leak (or a
+    # lineage-cutting materialization that blinds plan inspection) for
+    # no saved work. Longer runs recompute the edge distinct once per
+    # checkpoint action; that is one cheap shuffle per interval.
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     if not assume_distinct:
         e = e.distinct()
-    e = e.persist()
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -262,7 +271,6 @@ def pagerank_scaled(
     base_nodes = (
         nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
         .fillna({"out_degree": 0})
-        .persist()
     )
     n_total = base_nodes.agg(F.count(F.lit(1)).alias("n")).select(
         F.col("n"),
@@ -302,3 +310,137 @@ def pagerank_scaled(
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
             ranks = ranks.localCheckpoint(eager=True)
     return ranks.select("node", "out_degree", "rank_scaled")
+
+
+def pagerank_conserving(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """PageRank that conserves rank mass EXACTLY: after every round
+    ``sum(rank_scaled) == scale``, still in pure bigint arithmetic
+    (SCALE.md §8's sketch, realized in r4).
+
+    Two additions over :func:`pagerank_scaled`:
+
+    - **dangling redistribution**: the summed rank of out-degree-0
+      nodes is shared uniformly (``dangling DIV n``) into every node's
+      damped inflow — the standard PR treatment of dangling mass, kept
+      integral;
+    - **residue assignment**: integral DIV truncation (contribution
+      splits, the damping DIV, the dangling share) loses a few units
+      of mass per round; the exact shortfall ``scale − sum(raw)`` is
+      assigned to the minimum node id. Deterministic, engine-replayable
+      (a chained-CTE oracle reproduces it bit-for-bit), and O(1) mass
+      per round (bounded by the number of truncations), so it never
+      meaningfully distorts the distribution.
+
+    Costs one extra global agg per round (the residue) plus the
+    dangling sum, and eagerly checkpoints each round because the rank
+    relation is read by several singleton aggregates — use
+    :func:`pagerank_scaled` when exact conservation isn't needed.
+    Helper relations are unpersisted before returning."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base_nodes = (
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .fillna({"out_degree": 0})
+        .persist()
+    )
+    params = base_nodes.agg(
+        F.count(F.lit(1)).alias("n"), F.min("node").alias("min_node")
+    ).select(
+        "n",
+        "min_node",
+        F.expr(f"(({100 - damping_pct}L * {scale}L) DIV 100) DIV n").alias("base"),
+        F.expr(f"{scale}L DIV n").alias("init"),
+    )
+    # Init already conserves: the DIV shortfall of scale/n goes to the
+    # minimum node, same rule as every later round.
+    ranks = (
+        base_nodes.crossJoin(F.broadcast(params))
+        .select(
+            "node",
+            "out_degree",
+            "base",
+            "n",
+            "min_node",
+            (
+                F.col("init")
+                + F.when(
+                    F.col("node") == F.col("min_node"),
+                    F.lit(scale) - F.col("init") * F.col("n"),
+                ).otherwise(F.lit(0))
+            ).alias("rank_scaled"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(iterations):
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank_scaled"))),
+                F.lit(0).cast("bigint"),
+            ).alias("dangling")
+        )
+        contrib = (
+            e.join(
+                ranks.filter(F.col("out_degree") > 0).select(
+                    F.col("node").alias("src"), "out_degree", "rank_scaled"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled DIV out_degree").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        raw = (
+            ranks.join(contrib, "node", "left")
+            .fillna({"inflow": 0})
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_degree",
+                "base",
+                "n",
+                "min_node",
+                F.expr(
+                    f"base + ({damping_pct}L * (inflow + dangling DIV n)) DIV 100"
+                ).alias("rank_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        residue = raw.agg((F.lit(scale) - F.sum("rank_raw")).alias("residue"))
+        ranks = raw.crossJoin(F.broadcast(residue)).select(
+            "node",
+            "out_degree",
+            "base",
+            "n",
+            "min_node",
+            (
+                F.col("rank_raw")
+                + F.when(F.col("node") == F.col("min_node"), F.col("residue")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("rank_scaled"),
+        )
+    ranks = ranks.select("node", "out_degree", "rank_scaled").localCheckpoint(eager=True)
+    e.unpersist()
+    base_nodes.unpersist()
+    return ranks

@@ -4890,6 +4890,94 @@ def pagerank_trade_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PR_CONS_ITER = """
+    d{i} AS (
+      SELECT COALESCE(SUM(CASE WHEN out_degree = 0 THEN rank_scaled END), 0)
+             AS dangling
+      FROM r{p}
+    ),
+    i{i} AS (
+      SELECT e.dst AS node, SUM(r.rank_scaled // r.out_degree) AS inflow
+      FROM e JOIN r{p} r ON e.src = r.node GROUP BY e.dst
+    ),
+    raw{i} AS (
+      SELECT r.node, r.out_degree, r.base, r.n, r.mn,
+             r.base + (85 * (COALESCE(i.inflow, 0) + (d.dangling // r.n))) // 100
+             AS rank_raw
+      FROM r{p} r LEFT JOIN i{i} i ON r.node = i.node, d{i} d
+    ),
+    res{i} AS (SELECT 1000000000000 - SUM(rank_raw) AS residue FROM raw{i}),
+    r{i} AS (
+      SELECT node, out_degree, base, n, mn,
+             rank_raw + CASE WHEN node = mn THEN res.residue ELSE 0 END
+             AS rank_scaled
+      FROM raw{i}, res{i} res
+    )"""
+
+
+@query(
+    "pagerank_conserving_purchases",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    bn AS (
+      SELECT n.node, COALESCE(d.out_degree, 0) AS out_degree
+      FROM nodes n LEFT JOIN deg d ON n.node = d.src
+    ),
+    params AS (
+      SELECT n, mn, ((15 * 1000000000000) // 100) // n AS base,
+             1000000000000 // n AS init
+      FROM (SELECT COUNT(*) AS n, MIN(node) AS mn FROM bn)
+    ),
+    r0 AS (
+      SELECT b.node, b.out_degree, p.base, p.n, p.mn,
+             p.init + CASE WHEN b.node = p.mn
+                           THEN 1000000000000 - p.init * p.n ELSE 0 END
+             AS rank_scaled
+      FROM bn b, params p
+    ),
+    {_PR_CONS_ITER.format(i=1, p=0)},
+    {_PR_CONS_ITER.format(i=2, p=1)}
+    SELECT node, out_degree, CAST(rank_scaled AS BIGINT) AS rank_scaled,
+           (SELECT SUM(rank_scaled) FROM r2) = 1000000000000 AS conserved
+    FROM r2
+    """,
+)
+def pagerank_conserving_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mass-conserving PageRank (r4, VERDICT #7) on the DIRECTED
+    customer→supplier purchase graph — suppliers have no out-edges, so
+    roughly half the graph's mass goes dangling every round and the
+    redistribution term actually carries weight (the bidirectional
+    trade graph above has none). 2 rounds, d=0.85, bigint micro-units:
+    dangling mass is shared ``DIV n`` into every damped inflow and the
+    exact truncation residue lands on the minimum node id, so
+    ``sum(rank_scaled) == scale`` after every round — attested by the
+    ``conserved`` column, which the chained-CTE oracle recomputes (not
+    a literal) alongside the bit-for-bit rank replay. See
+    ``operators/graph.py pagerank_conserving``."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    ranks = graph.pagerank_conserving(
+        edges, iterations=2, assume_distinct=True
+    ).select("node", "out_degree", F.col("rank_scaled").cast("bigint").alias("rank_scaled"))
+    conserved = ranks.agg(
+        (F.sum("rank_scaled") == F.lit(1_000_000_000_000)).alias("conserved")
+    )
+    return ranks.crossJoin(F.broadcast(conserved))
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -503,3 +503,44 @@ def test_cc_star_equals_label_propagation(spark):
         for r in graph.connected_components(df, algorithm="star").collect()
     }
     assert label == star
+
+
+# ------------------------------ conserving PageRank (r4, VERDICT #7)
+
+
+def test_pagerank_conserving_sums_to_scale(spark):
+    """Exact mass conservation on a graph with dangling nodes, for
+    several iteration counts (the invariant holds after EVERY round)."""
+    from parcialbigdata_spark.operators import graph
+
+    # 1->2, 1->3, 2->3; node 3 dangles.
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src BIGINT, dst BIGINT"
+    )
+    scale = 1_000_000_000_000
+    for iters in (1, 2, 4):
+        ranks = graph.pagerank_conserving(edges, iterations=iters, scale=scale)
+        total = ranks.agg({"rank_scaled": "sum"}).first()[0]
+        assert total == scale, f"iterations={iters}: {total} != {scale}"
+
+
+def test_pagerank_unpersists_helpers(spark):
+    """pagerank_scaled / pagerank_conserving release their cached edge
+    and degree relations (ADVICE r3): repeated calls must not grow the
+    set of persisted RDDs."""
+    from parcialbigdata_spark.operators import graph
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src BIGINT, dst BIGINT")
+
+    def n_cached() -> int:
+        jsc = spark.sparkContext._jsc.sc()
+        return jsc.getPersistentRDDs().size()
+
+    graph.pagerank_scaled(edges, iterations=2).count()
+    after_first = n_cached()
+    for _ in range(3):
+        graph.pagerank_scaled(edges, iterations=2).count()
+        graph.pagerank_conserving(edges, iterations=2).count()
+    assert n_cached() <= after_first + 1, (
+        "persisted RDDs accumulate across pagerank calls"
+    )
