@@ -140,6 +140,15 @@ def write_zordered(
         *[F.max(F.col(c).cast("double")).alias(f"__hi_{c}") for c in zorder_cols],
     ).first()
     bounds = {c: (agg[f"__lo_{c}"], agg[f"__hi_{c}"]) for c in zorder_cols}
+    # Empty input or an all-NULL z-order column yields None bounds;
+    # zorder_key would then die with an opaque TypeError (ADVICE r3).
+    degenerate = [c for c, (lo, hi) in bounds.items() if lo is None or hi is None]
+    if degenerate:
+        raise ValueError(
+            f"write_zordered: column(s) {degenerate} have no usable bounds "
+            "(empty input or all-NULL values) - z-ordering needs at least "
+            "one non-null value per z-order column"
+        )
     withz = df.withColumn("__z", zorder_key(zorder_cols, bounds, bits=bits))
     part = (
         withz.repartitionByRange(num_files, "__z")

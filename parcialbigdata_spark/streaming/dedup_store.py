@@ -57,9 +57,16 @@ def dedup_batch_applier(store_path: str, out_path: str, id_col: str = "doc_id", 
             .drop("__rn")
         )
         # Survivors are tiny relative to the stream? No — they can be
-        # the whole batch; both writes stay distributed appends.
-        survivors.drop("fp").write.mode("append").parquet(out_path)
-        survivors.select("fp").write.mode("append").parquet(store_path)
+        # the whole batch; both writes stay distributed appends. The
+        # two writes are two actions over the same plan — persist so
+        # the store read + anti-join + window dedup run once per batch,
+        # not twice (ADVICE r3).
+        survivors = survivors.persist()
+        try:
+            survivors.drop("fp").write.mode("append").parquet(out_path)
+            survivors.select("fp").write.mode("append").parquet(store_path)
+        finally:
+            survivors.unpersist()
 
     return apply
 

@@ -678,3 +678,65 @@ def test_pagerank_rejects_zero_iterations(spark):
     edges = spark.createDataFrame([("a", "b")], ["src", "dst"])
     with pytest.raises(ValueError, match="iterations"):
         pagerank_scaled(edges, iterations=0)
+
+
+def test_minhash_oracle_fixture_equality_holds(spark):
+    """FIXTURE-DEPENDENT ORACLE GUARD (ADVICE r3).
+
+    The minhash_near_dups_documents oracle is the EXHAUSTIVE exact-
+    Jaccard pair set; the registered query is banded LSH, whose recall
+    is < 1 in general - their equality is an empirical property of the
+    current documents fixture (every >=0.2-Jaccard pair happens to
+    collide in some band). If the fixture or threshold changes, this
+    test fails HERE with a readable symmetric difference instead of an
+    opaque value-hash mismatch at the driver gate. Fix = re-verify the
+    fixture, then re-measure LSH recall and re-justify (or re-point)
+    the oracle."""
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.operators import dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+    lsh = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_near_dups(
+            docs, "doc_id", "text", threshold=0.2, k_shingle=2
+        ).collect()
+    }
+
+    # Exact side: inverted shingle index (pairs sharing no shingle have
+    # Jaccard 0 and cannot pass 0.2), exact |intersection| / |union|.
+    sh = dedup.shingle_rows(docs, "doc_id", "text", k_shingle=2).distinct()
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = sh.withColumnsRenamed({"doc_id": "id_a", "__s": "sa"})
+    b = sh.withColumnsRenamed({"doc_id": "id_b", "__s": "sb"})
+    inter = (
+        a.join(b, (F.col("sa") == F.col("sb")) & (F.col("id_a") < F.col("id_b")))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    exact = {
+        (r.id_a, r.id_b)
+        for r in (
+            inter.join(sizes.withColumnsRenamed({"doc_id": "id_a", "n": "na"}), "id_a")
+            .join(sizes.withColumnsRenamed({"doc_id": "id_b", "n": "nb"}), "id_b")
+            .withColumn(
+                "j",
+                F.round(
+                    F.col("n_inter") / (F.col("na") + F.col("nb") - F.col("n_inter")), 6
+                ),
+            )
+            .filter(F.col("j") >= 0.2)
+            .collect()
+        )
+    }
+
+    missed = exact - lsh
+    extra = lsh - exact
+    assert not missed and not extra, (
+        "minhash LSH != exhaustive exact-Jaccard on the current fixture "
+        f"(missed by LSH: {sorted(missed)[:10]}, not in exact: {sorted(extra)[:10]}). "
+        "The driver oracle for minhash_near_dups_documents RELIES on this "
+        "empirical equality - see this test's docstring for how to proceed."
+    )

@@ -487,3 +487,19 @@ def test_zorder_key_rejects_too_many_bits(spark):
 
     with pytest.raises(ValueError, match="bigint"):
         zorder_key(["a", "b", "c", "d"], {c: (0, 1) for c in "abcd"}, bits=16)
+
+
+def test_write_zordered_degenerate_bounds_raise(spark, tmp_path):
+    """Empty input / all-NULL z-order columns fail with a descriptive
+    error instead of a TypeError deep in zorder_key (ADVICE r3)."""
+    import pytest as _pytest
+
+    from parcialbigdata_spark.sources.warehouse import write_zordered
+
+    empty = spark.createDataFrame([], "a BIGINT, b BIGINT")
+    with _pytest.raises(ValueError, match="no usable bounds"):
+        write_zordered(empty, str(tmp_path / "z1"), ["a", "b"])
+
+    all_null = spark.createDataFrame([(1, None), (2, None)], "a BIGINT, b BIGINT")
+    with _pytest.raises(ValueError, match="\\['b'\\]"):
+        write_zordered(all_null, str(tmp_path / "z2"), ["a", "b"])
