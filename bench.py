@@ -103,6 +103,12 @@ BENCH_QUERIES = [
     # r3 new operators: segment-dedup agg+join-back, iterative PR.
     "boilerplate_prune_documents",
     "pagerank_trade_graph",
+    # r4 new operator families: complete set-sim join (prefix filter),
+    # triangle/wedge graph analytics, time-series gap-fill, BM25 top-k.
+    "setsim_join_documents",
+    "triangle_stats_supplier_graph",
+    "gap_fill_events_hourly",
+    "bm25_top_documents",
 ]
 
 

@@ -626,3 +626,124 @@ def shared_window_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared_windows"))
     )
+
+
+# ----------------------------------------- prefix-filtered set-sim join
+
+
+def setsim_join_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.5,
+    k_shingle: int = 2,
+) -> DataFrame:
+    """Prefix-filtered set-similarity self-join — the AllPairs/SSJoin/
+    PPJoin family (Chaudhuri, Ganti & Kaushik, *A Primitive Operator
+    for Similarity Joins*, ICDE'06; Bayardo, Ma & Srikant, *Scaling Up
+    All Pairs Similarity Search*, WWW'07; Xiao et al., *Efficient
+    Similarity Joins for Near Duplicate Detection*, WWW'08).
+
+    Unlike MinHash/SimHash LSH, the prefix filter is **complete** —
+    zero false negatives: if ``J(a, b) >= t`` then ``|a ∩ b| >=
+    ⌈t·|a|⌉``, so by pigeonhole *any* ``|a| − ⌈t·|a|⌉ + 1`` elements of
+    ``a`` must hit the intersection; ordering every set by one global
+    rare-first order (frequency asc, element asc) and keeping each
+    set's first ``|s| − ⌈t·|s|⌉ + 1`` elements as its prefix therefore
+    guarantees two qualifying sets share a prefix element. The output
+    is exactly the brute-force all-pairs result — which is what makes
+    this operator oracle-checkable at ANY threshold/fixture, where LSH
+    variants need recall attestations.
+
+    Three cascaded candidate filters, each conservative (complete):
+
+    - **prefix**: pairs must share a prefix element (pigeonhole above);
+    - **length**: ``min(|a|,|b|) >= t·max(|a|,|b|)`` — size-discrepant
+      sets cannot reach ``t``;
+    - **positional** (PPJoin, WWW'08): both sets are sorted by the SAME
+      global order, so shared elements appear in the same relative
+      sequence in both; for the first shared prefix element at sorted
+      positions ``(ra, rb)`` every other shared element lies after it
+      in BOTH sets, hence ``overlap <= 1 + min(|a|−ra, |b|−rb)``,
+      which must reach ``⌈t/(1+t)·(|a|+|b|)⌉`` (the overlap form of
+      Jaccard ≥ t). The ceil argument is nudged by −1e-9 so float
+      round-up can only weaken the prune, never break completeness.
+
+    Plan (all codegen, no interpreted HOF lambdas in the hot path):
+    shingles come from ``shingle_rows`` (posexplode + lead window —
+    measured ~10× faster than the array-HOF construction at sf0.1) and
+    the exploded (id, element) relation is the single shared input to
+    the frequency agg, the per-set rank window, and the collect_set
+    verification arrays. The join key stays the element itself, so no
+    global rank assignment (no single-partition window) is needed; the
+    frequency relation is vocabulary-sized and broadcast. At 100 TB
+    the quadratic term is bounded by the largest prefix-element bucket
+    — the WWW'07 result is that rare-first ordering keeps these
+    near-linear on real corpora.
+
+    The exploded (id, element) relation feeds FOUR consumers (size agg,
+    frequency agg, rank window, verification arrays); it is
+    ``localCheckpoint``-ed so all four read one materialized relation —
+    without it each consumer replays the shingle build and the
+    end-to-end query measures ~5× slower (sf0.1: 79 s → 16 s). Same
+    lineage discipline as ``connected_components``; swap for reliable
+    ``checkpoint()`` on a cluster with executor loss."""
+    rows = (
+        shingle_rows(df, id_col, text_col, k_shingle)
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    sz = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
+    freq = rows.groupBy("__s").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window as W
+
+    rank_w = W.partitionBy(id_col).orderBy("cnt", "__s")
+    ranked = (
+        rows.join(F.broadcast(freq), "__s")
+        .join(sz, id_col)
+        .withColumn("rn", F.row_number().over(rank_w))
+    )
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    prefixes = ranked.filter(F.col("rn") <= prefix_len).select(
+        F.col(id_col), "sz", "rn", "__s"
+    )
+    a = prefixes.select(
+        F.col(id_col).alias("id_a"), F.col("sz").alias("sz_a"), F.col("rn").alias("ra"), "__s"
+    )
+    b = prefixes.select(
+        F.col(id_col).alias("id_b"), F.col("sz").alias("sz_b"), F.col("rn").alias("rb"), "__s"
+    )
+    overlap_req = F.ceil(
+        F.lit(threshold / (1.0 + threshold)) * (F.col("sz_a") + F.col("sz_b"))
+        - F.lit(1e-9)
+    )
+    cand = (
+        a.join(b, "__s")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.least("sz_a", "sz_b") >= F.lit(threshold) * F.greatest("sz_a", "sz_b"))
+        )
+        # First shared element in the global order minimizes ra and rb
+        # SIMULTANEOUSLY (shared subsequences agree in both sets), so
+        # the two mins come from the same element.
+        .groupBy("id_a", "id_b", "sz_a", "sz_b")
+        .agg(F.min("ra").alias("ra"), F.min("rb").alias("rb"))
+        .filter(
+            F.lit(1) + F.least(F.col("sz_a") - F.col("ra"), F.col("sz_b") - F.col("rb"))
+            >= overlap_req
+        )
+        .select("id_a", "id_b")
+    )
+    sets_df = rows.groupBy(id_col).agg(F.collect_set("__s").alias("els"))
+    ea = sets_df.select(F.col(id_col).alias("id_a"), F.col("els").alias("els_a"))
+    eb = sets_df.select(F.col(id_col).alias("id_b"), F.col("els").alias("els_b"))
+    return (
+        cand.join(ea, "id_a")
+        .join(eb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("els_a"), F.col("els_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )

@@ -444,3 +444,78 @@ def pagerank_conserving(
     e.unpersist()
     base_nodes.unpersist()
     return ranks
+
+
+def triangle_stats(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Per-node triangle count, degree and local clustering coefficient
+    over an undirected pair graph — the compact-forward / node-ordered
+    wedge join (Schank & Wagner '05; the standard MapReduce formulation
+    is Suri & Vassilvitskii, *Counting Triangles and the Curse of the
+    Last Reducer*, WWW'11).
+
+    Each triangle ``a < b < c`` is enumerated exactly once: wedges are
+    built by joining the (min,max)-normalized edge list with itself on
+    the middle node (``E(a,b) ⋈ E(b,c)``) and closed against ``E(a,c)``.
+    Returns ``(node, degree, triangles, clustering_coeff)`` with
+    ``clustering_coeff = 2·triangles / (degree·(degree−1))`` rounded to
+    6 decimals (0.0 for degree < 2).
+
+    Scale notes: node-ordered wedging means each wedge is generated at
+    its *middle* node with only strictly-ordered neighbors, avoiding the
+    3× duplicate enumeration of the naive closed-walk count; the "curse
+    of the last reducer" (one celebrity node generating deg² wedges) is
+    the known skew risk — at web scale the WWW'11 refinement orders by
+    (degree, id) instead of raw id so high-degree nodes sit last and
+    generate few wedges; plain id-order is kept here because the oracle
+    must replay the exact wedge set in SQL. All three relations shuffle
+    on node ids; AQE handles moderate bucket skew."""
+    e_raw = pairs.select(
+        F.least(F.col(src), F.col(dst)).alias("u"),
+        F.greatest(F.col(src), F.col(dst)).alias("v"),
+    )
+    edges = e_raw.filter(F.col("u") != F.col("v")).distinct()
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    wedges = (
+        edges.alias("e1")
+        .join(edges.alias("e2"), F.col("e1.v") == F.col("e2.u"))
+        .select(
+            F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+        )
+    )
+    closing = edges.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    triangles = wedges.join(closing, ["a", "c"])
+    tri_per_node = (
+        triangles.select(
+            F.explode(F.array(F.col("a"), F.col("b"), F.col("c"))).alias("node")
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return (
+        deg.join(tri_per_node, "node", "left")
+        .fillna({"triangles": 0})
+        .select(
+            "node",
+            "degree",
+            "triangles",
+            F.when(F.col("degree") < 2, F.lit(0.0))
+            .otherwise(
+                F.round(
+                    F.lit(2.0)
+                    * F.col("triangles")
+                    / (F.col("degree") * (F.col("degree") - F.lit(1))),
+                    6,
+                )
+            )
+            .alias("clustering_coeff"),
+        )
+    )

@@ -1,0 +1,61 @@
+"""Time-series densification operators (SURVEY.md §2 EXT: the
+hypertable/rollup family re-expressed Spark-first).
+
+The reference repo's only temporal behavior is the filename-derived
+date column (download_lambda.py:67); these operators extend it to the
+continuous-aggregate shapes every event pipeline needs: a *dense*
+per-key time grid with gap rows materialized and last-observation-
+carried-forward (LOCF) fill — the TimescaleDB ``time_bucket_gapfill``
+/ ``locf`` pair, built from ``sequence`` + ``explode`` + an
+``ignorenulls`` last-value window, no UDF anywhere.
+
+Scale notes: the grid explode is per-key ``sequence(min_bucket,
+max_bucket)`` — grid size is (time span ÷ step) × keys, tiny relative
+to the event corpus that produced the buckets, and generated without
+a driver-side loop. The LOCF window shuffles once on the key; the
+grid⋈observed join is key+bucket equi-join on the already-aggregated
+relation (events were reduced to buckets by the upstream agg), so the
+whole densification never touches raw-event volume a second time.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def gap_fill_locf(
+    buckets: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: str = "1 hour",
+) -> DataFrame:
+    """Densify ``buckets`` (one row per observed (key, bucket)) into a
+    complete per-key grid from each key's min to max bucket, stepping
+    ``step``; missing buckets appear with ``is_gap = true`` and
+    ``value_col`` filled by LOCF (the first bucket of a key is observed
+    by construction, so the fill is total).
+
+    Output columns: ``key_col, bucket_col, value_col`` (filled),
+    ``is_gap``. Extra columns of ``buckets`` are carried through as
+    NULL on gap rows."""
+    spans = buckets.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(buckets, [key_col, bucket_col], "left")
+        .withColumn("is_gap", F.col(value_col).isNull())
+        .withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
+    )

@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
 from parcialbigdata_spark.functions import vectors as V
-from parcialbigdata_spark.operators import corpus, dedup, graph, joins, similarity
+from parcialbigdata_spark.operators import (
+    corpus,
+    dedup,
+    graph,
+    joins,
+    similarity,
+    timeseries,
+)
 from parcialbigdata_spark.sources.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
@@ -4978,6 +4985,501 @@ def pagerank_conserving_purchases(spark: SparkSession, sf_dir: str) -> DataFrame
     return ranks.crossJoin(F.broadcast(conserved))
 
 
+# =====================================================================
+# R4. Round-4 operator families: graph analytics beyond PageRank,
+# time-series densification, complete set-similarity join, IR scoring,
+# robust stats, sequence mining, weighted sampling, fuzzy ER.
+# =====================================================================
+
+
+@query(
+    "triangle_stats_supplier_graph",
+    """
+    WITH e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    deg AS (
+      SELECT node, COUNT(*) AS degree FROM (
+        SELECT u AS node FROM e UNION ALL SELECT v FROM e
+      ) GROUP BY node
+    ),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1
+      JOIN e e2 ON e1.v = e2.u
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+    ),
+    tpn AS (
+      SELECT node, COUNT(*) AS triangles FROM (
+        SELECT a AS node FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY node
+    )
+    SELECT d.node, d.degree, COALESCE(t.triangles, 0) AS triangles,
+           CASE WHEN d.degree < 2 THEN 0.0
+                ELSE round(2.0 * COALESCE(t.triangles, 0)
+                           / (d.degree * (d.degree - 1)), 6) END
+             AS clustering_coeff
+    FROM deg d LEFT JOIN tpn t ON d.node = t.node
+    """,
+)
+def triangle_stats_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count + local clustering coefficient per node (graph
+    analytics beyond PageRank/components) over the supplier
+    co-occurrence graph: suppliers are linked when they both fill
+    high-volume lines (l_quantity ≥ 45) of the same order. Node-ordered
+    wedge join — each triangle a<b<c enumerated exactly once — which is
+    what the DuckDB oracle replays as three chained self-joins. See
+    ``operators/graph.py triangle_stats`` for the WWW'11 skew notes."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a, b = li.alias("a"), li.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("id_a"), F.col("b.l_suppkey").alias("id_b"))
+    return graph.triangle_stats(pairs)
+
+
+@query(
+    "gap_fill_events_hourly",
+    """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_value
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket_ts, o.n_events, o.avg_value,
+             o.avg_value IS NULL AS is_gap
+      FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)
+    )
+    SELECT event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           COALESCE(n_events, 0) AS n_events,
+           round(last_value(avg_value IGNORE NULLS) OVER (
+             PARTITION BY event_type ORDER BY bucket_ts
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS avg_value_locf,
+           is_gap
+    FROM j
+    """,
+)
+def gap_fill_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series densification (TimescaleDB ``time_bucket_gapfill`` +
+    ``locf`` re-expressed Spark-first): the observed hourly buckets per
+    event type are exploded to a complete per-type grid via
+    ``sequence``/``explode`` and missing hours are filled by an
+    ``ignorenulls`` last-value window — gap rows materialized with
+    ``is_gap = true`` and event count 0. Per-hour averages use the
+    round-then-decimal-sum discipline so LOCF copies engine-identical
+    doubles. See ``operators/timeseries.py gap_fill_locf``."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        (
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("avg_value"),
+    )
+    filled = timeseries.gap_fill_locf(obs, "event_type", "bucket_ts", "avg_value")
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        F.coalesce(F.col("n_events"), F.lit(0)).alias("n_events"),
+        F.round(F.col("avg_value"), 6).alias("avg_value_locf"),
+        "is_gap",
+    )
+
+
+@query(
+    "setsim_join_documents",
+    f"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM (SELECT doc_id,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.sh, b.sh)) /
+                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6)
+             AS jaccard_sim
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.sh, b.sh)) /
+                greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.5
+    """,
+)
+def setsim_join_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered set-similarity self-join (AllPairs/SSJoin/
+    PPJoin, ICDE'06/WWW'07/WWW'08) at 3-gram Jaccard ≥ 0.5 — unlike
+    the MinHash/SimHash entries this candidate filter is COMPLETE
+    (pigeonhole on the rare-first prefix + length + positional
+    filters), so the *unblocked brute-force* DuckDB all-pairs join is
+    an exact oracle at any threshold and fixture, no recall
+    attestation needed. 3-gram elements (not 2-gram) because prefix
+    selectivity needs a large element universe: this corpus has only
+    931 distinct 2-grams (no element is rare → 3.5M candidates) vs
+    ~27k 3-grams (→ ~0.3M candidates, 10× fewer). See
+    ``operators/dedup.py setsim_join_prefix``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.setsim_join_prefix(docs, "doc_id", "text", threshold=0.5, k_shingle=3)
+
+
+@query(
+    "bm25_top_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'merge', 'stream') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+               (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl))
+             , 6) AS DECIMAL(18,6)) AS term_score
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN avgdl a CROSS JOIN n
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    )
+    SELECT doc_id, bm25 FROM agg
+    QUALIFY row_number() OVER (ORDER BY bm25 DESC, doc_id) <= 20
+    """,
+)
+def bm25_top_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval scoring (Robertson-Spärck Jones; the Lucene
+    ``k1=1.2, b=0.75`` variant with idf = ln(1 + (N−df+0.5)/(df+0.5)))
+    for the fixed query terms (spark, merge, stream) → top-20 documents.
+    Per-term scores are rounded to 6dp then decimal-summed so the
+    cross-term addition is order-independent; ranking is on the rounded
+    score with a doc_id tie-break. Plan: explode → tf/df/dl hash aggs →
+    broadcast-joined scalar avgdl/N — the df and scalar relations are
+    vocabulary-/single-row-sized, never corpus-shuffles."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg(
+        (F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl")
+    )
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.filter(F.col("term").isin("spark", "merge", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (
+                        F.lit(1)
+                        - F.lit(0.75)
+                        + F.lit(0.75) * F.col("dl") / F.col("avgdl")
+                    )
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.sum("term_score").cast("double").alias("bm25")
+    )
+    # orderBy+limit → TakeOrderedAndProject (per-partition heaps, no
+    # global single-partition window), the scale-safe top-k.
+    return agg.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(20)
+
+
+@query(
+    "inverted_index_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM toks GROUP BY 1, 2)
+    SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(list_sort(list(doc_id))[1:20], ',') AS postings_head
+    FROM tf GROUP BY term
+    """,
+)
+def inverted_index_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build (the IR/corpus-serving primitive): term →
+    document frequency, total term frequency, and the head of the
+    sorted posting list (first 20 doc ids, comma-joined so the hash
+    gate sees a scalar). Plan: explode → (term, doc) partial+final agg
+    → per-term sorted-array fold; posting arrays are built by
+    ``collect_list`` + ``array_sort`` inside the agg — at corpus scale
+    the posting head is bounded (20 ids) so the agg state stays small;
+    full posting lists would go to a bucketed sink instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("tf").cast("bigint").alias("total_tf"),
+        F.array_join(
+            F.transform(
+                F.slice(F.array_sort(F.collect_list("doc_id")), 1, 20),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("postings_head"),
+    )
+
+
+@query(
+    "mad_outliers_orders",
+    """
+    WITH med AS (
+      SELECT o_orderpriority AS prio,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice) AS med
+      FROM orders GROUP BY 1
+    ),
+    dev AS (
+      SELECT o.o_orderpriority AS prio, m.med,
+             abs(o.o_totalprice - m.med) AS adev
+      FROM orders o JOIN med m ON o.o_orderpriority = m.prio
+    ),
+    mad AS (
+      SELECT prio,
+             percentile_cont(0.5) WITHIN GROUP (ORDER BY adev) AS mad
+      FROM dev GROUP BY 1
+    )
+    SELECT d.prio AS o_orderpriority,
+           COUNT(*) AS n_orders,
+           round(min(d.med), 6) AS median_price,
+           round(min(m.mad), 6) AS mad_price,
+           CAST(SUM(CASE WHEN d.adev > 5.1891 * m.mad THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers
+    FROM dev d JOIN mad m ON d.prio = m.prio
+    GROUP BY d.prio
+    """,
+)
+def mad_outliers_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection per group: median-absolute-deviation
+    modified z-score (Iglewicz-Hoaglin; |x − med| > 3.5 · 1.4826 · MAD,
+    folded to the single literal 5.1891 so both engines compare the
+    same double). Two exact-percentile passes (median, then median of
+    absolute deviations) with the tiny per-group medians broadcast back
+    — no sort of the full relation, just two partial-agg shuffles."""
+    orders = load_table(spark, sf_dir, "orders")
+    med = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.percentile("o_totalprice", F.lit(0.5)).alias("med")
+    )
+    dev = orders.join(
+        F.broadcast(med), orders.o_orderpriority == med.prio
+    ).select("prio", "med", F.abs(F.col("o_totalprice") - F.col("med")).alias("adev"))
+    mad = dev.groupBy("prio").agg(F.percentile("adev", F.lit(0.5)).alias("mad"))
+    return (
+        dev.join(F.broadcast(mad), "prio")
+        .groupBy("prio")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("med"), 6).alias("median_price"),
+            F.round(F.min("mad"), 6).alias("mad_price"),
+            F.sum(
+                F.when(F.col("adev") > F.lit(5.1891) * F.col("mad"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+        .withColumnRenamed("prio", "o_orderpriority")
+    )
+
+
+@query(
+    "event_transitions_markov",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+      FROM events
+    ),
+    c AS (
+      SELECT event_type AS from_type, next_type AS to_type, COUNT(*) AS n
+      FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT from_type, to_type, n,
+           round(CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type), 6)
+             AS prob
+    FROM c
+    """,
+)
+def event_transitions_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences (sequence mining): ``lead`` within (user, time) order →
+    bigram counts → row-normalized probabilities. The probability
+    divides two exact integers (IEEE-deterministic); ordering ties are
+    broken by event_id so the bigram set is engine-identical. Plan: one
+    window shuffle on user_id, one agg shuffle on the 5×5 type pairs,
+    then a partition-local window over the tiny count relation."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("from_type"),
+        F.lead("event_type").over(w).alias("to_type"),
+    ).filter(F.col("to_type").isNotNull())
+    c = seq.groupBy("from_type", "to_type").agg(F.count(F.lit(1)).alias("n"))
+    wt = Window.partitionBy("from_type")
+    return c.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wt), 6).alias("prob"),
+    )
+
+
+@query(
+    "priority_sample_documents",
+    """
+    WITH pri AS (
+      SELECT doc_id, n_chars AS weight,
+             CAST(n_chars AS DOUBLE) /
+             ((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT + 1)
+              / 1152921504606846976.0) AS priority
+      FROM documents
+    )
+    SELECT doc_id, weight, round(priority, 6) AS priority
+    FROM pri
+    QUALIFY row_number() OVER (ORDER BY priority DESC, doc_id) <= 64
+    """,
+)
+def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement via priority sampling
+    (Duffield, Lund & Thorup, JACM'07): each document draws priority
+    ``w / u`` with ``u ∈ (0,1]`` derived from the first 60 bits of
+    md5(doc_id) — deterministic across runs, engines, cluster sizes and
+    data order — and the sample is the top-64 priorities. Both engines
+    compute ``u`` by one IEEE division and the priority by another, so
+    the ranking is bit-identical WITHOUT rounding tricks (unlike
+    exponential/A-ES keys, which need ``ln`` and inherit libm drift).
+    Shuffle profile: narrow map + a top-k (TakeOrderedAndProject), no
+    full sort. Weight = n_chars → longer documents proportionally more
+    likely, the standard size-weighted corpus subsample."""
+    docs = load_table(spark, sf_dir, "documents")
+    u = (dedup.md5_hash60(F.col("doc_id").cast("string")) + 1) / F.lit(
+        float(1 << 60)
+    )
+    pri = docs.select(
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        (F.col("n_chars").cast("double") / u).alias("priority"),
+    )
+    # orderBy+limit → TakeOrderedAndProject: each partition keeps a
+    # 64-row heap, only heads move — no global window, no full sort.
+    return (
+        pri.orderBy(F.col("priority").desc(), F.col("doc_id"))
+        .limit(64)
+        .select("doc_id", "weight", F.round("priority", 6).alias("priority"))
+    )
+
+
+@query(
+    "fuzzy_join_part_names",
+    """
+    WITH names AS (
+      SELECT p_name, split_part(p_name, ' ', 2) AS block, COUNT(*) AS n_parts
+      FROM part GROUP BY 1, 2
+    )
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           levenshtein(a.p_name, b.p_name) AS edit_dist,
+           a.n_parts AS parts_a, b.n_parts AS parts_b
+    FROM names a JOIN names b
+      ON a.block = b.block AND a.p_name < b.p_name
+    WHERE levenshtein(a.p_name, b.p_name) <= 4
+    """,
+)
+def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked fuzzy entity matching (record-linkage shape): part names
+    are first collapsed to distinct entities with their occurrence
+    counts (the dedup-before-quadratic step), blocked on the noun token
+    — the classic blocking key — and verified with exact Levenshtein
+    ≤ 4 inside each block. Edit distance is integer dynamic programming,
+    identical across engines, so no rounding discipline is needed.
+    Quadratic cost is |block|², bounded by the largest entity block,
+    never the row count."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.groupBy(
+        "p_name", F.split(F.col("p_name"), " ").getItem(1).alias("block")
+    ).agg(F.count(F.lit(1)).alias("n_parts"))
+    a, b = names.alias("a"), names.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.block") == F.col("b.block"))
+            & (F.col("a.p_name") < F.col("b.p_name")),
+        )
+        .select(
+            F.col("a.p_name").alias("name_a"),
+            F.col("b.p_name").alias("name_b"),
+            F.levenshtein(F.col("a.p_name"), F.col("b.p_name")).alias("edit_dist"),
+            F.col("a.n_parts").alias("parts_a"),
+            F.col("b.n_parts").alias("parts_b"),
+        )
+        .filter(F.col("edit_dist") <= 4)
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
@@ -5004,16 +5506,25 @@ _DRIVER_WINDOW = [
     "anti_customers_without_orders",
     "range_join_price_bands",
     "asof_latest_order_before_event",
-    "cross_join_region_segment",
+    # (cross_join_region_segment, approx_distinct_users and
+    # stats_quantity_price rotated out in r4 — each had a same-family
+    # sibling still in the window (cross join ⊂ the join sweep;
+    # distinct_nations_per_segment covers A2; percentile_quantity_by_flag
+    # covers A4) — to make room for the three NEW r4 operator families
+    # below; all three stay CI-oracle green via
+    # tests/test_correctness_full.py.)
     "salted_join_segment_revenue",
     # grouping/agg families
     "rollup_revenue_region_nation",
     "grouping_sets_revenue",
     "distinct_nations_per_segment",
-    "approx_distinct_users",
     "percentile_quantity_by_flag",
-    "stats_quantity_price",
     "collect_nations_per_region",
+    # r4 new families: graph analytics beyond PageRank, time-series
+    # densification, complete (prefix-filtered) set-similarity join
+    "triangle_stats_supplier_graph",
+    "gap_fill_events_hourly",
+    "setsim_join_documents",
     # windows (collect_segments_per_nation / window_running_revenue
     # rotated out in r4 — family siblings of the two lines above — to
     # make room for the newly recall-attested ANN entries below; both

@@ -1,0 +1,140 @@
+"""Round-4 operator tests: triangle stats, time-series gap-fill,
+prefix-filtered set-similarity join (completeness property), priority
+sampling determinism."""
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from parcialbigdata_spark.operators import dedup, graph, timeseries
+
+# ------------------------------------------------------------ triangles
+
+
+def test_triangle_stats_k4_plus_pendant(spark):
+    """K4 (every node in 3 triangles, cc=1.0) plus a pendant node
+    hanging off node 1 (degree 1, no triangle, cc=0)."""
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pairs = spark.createDataFrame(k4 + [(1, 5)], "id_a int, id_b int")
+    got = {
+        r["node"]: (r["degree"], r["triangles"], r["clustering_coeff"])
+        for r in graph.triangle_stats(pairs).collect()
+    }
+    assert got[5] == (1, 0, 0.0)
+    assert got[1] == (4, 3, 0.5)  # 3 of C(4,2)=6 neighbor pairs closed
+    for n in (2, 3, 4):
+        assert got[n] == (3, 3, 1.0)
+
+
+def test_triangle_stats_counts_each_triangle_once(spark):
+    """Duplicate + reversed input edges must not inflate counts."""
+    tri = [(1, 2), (2, 3), (1, 3), (2, 1), (3, 1), (1, 2)]
+    pairs = spark.createDataFrame(tri, "id_a int, id_b int")
+    rows = graph.triangle_stats(pairs).collect()
+    assert all(r["triangles"] == 1 and r["degree"] == 2 for r in rows)
+    assert len(rows) == 3
+
+
+def test_triangle_stats_triangle_free(spark):
+    """A path graph has no triangles; coefficients are all zero."""
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(1, 6)], "id_a int, id_b int")
+    rows = graph.triangle_stats(pairs).collect()
+    assert all(r["triangles"] == 0 and r["clustering_coeff"] == 0.0 for r in rows)
+
+
+# ------------------------------------------------------------- gap fill
+
+
+def test_gap_fill_locf_fills_gaps(spark):
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    buckets = spark.createDataFrame(
+        [
+            ("a", h(0), 1.0),
+            ("a", h(3), 4.0),  # gap at 1, 2
+            ("b", h(1), 9.0),  # single bucket → no gaps
+        ],
+        "k string, ts timestamp, v double",
+    )
+    out = timeseries.gap_fill_locf(buckets, "k", "ts", "v").collect()
+    rows = {(r["k"], r["ts"].hour): (r["v"], r["is_gap"]) for r in out}
+    assert len(out) == 5  # a: hours 0-3, b: hour 1
+    assert rows[("a", 0)] == (1.0, False)
+    assert rows[("a", 1)] == (1.0, True)  # LOCF from hour 0
+    assert rows[("a", 2)] == (1.0, True)
+    assert rows[("a", 3)] == (4.0, False)
+    assert rows[("b", 1)] == (9.0, False)
+
+
+def test_gap_fill_locf_no_cross_key_leak(spark):
+    """LOCF must not carry values across keys."""
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    buckets = spark.createDataFrame(
+        [("a", h(0), 5.0), ("a", h(2), 6.0), ("b", h(0), 100.0), ("b", h(2), 101.0)],
+        "k string, ts timestamp, v double",
+    )
+    out = timeseries.gap_fill_locf(buckets, "k", "ts", "v").collect()
+    gap_vals = {r["k"]: r["v"] for r in out if r["is_gap"]}
+    assert gap_vals == {"a": 5.0, "b": 100.0}
+
+
+# --------------------------------------- set-similarity join completeness
+
+
+def test_setsim_prefix_filter_is_complete(spark):
+    """The prefix filter must reproduce the brute-force all-pairs
+    result EXACTLY (zero false negatives — the property that makes
+    the unblocked DuckDB oracle valid at any threshold). Brute force
+    here is the O(n²) cross join over the same shingle sets."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox leaps over the lazy dog"),
+        (4, "pack my box with five dozen liquor jugs"),
+        (5, "pack my box with five dozen juice jugs"),
+        (6, "completely different text about spark joins"),
+        (7, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (8, "one"),  # shorter than the shingle width
+    ]
+    df = spark.createDataFrame(texts, "doc_id int, text string")
+    for threshold in (0.3, 0.5, 0.8):
+        got = {
+            (r["id_a"], r["id_b"], r["jaccard_sim"])
+            for r in dedup.setsim_join_prefix(
+                df, "doc_id", "text", threshold=threshold, k_shingle=2
+            ).collect()
+        }
+        brute = {
+            (r["id_a"], r["id_b"], r["jaccard_sim"])
+            for r in dedup.ngram_jaccard_pairs(
+                df, "doc_id", "text", threshold=threshold, k_shingle=2
+            ).collect()
+        }
+        assert got == brute, f"threshold {threshold}: {got ^ brute}"
+
+
+def test_setsim_exact_dup_scores_one(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "alpha beta gamma delta")],
+        "doc_id int, text string",
+    )
+    rows = dedup.setsim_join_prefix(df, "doc_id", "text", threshold=0.9).collect()
+    assert [(r["id_a"], r["id_b"], r["jaccard_sim"]) for r in rows] == [(1, 2, 1.0)]
+
+
+# -------------------------------------------------- priority sampling
+
+
+def test_priority_sample_deterministic_and_weighted(spark):
+    """Same input → identical sample regardless of partitioning; and
+    the md5-derived uniform is portable (checked in
+    test_md5_hash60_matches_duckdb), so cross-engine equality reduces
+    to IEEE division determinism."""
+    from parcialbigdata_spark.queries import QUERIES
+
+    a = QUERIES["priority_sample_documents"](spark, "/root/testdata/sf0.001").collect()
+    b = QUERIES["priority_sample_documents"](spark, "/root/testdata/sf0.001").collect()
+    assert a == b
+    assert len(a) == 64
+    # priorities are emitted in rank order: strictly non-increasing
+    pris = [r["priority"] for r in a]
+    assert pris == sorted(pris, reverse=True)
