@@ -5435,6 +5435,68 @@ def priority_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ols_corr_lineitem",
+    """
+    WITH s AS (
+      SELECT l_returnflag,
+             COUNT(*) AS n,
+             CAST(SUM(CAST(round(l_discount, 6)      AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(round(l_quantity, 6)      AS DECIMAL(18,6))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(round(l_discount, 6) AS DECIMAL(18,6))
+                      * CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxy,
+             CAST(SUM(CAST(round(l_discount, 6) AS DECIMAL(18,6))
+                      * CAST(round(l_discount, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(round(l_quantity, 6) AS DECIMAL(18,6))
+                      * CAST(round(l_quantity, 6) AS DECIMAL(18,6))) AS DOUBLE) AS syy
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, n,
+           round((n * sxy - sx * sy) /
+                 sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)), 6) AS corr,
+           round((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           round((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 6)
+             AS intercept
+    FROM s
+    """,
+)
+def ols_corr_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact statistics: Pearson correlation + simple OLS
+    regression (slope/intercept of quantity on discount) per return
+    flag, from the five raw moments — each moment is a round-then-
+    decimal product/sum (exact, order-independent), cast to double
+    ONCE, and the closed-form normal equations then use only IEEE
+    mul/sub/div/sqrt (all exact-rounded), so both engines produce
+    bit-identical results with no libm in sight. This is the
+    map-side-combinable one-pass formulation — never a centered
+    two-pass — so at 100 TB it is a single partial+final agg with a
+    6-number state per group. ``F.corr`` itself is avoided: its
+    streaming covariance accumulates doubles in partition order, which
+    is exactly the nondeterminism the moment formulation removes."""
+    li = load_table(spark, sf_dir, "lineitem")
+    xd = F.round("l_discount", 6).cast("decimal(18,6)")
+    yd = F.round("l_quantity", 6).cast("decimal(18,6)")
+    s = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(yd).cast("double").alias("sy"),
+        F.sum(xd * yd).cast("double").alias("sxy"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.sum(yd * yd).cast("double").alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    varx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    vary = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = num / varx
+    return s.select(
+        "l_returnflag",
+        "n",
+        F.round(num / F.sqrt(varx * vary), 6).alias("corr"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias("intercept"),
+    )
+
+
+@query(
     "fuzzy_join_part_names",
     """
     WITH names AS (
