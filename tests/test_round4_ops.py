@@ -138,3 +138,32 @@ def test_priority_sample_deterministic_and_weighted(spark):
     # priorities are emitted in rank order: strictly non-increasing
     pris = [r["priority"] for r in a]
     assert pris == sorted(pris, reverse=True)
+
+
+# ------------------------------------------------- multi-format sources
+
+
+def test_multiformat_source_roundtrip(spark, tmp_path):
+    """JSONL / CSV / ORC round-trips preserve the documents relation
+    bit-for-bit against the parquet truth (schema supplied on read —
+    inference is a scan-twice anti-pattern at scale)."""
+    from parcialbigdata_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    truth = sorted(map(tuple, docs.collect()))
+    schema = docs.schema
+
+    jdir = str(tmp_path / "docs_jsonl")
+    docs.write.json(jdir)
+    back = spark.read.schema(schema).json(jdir)
+    assert sorted(map(tuple, back.collect())) == truth
+
+    cdir = str(tmp_path / "docs_csv")
+    docs.write.option("header", True).option("quoteAll", True).csv(cdir)
+    back = spark.read.schema(schema).option("header", True).csv(cdir)
+    assert sorted(map(tuple, back.collect())) == truth
+
+    odir = str(tmp_path / "docs_orc")
+    docs.write.orc(odir)
+    back = spark.read.schema(schema).orc(odir)
+    assert sorted(map(tuple, back.collect())) == truth
