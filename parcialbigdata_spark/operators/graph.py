@@ -28,6 +28,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from parcialbigdata_spark.session import release_checkpoint
+
 
 def connected_components(
     pairs: DataFrame,
@@ -101,8 +103,13 @@ def connected_components(
             .limit(1)
             .count()
         )
+        # The changed-probe above was the last read of the previous
+        # round's labels; release its checkpoint so the loop holds at
+        # most two label generations in executor storage at any time.
+        release_checkpoint(labels)
         labels = new_labels
         if changed == 0:
+            release_checkpoint(edges)
             return labels.select(F.col("node"), F.col("comp").alias("component"))
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
@@ -170,6 +177,10 @@ def _connected_components_star(
         grew = new_E.join(E, ["u", "v"], "left_anti").limit(1).count()
         shrank = E.join(new_E, ["u", "v"], "left_anti").limit(1).count()
         stable = grew == 0 and shrank == 0
+        # Both stability probes have run: the previous edge generation
+        # is dead — release it (the final E and `nodes` are ancestors
+        # of the returned lazy plan and must stay).
+        release_checkpoint(E)
         E = new_E
         if stable:
             labels = E.groupBy("u").agg(F.min("v").alias("component")).select(
@@ -280,6 +291,7 @@ def pagerank_scaled(
     ranks = base_nodes.crossJoin(F.broadcast(n_total)).select(
         "node", "out_degree", "base", F.col("init").alias("rank_scaled")
     )
+    ckpt = None
     for it in range(iterations):
         contrib = (
             e.join(
@@ -308,8 +320,25 @@ def pagerank_scaled(
             )
         )
         if (it + 1) % checkpoint_interval == 0 and it + 1 < iterations:
-            ranks = ranks.localCheckpoint(eager=True)
-    return ranks.select("node", "out_degree", "rank_scaled")
+            prev_ckpt = ckpt
+            ranks = ckpt = ranks.localCheckpoint(eager=True)
+            # The new checkpoint is self-contained once materialized, so
+            # the one it supersedes can release its cached partitions —
+            # repeated calls must not grow the persisted-RDD set
+            # (ADVICE r3 cache-leak discipline; the LAST checkpoint is
+            # an ancestor of the returned plan and must stay).
+            if prev_ckpt is not None:
+                release_checkpoint(prev_ckpt)
+    out = ranks.select("node", "out_degree", "rank_scaled")
+    if ckpt is not None:
+        # A retained intermediate checkpoint would be an unreleasable
+        # ancestor of the returned plan; materialize the result itself
+        # instead and release the intermediate, so the caller can free
+        # everything with one release_checkpoint() on the returned
+        # relation.
+        out = out.localCheckpoint(eager=True)
+        release_checkpoint(ckpt)
+    return out
 
 
 def pagerank_conserving(
@@ -343,7 +372,12 @@ def pagerank_conserving(
     dangling sum, and eagerly checkpoints each round because the rank
     relation is read by several singleton aggregates — use
     :func:`pagerank_scaled` when exact conservation isn't needed.
-    Helper relations are unpersisted before returning."""
+    Helper relations and superseded per-round checkpoints are released
+    before returning; the ONE retained materialization is the returned
+    result itself (eagerly checkpointed, lineage-free) — call
+    :func:`parcialbigdata_spark.session.release_checkpoint` on it when
+    done to release its cached partitions (plain ``unpersist()`` cannot
+    see a checkpoint's backing RDD)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
     e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -389,6 +423,11 @@ def pagerank_conserving(
         )
         .localCheckpoint(eager=True)
     )
+    # Each round's eager checkpoint supersedes the previous one; the
+    # superseded checkpoint's cached partitions are released as soon as
+    # the successor is materialized, so repeated calls never grow the
+    # persisted-RDD set (ADVICE r3 cache-leak discipline).
+    prev_ckpt = ranks
     for _ in range(iterations):
         dangling = ranks.agg(
             F.coalesce(
@@ -426,6 +465,8 @@ def pagerank_conserving(
             )
             .localCheckpoint(eager=True)
         )
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = raw
         residue = raw.agg((F.lit(scale) - F.sum("rank_raw")).alias("residue"))
         ranks = raw.crossJoin(F.broadcast(residue)).select(
             "node",
@@ -441,6 +482,7 @@ def pagerank_conserving(
             ).alias("rank_scaled"),
         )
     ranks = ranks.select("node", "out_degree", "rank_scaled").localCheckpoint(eager=True)
+    release_checkpoint(prev_ckpt)
     e.unpersist()
     base_nodes.unpersist()
     return ranks

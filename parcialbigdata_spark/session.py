@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
 
 
 def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None) -> SparkSession:
@@ -72,3 +72,28 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         .config("spark.sql.ansi.enabled", "false")
     )
     return builder.getOrCreate()
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Release the cached partitions of a ``localCheckpoint()``-ed
+    DataFrame.
+
+    ``DataFrame.unpersist()`` only clears CacheManager entries
+    (``persist()`` caches); a checkpoint's backing RDD is invisible to
+    it, so iterative operators that checkpoint per round would
+    accumulate persisted RDDs until the ContextCleaner happens to GC
+    them — unbounded executor storage growth on a long-running cluster
+    job. This reaches the ``LogicalRDD`` behind the checkpointed plan
+    and unpersists its RDD directly (non-blocking).
+
+    Only call on a checkpoint that is genuinely superseded: the
+    DataFrame's lineage was truncated, so any later action on it (or on
+    a plan built over it that has not itself been materialized) fails
+    with a missing-checkpoint-block error rather than recomputing.
+    Falls back to ``unpersist()`` if the plan shape is unexpected
+    (e.g. a future Spark renames the accessor) — never raises.
+    """
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:
+        df.unpersist()

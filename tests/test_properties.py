@@ -526,9 +526,17 @@ def test_pagerank_conserving_sums_to_scale(spark):
 
 def test_pagerank_unpersists_helpers(spark):
     """pagerank_scaled / pagerank_conserving release their cached edge
-    and degree relations (ADVICE r3): repeated calls must not grow the
-    set of persisted RDDs."""
+    and degree relations AND every superseded per-round checkpoint
+    (ADVICE r3): repeated calls must not grow the set of persisted
+    RDDs.  pagerank_conserving retains exactly one materialization —
+    the returned, lineage-free result — which the caller contract says
+    to release via ``session.release_checkpoint`` when done (exercised
+    here; plain ``unpersist()`` cannot see a checkpoint's backing RDD).
+    Enough iterations are used that pagerank_scaled crosses its
+    checkpoint_interval and the superseded-checkpoint release path
+    actually runs."""
     from parcialbigdata_spark.operators import graph
+    from parcialbigdata_spark.session import release_checkpoint
 
     edges = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], "src BIGINT, dst BIGINT")
 
@@ -539,8 +547,40 @@ def test_pagerank_unpersists_helpers(spark):
     graph.pagerank_scaled(edges, iterations=2).count()
     after_first = n_cached()
     for _ in range(3):
-        graph.pagerank_scaled(edges, iterations=2).count()
-        graph.pagerank_conserving(edges, iterations=2).count()
-    assert n_cached() <= after_first + 1, (
+        # 12 iterations / interval 5 -> two intermediate checkpoints,
+        # both superseded and released; the result is its own (only)
+        # retained materialization, dropped by the caller's release.
+        scaled = graph.pagerank_scaled(edges, iterations=12)
+        scaled.count()
+        release_checkpoint(scaled)
+        conserving = graph.pagerank_conserving(edges, iterations=2)
+        conserving.count()
+        release_checkpoint(conserving)
+    assert n_cached() <= after_first, (
         "persisted RDDs accumulate across pagerank calls"
     )
+
+
+def test_connected_components_release_superseded_checkpoints(spark):
+    """Both CC algorithms release per-round checkpoints as they are
+    superseded: after a run, at most the caller-visible result lineage
+    (final labels / final star edges + nodes) stays persisted, and
+    repeated runs do not grow the persisted-RDD set."""
+    from parcialbigdata_spark.operators import graph
+
+    def n_cached() -> int:
+        jsc = spark.sparkContext._jsc.sc()
+        return jsc.getPersistentRDDs().size()
+
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 12)], "id_a BIGINT, id_b BIGINT"
+    )
+    graph.connected_components(path).count()
+    base_label = n_cached()
+    graph.connected_components(path).count()
+    assert n_cached() <= base_label + 1  # final labels ckpt per call
+
+    graph.connected_components(path, algorithm="star").count()
+    base_star = n_cached()
+    graph.connected_components(path, algorithm="star").count()
+    assert n_cached() <= base_star + 2  # final E + nodes per call
