@@ -158,3 +158,39 @@ def range_join(
             cond = cond & e
         return left.join(r, cond & condition, how)
     return left.join(r, condition, how)
+
+
+def pareto_front_2d(
+    df: DataFrame,
+    minimize: str,
+    maximize: str,
+) -> DataFrame:
+    """2-D skyline: rows not dominated on (``minimize`` lower-better,
+    ``maximize`` higher-better).  Row r is dominated iff some row q has
+    q.min <= r.min AND q.max >= r.max with at least one strict; exact
+    coordinate ties are mutually non-dominating and all survive.
+
+    Sort-scan algorithm, not the quadratic anti-join: aggregate the max
+    of ``maximize`` per distinct ``minimize`` value, take a running max
+    over strictly-smaller ``minimize`` values (ROWS ... 1 PRECEDING over
+    the value-distinct relation), and keep a row iff no strictly-better
+    ``minimize`` group reaches its ``maximize`` AND no same-``minimize``
+    row strictly exceeds it.  Cost: one agg + one sort of the
+    value-distinct relation (tiny) + one broadcast join back — O(n log d)
+    for d distinct values vs the oracle's O(n^2).  The single-partition
+    running-max window is over the value-distinct relation only; at
+    extreme d, grid-partition ``minimize`` and merge frontier segments.
+    """
+    per_value = df.groupBy(minimize).agg(F.max(maximize).alias("__pmax"))
+    w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)
+    bounds = per_value.select(
+        minimize,
+        "__pmax",
+        F.max("__pmax").over(w).alias("__prior_max"),
+    )
+    joined = df.join(F.broadcast(bounds), minimize)
+    dominated = (
+        (F.col("__prior_max").isNotNull() & (F.col("__prior_max") >= F.col(maximize)))
+        | (F.col("__pmax") > F.col(maximize))
+    )
+    return joined.filter(~dominated).drop("__pmax", "__prior_max")

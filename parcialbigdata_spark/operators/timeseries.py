@@ -59,3 +59,67 @@ def gap_fill_locf(
         .withColumn("is_gap", F.col(value_col).isNull())
         .withColumn(value_col, F.last(value_col, ignorenulls=True).over(w))
     )
+
+
+def gap_fill_interp(
+    buckets: DataFrame,
+    key_col: str,
+    bucket_col: str,
+    value_col: str,
+    step: str = "1 hour",
+    decimals: int = 6,
+) -> DataFrame:
+    """Densify like :func:`gap_fill_locf` but fill gaps by LINEAR
+    INTERPOLATION between the surrounding observed buckets (the
+    TimescaleDB ``interpolate`` companion to ``locf``).
+
+    Two ``ignorenulls`` windows over one per-key sort carry the previous
+    and next observed (value, epoch) pair to every grid row; the fill is
+    ``prev + (next - prev) * (t - t_prev) / (t_next - t_prev)`` in plain
+    IEEE double arithmetic, rounded to ``decimals`` — bit-identical on
+    any engine given the same observed values.  Grid endpoints are
+    observed by construction (per-key min/max), so the fill is total.
+
+    Scale shape: identical to LOCF — grid explode is per-key
+    ``sequence`` over the already-aggregated bucket relation, both
+    windows share the single (key) shuffle + (bucket) sort, nothing
+    re-touches raw event volume.
+    """
+    spans = buckets.groupBy(key_col).agg(
+        F.min(bucket_col).alias("__lo"), F.max(bucket_col).alias("__hi")
+    )
+    grid = spans.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"interval {step}"))
+        ).alias(bucket_col),
+    )
+    joined = (
+        grid.join(buckets, [key_col, bucket_col], "left")
+        .withColumn("is_gap", F.col(value_col).isNull())
+        .withColumn("__es", F.unix_timestamp(bucket_col))
+        .withColumn(
+            "__obs_es", F.when(~F.col("is_gap"), F.unix_timestamp(bucket_col))
+        )
+    )
+    back = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    fwd = (
+        Window.partitionBy(key_col)
+        .orderBy(bucket_col)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    prev_v = F.last(value_col, ignorenulls=True).over(back).cast("double")
+    prev_t = F.last("__obs_es", ignorenulls=True).over(back).cast("double")
+    next_v = F.first(value_col, ignorenulls=True).over(fwd).cast("double")
+    next_t = F.first("__obs_es", ignorenulls=True).over(fwd).cast("double")
+    t = F.col("__es").cast("double")
+    filled = F.when(~F.col("is_gap"), F.col(value_col).cast("double")).otherwise(
+        prev_v + (next_v - prev_v) * (t - prev_t) / (next_t - prev_t)
+    )
+    return joined.withColumn(
+        value_col, F.round(filled, decimals)
+    ).drop("__es", "__obs_es")

@@ -5542,6 +5542,367 @@ def fuzzy_join_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# R4b. Second round-4 wave: anomaly detection (rolling z-score),
+# interpolated gap fill, categorical independence (chi-square),
+# co-occurrence mining, per-dimension feature stats, skyline.
+# =====================================================================
+
+
+@query(
+    "rolling_zscore_orders",
+    """
+    WITH cents AS (
+      SELECT o_orderpriority, o_orderkey, o_orderdate, o_totalprice,
+             CAST(round(o_totalprice * 100, 0) AS BIGINT) AS c
+      FROM orders
+    ),
+    w AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             COUNT(*) OVER win AS n,
+             CAST(SUM(c) OVER win AS DOUBLE) / 100 AS s,
+             CAST(SUM(c * c) OVER win AS DOUBLE) / 10000 AS sq
+      FROM cents
+      WINDOW win AS (PARTITION BY o_orderpriority
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ),
+    z AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             (o_totalprice - s / n) / sqrt((sq - s * s / n) / n) AS zscore
+      FROM w
+      WHERE n = 20 AND (sq - s * s / n) / n > 0
+    )
+    SELECT o_orderpriority, o_orderkey, o_totalprice,
+           round(zscore, 6) AS zscore
+    FROM z WHERE abs(zscore) > 3
+    """,
+)
+def rolling_zscore_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-window anomaly detection: orders whose total price is a
+    >3σ outlier against the trailing 20-order window of the same
+    priority class (time-ordered).  The money column is converted to
+    exact integer cents once, so the rolling count / sum /
+    sum-of-squares are pure BIGINT window sums (exact,
+    order-independent, no decimal-width ceilings on the squares); the
+    closed-form z-score is then IEEE sub/mul/div/sqrt on those exact
+    moments, so both engines compute bit-identical doubles and the
+    |z| > 3 cut is engine-stable.  One shuffle on the priority key;
+    all three window sums share a single sort.  Partial leading
+    windows (n < 20) and degenerate zero-variance windows are excluded
+    before the cut."""
+    orders = load_table(spark, sf_dir, "orders")
+    win = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-19, Window.currentRow)
+    )
+    c = F.round(F.col("o_totalprice") * 100, 0).cast("bigint")
+    n = F.count(F.lit(1)).over(win)
+    s = (F.sum(c).over(win).cast("double") / 100)
+    sq = (F.sum(c * c).over(win).cast("double") / 10000)
+    var = (F.col("sq") - F.col("s") * F.col("s") / F.col("n")) / F.col("n")
+    z = (F.col("o_totalprice") - F.col("s") / F.col("n")) / F.sqrt(var)
+    return (
+        orders.select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            n.alias("n"), s.alias("s"), sq.alias("sq"),
+        )
+        .filter((F.col("n") == 20) & (var > 0))
+        .select(
+            "o_orderpriority", "o_orderkey", "o_totalprice",
+            z.alias("zscore"),
+        )
+        .filter(F.abs(F.col("zscore")) > 3)
+        .withColumn("zscore", F.round("zscore", 6))
+    )
+
+
+@query(
+    "gap_fill_interp_events",
+    """
+    WITH obs AS (
+      SELECT event_type, date_trunc('hour', ts) AS bucket_ts,
+             COUNT(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    spans AS (
+      SELECT event_type, min(bucket_ts) AS lo, max(bucket_ts) AS hi
+      FROM obs GROUP BY 1
+    ),
+    grid AS (
+      SELECT event_type,
+             unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket_ts
+      FROM spans
+    ),
+    j AS (
+      SELECT g.event_type, g.bucket_ts, o.n_events,
+             o.n_events IS NULL AS is_gap,
+             epoch(g.bucket_ts) AS es,
+             CASE WHEN o.n_events IS NOT NULL THEN epoch(g.bucket_ts) END AS obs_es
+      FROM grid g LEFT JOIN obs o USING (event_type, bucket_ts)
+    ),
+    c AS (
+      SELECT event_type, bucket_ts, is_gap, es, n_events,
+             CAST(last_value(n_events IGNORE NULLS) OVER back AS DOUBLE) AS pv,
+             CAST(last_value(obs_es   IGNORE NULLS) OVER back AS DOUBLE) AS pt,
+             CAST(first_value(n_events IGNORE NULLS) OVER fwd AS DOUBLE) AS nv,
+             CAST(first_value(obs_es   IGNORE NULLS) OVER fwd AS DOUBLE) AS nt
+      FROM j
+      WINDOW back AS (PARTITION BY event_type ORDER BY bucket_ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             fwd AS (PARTITION BY event_type ORDER BY bucket_ts
+                     ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_type,
+           strftime(bucket_ts, '%Y-%m-%d %H:%M:%S') AS bucket,
+           is_gap,
+           round(CASE WHEN NOT is_gap THEN CAST(n_events AS DOUBLE)
+                      ELSE pv + (nv - pv) * (CAST(es AS DOUBLE) - pt) / (nt - pt)
+                 END, 6) AS n_events_interp
+    FROM c
+    """,
+)
+def gap_fill_interp_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear-interpolation gap fill (the TimescaleDB ``interpolate``
+    companion to the LOCF query): the hourly event-count series per
+    event type is densified to a full grid and missing hours are filled
+    on the straight line between the surrounding observed hours.  The
+    fill is pure IEEE arithmetic on integer counts and epoch seconds —
+    deterministic on both engines — and the DuckDB oracle replays the
+    same two ``IGNORE NULLS`` windows.  See
+    ``operators/timeseries.py gap_fill_interp`` for the scale shape
+    (one shuffle, both windows share one sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bucket_ts")
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    filled = timeseries.gap_fill_interp(obs, "event_type", "bucket_ts", "n_events")
+    return filled.select(
+        "event_type",
+        F.date_format("bucket_ts", "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+        "is_gap",
+        F.col("n_events").alias("n_events_interp"),
+    )
+
+
+@query(
+    "chi2_status_priority",
+    """
+    WITH cells AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS observed
+      FROM orders GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT o_orderstatus, o_orderpriority, observed,
+             SUM(observed) OVER (PARTITION BY o_orderstatus)   AS row_tot,
+             SUM(observed) OVER (PARTITION BY o_orderpriority) AS col_tot,
+             SUM(observed) OVER ()                             AS grand,
+             COUNT(DISTINCT o_orderstatus) OVER ()   AS n_rows,
+             COUNT(DISTINCT o_orderpriority) OVER () AS n_cols
+      FROM cells
+    ),
+    c AS (
+      SELECT o_orderstatus, o_orderpriority, observed,
+             (n_rows - 1) * (n_cols - 1) AS dof,
+             CAST(row_tot AS DOUBLE) * col_tot / grand AS expected
+      FROM t
+    )
+    SELECT o_orderstatus, o_orderpriority, observed, dof,
+           round(expected, 6) AS expected,
+           round((observed - expected) * (observed - expected) / expected, 6)
+             AS chi2_contrib,
+           CAST(SUM(CAST(round((observed - expected) * (observed - expected)
+                               / expected, 6) AS DECIMAL(18,6))) OVER ()
+                AS DOUBLE) AS chi2_total
+    FROM c
+    """,
+)
+def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence on the order-status ×
+    order-priority contingency table.  Observed counts are exact
+    bigints; expected counts and per-cell contributions are closed-form
+    IEEE mul/div on those bigints (deterministic); the statistic is the
+    round-then-decimal-sum of the per-cell contributions, so the total
+    is order-independent and engine-identical.  All windows run over
+    the already-aggregated cell relation (|statuses|×|priorities| rows),
+    so the heavy lifting is one partial+final count aggregation over
+    the fact table — a single shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    cells = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("observed")
+    )
+    w_all = Window.partitionBy()
+    t = cells.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "observed",
+        F.sum("observed").over(Window.partitionBy("o_orderstatus")).alias("row_tot"),
+        F.sum("observed").over(Window.partitionBy("o_orderpriority")).alias("col_tot"),
+        F.sum("observed").over(w_all).alias("grand"),
+        F.size(F.collect_set("o_orderstatus").over(w_all)).cast("bigint").alias("n_rows"),
+        F.size(F.collect_set("o_orderpriority").over(w_all)).cast("bigint").alias("n_cols"),
+    )
+    expected = F.col("row_tot").cast("double") * F.col("col_tot") / F.col("grand")
+    contrib = F.round(
+        (F.col("observed") - expected) * (F.col("observed") - expected) / expected, 6
+    )
+    return t.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "observed",
+        ((F.col("n_rows") - 1) * (F.col("n_cols") - 1)).alias("dof"),
+        F.round(expected, 6).alias("expected"),
+        contrib.alias("chi2_contrib"),
+        F.sum(contrib.cast("decimal(18,6)")).over(w_all).cast("double").alias("chi2_total"),
+    )
+
+
+@query(
+    "copurchase_part_pairs",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             COUNT(*) AS n_orders
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    )
+    SELECT part_a, part_b, n_orders
+    FROM pairs
+    ORDER BY n_orders DESC, part_a, part_b
+    LIMIT 100
+    """,
+)
+def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-occurrence (market-basket) mining: part pairs appearing
+    together in ≥2 orders, top-100 by support with a total-order
+    tie-break.  The self-join is keyed on the order — pair blow-up is
+    bounded by C(items_per_order, 2), which TPC-H caps at C(7,2) = 21
+    per order — and the pair aggregation is the only wide shuffle.
+    orderBy+limit compiles to TakeOrderedAndProject (per-partition
+    100-row heaps, only heads move).  At 100 TB the same shape holds
+    as long as basket size is bounded; degenerate mega-baskets should
+    be capped upstream exactly like the LSH bucket cap
+    (operators/dedup.py max_bucket)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("part_a"),
+            F.col("b.l_partkey").alias("part_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= 2)
+    )
+    return pairs.orderBy(
+        F.col("n_orders").desc(), "part_a", "part_b"
+    ).limit(100)
+
+
+@query(
+    "dim_stats_embeddings",
+    """
+    WITH v AS (
+      SELECT CAST(generate_subscripts(embedding, 1) - 1 AS BIGINT) AS dim,
+             round(CAST(unnest(embedding) AS DOUBLE), 6) AS x
+      FROM embeddings
+    ),
+    s AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(18,6))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(x AS DECIMAL(18,6)) * CAST(x AS DECIMAL(18,6)))
+                  AS DOUBLE) AS sxx,
+             MIN(x) AS min_x, MAX(x) AS max_x
+      FROM v GROUP BY dim
+    )
+    SELECT dim, n,
+           round(sx / n, 6) AS mean,
+           round(sqrt((sxx - sx * sx / n) / n), 6) AS std,
+           min_x, max_x
+    FROM s
+    """,
+)
+def dim_stats_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension feature statistics over the embedding corpus (the
+    fit step of a standardizing feature scaler): mean / population std /
+    min / max for each of the 64 dimensions.  ``posexplode`` flattens
+    row-local arrays (no UDF); values are rounded to 6 decimals once so
+    the decimal moment sums are exact and order-independent; the final
+    mean/std are closed-form IEEE on those exact sums.  One shuffle on
+    the 64-value dim key — at 100 TB the explode is map-side and the
+    agg reduces to 64 groups with map-side partials, so the wide state
+    is trivially small (skew across dims is impossible: every row
+    contributes exactly one value per dim)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select(
+        F.posexplode("embedding").alias("dim", "x_raw")
+    ).select(
+        F.col("dim").cast("bigint").alias("dim"),
+        F.round(F.col("x_raw").cast("double"), 6).alias("x"),
+    )
+    xd = F.col("x").cast("decimal(18,6)")
+    s = v.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(xd).cast("double").alias("sx"),
+        F.sum(xd * xd).cast("double").alias("sxx"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+    )
+    return s.select(
+        "dim",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean"),
+        F.round(
+            F.sqrt((F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / F.col("n")), 6
+        ).alias("std"),
+        "min_x",
+        "max_x",
+    )
+
+
+@query(
+    "skyline_parts",
+    """
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+)
+def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): parts not dominated on (cheaper
+    price, larger size).  Spark side is the O(n log n) sort-scan
+    algorithm, NOT the quadratic anti-join the oracle brute-forces: per
+    distinct price, keep the max size; a running max over strictly
+    cheaper prices (ROWS … 1 PRECEDING over the price-distinct
+    relation) gives the dominance bound, and a part survives iff no
+    strictly-cheaper price reaches its size AND no same-price part
+    strictly exceeds it.  Ties on both coordinates are mutually
+    non-dominating and all survive — the exact NOT EXISTS semantics.
+    Cost: one sort of the price-distinct relation (tiny) + one
+    broadcast join back; at 100 TB, pre-aggregate per price (exact) and
+    the windowed relation stays ~|distinct prices|.  See
+    ``operators/joins.py pareto_front_2d``."""
+    part = load_table(spark, sf_dir, "part")
+    return joins.pareto_front_2d(part, "p_retailprice", "p_size").select(
+        "p_partkey", "p_retailprice", "p_size"
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
@@ -5593,13 +5954,18 @@ _DRIVER_WINDOW = [
     # stay CI-oracle green via tests/test_correctness_full.py)
     "window_top_orders_per_customer",
     "sessionization_events",
-    "scd2_order_price_history",
+    # (scd2_order_price_history rotated out in r4b — third W-family
+    # sibling — for the new skyline family below; stays CI-green.)
+    "skyline_parts",
     # top-k / set ops / scalar functions
     "topk_parts_by_price",
     "setops_customer_segments",
     "string_funcs_parts",
     "events_hourly_agg",
-    "json_event_props",
+    # (json_event_props rotated out in r4b — F4 keeps
+    # variant_event_props, whose r3 oracle-cast fix this window must
+    # prove green — for the new rolling-anomaly family; stays CI-green.)
+    "rolling_zscore_orders",
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",

