@@ -109,6 +109,11 @@ BENCH_QUERIES = [
     "triangle_stats_supplier_graph",
     "gap_fill_events_hourly",
     "bm25_top_documents",
+    # r4b: co-occurrence self-join (heaviest of the new wave), rolling
+    # window moments, interpolation gap-fill twin.
+    "copurchase_part_pairs",
+    "rolling_zscore_orders",
+    "gap_fill_interp_events",
 ]
 
 

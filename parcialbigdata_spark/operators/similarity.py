@@ -385,12 +385,18 @@ def pq_fit(
         Xs = X[:, s * sub : (s + 1) * sub]
         C = Xs[rng.choice(len(Xs), size=min(k_codes, len(Xs)), replace=False)]
         for _ in range(n_iter):
-            d = ((Xs[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            # argmin of |x-c|^2 == argmin of |c|^2 - 2 x.c — one GEMM
+            # instead of an n×k×sub broadcast temporary (the broadcast
+            # was ~5 s of driver time at k_codes=256), and the SAME
+            # expression _pq_encode_udf uses, so fit and encode agree
+            # on the metric bit-for-bit.
+            d = (C**2).sum(axis=1)[None, :] - 2.0 * (Xs @ C.T)
             assign = d.argmin(axis=1)
-            for c in range(len(C)):
-                members = Xs[assign == c]
-                if len(members):
-                    C[c] = members.mean(axis=0)
+            counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+            sums = np.zeros_like(C)
+            np.add.at(sums, assign, Xs)
+            nonempty = counts > 0
+            C[nonempty] = sums[nonempty] / counts[nonempty, None]
         books.append(C.tolist())
     return books
 
@@ -445,7 +451,14 @@ def pq_topk(
         [float(((q[s * sub : (s + 1) * sub] - np.asarray(c)) ** 2).sum()) for c in book]
         for s, book in enumerate(codebooks)
     ]
-    lut_col = F.array(*[F.array(*[F.lit(v) for v in row]) for row in lut])
+    # One parsed SQL literal instead of m×k_codes F.lit() py4j round
+    # trips: at k_codes=256 the Column-by-Column construction alone
+    # cost ~1.3 s of driver time per call; repr() doubles round-trip
+    # exactly through the SQL parser, so the plan is unchanged.
+    lut_sql = "array(%s)" % ",".join(
+        "array(%s)" % ",".join(f"{v!r}D" for v in row) for row in lut
+    )
+    lut_col = F.expr(lut_sql)
     encoded = pq_encode(df, codebooks, id_col, vec_col)
     dist = F.aggregate(
         F.zip_with(
