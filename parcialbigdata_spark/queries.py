@@ -5903,6 +5903,189 @@ def skyline_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "hll_rollup_users",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           COUNT(DISTINCT date_trunc('day', ts)) AS n_partials,
+           TRUE AS merged_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def hll_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup (Apache DataSketches HLL via Spark 4's
+    ``hll_sketch_agg`` family) — THE 100 TB distinct-count pattern:
+    per-(event_type, day) sketch partials are built once (what a cube /
+    materialized rollup would store as binary columns), then distinct
+    users per event type come from ``hll_union_agg`` over the partials
+    WITHOUT re-scanning facts — re-aggregatable across any dimension
+    slice, which plain ``approx_count_distinct`` results are not.
+    Sketch bytes are engine-specific, so the oracle uses the repo's
+    attestation pattern: exact count + a boolean pinning the merged
+    estimate within 10%; a drifting merge flips it and fails the
+    hash."""
+    ev = load_table(spark, sf_dir, "events")
+    partials = ev.groupBy(
+        "event_type", F.date_trunc("day", F.col("ts")).alias("day")
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    merged = partials.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = (
+        F.abs(F.col("merged_est") - F.col("exact_users"))
+        / F.greatest(F.col("exact_users"), F.lit(1))
+    ) <= 0.10
+    return exact.join(merged, "event_type").select(
+        "event_type", "exact_users", "n_partials", within.alias("merged_within_10pct")
+    )
+
+
+@query(
+    "theta_audience_overlap",
+    """
+    WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+         p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+    SELECT (SELECT COUNT(*) FROM c) AS exact_click_users,
+           (SELECT COUNT(*) FROM p) AS exact_purchase_users,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c INTERSECT
+                                  SELECT user_id FROM p)) AS exact_overlap,
+           (SELECT COUNT(*) FROM (SELECT user_id FROM c EXCEPT
+                                  SELECT user_id FROM p)) AS exact_click_only,
+           TRUE AS overlap_within_10pct,
+           TRUE AS difference_within_10pct
+    """,
+)
+def theta_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch SET ALGEBRA (DataSketches Theta): audience overlap
+    (clickers ∩ purchasers) and exclusion (clickers ∖ purchasers)
+    estimated from two per-segment sketches via ``theta_intersection``
+    / ``theta_difference`` — operations HLL fundamentally cannot do
+    (HLL only unions).  At 100 TB each segment's sketch is a few KB
+    built in one pass; every pairwise overlap of S segments then costs
+    O(S²) sketch ops on the driver instead of S² distinct-count
+    shuffles over the facts.  Attestation oracle: exact set sizes via
+    semi/anti join + booleans pinning both estimates within 10%."""
+    ev = load_table(spark, sf_dir, "events")
+    c_sk = ev.filter(F.col("event_type") == "click").agg(
+        F.theta_sketch_agg("user_id").alias("c_sk")
+    )
+    p_sk = ev.filter(F.col("event_type") == "purchase").agg(
+        F.theta_sketch_agg("user_id").alias("p_sk")
+    )
+    ests = c_sk.crossJoin(p_sk).select(
+        F.theta_sketch_estimate(
+            F.theta_intersection(F.col("c_sk"), F.col("p_sk"))
+        ).alias("est_overlap"),
+        F.theta_sketch_estimate(
+            F.theta_difference(F.col("c_sk"), F.col("p_sk"))
+        ).alias("est_click_only"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select("user_id").distinct()
+    purch = ev.filter(F.col("event_type") == "purchase").select("user_id").distinct()
+    exact = (
+        clicks.join(purch, "user_id", "left_semi")
+        .agg(F.count(F.lit(1)).alias("exact_overlap"))
+        .crossJoin(
+            clicks.join(purch, "user_id", "left_anti").agg(
+                F.count(F.lit(1)).alias("exact_click_only")
+            )
+        )
+        .crossJoin(clicks.agg(F.count(F.lit(1)).alias("exact_click_users")))
+        .crossJoin(purch.agg(F.count(F.lit(1)).alias("exact_purchase_users")))
+    )
+
+    def _within(est: str, exact_col: str) -> F.Column:
+        return (
+            F.abs(F.col(est) - F.col(exact_col))
+            / F.greatest(F.col(exact_col), F.lit(1))
+        ) <= 0.10
+
+    return exact.crossJoin(F.broadcast(ests)).select(
+        "exact_click_users",
+        "exact_purchase_users",
+        "exact_overlap",
+        "exact_click_only",
+        _within("est_overlap", "exact_overlap").alias("overlap_within_10pct"),
+        _within("est_click_only", "exact_click_only").alias("difference_within_10pct"),
+    )
+
+
+@query(
+    "kll_quantile_merge_orders",
+    """
+    SELECT CAST(COUNT(DISTINCT date_trunc('month', o_orderdate)) AS BIGINT)
+             AS n_partials,
+           quantile_cont(o_totalprice, 0.5)  AS exact_p50,
+           quantile_cont(o_totalprice, 0.95) AS exact_p95,
+           TRUE AS p50_rank_ok,
+           TRUE AS p95_rank_ok
+    FROM orders
+    """,
+)
+def kll_quantile_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable QUANTILES (DataSketches KLL): per-month KLL sketches
+    of order totals are merged with ``kll_sketch_merge_double`` and
+    queried for p50/p95 — the re-aggregatable complement to the exact
+    ``percentile`` pass, and the only way a 100 TB rollup table serves
+    ad-hoc quantile queries over arbitrary date ranges without
+    re-scanning facts (exact percentiles don't merge; KLL partials
+    do, with ~1.65% rank error at the default k=200).  Attestation:
+    the merged estimates' TRUE ranks (fraction of orders ≤ estimate,
+    computed exactly) must land within ±0.05 of the target rank;
+    exact quantiles ride along as hard cross-engine columns."""
+    orders = load_table(spark, sf_dir, "orders")
+    partials = orders.groupBy(
+        F.date_trunc("month", F.col("o_orderdate")).alias("month")
+    ).agg(F.kll_sketch_agg_double("o_totalprice").alias("sk"))
+    # kll_sketch_merge_double is a binary scalar: fold the collected
+    # partials (one ~KB sketch per month — a bounded list) with a HOF.
+    # At scale, merge in two levels (per-year groupBy first) instead of
+    # one driver-sized list.
+    merged = (
+        partials.agg(
+            F.collect_list("sk").alias("sks"),
+            F.count(F.lit(1)).cast("bigint").alias("n_partials"),
+        )
+        .select(
+            "n_partials",
+            F.expr(
+                "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+                " (acc, x) -> kll_sketch_merge_double(acc, x))"
+            ).alias("msk"),
+        )
+        .select(
+            "n_partials",
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.5)).alias("est_p50"),
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(0.95)).alias("est_p95"),
+        )
+    )
+    checked = orders.crossJoin(F.broadcast(merged)).agg(
+        F.first("n_partials").alias("n_partials"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact_p50"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("exact_p95"),
+        (
+            F.sum(F.when(F.col("o_totalprice") <= F.col("est_p50"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank_p50"),
+        (
+            F.sum(F.when(F.col("o_totalprice") <= F.col("est_p95"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("rank_p95"),
+    )
+    return checked.select(
+        "n_partials",
+        "exact_p50",
+        "exact_p95",
+        (F.abs(F.col("rank_p50") - 0.5) <= 0.05).alias("p50_rank_ok"),
+        (F.abs(F.col("rank_p95") - 0.95) <= 0.05).alias("p95_rank_ok"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
