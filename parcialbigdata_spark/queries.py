@@ -6086,6 +6086,123 @@ def kll_quantile_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "pipe_syntax_revenue",
+    f"""
+    SELECT l_returnflag,
+           CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    GROUP BY l_returnflag
+    """,
+)
+def pipe_syntax_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 SQL PIPE syntax (`|>`) surface parity: the same
+    filter → aggregate plan written as a linear pipeline.  Pipe stages
+    compile to the identical Catalyst plan as the ANSI form (the oracle
+    is that ANSI form), so this pins that the modern SQL surface is
+    usable against the engine with the repo's decimal-sum discipline
+    intact."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_pipe")
+    return spark.sql(
+        f"""
+        FROM lineitem_pipe
+        |> WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        |> AGGREGATE CAST(SUM({_REV_SQL}) AS DOUBLE) AS revenue,
+                     COUNT(*) AS n
+           GROUP BY l_returnflag
+        """
+    )
+
+
+_RCTE_SQL = """
+WITH RECURSIVE edges AS (
+  SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+  FROM {li} a JOIN {li} b
+    ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+  WHERE a.l_quantity >= 49 AND b.l_quantity >= 49
+),
+reach(node, hop) AS (
+  SELECT (SELECT MIN(u) FROM edges), CAST(0 AS INT)
+  UNION ALL
+  SELECT e.v, r.hop + 1
+  FROM reach r JOIN edges e ON e.u = r.node
+  WHERE r.hop < 3
+)
+SELECT node, MIN(hop) AS min_hops, COUNT(*) AS n_paths
+FROM reach GROUP BY node
+"""
+
+
+@query("recursive_cte_supplier_reach", _RCTE_SQL.format(li="lineitem"))
+def recursive_cte_supplier_reach(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 recursive CTE (``WITH RECURSIVE``) surface parity:
+    hop-bounded BFS (≤3) over the sparse high-volume supplier
+    co-occurrence graph from the minimum supplier key, emitting each
+    reached node's minimum hop count and path multiplicity.  Spark
+    only supports UNION ALL recursion, so the iteration enumerates
+    paths — bounded here by the hop cap times the sparse graph's
+    degree; identical UNION ALL semantics in DuckDB make the oracle a
+    literal replay.  For unbounded-diameter reachability use
+    ``operators/graph.py connected_components`` (the dataframe-loop
+    form with per-round checkpointing) — a recursive CTE keeps the
+    whole expansion as one plan, which is exactly what iterative
+    operators must NOT do at 100 TB (R3_NOTES lineage discipline);
+    this query pins the *surface*, the operator module owns the
+    scale path."""
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_rcte")
+    return spark.sql(_RCTE_SQL.format(li="lineitem_rcte"))
+
+
+@query(
+    "streaming_hll_partials",
+    """
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS merged_within_10pct
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable-sketch maintenance (E4 × sketch algebra):
+    the event stream is drained availableNow through a foreachBatch
+    that appends one DataSketches HLL partial per (event_type, batch)
+    to a parquet store; distinct users per type are then estimated from
+    ``hll_union_agg`` over the STORE alone — no fact re-scan, additive
+    across micro-batches, replay-safe (register-max union is
+    idempotent). Attestation oracle as in ``hll_rollup_users``: exact
+    count + merged-estimate-within-10%. See
+    ``streaming/sketch_store.py`` for the 100 TB dashboard-serving
+    contract."""
+    import os
+    import tempfile
+
+    from parcialbigdata_spark.streaming import sketch_store
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    base = tempfile.mkdtemp(prefix="hll_store_")
+    store = os.path.join(base, "store")
+    ckpt = os.path.join(base, "ckpt")
+    q = sketch_store.stream_hll_to_store(
+        read_events_stream(spark, sf_dir), store, ckpt
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    est = sketch_store.merged_estimates(spark, store)
+    exact = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
+    within = (
+        F.abs(F.col("merged_est") - F.col("exact_users"))
+        / F.greatest(F.col("exact_users"), F.lit(1))
+    ) <= 0.10
+    return exact.join(est, "event_type").select(
+        "event_type", "exact_users", within.alias("merged_within_10pct")
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

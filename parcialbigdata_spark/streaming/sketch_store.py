@@ -1,0 +1,74 @@
+"""Streaming mergeable-sketch maintenance: per-micro-batch HLL
+partials appended to a persistent store.
+
+The online complement of the batch ``hll_rollup_users`` query, and the
+sketch analog of ``dedup_store.py``: each micro-batch reduces to one
+~KB DataSketches HLL partial per key (``hll_sketch_agg``), appended to
+a parquet store; a distinct-count query at ANY later time is
+``hll_union_agg`` over the store — it never re-touches raw events.
+This is how a 100 TB event pipeline serves "distinct users per segment,
+any date range" dashboards: the partials are additive, so batch
+boundaries, replays and late re-appends only ever ADD sketch state, and
+the union is order-insensitive (HLL register-max is commutative and
+idempotent), making the at-least-once foreachBatch append contract
+harmless — a replayed batch's partial unions to the same registers.
+
+Store growth is one row per (key, batch); compact by periodically
+re-unioning per key (the same ``hll_union_agg``) and rewriting — the
+merged sketch IS the compacted state, a property exact distinct
+counting fundamentally lacks.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def hll_partial_applier(
+    store_path: str, key_col: str = "event_type", id_col: str = "user_id"
+):
+    """foreachBatch body: reduce the batch to one HLL partial per key
+    and append (key, sketch, batch_id) to the store."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(key_col)
+            .agg(F.hll_sketch_agg(id_col).alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return apply
+
+
+def stream_hll_to_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    id_col: str = "user_id",
+):
+    """Wire a streaming DataFrame through :func:`hll_partial_applier`
+    with an availableNow trigger; returns the started query."""
+    return (
+        stream.writeStream.foreachBatch(
+            hll_partial_applier(store_path, key_col, id_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_estimates(
+    spark: SparkSession, store_path: str, key_col: str = "event_type"
+) -> DataFrame:
+    """Distinct-count estimates per key from the partial store alone
+    (no fact scan): ``hll_union_agg`` + ``hll_sketch_estimate``."""
+    store = spark.read.parquet(store_path)
+    return store.groupBy(key_col).agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )

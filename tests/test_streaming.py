@@ -323,3 +323,33 @@ def test_stream_incremental_dedup_against_store(spark, tmp_path):
     got = {r.doc_id for r in spark.read.parquet(out).collect()}
     assert got == {1, 2, 4}
     assert spark.read.parquet(store).count() == 3  # one fp per accepted doc
+
+
+def test_stream_hll_partials_merge_and_replay_idempotence(spark, tmp_path):
+    """Streaming HLL partial store: partials from separate micro-batch
+    runs union to the true distinct count, and a replayed (duplicate)
+    partial does not move the estimate — the at-least-once append
+    contract is harmless by construction (register-max union)."""
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.streaming import sketch_store
+
+    store = str(tmp_path / "store")
+    # two "batches" with overlapping users, applied directly
+    b1 = spark.createDataFrame(
+        [("click", u) for u in range(0, 60)], "event_type string, user_id long"
+    )
+    b2 = spark.createDataFrame(
+        [("click", u) for u in range(40, 100)], "event_type string, user_id long"
+    )
+    sketch_store.hll_partial_applier(store)(b1, 0)
+    sketch_store.hll_partial_applier(store)(b2, 1)
+    est = sketch_store.merged_estimates(spark, store).collect()[0]
+    assert est["n_partials"] == 2
+    assert abs(est["merged_est"] - 100) / 100 <= 0.10
+
+    # replay batch 2: a third partial appears, estimate stays put
+    sketch_store.hll_partial_applier(store)(b2, 1)
+    est2 = sketch_store.merged_estimates(spark, store).collect()[0]
+    assert est2["n_partials"] == 3
+    assert est2["merged_est"] == est["merged_est"]
