@@ -5781,31 +5781,36 @@ def chi2_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 def copurchase_part_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Co-occurrence (market-basket) mining: part pairs appearing
     together in ≥2 orders, top-100 by support with a total-order
-    tie-break.  The self-join is keyed on the order — pair blow-up is
-    bounded by C(items_per_order, 2), which TPC-H caps at C(7,2) = 21
-    per order — and the pair aggregation is the only wide shuffle.
-    orderBy+limit compiles to TakeOrderedAndProject (per-partition
-    100-row heaps, only heads move).  At 100 TB the same shape holds
-    as long as basket size is bounded; degenerate mega-baskets should
-    be capped upstream exactly like the LSH bucket cap
-    (operators/dedup.py max_bucket)."""
+    tie-break.  Plan shape: one groupBy(order) collects the sorted
+    distinct basket (map-side partial sets), pairs are generated
+    ROW-LOCALLY with array HOFs (no self-join, no second pass over
+    lineitem — C(basket, 2) ≤ C(7, 2) = 21 structs per order in
+    TPC-H), then one groupBy(pair) agg.  Two shuffles total vs the
+    classic distinct + self-join's three, and the oracle IS that
+    classic formulation.  orderBy+limit compiles to
+    TakeOrderedAndProject (per-partition 100-row heaps, only heads
+    move).  At 100 TB the same shape holds as long as basket size is
+    bounded; degenerate mega-baskets should be capped upstream exactly
+    like the LSH bucket cap (operators/dedup.py max_bucket)."""
     li = load_table(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("part_a"),
-            F.col("b.l_partkey").alias("part_b"),
-        )
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    pairs = baskets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(parts, (x, i) ->"
+                " transform(slice(parts, i + 2, size(parts)),"
+                " y -> struct(x AS part_a, y AS part_b))))"
+            )
+        ).alias("p")
+    ).select("p.part_a", "p.part_b")
+    counted = (
+        pairs.groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .filter(F.col("n_orders") >= 2)
     )
-    return pairs.orderBy(
+    return counted.orderBy(
         F.col("n_orders").desc(), "part_a", "part_b"
     ).limit(100)
 
