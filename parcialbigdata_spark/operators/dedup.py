@@ -30,6 +30,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.functions import text as T
+from parcialbigdata_spark.session import release_checkpoint
 
 # ---------------------------------------------------------------- exact
 
@@ -737,7 +738,7 @@ def setsim_join_prefix(
     sets_df = rows.groupBy(id_col).agg(F.collect_set("__s").alias("els"))
     ea = sets_df.select(F.col(id_col).alias("id_a"), F.col("els").alias("els_a"))
     eb = sets_df.select(F.col(id_col).alias("id_b"), F.col("els").alias("els_b"))
-    return (
+    out = (
         cand.join(ea, "id_a")
         .join(eb, "id_b")
         .select(
@@ -747,3 +748,13 @@ def setsim_join_prefix(
         )
         .filter(F.col("jaccard_sim") >= threshold)
     )
+    # Materialize the (tiny) verified pair result and release the
+    # (corpus × shingles)-sized exploded relation: without this every
+    # call retains the big checkpoint until the ContextCleaner happens
+    # to GC it (same storage discipline as operators/graph.py). The
+    # returned relation is the one retained materialization — callers
+    # with many calls in one session can release it via
+    # session.release_checkpoint.
+    out = out.localCheckpoint(eager=True)
+    release_checkpoint(rows)
+    return out
