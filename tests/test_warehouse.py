@@ -503,3 +503,53 @@ def test_write_zordered_degenerate_bounds_raise(spark, tmp_path):
     all_null = spark.createDataFrame([(1, None), (2, None)], "a BIGINT, b BIGINT")
     with _pytest.raises(ValueError, match="\\['b'\\]"):
         write_zordered(all_null, str(tmp_path / "z2"), ["a", "b"])
+
+
+def test_ivf_partitioned_ann_store_prunes_to_probe_cells(spark, tmp_path):
+    """The billion-scale ANN serving layout the ivfpq docstring claims:
+    embeddings written hive-partitioned by IVF cell, probe queries scan
+    ONLY the probed cells (partition pruning visible in the plan and in
+    the files actually read), and the pruned scan returns exactly the
+    rows an in-memory cell filter would."""
+    import numpy as np
+
+    from parcialbigdata_spark.operators import similarity
+    from parcialbigdata_spark.queries import _clustered_fixture
+    from parcialbigdata_spark.sources.warehouse import write_partitioned
+
+    emb, qv = _clustered_fixture(spark)
+    centroids = similarity.ivf_fit_centroids(emb, n_centroids=16)
+    cells = emb.withColumn(
+        "ivf_cell", similarity._centroid_assign_udf(centroids)(F.col("embedding"))
+    )
+    out = str(tmp_path / "ann_store")
+    write_partitioned(cells, out, ["ivf_cell"])
+
+    C = np.asarray(centroids)
+    qa = np.asarray(qv)
+    probes = [int(i) for i in (((C - qa[None, :]) ** 2).sum(axis=1)).argsort()[:4]]
+
+    store = spark.read.parquet(out)
+    probed = store.filter(F.col("ivf_cell").isin(probes))
+    rows = probed.collect()
+
+    # plan proof: the cell predicate became a partition filter (no
+    # data-column filter remains for it)
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "ivf_cell" in plan.split("PartitionFilters", 1)[1][:200], plan[:2000]
+
+    # files-read proof: only probe-cell directories are touched
+    import re as _re
+
+    touched = {
+        int(m.group(1))
+        for f in probed.select(F.input_file_name().alias("f")).distinct().collect()
+        if (m := _re.search(r"ivf_cell=(\d+)", f["f"]))
+    }
+    assert touched <= set(probes) and touched
+
+    # correctness: pruned scan == in-memory cell filter
+    expect = {
+        r["vec_id"] for r in cells.filter(F.col("ivf_cell").isin(probes)).collect()
+    }
+    assert {r["vec_id"] for r in rows} == expect
