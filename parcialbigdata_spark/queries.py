@@ -6230,8 +6230,13 @@ _DRIVER_WINDOW = [
     "q3_shipping_priority",
     "left_outer_order_counts",
     "full_outer_nation_parties",
-    "semi_customers_with_orders",
+    # (semi_customers_with_orders rotated out in r4b — J2 kept TWO window
+    # reps (semi + anti); anti stays, and the semi shape still runs in
+    # the window inside q18/q21's EXISTS forms and the theta query's
+    # exact-overlap side — freeing the slot for the new sketch-algebra
+    # family below; stays CI-green.)
     "anti_customers_without_orders",
+    "theta_audience_overlap",
     "range_join_price_bands",
     "asof_latest_order_before_event",
     # (cross_join_region_segment, approx_distinct_users and
