@@ -488,6 +488,113 @@ def pagerank_conserving(
     return ranks
 
 
+def pagerank_personalized(
+    edges: DataFrame,
+    seed: int,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 2,
+    damping_pct: int = 85,
+    scale: int = 1_000_000_000_000,
+    assume_distinct: bool = False,
+) -> DataFrame:
+    """Personalized PageRank (PPR): the teleport vector is a single
+    ``seed`` node instead of uniform — ranks measure proximity TO the
+    seed through the link structure, the standard primitive behind
+    graph-based recommendation and similar-node queries.
+
+    Same exact-integer discipline as :func:`pagerank_conserving`
+    (``sum(rank_scaled) == scale`` after every round), with all three
+    global mass flows routed to the seed instead of spread uniformly:
+    teleport ``(100-d)%·scale``, the dangling sum (damped), and the
+    integral-DIV residue all land on the seed node.  Initial mass is
+    entirely at the seed (standard PPR power iteration).  Plan shape
+    per round is identical to :func:`pagerank_conserving` minus the
+    broadcast of ``n``/``min_node`` (the seed is a literal): one
+    edges⋈ranks join + one agg + two singleton aggregates.  The one
+    retained materialization is the returned result
+    (``release_checkpoint`` to free)."""
+    if iterations < 1:
+        raise ValueError("iterations must be >= 1")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    if not assume_distinct:
+        e = e.distinct()
+    e = e.persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("out_degree"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    base_nodes = (
+        nodes.join(deg.withColumnRenamed("src", "node"), "node", "left")
+        .fillna({"out_degree": 0})
+        .persist()
+    )
+    is_seed = F.col("node") == F.lit(seed)
+    ranks = base_nodes.select(
+        "node",
+        "out_degree",
+        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint").alias(
+            "rank_scaled"
+        ),
+    ).localCheckpoint(eager=True)
+    teleport = ((100 - damping_pct) * scale) // 100
+    prev_ckpt = ranks
+    for _ in range(iterations):
+        dangling = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank_scaled"))),
+                F.lit(0).cast("bigint"),
+            ).alias("dangling")
+        )
+        contrib = (
+            e.join(
+                ranks.filter(F.col("out_degree") > 0).select(
+                    F.col("node").alias("src"), "out_degree", "rank_scaled"
+                ),
+                "src",
+            )
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("rank_scaled DIV out_degree").alias("c"),
+            )
+            .groupBy("node")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        raw = (
+            ranks.join(contrib, "node", "left")
+            .fillna({"inflow": 0})
+            .crossJoin(F.broadcast(dangling))
+            .select(
+                "node",
+                "out_degree",
+                F.expr(
+                    f"({damping_pct}L * inflow) DIV 100"
+                    f" + CASE WHEN node = {seed}L THEN {teleport}L"
+                    f" + ({damping_pct}L * dangling) DIV 100 ELSE 0L END"
+                ).alias("rank_raw"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(prev_ckpt)
+        prev_ckpt = raw
+        residue = raw.agg((F.lit(scale) - F.sum("rank_raw")).alias("residue"))
+        ranks = raw.crossJoin(F.broadcast(residue)).select(
+            "node",
+            "out_degree",
+            (
+                F.col("rank_raw")
+                + F.when(is_seed, F.col("residue")).otherwise(F.lit(0))
+            ).alias("rank_scaled"),
+        )
+    ranks = ranks.select("node", "out_degree", "rank_scaled").localCheckpoint(eager=True)
+    release_checkpoint(prev_ckpt)
+    e.unpersist()
+    base_nodes.unpersist()
+    return ranks
+
+
 def triangle_stats(
     pairs: DataFrame,
     src: str = "id_a",

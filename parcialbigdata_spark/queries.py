@@ -6208,6 +6208,153 @@ def streaming_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PPR_ITER = """
+    d{i} AS (
+      SELECT COALESCE(SUM(CASE WHEN out_degree = 0 THEN rank_scaled END), 0)
+             AS dangling
+      FROM r{p}
+    ),
+    i{i} AS (
+      SELECT e.dst AS node, SUM(r.rank_scaled // r.out_degree) AS inflow
+      FROM e JOIN r{p} r ON e.src = r.node GROUP BY e.dst
+    ),
+    raw{i} AS (
+      SELECT r.node, r.out_degree,
+             (85 * COALESCE(i.inflow, 0)) // 100
+             + CASE WHEN r.node = s.seed
+                    THEN 150000000000 + (85 * d.dangling) // 100
+                    ELSE 0 END AS rank_raw
+      FROM r{p} r LEFT JOIN i{i} i ON r.node = i.node, d{i} d, sd s
+    ),
+    res{i} AS (SELECT 1000000000000 - SUM(rank_raw) AS residue FROM raw{i}),
+    r{i} AS (
+      SELECT w.node, w.out_degree,
+             w.rank_raw + CASE WHEN w.node = s.seed THEN res.residue ELSE 0 END
+             AS rank_scaled
+      FROM raw{i} w, res{i} res, sd s
+    )"""
+
+
+@query(
+    "ppr_seed_customer_purchases",
+    f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    sd AS (SELECT MIN(src) AS seed FROM e),
+    deg AS (SELECT src, COUNT(*) AS out_degree FROM e GROUP BY src),
+    nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    bn AS (
+      SELECT n.node, COALESCE(d.out_degree, 0) AS out_degree
+      FROM nodes n LEFT JOIN deg d ON n.node = d.src
+    ),
+    r0 AS (
+      SELECT b.node, b.out_degree,
+             CASE WHEN b.node = s.seed THEN 1000000000000 ELSE 0 END
+             AS rank_scaled
+      FROM bn b, sd s
+    ),
+    {_PPR_ITER.format(i=1, p=0)},
+    {_PPR_ITER.format(i=2, p=1)}
+    SELECT node, out_degree, CAST(rank_scaled AS BIGINT) AS rank_scaled,
+           (SELECT SUM(rank_scaled) FROM r2) = 1000000000000 AS conserved
+    FROM r2
+    """,
+)
+def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from the minimum-key customer over the
+    directed customer→supplier purchase graph (2 rounds, d=0.85,
+    bigint micro-units): teleport, damped dangling mass and the
+    truncation residue all land on the seed, so ranks measure
+    proximity to THAT customer — the graph-recommendation primitive —
+    and ``sum(rank_scaled) == scale`` holds after every round
+    (recomputed ``conserved`` column, bit-for-bit chained-CTE oracle
+    like the global conserving variant).  See
+    ``operators/graph.py pagerank_personalized``."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    seed = edges.agg(F.min("src")).first()[0]
+    ranks = graph.pagerank_personalized(
+        edges, seed=int(seed), iterations=2, assume_distinct=True
+    ).select(
+        "node", "out_degree", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
+    )
+    conserved = ranks.agg(
+        (F.sum("rank_scaled") == F.lit(1_000_000_000_000)).alias("conserved")
+    )
+    return ranks.crossJoin(F.broadcast(conserved))
+
+
+_DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
+
+
+@query(
+    "equidepth_histogram_orders",
+    """
+    WITH b AS (
+      SELECT quantile_cont(o_totalprice, [{qs}]) AS bnds FROM orders
+    )
+    SELECT ({terms}) AS bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM orders, b
+    GROUP BY 1
+    """.format(
+        qs=",".join(str(q) for q in _DECILES),
+        terms=" + ".join(
+            f"CASE WHEN o_totalprice > b.bnds[{i + 1}] THEN 1 ELSE 0 END"
+            for i in range(9)
+        ),
+    ),
+)
+def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH decile histogram — the complement of the equi-width
+    `histogram_order_totals`, built the way it must be at 100 TB: the
+    nine exact decile boundaries come from ONE aggregate pass
+    (`percentile(col, array(...))`), broadcast as a 1-row relation, and
+    bucket assignment is nine codegen'd comparisons per row — NO global
+    sort / ntile, whose single total-order partition is the naive
+    equi-depth plan's scale killer.  Boundaries are interpolated
+    percentiles (cross-engine-identical, the
+    `percentile_quantity_by_flag` pattern) and the `>`-comparison
+    bucket rule is tie-stable on both engines, so bucket ids and
+    counts match exactly; per-bucket min/max ride along."""
+    orders = load_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.expr(
+            "percentile(o_totalprice, array({}))".format(
+                ",".join(str(q) for q in _DECILES)
+            )
+        ).alias("bnds")
+    )
+    bucket = None
+    for i in range(9):
+        term = F.when(
+            F.col("o_totalprice") > F.element_at(F.col("bnds"), i + 1), 1
+        ).otherwise(0)
+        bucket = term if bucket is None else bucket + term
+    return (
+        orders.join(F.broadcast(bounds))
+        .select(bucket.alias("bucket"), "o_totalprice")
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -584,3 +584,27 @@ def test_connected_components_release_superseded_checkpoints(spark):
     base_star = n_cached()
     graph.connected_components(path, algorithm="star").count()
     assert n_cached() <= base_star + 2  # final E + nodes per call
+
+
+def test_ppr_conserves_and_localizes_to_seed_component(spark):
+    """Personalized PageRank: exact mass conservation at every
+    iteration count, and nodes unreachable from the seed hold exactly
+    zero mass (teleport + dangling + residue all route to the seed, so
+    no mass can leak into a disconnected component)."""
+    from parcialbigdata_spark.operators import graph
+    from parcialbigdata_spark.session import release_checkpoint
+
+    # component A: 1->2->3 (3 dangles); component B: 10->11
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src BIGINT, dst BIGINT"
+    )
+    scale = 1_000_000_000_000
+    for iters in (1, 2, 4):
+        ranks = graph.pagerank_personalized(
+            edges, seed=1, iterations=iters, scale=scale
+        )
+        rows = {r["node"]: r["rank_scaled"] for r in ranks.collect()}
+        assert sum(rows.values()) == scale, f"iterations={iters}"
+        assert rows[10] == 0 and rows[11] == 0
+        assert rows[1] > 0  # teleport keeps the seed charged
+        release_checkpoint(ranks)
