@@ -110,10 +110,13 @@ BENCH_QUERIES = [
     "gap_fill_events_hourly",
     "bm25_top_documents",
     # r4b: co-occurrence self-join (heaviest of the new wave), rolling
-    # window moments, interpolation gap-fill twin.
+    # window moments, interpolation gap-fill twin, seeded-teleport PPR
+    # (iterative + per-round eager checkpoints — a distinct cost
+    # profile from the trade-graph flagship).
     "copurchase_part_pairs",
     "rolling_zscore_orders",
     "gap_fill_interp_events",
+    "ppr_seed_customer_purchases",
 ]
 
 
