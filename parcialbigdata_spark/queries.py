@@ -6294,6 +6294,38 @@ def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.crossJoin(F.broadcast(conserved))
 
 
+@query(
+    "token_budget_by_source",
+    r"""
+    SELECT source,
+           COUNT(*) AS n_docs,
+           SUM(length(text)) AS n_chars,
+           SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> ''))) AS ws_tokens,
+           SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')))
+             AS bpe_ish_tokens
+    FROM documents GROUP BY source
+    """,
+)
+def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training token-budget estimation per corpus source: docs, chars,
+    whitespace tokens, and BPE-ish pre-tokens (letter runs / digit
+    runs / punctuation marks — the pre-tokenization split every
+    byte-pair tokenizer starts from, so the cheap proxy for LLM token
+    counts without a tokenizer dependency).  The pattern is
+    unicode-correct and verified byte-identical between Java regex and
+    RE2, which is what makes the budget oracle-checkable.  One scan,
+    one partial+final agg — exactly the shape a 100 TB budget sweep
+    needs.  See ``functions/text.py bpe_ish_tokens``."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.length("text")).alias("n_chars"),
+        F.sum(T.token_count("text")).alias("ws_tokens"),
+        F.sum(T.subword_count("text")).alias("bpe_ish_tokens"),
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 

@@ -553,3 +553,41 @@ def test_ivf_partitioned_ann_store_prunes_to_probe_cells(spark, tmp_path):
         r["vec_id"] for r in cells.filter(F.col("ivf_cell").isin(probes)).collect()
     }
     assert {r["vec_id"] for r in rows} == expect
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """DPP proof: a hive-partitioned fact joined to a filtered dim on
+    the partition key gets a runtime DynamicPruning partition filter —
+    at 100 TB this is what turns "join January's dim slice" into "read
+    January's directories", without the filter being known at plan
+    time. Asserts the plan carries the dynamicpruning expression and
+    the join result matches the statically-filtered equivalent."""
+    from parcialbigdata_spark.sources.warehouse import write_partitioned
+
+    li = load_table(spark, SF, "lineitem").withColumn(
+        "ship_month", F.date_format("l_shipdate", "yyyy-MM")
+    )
+    out = str(tmp_path / "li_by_month")
+    write_partitioned(li, out, ["ship_month"])
+
+    months = (
+        li.select("ship_month")
+        .distinct()
+        .withColumn(
+            "quarter", F.concat(F.substring("ship_month", 1, 4), F.lit("-Q"),
+                                ((F.substring("ship_month", 6, 2).cast("int") - 1) / 3 + 1)
+                                .cast("int").cast("string"))
+        )
+    )
+    fact = spark.read.parquet(out)
+    dim = months.filter(F.col("quarter") == "1997-Q1")
+    joined = fact.join(dim, "ship_month")
+    rows = joined.count()
+
+    plan = joined._jdf.queryExecution().executedPlan().toString().lower()
+    assert "dynamicpruning" in plan, plan[:3000]
+
+    expect = fact.join(months, "ship_month").filter(
+        F.col("quarter") == "1997-Q1"
+    ).count()
+    assert rows == expect > 0
