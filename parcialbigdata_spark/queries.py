@@ -6326,6 +6326,66 @@ def token_budget_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_FK_EDGES = [
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("supplier", "s_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+]
+
+
+@query(
+    "fk_integrity_audit",
+    "\nUNION ALL\n".join(
+        f"""
+    SELECT '{c}.{ck}->{p}.{pk}' AS fk,
+           (SELECT COUNT(*) FROM {c}) AS n_child,
+           (SELECT COUNT(*) FROM {p}) AS n_parent,
+           (SELECT COUNT(*) FROM {c} x
+            WHERE NOT EXISTS (SELECT 1 FROM {p} y WHERE y.{pk} = x.{ck}))
+             AS n_orphans
+        """
+        for c, ck, p, pk in _FK_EDGES
+    ),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit over every foreign-key edge of the
+    star schema: child/parent cardinalities and the exact orphan count
+    (children whose key has no parent) per edge — the warehouse
+    governance check that belongs in every ingest gate.  Each orphan
+    count is a LEFT ANTI join on the key columns only, so at 100 TB
+    the scan is column-pruned to the key and the anti join broadcasts
+    whichever side is dim-sized; NOT-EXISTS semantics (not ``NOT IN``)
+    keep the audit NULL-safe.  The fixture is referentially intact, so
+    every ``n_orphans`` is an exact computed 0 — and a corrupted load
+    flips the hash, which is the point."""
+    rows = []
+    for c, ck, p, pk in _FK_EDGES:
+        child = load_table(spark, sf_dir, c)
+        parent = load_table(spark, sf_dir, p)
+        orphans = child.select(F.col(ck)).join(
+            parent.select(F.col(pk)), child[ck] == parent[pk], "left_anti"
+        )
+        rows.append(
+            child.agg(F.count(F.lit(1)).alias("n_child"))
+            .crossJoin(parent.agg(F.count(F.lit(1)).alias("n_parent")))
+            .crossJoin(orphans.agg(F.count(F.lit(1)).alias("n_orphans")))
+            .select(
+                F.lit(f"{c}.{ck}->{p}.{pk}").alias("fk"),
+                "n_child",
+                "n_parent",
+                "n_orphans",
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
