@@ -6386,6 +6386,92 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out
 
 
+@query(
+    "ptf_user_activity_stats",
+    """
+    WITH g AS (
+      SELECT user_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             CAST(floor(epoch(ts)) AS BIGINT)
+               - LAG(CAST(floor(epoch(ts)) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           MAX(es) - MIN(es) AS span_sec,
+           COALESCE(MAX(gap), 0) AS max_gap_sec,
+           1 + COALESCE(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)
+             AS n_sessions
+    FROM g GROUP BY user_id
+    """,
+)
+def ptf_user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 polymorphic table function (SQL:2016 PTF shape): a
+    Python UDTF consuming a ``TABLE(...) PARTITION BY user_id ORDER BY
+    es`` argument — the engine delivers each user's rows as one
+    ordered group to one UDTF instance, the API for per-entity
+    sequential logic that window functions can't express (arbitrary
+    running state, one output row per GROUP).  Here the state machine
+    computes per-user activity stats incl. 30-min-gap session counts
+    in O(1) memory per row; the DuckDB oracle replays it with lag
+    windows.  The partition-by input shuffles once on user_id —
+    exactly a window's cost — and the Python boundary is the
+    UDTF-batching path, not a row UDF in a scan."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=(
+        "user_id long, n_events long, span_sec long,"
+        " max_gap_sec long, n_sessions long"
+    ), useArrow=True)
+    class UserActivity:
+        def __init__(self) -> None:
+            self.user = None
+            self.n = 0
+            self.first = None
+            self.prev = None
+            self.max_gap = 0
+            self.sessions = 1
+
+        def eval(self, row) -> None:
+            self.user = row.user_id
+            self.n += 1
+            if self.first is None:
+                self.first = row.es
+            else:
+                gap = row.es - self.prev
+                if gap > self.max_gap:
+                    self.max_gap = gap
+                if gap > 1800:
+                    self.sessions += 1
+            self.prev = row.es
+
+        def terminate(self):
+            if self.n:
+                yield (
+                    self.user,
+                    self.n,
+                    self.prev - self.first,
+                    self.max_gap,
+                    self.sessions,
+                )
+
+    spark.udtf.register("user_activity", UserActivity)
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("es"),
+        "event_id",
+    ).createOrReplaceTempView("events_ptf")
+    return spark.sql(
+        """
+        SELECT * FROM user_activity(
+          TABLE(events_ptf) PARTITION BY user_id ORDER BY (es, event_id)
+        )
+        """
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
