@@ -6472,6 +6472,136 @@ def ptf_user_activity_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "attribution_last_touch",
+    """
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    carried AS (
+      SELECT *,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN event_type END IGNORE NULLS)
+               OVER w AS last_touch_type,
+             last_value(CASE WHEN event_type IN ('click', 'view')
+                             THEN es END IGNORE NULLS)
+               OVER w AS last_touch_es
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN es - last_touch_es <= 604800
+                         THEN last_touch_type END,
+                    'unattributed') AS touch,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE)
+             AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing-style LAST-TOUCH attribution: every purchase is
+    credited to the user's most recent click/view within a 7-day
+    lookback, else 'unattributed'; report is purchases + decimal-exact
+    attributed value per touch type.  One window pass over one
+    user-keyed shuffle does the whole assignment (an ``ignorenulls``
+    last-value carry over the strictly-preceding frame — the as-of
+    union+LOCF trick applied within a single stream), then a
+    purchase-filtered aggregation.  No per-conversion join against the
+    touch stream, which is the naive O(purchases × touches)
+    formulation this shape replaces at 100 TB."""
+    ev = load_table(spark, sf_dir, "events")
+    es = F.unix_timestamp("ts")
+    is_touch = F.col("event_type").isin("click", "view")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    carried = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        es.alias("es"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("last_touch_type"),
+        F.last(F.when(is_touch, es), ignorenulls=True).over(w).alias("last_touch_es"),
+    )
+    touch = F.coalesce(
+        F.when(
+            F.col("es") - F.col("last_touch_es") <= 604800, F.col("last_touch_type")
+        ),
+        F.lit("unattributed"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(touch.alias("touch"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+            .cast("double")
+            .alias("attributed_value"),
+        )
+    )
+
+
+@query(
+    "hll_grouping_sets_users",
+    """
+    WITH s AS (
+      SELECT event_type,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+             user_id
+      FROM events
+    )
+    SELECT event_type, day,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS hll_within_10pct
+    FROM s
+    GROUP BY GROUPING SETS ((event_type), (day), ())
+    """,
+)
+def hll_grouping_sets_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketches × Expand: HLL distinct-user estimates for THREE grains
+    (per type, per day, grand total) in ONE pass — ``GROUPING SETS``
+    duplicates each row per grain inside a single Expand operator, and
+    the sketch aggregate builds per-grain registers in the same
+    partial+final agg that computes the exact count.  This is the
+    one-job construction of a multi-grain sketch rollup table (the
+    per-grain twin of ``hll_rollup_users``' union-over-partials).
+    Attestation oracle as usual: exact counts + an estimate-within-10%
+    boolean per output row."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.select(
+        "event_type",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        "user_id",
+    ).createOrReplaceTempView("events_gs")
+    agg = spark.sql(
+        """
+        SELECT event_type, day,
+               COUNT(DISTINCT user_id) AS exact_users,
+               hll_sketch_estimate(hll_sketch_agg(user_id)) AS est_users
+        FROM events_gs
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        """
+    )
+    within = (
+        F.abs(F.col("est_users") - F.col("exact_users"))
+        / F.greatest(F.col("exact_users"), F.lit(1))
+    ) <= 0.10
+    return agg.select(
+        "event_type", "day", "exact_users", within.alias("hll_within_10pct")
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
