@@ -207,16 +207,32 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by revenue with the aggregation PUSHED BELOW
+    the joins (a rewrite Catalyst does not do automatically): lineitem
+    reduces to one exact-decimal revenue row per order first — the
+    orderkey shuffle is then reused by the orders join — re-aggregates
+    per customer, takes the top-10 (TakeOrderedAndProject on the skinny
+    (custkey, revenue) relation), and only THEN joins the 10-row result
+    against customer for names (broadcast).  Decimal sums re-associate
+    exactly, so the value hash matches the single-stage oracle
+    bit-for-bit; fact-sized rows never carry customer names through a
+    shuffle."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    rev_per_order = li.groupBy("l_orderkey").agg(F.sum(_rev()).alias("__rev"))
+    per_cust = (
+        rev_per_order.join(orders, rev_per_order.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey")
+        .agg(F.sum("__rev").cast("double").alias("revenue"))
+    )
+    top = per_cust.orderBy(
+        F.col("revenue").desc(), F.col("o_custkey").asc()
+    ).limit(10)
     return (
-        li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(cust, orders.o_custkey == cust.c_custkey)
-        .groupBy("c_custkey", "c_name")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        cust.join(F.broadcast(top), cust.c_custkey == top.o_custkey)
+        .select("c_custkey", "c_name", "revenue")
         .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
-        .limit(10)
     )
 
 
