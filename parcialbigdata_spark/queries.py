@@ -6618,6 +6618,121 @@ def hll_grouping_sets_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "concurrent_sessions_hourly",
+    """
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es,
+             LAG(CAST(floor(epoch(ts)) AS BIGINT))
+               OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_es
+      FROM events
+    ),
+    numbered AS (
+      SELECT *, SUM(CASE WHEN prev_es IS NULL OR es - prev_es >= 1800
+                         THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS session_seq
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, MIN(es) AS s_start, MAX(es) + 1 AS s_end
+      FROM numbered GROUP BY user_id, session_seq
+    ),
+    deltas AS (
+      SELECT s_start AS es, CAST(1 AS BIGINT) AS delta, user_id FROM sessions
+      UNION ALL
+      SELECT s_end, CAST(-1 AS BIGINT), user_id FROM sessions
+    ),
+    run AS (
+      SELECT es, delta,
+             SUM(delta) OVER (ORDER BY es, delta, user_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS concurrent
+      FROM deltas
+    )
+    SELECT es // 3600 AS hour_bucket,
+           COUNT(*) AS n_boundaries,
+           MAX(concurrent) AS max_concurrent
+    FROM run
+    GROUP BY 1
+    """,
+)
+def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sweep-line interval concurrency — max concurrent user sessions
+    per hour — via a DISTRIBUTED TWO-PASS PREFIX SUM, the scalable
+    replacement for the single-partition global running-sum window the
+    DuckDB oracle uses: ±1 boundary events are hour-bucketed, each
+    bucket computes its local running sum in parallel (one window
+    partitioned by bucket), the per-bucket delta totals (a tiny
+    relation, one row per hour) get a cumulative offset window, and
+    local + broadcast offset == the exact global prefix sum under the
+    shared (es, delta, user_id) total order.  Session boundaries come
+    from the repo's standard 30-min gap sessionization.  At 100 TB the
+    only single-partition work is the per-hour offset relation —
+    boundary volume never sees a global sort."""
+    ev = load_table(spark, sf_dir, "events")
+    w_u = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    es = F.unix_timestamp("ts")
+    numbered = ev.select(
+        "user_id",
+        es.alias("es"),
+        F.when(
+            F.lag(es).over(w_u).isNull() | ((es - F.lag(es).over(w_u)) >= 1800),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("new_session"),
+        "ts",
+        "event_id",
+    ).withColumn(
+        "session_seq",
+        F.sum("new_session").over(
+            w_u.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    sessions = numbered.groupBy("user_id", "session_seq").agg(
+        F.min("es").alias("s_start"), (F.max("es") + 1).alias("s_end")
+    )
+    deltas = sessions.select(
+        F.col("s_start").alias("es"), F.lit(1).cast("bigint").alias("delta"), "user_id"
+    ).unionAll(
+        sessions.select(
+            F.col("s_end").alias("es"), F.lit(-1).cast("bigint").alias("delta"), "user_id"
+        )
+    ).withColumn("hour_bucket", F.expr("es DIV 3600"))
+    w_local = (
+        Window.partitionBy("hour_bucket")
+        .orderBy("es", "delta", "user_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = deltas.withColumn("local_run", F.sum("delta").over(w_local))
+    bucket_offsets = (
+        deltas.groupBy("hour_bucket")
+        .agg(F.sum("delta").alias("bucket_delta"))
+        .withColumn(
+            "offset",
+            F.coalesce(
+                F.sum("bucket_delta").over(
+                    Window.orderBy("hour_bucket").rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0).cast("bigint"),
+            ),
+        )
+        .select("hour_bucket", "offset")
+    )
+    run = local.join(F.broadcast(bucket_offsets), "hour_bucket").withColumn(
+        "concurrent", F.col("local_run") + F.col("offset")
+    )
+    return run.groupBy("hour_bucket").agg(
+        F.count(F.lit(1)).alias("n_boundaries"),
+        F.max("concurrent").alias("max_concurrent"),
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
