@@ -266,3 +266,101 @@ def test_rolling_zscore_exact_cents_moments(spark):
     var = (sq - s * s / n) / n
     z = (200.0 - s / n) / math.sqrt(var)
     assert abs(z - math.sqrt(19)) < 1e-9  # spike z in a 1-hot window
+
+
+# ------------------------------------------------- last-touch attribution
+
+
+def test_attribution_boundary_and_unattributed(spark, monkeypatch, tmp_path):
+    """7-day lookback is INCLUSIVE at exactly 604800 s; purchases with
+    no prior touch (or only later touches) fall to 'unattributed';
+    the most RECENT touch wins over earlier ones."""
+    from datetime import datetime, timedelta
+
+    import parcialbigdata_spark.queries as qmod
+
+    t0 = datetime(2024, 1, 10, 12, 0, 0)
+    rows = [
+        # u1: click exactly 7 days before purchase -> attributed (click)
+        (1, t0 - timedelta(seconds=604800), 1, "click", 0.0),
+        (2, t0, 1, "purchase", 10.0),
+        # u2: view then (later) click before purchase -> click wins
+        (3, t0 - timedelta(hours=2), 2, "view", 0.0),
+        (4, t0 - timedelta(hours=1), 2, "click", 0.0),
+        (5, t0, 2, "purchase", 20.0),
+        # u3: touch 7 days + 1 s before -> unattributed
+        (6, t0 - timedelta(seconds=604801), 3, "view", 0.0),
+        (7, t0, 3, "purchase", 40.0),
+        # u4: only a touch AFTER the purchase -> unattributed
+        (8, t0, 4, "purchase", 80.0),
+        (9, t0 + timedelta(hours=1), 4, "click", 0.0),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+
+    monkeypatch.setattr(qmod, "load_table", lambda s, d, t: df)
+    got = {
+        r["touch"]: (r["n_purchases"], r["attributed_value"])
+        for r in qmod.attribution_last_touch(spark, "ignored").collect()
+    }
+    assert got["click"] == (2, 30.0)      # u1 (boundary-inclusive) + u2
+    assert got["unattributed"] == (2, 120.0)  # u3 (expired) + u4 (no prior)
+    assert "view" not in got              # u2's view was superseded
+
+
+# ---------------------------------------------- sweep-line concurrency
+
+
+def test_concurrent_sessions_two_pass_equals_naive(spark, monkeypatch):
+    """The distributed two-pass prefix sum equals a naive Python sweep
+    on a case with sessions crossing hour-bucket boundaries and exact
+    start/end timestamp collisions."""
+    from datetime import datetime, timedelta
+
+    import parcialbigdata_spark.queries as qmod
+
+    base = datetime(2024, 3, 1, 0, 30, 0)
+    mk = lambda u, off_min: (u * 100 + off_min, base + timedelta(minutes=off_min), u, "view", 0.0)  # noqa: E731
+    rows = [
+        # u1: one long session crossing 3 hour buckets (events < 30 min apart)
+        *[mk(1, m) for m in range(0, 125, 20)],
+        # u2: session inside hour 1
+        mk(2, 40), mk(2, 50),
+        # u3: session starting exactly when u2's ends region
+        mk(3, 50), mk(3, 60),
+        # u4: isolated single-event session in hour 3
+        mk(4, 170),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double"
+    )
+    monkeypatch.setattr(qmod, "load_table", lambda s, d, t: df)
+    got = {
+        r["hour_bucket"]: r["max_concurrent"]
+        for r in qmod.concurrent_sessions_hourly(spark, "ignored").collect()
+    }
+
+    # naive sweep: per-user 30-min-gap sessions -> boundary events
+    import collections
+
+    sess = collections.defaultdict(list)
+    for _, ts, u, _, _ in rows:
+        sess[u].append(int(ts.timestamp()))
+    deltas = []
+    for u, es_list in sess.items():
+        es_list.sort()
+        start = prev = es_list[0]
+        for e in es_list[1:]:
+            if e - prev >= 1800:
+                deltas += [(start, 1, u), (prev + 1, -1, u)]
+                start = e
+            prev = e
+        deltas += [(start, 1, u), (prev + 1, -1, u)]
+    expect = {}
+    run = 0
+    for es, d, u in sorted(deltas):
+        run += d
+        hb = es // 3600
+        expect[hb] = max(expect.get(hb, -10**9), run)
+    assert got == expect
