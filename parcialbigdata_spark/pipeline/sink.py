@@ -93,3 +93,28 @@ def write_csv_distributed(compat: DataFrame, path: str) -> None:
         .partitionBy("FechaDescarga")
         .csv(path)
     )
+
+
+def write_csv_distributed_observed(compat: DataFrame, path: str) -> dict:
+    """:func:`write_csv_distributed` plus an `Observation`: exact row
+    and null-price counts are collected DURING the write action itself
+    (Spark's observe() attaches aggregates to the running job), so the
+    ingest ledger costs zero extra scans — the pattern every 100 TB
+    sink should use instead of a count() re-scan. Returns the metric
+    dict."""
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    obs = Observation("csv_sink")
+    observed = compat.observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_written"),
+        F.sum(F.when(F.col("Valor") == "N/A", 1).otherwise(0)).alias("na_valor_rows"),
+    )
+    (
+        observed.write.mode("overwrite")
+        .option("header", True)
+        .partitionBy("FechaDescarga")
+        .csv(path)
+    )
+    return obs.get
