@@ -6733,6 +6733,118 @@ def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "new_vs_returning_users_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events
+    ),
+    first_day AS (
+      SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT ud.day,
+           COUNT(*) AS n_active,
+           SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS n_new,
+           SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS n_returning
+    FROM ud JOIN first_day f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    """,
+)
+def new_vs_returning_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-lifecycle splits: per day, active users partitioned into
+    first-ever-seen (new) vs returning.  One distinct (user, day)
+    reduction, a per-user min-day aggregate, and a user-keyed join
+    back — the same key both aggregates shuffle on, so AQE can reuse
+    the exchange; no window over the raw event stream.  At 100 TB the
+    (user, day) relation is the only fact-sized shuffle and it carries
+    two small columns."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    ).distinct()
+    first_day = ud.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        ud.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("day") == F.col("d0"), 1).otherwise(0)).alias("n_new"),
+            F.sum(F.when(F.col("day") > F.col("d0"), 1).otherwise(0)).alias(
+                "n_returning"
+            ),
+        )
+    )
+
+
+#: First-digit Benford expectations log10(1 + 1/d), rounded to 6 — kept
+#: as literals so both engines compare against identical constants.
+_BENFORD = {
+    1: 0.301030, 2: 0.176091, 3: 0.124939, 4: 0.096910, 5: 0.079181,
+    6: 0.066947, 7: 0.057992, 8: 0.051153, 9: 0.045757,
+}
+
+
+@query(
+    "benford_first_digit_orders",
+    f"""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS VARCHAR),
+                         1, 1) AS INT) AS digit
+      FROM orders
+    ),
+    c AS (
+      SELECT digit, COUNT(*) AS n,
+             SUM(COUNT(*)) OVER () AS total
+      FROM d GROUP BY digit
+    )
+    SELECT c.digit, c.n,
+           round(CAST(c.n AS DOUBLE) / c.total, 6) AS observed_freq,
+           CAST(b.expected_freq AS DOUBLE) AS expected_freq,
+           round(abs(CAST(c.n AS DOUBLE) / c.total
+                     - CAST(b.expected_freq AS DOUBLE)), 6) AS abs_dev
+    FROM c JOIN (VALUES
+      {", ".join(f"({d}, {p})" for d, p in _BENFORD.items())}
+    ) AS b(digit, expected_freq) ON c.digit = b.digit
+    """,
+)
+def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit profile of order totals — the
+    classic data-auditing screen for fabricated or corrupted numeric
+    columns.  The leading digit comes from the DECIMAL(18,2) string
+    form (identical canonical rendering on both engines — no float
+    formatting drift); observed frequencies are IEEE division of exact
+    counts; expectations log10(1+1/d) are shared literals.  One
+    partial+final agg over the digit key + a broadcast of the 9-row
+    expectation table."""
+    orders = load_table(spark, sf_dir, "orders")
+    digit = F.substring(
+        F.col("o_totalprice").cast("decimal(18,2)").cast("string"), 1, 1
+    ).cast("int")
+    c = (
+        orders.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("total", F.sum("n").over(Window.partitionBy()))
+    )
+    b = spark.createDataFrame(
+        [(d, p) for d, p in _BENFORD.items()], "digit int, expected_freq double"
+    )
+    freq = F.col("n").cast("double") / F.col("total")
+    return (
+        c.join(F.broadcast(b), "digit")
+        .select(
+            "digit",
+            "n",
+            F.round(freq, 6).alias("observed_freq"),
+            "expected_freq",
+            F.round(F.abs(freq - F.col("expected_freq")), 6).alias("abs_dev"),
+        )
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
