@@ -6969,7 +6969,10 @@ _DRIVER_WINDOW = [
     "topk_parts_by_price",
     "setops_customer_segments",
     "string_funcs_parts",
-    "events_hourly_agg",
+    # (events_hourly_agg rotated out in r4c — its F2 date-function
+    # surface runs in-window inside gap_fill_events_hourly's bucketing
+    # — for the distributed-prefix-sum family below; stays CI-green.)
+    "concurrent_sessions_hourly",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)

@@ -322,3 +322,45 @@ def write_training_shards(
         .format(fmt)
         .save(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    target_files: int,
+    partition_cols: "list[str] | None" = None,
+) -> dict:
+    """Small-file compaction — the unglamorous job that keeps a 100 TB
+    lake readable: streaming appends and fine-grained upserts leave
+    thousands of KB-sized parquet files whose per-file open/footer cost
+    dominates scans.  Rewrites ``path`` to ``target_files`` files (per
+    partition when ``partition_cols`` is given, preserving the
+    hive layout and its pruning) via an atomic
+    write-to-sibling-then-swap, and returns
+    ``{"files_before": .., "files_after": ..}``.
+
+    ``coalesce`` (no shuffle) does the merge: compaction only ever
+    REDUCES file count, so narrowing partitions is free; use the
+    sorted/z-ordered writers instead when the goal is clustering, not
+    file count."""
+    import glob
+    import os
+    import shutil
+
+    def _count(p: str) -> int:
+        return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
+
+    before = _count(path)
+    df = spark.read.parquet(path)
+    tmp = path.rstrip("/") + "__compacting"
+    writer = df.coalesce(target_files).write.mode("overwrite")
+    if partition_cols:
+        writer = df.repartition(target_files, *partition_cols).write.mode(
+            "overwrite"
+        ).partitionBy(*partition_cols)
+    writer.parquet(tmp)
+    old = path.rstrip("/") + "__precompact"
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _count(path)}

@@ -591,3 +591,24 @@ def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
         F.col("quarter") == "1997-Q1"
     ).count()
     assert rows == expect > 0
+
+
+def test_compact_small_files_reduces_count_and_preserves_data(spark, tmp_path):
+    """Compaction rewrites a fragmented dataset to few files with
+    byte-identical content and an atomic swap (no partial state left)."""
+    import glob
+
+    from parcialbigdata_spark.sources.warehouse import compact_small_files
+
+    out = str(tmp_path / "fragmented")
+    ev = load_table(spark, SF, "events").select("event_id", "user_id", "value")
+    ev.repartition(64).write.parquet(out)  # simulate append fragmentation
+    assert len(glob.glob(out + "/*.parquet")) == 64
+
+    stats = compact_small_files(spark, out, target_files=4)
+    assert stats["files_before"] == 64 and stats["files_after"] == 4
+
+    back = spark.read.parquet(out)
+    assert back.count() == ev.count()
+    assert back.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
+    assert not glob.glob(str(tmp_path / "fragmented__*"))  # swap cleaned up
