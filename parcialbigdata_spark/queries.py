@@ -6845,6 +6845,116 @@ def benford_first_digit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "source_similarity_matrix",
+    f"""
+    WITH toks AS (
+      SELECT source, unnest({_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))}) AS term
+      FROM documents
+    ),
+    tf AS (
+      SELECT source, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+    ),
+    picked AS (
+      SELECT term FROM (
+        SELECT term, SUM(tf) AS total,
+               ROW_NUMBER() OVER (ORDER BY SUM(tf) DESC, term ASC) AS rn
+        FROM tf GROUP BY term
+      ) WHERE rn <= 1000
+    ),
+    dfreq AS (
+      SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+    ),
+    w AS (
+      SELECT tf.source, tf.term,
+             CAST(round(CAST(tf.tf AS DOUBLE) / d.df, 6) AS DECIMAL(18,6)) AS w
+      FROM tf JOIN picked USING (term) JOIN dfreq d USING (term)
+    ),
+    norms AS (
+      SELECT source, sqrt(CAST(SUM(w * w) AS DOUBLE)) AS nrm
+      FROM w GROUP BY source
+    ),
+    num AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(SUM(a.w * b.w) AS DOUBLE) AS dot
+      FROM w a JOIN w b ON a.term = b.term AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT n.src_a, n.src_b,
+           round(n.dot / (x.nrm * y.nrm), 6) AS cosine_sim
+    FROM num n
+    JOIN norms x ON n.src_a = x.source
+    JOIN norms y ON n.src_b = y.source
+    """,
+)
+def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-source similarity matrix — the mixture-analysis view an
+    LLM data pipeline uses to spot redundant or outlier sources: each
+    source becomes a TF÷DF-weighted vector over the global top-1,000
+    terms (rank-with-tie-break, so the vocabulary cap is
+    deterministic) and every source pair gets an exact-decimal cosine.
+    Weights avoid ``ln`` (libm rounding differs across engines): the
+    rarity factor is plain IEEE ``tf/df``, rounded once to 6 decimals
+    and summed as DECIMAL so dot products and norms are
+    order-independent.  The pair join is keyed on the term — S sources
+    make it an |vocab|×S² worst case, fine for source counts in the
+    thousands; vocabulary stays capped regardless of corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens(T.normalize("text"))).alias("term")
+    )
+    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    totals = tf.groupBy("term").agg(F.sum("tf").alias("total"))
+    picked = (
+        totals.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.col("total").desc(), F.col("term").asc())
+            ),
+        )
+        .filter(F.col("rn") <= 1000)
+        .select("term")
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    w = (
+        tf.join(F.broadcast(picked), "term")
+        .join(F.broadcast(dfreq), "term")
+        .select(
+            "source",
+            "term",
+            F.round(F.col("tf").cast("double") / F.col("df"), 6)
+            .cast("decimal(18,6)")
+            .alias("w"),
+        )
+    )
+    norms = w.groupBy("source").agg(
+        F.sqrt(F.sum(F.col("w") * F.col("w")).cast("double")).alias("nrm")
+    )
+    a, b = w.alias("a"), w.alias("b")
+    num = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.sum(F.col("a.w") * F.col("b.w")).cast("double").alias("dot"))
+    )
+    nx = norms.select(F.col("source").alias("src_a"), F.col("nrm").alias("nrm_a"))
+    ny = norms.select(F.col("source").alias("src_b"), F.col("nrm").alias("nrm_b"))
+    return (
+        num.join(F.broadcast(nx), "src_a")
+        .join(F.broadcast(ny), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            F.round(F.col("dot") / (F.col("nrm_a") * F.col("nrm_b")), 6).alias(
+                "cosine_sim"
+            ),
+        )
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
