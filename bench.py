@@ -117,6 +117,12 @@ BENCH_QUERIES = [
     "rolling_zscore_orders",
     "gap_fill_interp_events",
     "ppr_seed_customer_purchases",
+    # r4c: the heaviest of the final wave — vocabulary-capped source
+    # cosine matrix, single-window-free sweep-line concurrency,
+    # one-pass attribution.
+    "source_similarity_matrix",
+    "concurrent_sessions_hourly",
+    "attribution_last_touch",
 ]
 
 

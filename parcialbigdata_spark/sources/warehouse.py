@@ -339,10 +339,11 @@ def compact_small_files(
     write-to-sibling-then-swap, and returns
     ``{"files_before": .., "files_after": ..}``.
 
-    ``coalesce`` (no shuffle) does the merge: compaction only ever
-    REDUCES file count, so narrowing partitions is free; use the
-    sorted/z-ordered writers instead when the goal is clustering, not
-    file count."""
+    Unpartitioned data merges with ``coalesce`` (no shuffle — compaction
+    only ever reduces file count); the hive-partitioned path must
+    ``repartition`` on the partition columns so each directory gets its
+    own consolidated files. Use the sorted/z-ordered writers instead
+    when the goal is clustering, not file count."""
     import glob
     import os
     import shutil
