@@ -608,3 +608,60 @@ def test_ppr_conserves_and_localizes_to_seed_component(spark):
         assert rows[10] == 0 and rows[11] == 0
         assert rows[1] > 0  # teleport keeps the seed charged
         release_checkpoint(ranks)
+
+
+def test_pareto_front_2d_random_vs_bruteforce(spark):
+    """Randomized property check: the sort-scan skyline equals the
+    quadratic NOT-EXISTS definition on generated point sets with
+    heavy coordinate collisions (small value domains force ties)."""
+    import random
+
+    from parcialbigdata_spark.operators import joins
+
+    rng = random.Random(7)
+    pts = [
+        (i, float(rng.randrange(12)) / 2.0, rng.randrange(8))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(pts, "id long, price double, size int")
+    got = {r["id"] for r in joins.pareto_front_2d(df, "price", "size").collect()}
+    expect = {
+        i for (i, p, s) in pts
+        if not any(
+            qp <= p and qs >= s and (qp < p or qs > s) for (_, qp, qs) in pts
+        )
+    }
+    assert got == expect
+
+
+def test_gap_fill_interp_random_series_bounded_and_exact(spark):
+    """Randomized property check: every interpolated value lies between
+    its surrounding observations and equals the closed-form line value;
+    observed buckets pass through unchanged."""
+    import random
+    from datetime import datetime, timedelta
+
+    from parcialbigdata_spark.operators import timeseries
+
+    rng = random.Random(11)
+    base = datetime(2024, 5, 1)
+    obs_hours = sorted(rng.sample(range(48), 14))
+    vals = {h: rng.randrange(1000) for h in obs_hours}
+    buckets = spark.createDataFrame(
+        [("k", base + timedelta(hours=h), vals[h]) for h in obs_hours],
+        "k string, b timestamp, v long",
+    )
+    rows = {
+        int((r["b"] - base).total_seconds() // 3600): (r["v"], r["is_gap"])
+        for r in timeseries.gap_fill_interp(buckets, "k", "b", "v").collect()
+    }
+    assert set(rows) == set(range(obs_hours[0], obs_hours[-1] + 1))
+    for h, (v, is_gap) in rows.items():
+        if h in vals:
+            assert (v, is_gap) == (float(vals[h]), False)
+        else:
+            lo = max(x for x in obs_hours if x < h)
+            hi = min(x for x in obs_hours if x > h)
+            expect = vals[lo] + (vals[hi] - vals[lo]) * (h - lo) / (hi - lo)
+            assert v == round(expect, 6), (h, v, expect)
+            assert min(vals[lo], vals[hi]) <= v <= max(vals[lo], vals[hi])
