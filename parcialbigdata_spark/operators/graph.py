@@ -668,3 +668,56 @@ def triangle_stats(
             .alias("clustering_coeff"),
         )
     )
+
+
+def shortest_paths(
+    edges: DataFrame,
+    source: int,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 30,
+) -> DataFrame:
+    """Single-source shortest paths (unweighted BFS distances) — the
+    canonical recursive-aggregate workload (RaSQL SIGMOD'19 / Pregelix
+    VLDB'14 territory) as a frontier-propagating DataFrame loop:
+    each round joins ONLY the newly-settled frontier against the edge
+    relation, anti-joins out already-settled nodes, and appends the
+    survivors at distance+1. Work per round is O(frontier × degree),
+    not O(settled × degree) — the semi-naive evaluation a recursive
+    CTE's UNION ALL cannot do in Spark.
+
+    Unreachable nodes are absent from the result (no sentinel).
+    Terminates when the frontier empties; raises after ``max_iter``
+    rounds (bound = graph diameter). Same storage discipline as
+    :func:`connected_components`: per-round checkpoints are released
+    as soon as they are superseded; the returned settled relation is
+    the one retained materialization
+    (``session.release_checkpoint`` to free)."""
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    e = e.localCheckpoint(eager=True)
+    spark = edges.sparkSession
+    settled = spark.createDataFrame(
+        [(source, 0)], "node BIGINT, dist INT"
+    ).localCheckpoint(eager=True)
+    frontier = settled
+    prev_settled, prev_frontier = settled, None
+    for it in range(1, max_iter + 1):
+        cand = (
+            frontier.join(e, frontier.node == e.src)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        new = cand.join(settled, "node", "left_anti")
+        settled = settled.unionAll(new).localCheckpoint(eager=True)
+        frontier = new.localCheckpoint(eager=True)
+        n_new = frontier.count()
+        release_checkpoint(prev_settled)
+        if prev_frontier is not None:
+            release_checkpoint(prev_frontier)
+        prev_settled, prev_frontier = settled, frontier
+        if n_new == 0:
+            release_checkpoint(e)
+            release_checkpoint(frontier)
+            return settled
+    raise RuntimeError(f"shortest_paths did not converge in {max_iter} rounds")

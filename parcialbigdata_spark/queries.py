@@ -6955,6 +6955,57 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "sssp_supplier_graph",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_quantity >= 45 AND b.l_quantity >= 45
+    ),
+    sd AS (SELECT MIN(u) AS s FROM e),
+    reach(node, dist) AS (
+      SELECT s, CAST(0 AS INT) FROM sd
+      UNION
+      SELECT e.v, r.dist + 1 FROM reach r JOIN e ON e.u = r.node
+      WHERE r.dist < 16
+    )
+    SELECT node, CAST(MIN(dist) AS INT) AS dist
+    FROM reach GROUP BY node
+    """,
+)
+def sssp_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest paths over the supplier co-occurrence
+    graph from the minimum supplier key — the canonical
+    recursive-aggregate workload (RaSQL SIGMOD'19 / Pregelix VLDB'14)
+    done Spark-first: ``operators/graph.py shortest_paths`` propagates
+    ONLY the newly-settled frontier each round (semi-naive evaluation
+    a UNION ALL recursive CTE cannot do in Spark), with per-round
+    checkpoint release.  The DuckDB oracle replays it as a hop-bounded
+    (≤16) UNION-distinct recursion + MIN(dist) — exact because the
+    fixture graph's eccentricity from the seed is ≤2 (a diameter ≥16
+    fixture would flip the hash, the same documented
+    fixture-dependence as the minhash oracle).  Unreachable suppliers
+    are absent on both sides."""
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst")
+        )
+    )
+    source = edges.agg(F.min("src")).first()[0]
+    return graph.shortest_paths(edges, source=int(source)).select(
+        "node", F.col("dist").cast("int").alias("dist")
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 

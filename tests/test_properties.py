@@ -665,3 +665,28 @@ def test_gap_fill_interp_random_series_bounded_and_exact(spark):
             expect = vals[lo] + (vals[hi] - vals[lo]) * (h - lo) / (hi - lo)
             assert v == round(expect, 6), (h, v, expect)
             assert min(vals[lo], vals[hi]) <= v <= max(vals[lo], vals[hi])
+
+
+def test_shortest_paths_bfs_semantics_and_storage(spark):
+    """SSSP frontier loop: exact BFS distances on a path + branch
+    graph, unreachable components absent, and per-round checkpoints
+    released (persisted set returns to baseline after the caller
+    frees the result)."""
+    from parcialbigdata_spark.operators import graph
+    from parcialbigdata_spark.session import release_checkpoint
+
+    def n_cached() -> int:
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # 1-2-3-4-5 path, branch 3-10, separate component 20-21 (directed
+    # both ways to make it undirected)
+    und = [(1, 2), (2, 3), (3, 4), (4, 5), (3, 10), (20, 21)]
+    edges = spark.createDataFrame(
+        und + [(b, a) for a, b in und], "src BIGINT, dst BIGINT"
+    )
+    base = n_cached()
+    got = graph.shortest_paths(edges, source=1)
+    dist = {r["node"]: r["dist"] for r in got.collect()}
+    assert dist == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 3}
+    release_checkpoint(got)
+    assert n_cached() <= base, "SSSP leaked per-round checkpoints"
