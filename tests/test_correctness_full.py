@@ -53,3 +53,30 @@ def test_driver_window_is_exactly_the_first_50():
     assert all(n in ORACLES for n in _DRIVER_WINDOW), [
         n for n in _DRIVER_WINDOW if n not in ORACLES
     ]
+
+
+def test_compare_kernel_detects_mismatches(spark):
+    """The gate itself must be falsifiable: wrong values, wrong schema,
+    and wrong row counts each produce a non-empty problem list (guards
+    against a silently-green compare kernel)."""
+    from parcialbigdata_spark.oracle import compare_query, duckdb_fixture_connection
+
+    con = duckdb_fixture_connection("/root/testdata/sf0.001")
+
+    def q_ok(s, d):
+        return s.createDataFrame([(1, "a")], "k long, v string")
+
+    assert compare_query(spark, con, q_ok, "SELECT 1 AS k, 'a' AS v", "") == []
+    assert compare_query(spark, con, q_ok, "SELECT 1 AS k, 'b' AS v", "") == [
+        "value-hash mismatch"
+    ]
+    assert any(
+        "schema" in p
+        for p in compare_query(spark, con, q_ok, "SELECT 1 AS k, 'a' AS w", "")
+    )
+    assert any(
+        "rows" in p
+        for p in compare_query(
+            spark, con, q_ok, "SELECT 1 AS k, 'a' AS v UNION ALL SELECT 2, 'c'", ""
+        )
+    )
