@@ -353,3 +353,67 @@ def test_stream_hll_partials_merge_and_replay_idempotence(spark, tmp_path):
     est2 = sketch_store.merged_estimates(spark, store).collect()[0]
     assert est2["n_partials"] == 3
     assert est2["merged_est"] == est["merged_est"]
+
+
+def test_streaming_hourly_agg_across_many_microbatches(spark, tmp_path):
+    """Incremental window-state correctness: the SAME hourly aggregation
+    drained over 4 micro-batches (maxFilesPerTrigger=1, events split
+    across files out of original order) equals the one-shot batch
+    answer — windows spanning batch boundaries must merge partial
+    state, which a single-batch drain never exercises."""
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.sources.tables import load_table
+    from parcialbigdata_spark.streaming.windows import streaming_hourly_counts
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "events_split")
+    # salt by event_id so each file holds an interleaved (not
+    # time-contiguous) slice: every window gets rows from many batches
+    ev.withColumn("__b", F.col("event_id") % 4).repartition(4, "__b").drop(
+        "__b"
+    ).write.parquet(src)
+    files = sorted(str(p) for p in (tmp_path / "events_split").glob("*.parquet"))
+    assert len(files) >= 3  # hash-partitioning may fold two salts together
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        # the batch loader surfaces ts as TIMESTAMP_NTZ; watermarks
+        # need TIMESTAMP (same normalization read_events_stream does)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    out = streaming_hourly_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("hourly_mb")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["hour"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.table("hourly_mb").collect()
+    }
+
+    batch = (
+        ev.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "hour"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("tv"),
+        )
+    )
+    expect = {
+        (r["hour"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
+    }
+    assert got == expect
