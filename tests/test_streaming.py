@@ -417,3 +417,74 @@ def test_streaming_hourly_agg_across_many_microbatches(spark, tmp_path):
         (r["hour"], r["event_type"]): (r["n"], r["tv"]) for r in batch.collect()
     }
     assert got == expect
+
+
+def test_streaming_sessions_merge_across_microbatches(spark, tmp_path):
+    """Session-window MERGING across batch boundaries: one user's
+    session arrives as interleaved fragments over several micro-batches
+    (each later fragment extends or bridges earlier ones), and the
+    drained result must equal the batch sessionizer's answer — the
+    hardest stateful-merge path session_window has."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.sources.tables import load_table
+    from parcialbigdata_spark.streaming.windows import streaming_sessions
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    src = str(tmp_path / "events_split")
+    ev.withColumn("__b", F.col("event_id") % 4).repartition(4, "__b").drop(
+        "__b"
+    ).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    # effectively-infinite watermark: this test isolates cross-batch
+    # session MERGING (fragments arrive out of time order across
+    # batches); the late-drop contract is pinned separately by
+    # test_watermark_drops_late_events.
+    q = (
+        streaming_sessions(stream, watermark="100 days")
+        .writeStream.format("memory")
+        .queryName("sessions_mb")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    got = {
+        (r["user_id"], r["session_start_epoch"]): (r["duration_sec"], r["n_events"])
+        for r in spark.table("sessions_mb").collect()
+    }
+
+    # batch truth: the repo's standard gap sessionizer
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    es = F.unix_timestamp("ts")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        es.alias("es"),
+        F.when(
+            F.lag(es).over(w).isNull() | ((es - F.lag(es).over(w)) >= 1800), 1
+        ).otherwise(0).alias("ns"),
+    ).withColumn(
+        "seq",
+        F.sum("ns").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)),
+    )
+    batch = flagged.groupBy("user_id", "seq").agg(
+        F.min("es").alias("start"),
+        (F.max("es") - F.min("es")).alias("dur"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    expect = {
+        (r["user_id"], r["start"]): (r["dur"], r["n"]) for r in batch.collect()
+    }
+    assert got == expect
