@@ -7006,6 +7006,60 @@ def sssp_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weekly_churn_users",
+    """
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(floor(epoch(date_trunc('week', ts)) / 604800) AS BIGINT) AS wk
+      FROM events
+    ),
+    weeks AS (SELECT DISTINCT wk FROM uw),
+    labeled AS (
+      SELECT a.wk, a.user_id,
+             CASE WHEN b.user_id IS NULL THEN 1 ELSE 0 END AS churned
+      FROM uw a LEFT JOIN uw b
+        ON a.user_id = b.user_id AND b.wk = a.wk + 1
+    )
+    SELECT l.wk AS week_idx,
+           COUNT(*) AS n_active,
+           SUM(l.churned) AS n_churned
+    FROM labeled l
+    WHERE l.wk + 1 IN (SELECT wk FROM weeks)
+    GROUP BY 1
+    """,
+)
+def weekly_churn_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly churn — the third leg of the lifecycle triad (cohort
+    retention / new-vs-returning / churn): per week, active users and
+    how many of them do NOT return the following week.  One distinct
+    (user, week) reduction feeds a self left-join on (user, week+1) —
+    both sides hash on user_id, one co-partitioned shuffle — and the
+    trailing week (which has no successor to churn into) is excluded
+    by a semi-filter on the observed week set.  Week ids are epoch
+    DIV 604800 of the week truncation (engine-identical integers, no
+    date formatting in the key)."""
+    ev = load_table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id",
+        (F.floor(F.unix_timestamp(F.date_trunc("week", F.col("ts"))) / 604800))
+        .cast("bigint")
+        .alias("wk"),
+    ).distinct()
+    weeks = uw.select("wk").distinct()
+    nxt = uw.select("user_id", (F.col("wk") - 1).alias("wk"), F.lit(1).alias("ret"))
+    labeled = uw.join(nxt, ["user_id", "wk"], "left")
+    has_next_week = weeks.select((F.col("wk") - 1).alias("wk")).distinct()
+    return (
+        labeled.join(has_next_week, "wk", "left_semi")
+        .groupBy(F.col("wk").alias("week_idx"))
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum(F.when(F.col("ret").isNull(), 1).otherwise(0)).alias("n_churned"),
+        )
+    )
+
+
 _DECILES = [round(0.1 * i, 1) for i in range(1, 10)]
 
 
