@@ -85,6 +85,17 @@ def compare_query(
     except Exception as exc:  # noqa: BLE001
         return [f"oracle error: {exc}"]
     problems = []
+    # fetchall() returns plain Python ints for DuckDB HUGEINT, so the
+    # hash below is blind to the dtype drift that makes the DRIVER's
+    # pandas-based kernel hash 7.0 vs 7 (r3 variant_event_props, r4
+    # concurrent_sessions_hourly). Flag it explicitly from the
+    # declared result schema: any HUGEINT output column would reach
+    # the driver as float64.
+    hug = hugeint_columns(con, oracle)
+    if hug:
+        problems.append(
+            f"oracle HUGEINT drift (lands as float64 at the driver): {hug}"
+        )
     if len(srows) != len(orows):
         problems.append(f"rows {len(srows)} != {len(orows)}")
     if sorted(scols) != sorted(ocols):
@@ -92,3 +103,17 @@ def compare_query(
     elif value_hash(srows, scols) != value_hash(orows, ocols):
         problems.append("value-hash mismatch")
     return problems
+
+
+def hugeint_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
+    """Output columns whose declared DuckDB type is (U)HUGEINT —
+    DuckDB widens SUM(BIGINT) and windowed sums to HUGEINT, which
+    pandas can only hold as float64, so the driver's kernel hashes
+    '7.0' against Spark's '7'. Oracles must CAST such sums to BIGINT.
+    Uses DESCRIBE (bind-only, no execution); returns 'col: HUGEINT'
+    strings, empty when the oracle is clean or DESCRIBE can't bind."""
+    try:
+        rows = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # noqa: BLE001 — non-describable statement
+        return []
+    return [f"{r[0]}: {r[1]}" for r in rows if "HUGEINT" in str(r[1]).upper()]

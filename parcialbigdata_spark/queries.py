@@ -2224,7 +2224,7 @@ def streaming_running_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     "streaming_spend_totals",
     """
     SELECT user_id, COUNT(*) AS n_seen,
-           SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS total_cents
     FROM events GROUP BY user_id
     """,
 )
@@ -3016,7 +3016,7 @@ def right_outer_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "profile_documents",
     """
     SELECT COUNT(*) AS n_rows,
-           SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
            COUNT(DISTINCT lang) AS n_langs,
            COUNT(DISTINCT source) AS n_sources,
            MIN(n_chars) AS min_chars,
@@ -3560,7 +3560,7 @@ _MIX_W_SQL = (
     "mixture_resample_documents",
     f"""
     WITH stats AS (
-      SELECT source, SUM(n_chars) AS src_chars, COUNT(*) AS n_docs
+      SELECT source, CAST(SUM(n_chars) AS BIGINT) AS src_chars, COUNT(*) AS n_docs
       FROM documents GROUP BY source
     ), r AS (
       SELECT source, src_chars, n_docs,
@@ -3939,7 +3939,7 @@ def shared_substring_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM orders WHERE o_custkey IS NOT NULL
         AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
     )
-    SELECT chk.check, chk.metric,
+    SELECT chk.check, CAST(chk.metric AS BIGINT) AS metric,
            CASE WHEN chk.check = 'row_count' THEN chk.metric > 0
                 ELSE chk.metric = 0 END AS pass
     FROM m, o, LATERAL (VALUES
@@ -4370,7 +4370,7 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM b GROUP BY bucket
     ),
     t AS (SELECT SUM(n_ref) AS t_ref, SUM(n_cur) AS t_cur FROM c)
-    SELECT bucket, n_ref, n_cur,
+    SELECT bucket, CAST(n_ref AS BIGINT) AS n_ref, CAST(n_cur AS BIGINT) AS n_cur,
            ROUND(
              (CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10) - CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))
              * ln((CAST(n_cur + 1 AS DOUBLE) / (t_cur + 10)) / (CAST(n_ref + 1 AS DOUBLE) / (t_ref + 10))),
@@ -4605,7 +4605,7 @@ def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM feat GROUP BY doc_id, source
     )
     SELECT source, COUNT(*) AS n_docs,
-           SUM(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END) AS n_pass,
+           CAST(SUM(CASE WHEN sum_w > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
            ROUND(CAST(SUM(CAST(round(CAST(sum_w AS DOUBLE) / (100 * n), 9)
                                AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6) AS avg_logit
     FROM perdoc GROUP BY source
@@ -6315,11 +6315,11 @@ def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     SELECT source,
            COUNT(*) AS n_docs,
-           SUM(length(text)) AS n_chars,
-           SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
-                               x -> x <> ''))) AS ws_tokens,
-           SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')))
-             AS bpe_ish_tokens
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(len(list_filter(string_split_regex(trim(text), '\s+'),
+                               x -> x <> ''))) AS BIGINT) AS ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]')))
+             AS BIGINT) AS bpe_ish_tokens
     FROM documents GROUP BY source
     """,
 )
@@ -6417,8 +6417,8 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            MAX(es) - MIN(es) AS span_sec,
            COALESCE(MAX(gap), 0) AS max_gap_sec,
-           1 + COALESCE(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)
-             AS n_sessions
+           CAST(1 + COALESCE(SUM(CASE WHEN gap > 1800 THEN 1 ELSE 0 END), 0)
+             AS BIGINT) AS n_sessions
     FROM g GROUP BY user_id
     """,
 )
@@ -6654,7 +6654,7 @@ def hll_grouping_sets_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT es // 3600 AS hour_bucket,
            COUNT(*) AS n_boundaries,
-           MAX(concurrent) AS max_concurrent
+           CAST(MAX(concurrent) AS BIGINT) AS max_concurrent
     FROM run
     GROUP BY 1
     """,
@@ -6746,8 +6746,8 @@ def concurrent_sessions_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT ud.day,
            COUNT(*) AS n_active,
-           SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS n_new,
-           SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS n_returning
+           CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
     FROM ud JOIN first_day f ON ud.user_id = f.user_id
     GROUP BY ud.day
     """,
@@ -7023,7 +7023,7 @@ def sssp_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT l.wk AS week_idx,
            COUNT(*) AS n_active,
-           SUM(l.churned) AS n_churned
+           CAST(SUM(l.churned) AS BIGINT) AS n_churned
     FROM labeled l
     WHERE l.wk + 1 IN (SELECT wk FROM weeks)
     GROUP BY 1
