@@ -19,6 +19,7 @@ right rows usually does not):
 from __future__ import annotations
 
 import re
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame
 
@@ -71,3 +72,79 @@ def audit_plan(df: DataFrame) -> dict:
         or "ArrowEvalPythonUDTF" in plan,
         "top_k": "TakeOrderedAndProject" in plan,
     }
+
+
+@contextmanager
+def capture_checkpoint_builds():
+    """Record the pre-checkpoint DataFrame at every ``localCheckpoint``
+    call inside the block.
+
+    A ``localCheckpoint`` replaces the logical plan with a LogicalRDD,
+    so auditing only a query's RETURNED DataFrame is blind to the whole
+    build phase of checkpointed operators — PLANS.md r4 recorded the
+    set-similarity join (the repo's most expensive operator) as
+    "0 scans / 0 exchanges" and the plan-regression gate could not
+    catch a shuffle regression in its shingle build. Intercepting the
+    method itself (rather than probe calls inside each operator) covers
+    every current and future checkpoint site, including the per-round
+    checkpoints of the iterative graph operators.
+
+    Yields the list the captured DataFrames are appended to, in call
+    order; eager checkpoints still execute normally."""
+    # Spark 4 instances are pyspark.sql.classic.dataframe.DataFrame,
+    # which OVERRIDES the pyspark.sql.DataFrame base method — patching
+    # only the base would never fire.
+    from pyspark.sql.classic.dataframe import DataFrame as ClassicDataFrame
+
+    captured: list[DataFrame] = []
+    orig = ClassicDataFrame.localCheckpoint
+
+    def patched(self, *args, **kwargs):
+        captured.append(self)
+        return orig(self, *args, **kwargs)
+
+    ClassicDataFrame.localCheckpoint = patched
+    try:
+        yield captured
+    finally:
+        ClassicDataFrame.localCheckpoint = orig
+
+
+def audit_executed_plan(df: DataFrame) -> dict:
+    """Execute the DataFrame's own query and audit the FINAL adaptive
+    plan.
+
+    Under AQE the pre-execution formatted explain carries no codegen
+    annotations (``n_codegen_spans`` reads 0 = "deferred"), so
+    whole-stage-codegen regressions were invisible to the plan gate.
+    ``collect()`` runs the DataFrame's own QueryExecution in place
+    (``count()``/``write`` would build a separate one and leave this
+    plan un-finalized); afterwards the formatted explain carries
+    ``isFinalPlan=true`` plus real ``[codegen id : n]`` markers, and
+    the audit's join/exchange counts reflect runtime re-planning
+    (broadcast demotions, AQE coalesced shuffles, skew splits).
+
+    Only call on bounded results (fixture-scale audits) — the
+    collected rows are discarded."""
+    df.collect()
+    return audit_plan(df)
+
+
+def audit_build_plans(dfs: list[DataFrame]) -> dict:
+    """Aggregate the scale-relevant counts across captured
+    pre-checkpoint build plans (see ``capture_checkpoint_builds``).
+    Sums are deterministic at a fixed fixture: iterative operators
+    contribute one probe per round, so a convergence change shows up
+    as a probe-count change rather than silently."""
+    agg = {
+        "n_build_probes": len(dfs),
+        "n_build_parquet_scans": 0,
+        "n_build_exchanges": 0,
+        "has_build_python_row_udf": False,
+    }
+    for df in dfs:
+        a = audit_plan(df)
+        agg["n_build_parquet_scans"] += a["n_parquet_scans"]
+        agg["n_build_exchanges"] += a["n_exchanges"]
+        agg["has_build_python_row_udf"] |= a["has_python_row_udf"]
+    return agg

@@ -216,7 +216,14 @@ def top_customers_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     against customer for names (broadcast).  Decimal sums re-associate
     exactly, so the value hash matches the single-stage oracle
     bit-for-bit; fact-sized rows never carry customer names through a
-    shuffle."""
+    shuffle.
+
+    Assumes FK-clean orders.o_custkey (pinned by ``fk_integrity_audit``
+    on the fixtures): an orphan custkey could take a top-10 slot and
+    then drop out in the final customer join, where the oracle's
+    join-first shape would have excluded it up front. On non-FK-clean
+    data, take the top-10 AFTER the customer join (or semi-join orders
+    against customer first) to keep the semantics identical."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
@@ -6197,31 +6204,46 @@ def streaming_hll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``streaming/sketch_store.py`` for the 100 TB dashboard-serving
     contract."""
     import os
+    import shutil
     import tempfile
 
     from parcialbigdata_spark.streaming import sketch_store
     from parcialbigdata_spark.streaming.windows import read_events_stream
 
     base = tempfile.mkdtemp(prefix="hll_store_")
-    store = os.path.join(base, "store")
-    ckpt = os.path.join(base, "ckpt")
-    q = sketch_store.stream_hll_to_store(
-        read_events_stream(spark, sf_dir), store, ckpt
-    )
-    q.awaitTermination(120)
-    if q.isActive:
-        q.stop()
-    est = sketch_store.merged_estimates(spark, store)
-    exact = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
-        F.countDistinct("user_id").alias("exact_users")
-    )
-    within = (
-        F.abs(F.col("merged_est") - F.col("exact_users"))
-        / F.greatest(F.col("exact_users"), F.lit(1))
-    ) <= 0.10
-    return exact.join(est, "event_type").select(
-        "event_type", "exact_users", within.alias("merged_within_10pct")
-    )
+    try:
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        q = sketch_store.stream_hll_to_store(
+            read_events_stream(spark, sf_dir), store, ckpt
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            # A partially-drained store would nondeterministically flip
+            # merged_within_10pct — fail loudly instead of comparing it.
+            q.stop()
+            raise RuntimeError(
+                "streaming_hll_partials: availableNow drain did not "
+                "finish within 240 s; refusing to estimate from a "
+                "partial sketch store"
+            )
+        est = sketch_store.merged_estimates(spark, store)
+        exact = load_table(spark, sf_dir, "events").groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_users")
+        )
+        within = (
+            F.abs(F.col("merged_est") - F.col("exact_users"))
+            / F.greatest(F.col("exact_users"), F.lit(1))
+        ) <= 0.10
+        out = exact.join(est, "event_type").select(
+            "event_type", "exact_users", within.alias("merged_within_10pct")
+        )
+        # Materialize before the store/checkpoint dirs disappear; the
+        # result is a handful of rows (one per event_type).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
 
 
 _PPR_ITER = """

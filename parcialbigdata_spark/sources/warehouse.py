@@ -340,10 +340,22 @@ def compact_small_files(
     ``{"files_before": .., "files_after": ..}``.
 
     Unpartitioned data merges with ``coalesce`` (no shuffle — compaction
-    only ever reduces file count); the hive-partitioned path must
-    ``repartition`` on the partition columns so each directory gets its
-    own consolidated files. Use the sorted/z-ordered writers instead
-    when the goal is clustering, not file count."""
+    only ever reduces file count); the hive-partitioned path
+    ``repartition``\ s on the partition columns so each directory gets
+    its own consolidated files (~1 file per partition VALUE — hash
+    partitioning cannot split one value's rows across ``target_files``
+    tasks, so ``target_files`` is a ceiling on parallelism there, not a
+    per-directory file count). Use the sorted/z-ordered writers instead
+    when the goal is clustering, not file count.
+
+    Crash safety: the swap is write-sibling → verify → rename-away →
+    rename-in → delete-old.  A leftover ``__compacting`` /
+    ``__precompact`` sibling from a previous crashed run fails fast
+    (the old data is still intact at ``path`` or, after the first
+    rename, recoverable from ``__precompact`` — never silently
+    clobbered), and the freshly written copy is row-counted against the
+    source BEFORE the original leaves ``path``, so a torn write can't
+    replace good data."""
     import glob
     import os
     import shutil
@@ -351,16 +363,32 @@ def compact_small_files(
     def _count(p: str) -> int:
         return len(glob.glob(os.path.join(p, "**", "*.parquet"), recursive=True))
 
+    tmp = path.rstrip("/") + "__compacting"
+    old = path.rstrip("/") + "__precompact"
+    for leftover in (tmp, old):
+        if os.path.exists(leftover):
+            raise RuntimeError(
+                f"compact_small_files: leftover {leftover} from a previous "
+                "crashed run — recover (rename __precompact back or delete "
+                "the partial __compacting) before re-running"
+            )
     before = _count(path)
     df = spark.read.parquet(path)
-    tmp = path.rstrip("/") + "__compacting"
+    rows_before = df.count()
     writer = df.coalesce(target_files).write.mode("overwrite")
     if partition_cols:
         writer = df.repartition(target_files, *partition_cols).write.mode(
             "overwrite"
         ).partitionBy(*partition_cols)
     writer.parquet(tmp)
-    old = path.rstrip("/") + "__precompact"
+    # Verify the new copy while the original is still live at `path`.
+    rows_after = spark.read.parquet(tmp).count()
+    if rows_after != rows_before or _count(tmp) == 0:
+        raise RuntimeError(
+            f"compact_small_files: compacted copy at {tmp} has "
+            f"{rows_after} rows vs {rows_before} in the source — "
+            "leaving the original untouched"
+        )
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)

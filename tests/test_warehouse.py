@@ -612,3 +612,30 @@ def test_compact_small_files_reduces_count_and_preserves_data(spark, tmp_path):
     assert back.count() == ev.count()
     assert back.agg(F.sum("event_id")).first()[0] == ev.agg(F.sum("event_id")).first()[0]
     assert not glob.glob(str(tmp_path / "fragmented__*"))  # swap cleaned up
+
+
+def test_compact_small_files_fails_fast_on_leftover_siblings(spark, tmp_path):
+    """A crashed prior run leaves __compacting / __precompact siblings;
+    re-running must refuse (not clobber or half-swap) until the operator
+    recovers, and the live dataset must be untouched afterwards."""
+    import os
+
+    import pytest as _pytest
+
+    from parcialbigdata_spark.sources.warehouse import compact_small_files
+
+    out = str(tmp_path / "ds")
+    ev = load_table(spark, SF, "events").select("event_id", "value")
+    ev.repartition(8).write.parquet(out)
+
+    for suffix in ("__compacting", "__precompact"):
+        leftover = out + suffix
+        os.mkdir(leftover)
+        with _pytest.raises(RuntimeError, match="leftover"):
+            compact_small_files(spark, out, target_files=2)
+        os.rmdir(leftover)
+
+    # Clean siblings -> proceeds normally.
+    stats = compact_small_files(spark, out, target_files=2)
+    assert stats["files_after"] == 2
+    assert spark.read.parquet(out).count() == ev.count()

@@ -18,7 +18,11 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from parcialbigdata_spark.plans.audit import audit_plan  # noqa: E402
+from parcialbigdata_spark.plans.audit import (  # noqa: E402
+    audit_build_plans,
+    audit_plan,
+    capture_checkpoint_builds,
+)
 from parcialbigdata_spark.queries import QUERIES  # noqa: E402
 from parcialbigdata_spark.session import get_spark  # noqa: E402
 
@@ -34,7 +38,11 @@ def main() -> int:
         if name.startswith("streaming_"):
             continue  # audited post-drain in PLANS.md; not plan-stable pre-execution
         try:
-            audit = audit_plan(fn(spark, SF_DIR))
+            with capture_checkpoint_builds() as probes:
+                df = fn(spark, SF_DIR)
+            audit = audit_plan(df)
+            build = audit_build_plans(probes)
+            spark.catalog.clearCache()
         except Exception as exc:  # pragma: no cover - diagnostic path
             print(f"SKIP {name}: {exc}")
             continue
@@ -42,8 +50,16 @@ def main() -> int:
             "n_exchanges": audit["n_exchanges"],
             "has_python_row_udf": audit["has_python_row_udf"],
             "top_k": audit["top_k"],
+            # Build phases hidden behind localCheckpoint LogicalRDDs —
+            # without these the gate was blind to shuffle regressions
+            # in the most expensive operators' build stage.
+            "n_build_probes": build["n_build_probes"],
+            "n_build_exchanges": build["n_build_exchanges"],
         }
-        print(f"{name}: exch={audit['n_exchanges']} topk={audit['top_k']}")
+        print(
+            f"{name}: exch={audit['n_exchanges']} topk={audit['top_k']} "
+            f"build={build['n_build_probes']}:{build['n_build_exchanges']}"
+        )
     with open(OUT, "w") as fh:
         json.dump(baseline, fh, indent=1, sort_keys=True)
     print(f"wrote {OUT} ({len(baseline)} queries)")
