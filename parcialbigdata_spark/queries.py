@@ -2257,6 +2257,62 @@ def streaming_spend_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_new_vs_returning_daily",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id,
+             strftime(date_trunc('day', ts), '%Y-%m-%d') AS day
+      FROM events
+    ),
+    first_day AS (
+      SELECT user_id, MIN(day) AS d0 FROM ud GROUP BY user_id
+    )
+    SELECT ud.day,
+           COUNT(*) AS n_active,
+           CAST(SUM(CASE WHEN ud.day = f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN ud.day > f.d0 THEN 1 ELSE 0 END) AS BIGINT) AS n_returning
+    FROM ud JOIN first_day f ON ud.user_id = f.user_id
+    GROUP BY ud.day
+    """,
+)
+def streaming_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4 stateful LIFECYCLE analytics — the streaming twin of
+    ``new_vs_returning_users_daily``, extending the stateful surface
+    beyond counts/sessions/joins: a custom ``applyInPandasWithState``
+    operator (``streaming/windows.py distinct_user_days``) keyed by
+    user maintains the set of days already emitted, so the drained
+    store holds each (user, day) activity pair EXACTLY ONCE regardless
+    of micro-batch splits or out-of-order arrival. Classification into
+    new (first-ever-seen day) vs returning is then a per-user min-day
+    window over that compact store — deferred past the drain precisely
+    because an in-flight append-mode label could be invalidated by an
+    earlier day arriving late, which is the subtle bug this design
+    avoids. One shuffle on user_id (the window), one on day (the
+    final agg); no join. Oracle = the batch lifecycle SQL on the same
+    events."""
+    from pyspark.sql import Window as W
+
+    from parcialbigdata_spark.streaming.windows import (
+        distinct_user_days,
+        read_events_stream,
+    )
+
+    ud = _drain(
+        distinct_user_days(read_events_stream(spark, sf_dir)), output_mode="update"
+    )
+    d0 = F.min("day").over(W.partitionBy("user_id"))
+    return (
+        ud.withColumn("d0", d0)
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum((F.col("day") == F.col("d0")).cast("long")).alias("n_new"),
+            F.sum((F.col("day") > F.col("d0")).cast("long")).alias("n_returning"),
+        )
+    )
+
+
 @query("ivf_topk_embeddings", _clustered_topk_oracle("ivf_recall_ok"))
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k (§2.10): deterministic k-means coarse quantizer
@@ -7186,11 +7242,17 @@ _DRIVER_WINDOW = [
     "rollup_revenue_region_nation",
     "grouping_sets_revenue",
     "distinct_nations_per_segment",
-    "percentile_quantity_by_flag",
+    # (percentile_quantity_by_flag rotated out in r5 for its A4
+    # quantile sibling equidepth_histogram_orders, CI-green but never
+    # driver-checked; stays CI-green.)
+    "equidepth_histogram_orders",
     "collect_nations_per_region",
     # r4 new families: graph analytics beyond PageRank, time-series
     # densification, complete (prefix-filtered) set-similarity join
-    "triangle_stats_supplier_graph",
+    # (triangle_stats_supplier_graph rotated out in r5 for its graph
+    # sibling sssp_supplier_graph, CI-green but never driver-checked;
+    # triangles stay CI-green via tests/test_correctness_full.py.)
+    "sssp_supplier_graph",
     "gap_fill_events_hourly",
     "setsim_join_documents",
     # windows (collect_segments_per_nation / window_running_revenue
@@ -7213,7 +7275,11 @@ _DRIVER_WINDOW = [
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
-    "rolling_zscore_orders",
+    # (rolling_zscore_orders rotated out in r5 — the W family keeps
+    # three window reps in-window — for the lifecycle-triad rep
+    # weekly_churn_users, CI-green but never driver-checked; stays
+    # CI-green.)
+    "weekly_churn_users",
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",

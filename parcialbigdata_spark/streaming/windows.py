@@ -187,6 +187,52 @@ def _count_fn(key, pdfs, state: GroupState):
     yield pd.DataFrame({"user_id": [key[0]], "n_events": [n]})
 
 
+_FIRST_DAYS_OUT_SCHEMA = "user_id bigint, day string"
+
+
+def _first_seen_days_fn(key, pdfs, state: GroupState):
+    seen = set(state.get[0]) if state.exists else set()
+    fresh = []
+    for pdf in pdfs:
+        for d in pdf["day"]:
+            if d not in seen:
+                seen.add(d)
+                fresh.append(d)
+    state.update((sorted(seen),))
+    if fresh:
+        yield pd.DataFrame({"user_id": key[0], "day": sorted(fresh)})
+
+
+def distinct_user_days(events: DataFrame) -> DataFrame:
+    """Stateful streaming DISTINCT over (user, day) — the state layer
+    of the lifecycle analytics (new-vs-returning, churn, retention)
+    that batch computes with ``SELECT DISTINCT user_id, day``.
+
+    ``applyInPandasWithState`` keyed by user; state is the user's
+    set of already-emitted days (``array<string>``), so each (user,
+    day) pair is emitted EXACTLY ONCE however the stream is
+    micro-batched, and — unlike an append-mode classification — the
+    operator stays correct under out-of-order arrival: a user's
+    earlier day landing in a LATER batch still gets its own emission,
+    and first-seen classification is deferred to a post-drain
+    ``min(day)`` over the compact (user, day) store rather than frozen
+    at emission time. State is bounded by the day horizon per user
+    (~hundreds of strings); production variants TTL the set by
+    watermark or swap it for a Bloom filter once the horizon is
+    unbounded."""
+    days = events.select(
+        "user_id",
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+    )
+    return days.groupBy("user_id").applyInPandasWithState(
+        _first_seen_days_fn,
+        outputStructType=_FIRST_DAYS_OUT_SCHEMA,
+        stateStructType="days array<string>",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 from pyspark.sql.streaming.stateful_processor import StatefulProcessor  # noqa: E402
 
 

@@ -488,3 +488,63 @@ def test_streaming_sessions_merge_across_microbatches(spark, tmp_path):
         (r["user_id"], r["start"]): (r["dur"], r["n"]) for r in batch.collect()
     }
     assert got == expect
+
+
+def test_distinct_user_days_exactly_once_across_out_of_order_batches(spark, tmp_path):
+    """The lifecycle state operator emits each (user, day) exactly once
+    even when a user's EARLIER day arrives in a LATER micro-batch — the
+    arrival order that would corrupt any classify-at-emission design.
+    Three files drained one per trigger: day 2 first, then day 1 (out
+    of order, same user), then a repeat of day 2 (must not re-emit)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from parcialbigdata_spark.streaming.windows import distinct_user_days
+
+    src = tmp_path / "events_src"
+    src.mkdir()
+
+    def write(name, rows):
+        pd.DataFrame(
+            rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+        ).astype({"ts": "datetime64[us]"}).to_parquet(src / name)
+
+    t = pd.Timestamp
+    write("a.parquet", [
+        (1, t("2024-01-02 10:00:00"), 1, "click", 1.0, "{}"),
+        (2, t("2024-01-02 11:00:00"), 2, "click", 1.0, "{}"),
+    ])
+    write("b.parquet", [
+        (3, t("2024-01-01 09:00:00"), 1, "click", 1.0, "{}"),  # earlier day, later batch
+    ])
+    write("c.parquet", [
+        (4, t("2024-01-02 12:00:00"), 1, "click", 1.0, "{}"),  # repeat day — no re-emit
+    ])
+    import time as _time
+
+    now = _time.time()
+    for i, name in enumerate(["a.parquet", "b.parquet", "c.parquet"]):
+        os.utime(src / name, (now - 200 + 100 * i, now - 200 + 100 * i))
+
+    events = (
+        spark.readStream.schema(
+            "event_id bigint, ts timestamp, user_id bigint, "
+            "event_type string, value double, props string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = (
+        distinct_user_days(events)
+        .writeStream.format("memory")
+        .queryName("ud_ooo_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    if q.isActive:
+        q.stop()
+    rows = sorted(tuple(r) for r in spark.table("ud_ooo_test").collect())
+    # Exactly once per (user, day): user 1 on both days, user 2 on day 2.
+    assert rows == [(1, "2024-01-01"), (1, "2024-01-02"), (2, "2024-01-02")]
