@@ -1,0 +1,88 @@
+"""Scale check: run the heaviest headline queries at sf0.1 and at the
+replicated sf1 fixture (tools/gen_scaled_fixture.py), comparing
+wall-times and EXECUTED plan shapes (final AQE join strategies,
+shuffle counts) across the 10x data jump.
+
+Usage: python tools/bench_scale.py [sf1_dir]   (default /tmp/sf1)
+
+Prints one JSON line: per-query {sf01_sec, sf1_sec, ratio, plan flips}.
+A ratio well above the replication factor, or a join-strategy flip
+that shouldn't happen (a fixed-size dim falling out of broadcast),
+is a scale bug to fix — not a number to report.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from parcialbigdata_spark.plans.audit import audit_plan  # noqa: E402
+from parcialbigdata_spark.queries import QUERIES  # noqa: E402
+from parcialbigdata_spark.session import get_spark  # noqa: E402
+
+HEAVY = [
+    "ppr_seed_customer_purchases",
+    "setsim_join_documents",
+    "simhash_near_dups_documents",
+    "pagerank_trade_graph",
+    "minhash_near_dups_documents",
+    "winnow_overlap_documents",
+    "top_customers_revenue",
+    "shared_substring_documents",
+    "copurchase_part_pairs",
+    "pq_topk_embeddings",
+    "q18_large_volume_orders",
+    "concurrent_sessions_hourly",
+]
+
+
+def run_one(spark, name: str, sf_dir: str) -> dict:
+    t0 = time.monotonic()
+    df = QUERIES[name](spark, sf_dir)
+    n = len(df.collect())
+    sec = time.monotonic() - t0
+    a = audit_plan(df)  # post-collect: final AQE shapes
+    spark.catalog.clearCache()
+    return {
+        "sec": round(sec, 3),
+        "rows": n,
+        "joins_bhj": a["n_broadcast_joins"],
+        "joins_smj": a["n_sortmerge_joins"],
+        "exchanges": a["n_exchanges"],
+    }
+
+
+def main() -> int:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    spark = get_spark("bench-scale")
+    out = {}
+    for name in HEAVY:
+        r01 = run_one(spark, name, "/root/testdata/sf0.1")
+        r1 = run_one(spark, name, sf1)
+        out[name] = {
+            "sf01_sec": r01["sec"],
+            "sf1_sec": r1["sec"],
+            "ratio": round(r1["sec"] / max(r01["sec"], 1e-9), 2),
+            "rows_sf01": r01["rows"],
+            "rows_sf1": r1["rows"],
+            "bhj": f"{r01['joins_bhj']}->{r1['joins_bhj']}",
+            "smj": f"{r01['joins_smj']}->{r1['joins_smj']}",
+            "exch": f"{r01['exchanges']}->{r1['exchanges']}",
+        }
+        print(
+            f"{name}: {r01['sec']:.1f}s -> {r1['sec']:.1f}s "
+            f"(x{out[name]['ratio']}) bhj {out[name]['bhj']} "
+            f"smj {out[name]['smj']} exch {out[name]['exch']}",
+            file=sys.stderr,
+        )
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
