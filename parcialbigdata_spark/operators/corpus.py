@@ -232,3 +232,45 @@ def boilerplate_prune(
             ).alias("kept_md5"),
         )
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_col: str,
+    content_cols: "list[str]",
+) -> DataFrame:
+    """Dataset-version diff — the audit primitive behind corpus
+    releases ("what changed between snapshot N and N+1"): classify
+    every key as ``added`` / ``removed`` / ``changed`` / ``unchanged``
+    by comparing md5 fingerprints of the content columns across two
+    snapshots.
+
+    One full outer join on the key; fingerprints reduce arbitrary-width
+    content to 16 bytes BEFORE the shuffle, so the join carries
+    (key, fp) pairs rather than document bodies — at 100 TB the diff
+    costs two fingerprint scans plus a key-partitioned join, and the
+    same fp column doubles as the incremental-dedup store key
+    (streaming/dedup_store.py). NULL content columns fold into the
+    fingerprint as an empty segment (coalesce) so a NULL→'' flip is
+    invisible but NULL→'x' is a change — documented, deterministic,
+    and identical in the SQL oracle replay."""
+    sep = F.lit("\x1f")
+
+    def fp(df: DataFrame) -> DataFrame:
+        parts: list = []
+        for c in content_cols:
+            parts.append(F.coalesce(F.col(c).cast("string"), F.lit("")))
+            parts.append(sep)
+        return df.select(F.col(key_col), F.md5(F.concat(*parts[:-1])).alias("fp"))
+
+    o = fp(old).withColumnRenamed("fp", "fp_old")
+    n = fp(new).withColumnRenamed("fp", "fp_new")
+    joined = o.join(n, key_col, "full_outer")
+    status = (
+        F.when(F.col("fp_old").isNull(), F.lit("added"))
+        .when(F.col("fp_new").isNull(), F.lit("removed"))
+        .when(F.col("fp_old") == F.col("fp_new"), F.lit("unchanged"))
+        .otherwise(F.lit("changed"))
+    )
+    return joined.select(F.col(key_col), status.alias("status"))

@@ -758,3 +758,103 @@ def setsim_join_prefix(
     out = out.localCheckpoint(eager=True)
     release_checkpoint(rows)
     return out
+
+
+# ----------------------------------------------- Ed-Join (edit distance)
+
+
+def editdist_join(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 1,
+    q: int = 3,
+) -> DataFrame:
+    """Prefix-filtered edit-distance self-join over DISTINCT strings —
+    the q-gram location/count filters of Ed-Join (Xiao, Wang & Lin,
+    *Ed-Join: an Efficient Algorithm for Similarity Joins with Edit
+    Distance Constraints*, VLDB'08), composed from the same rare-first
+    prefix machinery as :func:`setsim_join_prefix`.
+
+    Completeness argument (zero false negatives): one edit changes at
+    most ``q`` character positions, so it removes at most ``q`` of a
+    string's distinct q-grams; within edit distance ``d`` two strings'
+    distinct q-gram sets therefore satisfy ``|A ∩ B| >= |A| − q·d``.
+    Ordering every gram set by one global rare-first order and keeping
+    each string's first ``q·d + 1`` grams as its prefix guarantees (by
+    the pigeonhole argument of the set-sim prefix filter) that any
+    qualifying pair shares a prefix gram — PROVIDED the SHORTER string
+    carries at least ``q·d + 1`` distinct q-grams, i.e.
+    ``len >= q·(d + 1)``. Below that, ``d`` edits can destroy EVERY
+    gram ("ab" vs "ac" share none at q=3), so short strings get their
+    own exact bucket: all strings of length ``< q·(d+1) + d`` are
+    cross-paired directly — any qualifying pair whose shorter member is
+    sub-threshold has BOTH members inside this bucket (length filter),
+    and the bucket is bounded by the alphabet, not the corpus (there
+    are finitely many strings shorter than ~6 chars), so it broadcasts
+    at any scale. Candidates from both paths then pass the length
+    filter (``|len(a) − len(b)| <= d``, a lower bound on edit
+    distance) and exact ``levenshtein`` verification — both engines
+    implement the classic Wagner–Fischer distance, so the result is
+    oracle-checkable by brute force at any fixture size.
+
+    At 100 TB the quadratic term is bounded by the largest prefix-gram
+    bucket; rare-first ordering concentrates the prefixes on the
+    discriminative grams (for ID-like strings: the digit-bearing tail),
+    exactly the Ed-Join result. The distinct-string reduction up front
+    means duplicated names cost one comparison, not ``n²``."""
+    from pyspark.sql import Window as W
+
+    names = (
+        df.select(F.col(name_col).alias("name"))
+        .distinct()
+        .withColumn("len", F.length("name"))
+    )
+    grams = names.select(
+        "name",
+        "len",
+        F.explode(
+            F.array_distinct(
+                F.expr(f"transform(sequence(1, greatest(length(name) - {q - 1}, 1)),"
+                       f" i -> substring(name, i, {q}))")
+            )
+        ).alias("__g"),
+    )
+    freq = grams.groupBy("__g").agg(F.count(F.lit(1)).alias("cnt"))
+    rank_w = W.partitionBy("name").orderBy("cnt", "__g")
+    prefix_len = F.lit(q * max_dist + 1)
+    prefixes = (
+        grams.join(F.broadcast(freq), "__g")
+        .withColumn("rn", F.row_number().over(rank_w))
+        .filter(F.col("rn") <= prefix_len)
+        .select("name", "len", "__g")
+    )
+    a = prefixes.select(F.col("name").alias("name_a"), F.col("len").alias("len_a"), "__g")
+    b = prefixes.select(F.col("name").alias("name_b"), F.col("len").alias("len_b"), "__g")
+    cand = (
+        a.join(b, "__g")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .select("name_a", "name_b")
+    )
+    # Exact short-string bucket (see docstring): alphabet-bounded, so
+    # the cross join is over a broadcastable constant-size relation.
+    short_max = q * (max_dist + 1) + max_dist - 1
+    shorts = names.filter(F.col("len") <= short_max)
+    sa = shorts.select(F.col("name").alias("name_a"), F.col("len").alias("len_a"))
+    sb = shorts.select(F.col("name").alias("name_b"), F.col("len").alias("len_b"))
+    short_cand = (
+        sa.crossJoin(F.broadcast(sb))
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .select("name_a", "name_b")
+    )
+    return (
+        cand.unionByName(short_cand)
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )

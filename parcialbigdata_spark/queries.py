@@ -7199,6 +7199,275 @@ def equidepth_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# =====================================================================
+# R5: lifecycle funnel + attribution, contrastive pair mining,
+# Ed-Join string-similarity join, corpus snapshot diff
+# =====================================================================
+
+
+@query(
+    "funnel_steps_events",
+    """
+    WITH v AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN v ON e.user_id = v.user_id
+      WHERE e.event_type = 'click' AND e.ts >= v.t1
+      GROUP BY e.user_id
+    ),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS n_view,
+           (SELECT COUNT(*) FROM c) AS n_view_click,
+           (SELECT COUNT(*) FROM p) AS n_full_funnel
+    """,
+)
+def funnel_steps_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis (view -> click -> purchase), the
+    MATCH_RECOGNIZE-shaped lifecycle query Spark SQL lacks a keyword
+    for: a user advances a step only with an event AT OR AFTER their
+    entry into the previous step. Three per-user min-timestamp
+    aggregations chained by joins — every stage keys on user_id, so
+    the exchange is planned once and reused (no window over the raw
+    stream, no per-user state). At 100 TB each stage is one map-side-
+    combined shuffle on the same key; the funnel depth extends by
+    adding stages, not by widening state."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    return (
+        v.agg(F.count(F.lit(1)).alias("n_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("n_view_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("n_full_funnel")))
+    )
+
+
+@query(
+    "ewma_daily_revenue_orders",
+    """
+    WITH daily AS (
+      SELECT CAST(floor(epoch(o_orderdate)) // 86400 AS BIGINT) AS day_idx,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY 1
+    ),
+    pairs AS (
+      SELECT t.day_idx,
+             s.cents * CAST(power(2, 29 - (t.day_idx - s.day_idx)) AS BIGINT) AS num_part,
+             CAST(power(2, 29 - (t.day_idx - s.day_idx)) AS BIGINT) AS den_part
+      FROM daily t JOIN daily s
+        ON s.day_idx <= t.day_idx AND s.day_idx > t.day_idx - 30
+    )
+    SELECT day_idx,
+           CAST(SUM(num_part) AS BIGINT) AS ewma_num,
+           CAST(SUM(den_part) AS BIGINT) AS ewma_den,
+           round(CAST(CAST(SUM(num_part) AS BIGINT) AS DOUBLE)
+                 / CAST(SUM(den_part) AS BIGINT) / 100, 4) AS ewma_revenue
+    FROM pairs GROUP BY 1
+    """,
+)
+def ewma_daily_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponential smoothing (EWMA, alpha = 1/2) over daily order
+    revenue, truncated at a 30-day horizon and computed in EXACT
+    integer arithmetic: revenue accumulates as integer cents, each
+    contribution is weighted 2^(29 - lag) (power-of-two weights stay
+    inside BIGINT; worst case ~1e7 cents x 2^29 x 30 days ~ 1.6e17 <
+    2^63), and the single cast to double happens once per output row —
+    so the order-dependent recursion y_t = a*x_t + (1-a)*y_{t-1} that
+    NO cross-engine float replay can hash-match becomes an
+    order-independent integer sum that can. The implementation
+    broadcast-expands each day's revenue to the <= 30 future days it
+    influences (row-local posexplode of a 30-element weight range, one
+    shuffle on the target day) instead of a range self-join: same
+    result, no quadratic join frame, and the expansion factor is the
+    CONSTANT horizon, not the data size — at 100 TB the cost is 30x
+    the (tiny) daily aggregate, not 30x the fact table."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = orders.groupBy(
+        F.floor(F.unix_timestamp("o_orderdate") / 86400).cast("bigint").alias("day_idx")
+    ).agg(F.sum(cents).alias("cents"))
+    lag = F.explode(F.sequence(F.lit(0), F.lit(29))).alias("lag")
+    weight = F.expr("shiftleft(1L, 29 - lag)")
+    expanded = daily.select("day_idx", "cents", lag).select(
+        (F.col("day_idx") + F.col("lag")).alias("day_idx"),
+        (F.col("cents") * weight).alias("num_part"),
+        weight.alias("den_part"),
+    )
+    # Only target days that actually exist (the oracle's join keeps
+    # real days only): semi-join the expansion against the day set.
+    days = daily.select("day_idx")
+    return (
+        expanded.join(F.broadcast(days.withColumnRenamed("day_idx", "t_day")),
+                      F.col("day_idx") == F.col("t_day"), "left_semi")
+        .groupBy("day_idx")
+        .agg(
+            F.sum("num_part").alias("ewma_num"),
+            F.sum("den_part").alias("ewma_den"),
+        )
+        .withColumn(
+            "ewma_revenue",
+            F.round(F.col("ewma_num").cast("double") / F.col("ewma_den") / 100, 4),
+        )
+    )
+
+
+_HARD_NEG_COS = _COS_SQL.format(a="e.embedding", b="a.embedding")
+
+
+@query(
+    "hard_negatives_embeddings",
+    f"""
+    WITH a AS (SELECT vec_id, label, embedding FROM embeddings WHERE vec_id < 20)
+    SELECT a.vec_id AS anchor_id,
+           a.label AS anchor_label,
+           e.vec_id AS negative_id,
+           e.label AS negative_label,
+           round({_HARD_NEG_COS}, 6) AS cosine_sim
+    FROM a JOIN embeddings e
+      ON e.label <> a.label
+    QUALIFY ROW_NUMBER() OVER (
+      PARTITION BY a.vec_id
+      ORDER BY {_HARD_NEG_COS} DESC, e.vec_id ASC) = 1
+    """,
+)
+def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive-training pair mining: for each anchor vector, the
+    most cosine-similar vector with a DIFFERENT label — the "hard
+    negative" that contrastive/metric-learning batches are built from.
+    The anchor set (bounded, here 20) is broadcast; similarity is the
+    bit-deterministic double fold of functions/vectors.py (no UDF), and
+    the per-anchor argmax is a 20-partition window. At 100 TB the
+    corpus side streams once past the broadcast anchors — same shape
+    as cosine_topk — and the anchor set scales to thousands before the
+    window needs replacing with a max_by aggregate; blocked variants
+    (IVF cells) drop in exactly like ann_topk when the anchor set
+    itself becomes corpus-sized."""
+    from pyspark.sql import Window as W
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("embedding").alias("anchor_emb"),
+    )
+    cand = (
+        emb.crossJoin(F.broadcast(anchors))
+        .filter(F.col("label") != F.col("anchor_label"))
+        .withColumn("cos", V.cosine("embedding", "anchor_emb"))
+    )
+    rn = F.row_number().over(
+        W.partitionBy("anchor_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    )
+    return (
+        cand.withColumn("rn", rn)
+        .filter(F.col("rn") == 1)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("negative_label"),
+            F.round("cos", 6).alias("cosine_sim"),
+        )
+    )
+
+
+@query(
+    "editdist_join_customers",
+    """
+    WITH n AS (SELECT DISTINCT c_name AS name FROM customer)
+    SELECT a.name AS name_a, b.name AS name_b,
+           levenshtein(a.name, b.name) AS dist
+    FROM n a JOIN n b ON a.name < b.name
+    WHERE abs(length(a.name) - length(b.name)) <= 1
+      AND levenshtein(a.name, b.name) <= 1
+    """,
+)
+def editdist_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-similarity self-join under an EDIT-DISTANCE constraint
+    (operators/dedup.py editdist_join): Ed-Join's rare-first q-gram
+    prefix filter (q*d+1 rarest trigrams per string), length filter,
+    exact levenshtein verify. The oracle is the brute-force all-pairs
+    join, so the prefix filter's completeness is value-hash-audited on
+    every gate run — for ID-like customer names the rare prefix grams
+    are the digit-bearing tails, which keeps candidate buckets small
+    where naive shared-any-trigram blocking would degenerate to the
+    full cross product on the shared 'Customer#' stem."""
+    from parcialbigdata_spark.operators.dedup import editdist_join
+
+    cust = load_table(spark, sf_dir, "customer")
+    return editdist_join(cust, "c_name", max_dist=1)
+
+
+@query(
+    "corpus_snapshot_diff",
+    """
+    WITH v1 AS (
+      SELECT doc_id, md5(concat(text, chr(31), lang, chr(31), source)) AS fp
+      FROM documents WHERE doc_id % 7 <> 0
+    ),
+    v2 AS (
+      SELECT doc_id,
+             md5(concat(CASE WHEN doc_id % 11 = 0 THEN text || ' (rev2)'
+                             ELSE text END, chr(31), lang, chr(31), source)) AS fp
+      FROM documents
+    )
+    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.fp = v2.fp THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           COUNT(*) AS n_docs
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+    GROUP BY 1
+    """,
+)
+def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-release diff (operators/corpus.py snapshot_diff): two
+    snapshot views derived deterministically from the documents fixture
+    (v1 omits every 7th doc; v2 revises every 11th doc's text) are
+    diffed into added/removed/changed/unchanged counts by md5
+    fingerprint over (text, lang, source). Fingerprints shrink content
+    to 16 bytes BEFORE the full-outer join's shuffle — the same fp
+    doubles as the incremental-dedup store key — so at 100 TB the diff
+    is two scans plus one key join, never a byte-level compare."""
+    from parcialbigdata_spark.operators.corpus import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 7 != 0)
+    v2 = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" (rev2)"))
+        ).otherwise(F.col("text")),
+    )
+    diff = snapshot_diff(v1, v2, "doc_id", ["text", "lang", "source"])
+    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
