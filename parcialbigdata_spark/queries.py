@@ -4510,27 +4510,24 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     what makes daily-snapshot diffing feasible at 100 TB; the join and
     the status counting are one exchange on doc_id plus a tiny final
     agg on 4 statuses."""
+    from parcialbigdata_spark.operators.corpus import snapshot_diff
+
     docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.col("doc_id") % 10 != 3).select(
-        F.col("doc_id").alias("o_id"), F.md5("text").alias("o_fp")
-    )
-    new = docs.filter(F.col("doc_id") % 10 != 7).select(
-        F.col("doc_id").alias("n_id"),
+    old = docs.filter(F.col("doc_id") % 10 != 3)
+    new = docs.filter(F.col("doc_id") % 10 != 7).withColumn(
+        "text",
         F.when(
-            F.col("doc_id") % 5 == 0, F.md5(F.concat(F.col("text"), F.lit("!")))
-        )
-        .otherwise(F.md5("text"))
-        .alias("n_fp"),
+            F.col("doc_id") % 5 == 0, F.concat(F.col("text"), F.lit("!"))
+        ).otherwise(F.col("text")),
     )
-    status = (
-        F.when(F.col("o_id").isNull(), F.lit("added"))
-        .when(F.col("n_id").isNull(), F.lit("removed"))
-        .when(F.col("o_fp") != F.col("n_fp"), F.lit("changed"))
-        .otherwise(F.lit("same"))
+    diff = snapshot_diff(old, new, "doc_id", ["text"])
+    # This query's contract predates the operator and labels an
+    # untouched doc 'same' rather than 'unchanged'.
+    status = F.when(F.col("status") == "unchanged", F.lit("same")).otherwise(
+        F.col("status")
     )
     return (
-        old.join(new, old.o_id == new.n_id, "full")
-        .select(status.alias("status"))
+        diff.select(status.alias("status"))
         .groupBy("status")
         .agg(F.count(F.lit(1)).alias("n_docs"))
     )
@@ -7421,51 +7418,6 @@ def editdist_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     cust = load_table(spark, sf_dir, "customer")
     return editdist_join(cust, "c_name", max_dist=1)
-
-
-@query(
-    "corpus_snapshot_diff",
-    """
-    WITH v1 AS (
-      SELECT doc_id, md5(concat(text, chr(31), lang, chr(31), source)) AS fp
-      FROM documents WHERE doc_id % 7 <> 0
-    ),
-    v2 AS (
-      SELECT doc_id,
-             md5(concat(CASE WHEN doc_id % 11 = 0 THEN text || ' (rev2)'
-                             ELSE text END, chr(31), lang, chr(31), source)) AS fp
-      FROM documents
-    )
-    SELECT CASE WHEN v1.doc_id IS NULL THEN 'added'
-                WHEN v2.doc_id IS NULL THEN 'removed'
-                WHEN v1.fp = v2.fp THEN 'unchanged'
-                ELSE 'changed' END AS status,
-           COUNT(*) AS n_docs
-    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-    GROUP BY 1
-    """,
-)
-def corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Corpus-release diff (operators/corpus.py snapshot_diff): two
-    snapshot views derived deterministically from the documents fixture
-    (v1 omits every 7th doc; v2 revises every 11th doc's text) are
-    diffed into added/removed/changed/unchanged counts by md5
-    fingerprint over (text, lang, source). Fingerprints shrink content
-    to 16 bytes BEFORE the full-outer join's shuffle — the same fp
-    doubles as the incremental-dedup store key — so at 100 TB the diff
-    is two scans plus one key join, never a byte-level compare."""
-    from parcialbigdata_spark.operators.corpus import snapshot_diff
-
-    docs = load_table(spark, sf_dir, "documents")
-    v1 = docs.filter(F.col("doc_id") % 7 != 0)
-    v2 = docs.withColumn(
-        "text",
-        F.when(
-            F.col("doc_id") % 11 == 0, F.concat(F.col("text"), F.lit(" (rev2)"))
-        ).otherwise(F.col("text")),
-    )
-    diff = snapshot_diff(v1, v2, "doc_id", ["text", "lang", "source"])
-    return diff.groupBy("status").agg(F.count(F.lit(1)).alias("n_docs"))
 
 
 # ---------------------------------------------------------------------
