@@ -801,7 +801,11 @@ def editdist_join(
     bucket; rare-first ordering concentrates the prefixes on the
     discriminative grams (for ID-like strings: the digit-bearing tail),
     exactly the Ed-Join result. The distinct-string reduction up front
-    means duplicated names cost one comparison, not ``n²``."""
+    means duplicated names cost one comparison, not ``n²``. Sibling of
+    ``queries.fuzzy_join_part_names``: that one blocks HEURISTICALLY on
+    a domain token (fast, may miss pairs whose block token itself was
+    edited); this operator is the COMPLETE variant — same relationship
+    as MinHash-LSH (probabilistic) vs setsim_join_prefix (complete)."""
     from pyspark.sql import Window as W
 
     names = (

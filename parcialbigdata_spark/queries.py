@@ -7353,9 +7353,13 @@ _HARD_NEG_COS = _COS_SQL.format(a="e.embedding", b="a.embedding")
     """,
 )
 def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Contrastive-training pair mining: for each anchor vector, the
-    most cosine-similar vector with a DIFFERENT label — the "hard
-    negative" that contrastive/metric-learning batches are built from.
+    """Hard-negative mining: for each anchor vector, the most
+    cosine-similar vector with a DIFFERENT label — the "hard negative"
+    that contrastive/metric-learning batches are built from. Completes
+    the pair-mining family: ``contrastive_pairs_embeddings`` finds
+    hardest POSITIVES + deterministic random negatives ("never a
+    cross-label n² pass"); this is the hard-negative half, kept
+    tractable by bounding the anchor set instead of the label blocks.
     The anchor set (bounded, here 20) is broadcast; similarity is the
     bit-deterministic double fold of functions/vectors.py (no UDF), and
     the per-anchor argmax is a 20-partition window. At 100 TB the
