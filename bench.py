@@ -123,6 +123,16 @@ BENCH_QUERIES = [
     "source_similarity_matrix",
     "concurrent_sessions_hourly",
     "attribution_last_touch",
+    # r5 new operator families: 3-stage funnel, exact-integer EWMA,
+    # hard-negative mining, complete edit-distance join.
+    "funnel_steps_events",
+    "ewma_daily_revenue_orders",
+    "hard_negatives_embeddings",
+    "editdist_join_customers",
+    # r5b: iterative graph peeling + broadcast semi-join cascade.
+    "kcore_supplier_graph",
+    "takedown_cascade_users",
+    "winsorize_orders_by_segment",
 ]
 
 

@@ -721,3 +721,59 @@ def shortest_paths(
             release_checkpoint(frontier)
             return settled
     raise RuntimeError(f"shortest_paths did not converge in {max_iter} rounds")
+
+
+def kcore(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    k: int = 3,
+    max_iter: int = 60,
+) -> DataFrame:
+    """k-core decomposition: the maximal subgraph in which every node
+    has degree >= k, by iterative peeling (Matula & Beck, JACM'83;
+    distributed formulation per Montresor et al., TPDS'13) — remove all
+    nodes with degree < k, recompute degrees, repeat to fixpoint.
+
+    Returns (node, core_degree): the surviving nodes with their degree
+    INSIDE the core. Each round is one degree aggregation plus two
+    semi-joins of the edge relation against the surviving-node set —
+    all keyed on node ids, so AQE reuses the exchanges; per-round
+    ``localCheckpoint`` + release keeps lineage flat and executor
+    storage bounded exactly like :func:`connected_components`. Rounds
+    are bounded by the peel depth (small in practice: each round
+    removes every node currently below k, not one node at a time). At
+    100 TB each round is O(|E|) shuffle work — the standard
+    degeneracy-ordering alternative is inherently sequential.
+
+    The input is treated as UNDIRECTED: edges are symmetrized and
+    self-loops dropped before the first degree count."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    prev = e
+    for _ in range(max_iter):
+        deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("a")
+        e2 = (
+            e.join(keep, "a", "left_semi")
+            .join(keep.withColumnRenamed("a", "b"), "b", "left_semi")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+        n_prev, n_now = e.count(), e2.count()
+        release_checkpoint(prev)
+        prev = e = e2
+        if n_now == n_prev:
+            break
+    else:
+        raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
+    return (
+        e.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("core_degree"))
+        .select(F.col("a").alias("node"), "core_degree")
+    )

@@ -7424,6 +7424,294 @@ def editdist_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_join(cust, "c_name", max_dist=1)
 
 
+_KCORE_ROUNDS_SQL = """
+    k1 AS MATERIALIZED (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 4),
+    e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
+             JOIN k1 x ON e.a = x.a JOIN k1 y ON e.b = y.a),
+    k2 AS MATERIALIZED (SELECT a FROM e1 GROUP BY a HAVING COUNT(*) >= 4),
+    e2 AS MATERIALIZED (SELECT e.a, e.b FROM e1 e
+             JOIN k2 x ON e.a = x.a JOIN k2 y ON e.b = y.a),
+    k3 AS MATERIALIZED (SELECT a FROM e2 GROUP BY a HAVING COUNT(*) >= 4),
+    e3 AS MATERIALIZED (SELECT e.a, e.b FROM e2 e
+             JOIN k3 x ON e.a = x.a JOIN k3 y ON e.b = y.a),
+    k4 AS MATERIALIZED (SELECT a FROM e3 GROUP BY a HAVING COUNT(*) >= 4),
+    e4 AS MATERIALIZED (SELECT e.a, e.b FROM e3 e
+             JOIN k4 x ON e.a = x.a JOIN k4 y ON e.b = y.a),
+    k5 AS MATERIALIZED (SELECT a FROM e4 GROUP BY a HAVING COUNT(*) >= 4),
+    e5 AS MATERIALIZED (SELECT e.a, e.b FROM e4 e
+             JOIN k5 x ON e.a = x.a JOIN k5 y ON e.b = y.a),
+    k6 AS MATERIALIZED (SELECT a FROM e5 GROUP BY a HAVING COUNT(*) >= 4),
+    e6 AS MATERIALIZED (SELECT e.a, e.b FROM e5 e
+             JOIN k6 x ON e.a = x.a JOIN k6 y ON e.b = y.a),
+    k7 AS MATERIALIZED (SELECT a FROM e6 GROUP BY a HAVING COUNT(*) >= 4),
+    e7 AS MATERIALIZED (SELECT e.a, e.b FROM e6 e
+             JOIN k7 x ON e.a = x.a JOIN k7 y ON e.b = y.a),
+    k8 AS MATERIALIZED (SELECT a FROM e7 GROUP BY a HAVING COUNT(*) >= 4),
+    e8 AS MATERIALIZED (SELECT e.a, e.b FROM e7 e
+             JOIN k8 x ON e.a = x.a JOIN k8 y ON e.b = y.a),
+    k9 AS MATERIALIZED (SELECT a FROM e8 GROUP BY a HAVING COUNT(*) >= 4),
+    e9 AS MATERIALIZED (SELECT e.a, e.b FROM e8 e
+             JOIN k9 x ON e.a = x.a JOIN k9 y ON e.b = y.a),
+    k10 AS MATERIALIZED (SELECT a FROM e9 GROUP BY a HAVING COUNT(*) >= 4),
+    e10 AS MATERIALIZED (SELECT e.a, e.b FROM e9 e
+             JOIN k10 x ON e.a = x.a JOIN k10 y ON e.b = y.a),
+    k11 AS MATERIALIZED (SELECT a FROM e10 GROUP BY a HAVING COUNT(*) >= 4),
+    e11 AS MATERIALIZED (SELECT e.a, e.b FROM e10 e
+             JOIN k11 x ON e.a = x.a JOIN k11 y ON e.b = y.a),
+    k12 AS MATERIALIZED (SELECT a FROM e11 GROUP BY a HAVING COUNT(*) >= 4),
+    e12 AS MATERIALIZED (SELECT e.a, e.b FROM e11 e
+             JOIN k12 x ON e.a = x.a JOIN k12 y ON e.b = y.a),
+    k13 AS MATERIALIZED (SELECT a FROM e12 GROUP BY a HAVING COUNT(*) >= 4),
+    e13 AS MATERIALIZED (SELECT e.a, e.b FROM e12 e
+             JOIN k13 x ON e.a = x.a JOIN k13 y ON e.b = y.a),
+    k14 AS MATERIALIZED (SELECT a FROM e13 GROUP BY a HAVING COUNT(*) >= 4),
+    e14 AS MATERIALIZED (SELECT e.a, e.b FROM e13 e
+             JOIN k14 x ON e.a = x.a JOIN k14 y ON e.b = y.a),
+    k15 AS MATERIALIZED (SELECT a FROM e14 GROUP BY a HAVING COUNT(*) >= 4),
+    e15 AS MATERIALIZED (SELECT e.a, e.b FROM e14 e
+             JOIN k15 x ON e.a = x.a JOIN k15 y ON e.b = y.a)"""
+
+
+@query(
+    "kcore_supplier_graph",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM base UNION SELECT b, a FROM base),
+{{_KCORE_ROUNDS_SQL}}
+    SELECT a AS node, COUNT(*) AS core_degree
+    FROM e15 GROUP BY a
+    """.format(_KCORE_ROUNDS_SQL=_KCORE_ROUNDS_SQL),
+)
+def kcore_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4-core of the supplier co-occurrence graph (suppliers sharing a
+    high-quantity order): iterative peeling via ``operators/graph.py
+    kcore`` — each round removes EVERY node below degree 4 at once
+    (Matula-Beck peeling, distributed per Montresor et al. TPDS'13),
+    one degree agg + two semi-joins per round with checkpoint-release
+    lineage discipline. The Spark side runs to TRUE fixpoint; the
+    DuckDB oracle unrolls 15 peel rounds (a fixpoint round is
+    idempotent, so over-unrolling is exact — the fixture peels in <5;
+    a pathological fixture needing >15 would flip the hash, the same
+    documented bound style as the sssp hop cap)."""
+    from parcialbigdata_spark.operators.graph import kcore
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    )
+    return kcore(edges, k=4)
+
+
+@query(
+    "takedown_cascade_users",
+    """
+    WITH takedown AS (
+      SELECT DISTINCT user_id FROM events WHERE user_id % 97 = 0
+    ),
+    cust AS (
+      SELECT c_custkey FROM customer
+      WHERE c_custkey IN (SELECT user_id FROM takedown)
+    ),
+    ords AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM cust)
+    )
+    SELECT 'events' AS entity,
+           (SELECT COUNT(*) FROM events
+            WHERE user_id IN (SELECT user_id FROM takedown)) AS n_rows
+    UNION ALL
+    SELECT 'customer', (SELECT COUNT(*) FROM cust)
+    UNION ALL
+    SELECT 'orders', (SELECT COUNT(*) FROM ords)
+    UNION ALL
+    SELECT 'lineitem',
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM ords))
+    """,
+)
+def takedown_cascade_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten cascade audit: given a takedown list of
+    user ids (deterministic residue set here; a legal hold table in
+    production), count every row each deletion would touch across the
+    star schema — events by user, the customer rows themselves, their
+    orders, and those orders' lineitems. Each hop is a LEFT SEMI join
+    that carries only the key column (takedown and its closures are
+    broadcast-sized: takedown lists are human-scale, not data-scale),
+    so at 100 TB the audit is four key-pruned scans — the same plan a
+    real delete would use to rewrite affected files, which is why the
+    audit and the delete share this operator in lakehouse designs."""
+    ev = load_table(spark, sf_dir, "events")
+    takedown = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(F.broadcast(takedown), F.col("c_custkey") == F.col("user_id"), "left_semi")
+        .select("c_custkey")
+    )
+    ords = (
+        load_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .select("o_orderkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").join(
+        F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+    )
+    ev_hit = ev.join(F.broadcast(takedown), "user_id", "left_semi")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias("n_rows")).select(
+            F.lit(name).alias("entity"), "n_rows"
+        )
+
+    return (
+        one("events", ev_hit)
+        .unionAll(one("customer", cust))
+        .unionAll(one("orders", ords))
+        .unionAll(one("lineitem", li))
+    )
+
+
+@query(
+    "winsorize_orders_by_segment",
+    """
+    WITH o AS (
+      SELECT c_mktsegment AS seg, o_totalprice AS v
+      FROM orders JOIN customer ON c_custkey = o_custkey
+    ),
+    q AS (
+      SELECT seg, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+      FROM o GROUP BY seg
+    ),
+    w AS (
+      SELECT o.seg, o.v, LEAST(GREATEST(o.v, q.lo), q.hi) AS wv
+      FROM o JOIN q ON o.seg = q.seg
+    )
+    SELECT seg,
+           COUNT(*) AS n_orders,
+           round(CAST(CAST(SUM(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS DOUBLE) / 100 / COUNT(*), 4) AS mean_raw,
+           round(CAST(CAST(SUM(CAST(floor(wv * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                      AS DOUBLE) / 100 / COUNT(*), 4) AS mean_winsorized
+    FROM w GROUP BY seg
+    """,
+)
+def winsorize_orders_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization — the outlier treatment that CLIPS instead of
+    dropping: order totals are clamped to their segment's [p5, p95]
+    band and the raw vs winsorized means are compared per segment.
+    Percentile bounds come from one per-segment aggregate (Spark
+    ``percentile`` == DuckDB ``quantile_cont``, both linear
+    interpolation) joined back broadcast (one row per segment); means
+    accumulate as exact integer cents (floor(x*100+.5), half-away on
+    both engines) so the order of summation cannot perturb the hash.
+    At 100 TB: two shuffles (custkey join, segment agg) — the
+    percentile agg reuses the segment exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey).select(
+        F.col("c_mktsegment").alias("seg"), F.col("o_totalprice").alias("v")
+    )
+    q = o.groupBy("seg").agg(
+        F.expr("percentile(v, 0.05)").alias("lo"),
+        F.expr("percentile(v, 0.95)").alias("hi"),
+    )
+    w = o.join(F.broadcast(q), "seg").withColumn(
+        "wv", F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+    )
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint")  # noqa: E731
+    return w.groupBy("seg").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum(cents("v")).cast("double") / 100 / F.count(F.lit(1)), 4).alias(
+            "mean_raw"
+        ),
+        F.round(
+            F.sum(cents("wv")).cast("double") / 100 / F.count(F.lit(1)), 4
+        ).alias("mean_winsorized"),
+    )
+
+
+@query(
+    "streaming_kll_partials",
+    """
+    SELECT event_type,
+           quantile_cont(value, 0.5) AS exact_p50,
+           quantile_cont(value, 0.95) AS exact_p95,
+           TRUE AS rank_ok_p50,
+           TRUE AS rank_ok_p95
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_kll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming mergeable QUANTILES — the KLL twin of
+    ``streaming_hll_partials``: the event stream drains availableNow
+    through a foreachBatch that appends one DataSketches KLL(double)
+    partial per (event_type, batch) to a parquet store; p50/p95 are
+    then estimated from the STORE alone (fold-merge + quantile query,
+    no fact re-scan). Attestation oracle in the hll_rollup style: the
+    exact per-type quantiles ride along as hard cross-engine columns,
+    and each estimate's TRUE rank (exact fraction of that type's
+    values <= estimate) must land within +-0.05 of its target rank —
+    KLL's guaranteed rank error at default k is ~1.65%, so a broken
+    merge flips the boolean and fails the value hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming import sketch_store
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    base = tempfile.mkdtemp(prefix="kll_store_")
+    try:
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        q = sketch_store.stream_kll_to_store(
+            read_events_stream(spark, sf_dir), store, ckpt
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise RuntimeError(
+                "streaming_kll_partials: availableNow drain did not "
+                "finish within 240 s; refusing to estimate from a "
+                "partial sketch store"
+            )
+        est = sketch_store.merged_quantiles(spark, store)
+        ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+        joined = ev.join(F.broadcast(est), "event_type")
+        checked = joined.groupBy("event_type").agg(
+            F.expr("percentile(value, 0.5)").alias("exact_p50"),
+            F.expr("percentile(value, 0.95)").alias("exact_p95"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("est_p50")).cast("double"))
+                    - 0.5
+                )
+                <= 0.05
+            ).alias("rank_ok_p50"),
+            (
+                F.abs(
+                    F.avg((F.col("value") <= F.col("est_p95")).cast("double"))
+                    - 0.95
+                )
+                <= 0.05
+            ).alias("rank_ok_p95"),
+        )
+        rows = checked.collect()
+        return spark.createDataFrame(rows, checked.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

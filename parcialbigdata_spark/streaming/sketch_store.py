@@ -72,3 +72,72 @@ def merged_estimates(
         F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("merged_est"),
         F.count(F.lit(1)).alias("n_partials"),
     )
+
+
+def kll_partial_applier(
+    store_path: str, key_col: str = "event_type", val_col: str = "value"
+):
+    """foreachBatch body: one DataSketches KLL(double) partial per key
+    per micro-batch, appended to the store — the QUANTILE twin of
+    :func:`hll_partial_applier`. KLL merge is associative (not
+    idempotent like HLL's register-max, so a replayed batch counts its
+    rows twice — rank estimates degrade gracefully rather than double,
+    since quantiles are scale-free in duplicated data; exactly-once
+    stores compact by batch_id when that matters)."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            batch_df.groupBy(key_col)
+            .agg(F.kll_sketch_agg_double(val_col).alias("sk"))
+            .withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return apply
+
+
+def stream_kll_to_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    val_col: str = "value",
+):
+    """availableNow drain of a stream into per-batch KLL partials."""
+    return (
+        stream.writeStream.foreachBatch(
+            kll_partial_applier(store_path, key_col, val_col)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_quantiles(
+    spark: SparkSession,
+    store_path: str,
+    key_col: str = "event_type",
+    ranks: "tuple[float, ...]" = (0.5, 0.95),
+) -> DataFrame:
+    """Quantile estimates per key from the partial store alone:
+    ``kll_sketch_merge_double`` folded over each key's partials (a
+    bounded per-key list — one ~KB sketch per batch; compact
+    periodically at scale), then ``kll_sketch_get_quantile_double``."""
+    store = spark.read.parquet(store_path)
+    merged = store.groupBy(key_col).agg(
+        F.collect_list("sk").alias("sks"),
+        F.count(F.lit(1)).alias("n_partials"),
+    )
+    msk = F.expr(
+        "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
+        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+    )
+    out = merged.select(key_col, "n_partials", msk.alias("msk"))
+    for r in ranks:
+        out = out.withColumn(
+            f"est_p{int(r * 100)}",
+            F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(r)),
+        )
+    return out.drop("msk")
