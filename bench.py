@@ -187,13 +187,43 @@ def main() -> None:
     normalized = {n: round(t / drift, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    detail = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "calibration": {
+            "kernel_sec": calibration,
+            "ref_sec": CALIBRATION_REF_SEC,
+            "drift": drift,
+        },
+        "value_normalized": round(total / drift, 3),
+        "queries_normalized": normalized,
+    }
+    print(json.dumps(detail))
+    # The driver records only a ~2 KB tail of this output, and the full
+    # per-query dict outgrew it (r4/r5 records carry "parsed": null with
+    # the headline value truncated away). Persist the full detail to a
+    # repo file and END with a compact line — same schema, queries
+    # limited to the 10 slowest — so totals + calibration always land
+    # inside the preserved tail and parse.
+    try:
+        here = os.path.dirname(os.path.abspath(__file__))
+        with open(os.path.join(here, "BENCH_DETAIL.json"), "w") as f:
+            json.dump(detail, f, indent=1)
+    except OSError:
+        pass
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:10])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
+                "n_queries": len(timings),
+                "queries_note": "10 slowest of full set; all in BENCH_DETAIL.json",
                 "sf": sf,
                 "calibration": {
                     "kernel_sec": calibration,
@@ -201,7 +231,6 @@ def main() -> None:
                     "drift": drift,
                 },
                 "value_normalized": round(total / drift, 3),
-                "queries_normalized": normalized,
             }
         )
     )

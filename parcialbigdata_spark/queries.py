@@ -2046,7 +2046,12 @@ _drain_counter = [0]
 
 def _drain(sdf: DataFrame, output_mode: str = "complete", timeout: float = 180.0) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
-    memory sink and return the materialized result table."""
+    memory sink and return the materialized result table.
+
+    Fail-loud on timeout: a query still active after ``timeout`` would
+    otherwise hand back a PARTIAL memory table — a silently wrong
+    answer with a nondeterministic row count. Every streaming query
+    routes through here, so the guard covers them all."""
     _drain_counter[0] += 1
     name = f"__stream_result_{_drain_counter[0]}"
     q = (
@@ -2059,6 +2064,10 @@ def _drain(sdf: DataFrame, output_mode: str = "complete", timeout: float = 180.0
     q.awaitTermination(timeout)
     if q.isActive:
         q.stop()
+        raise RuntimeError(
+            f"availableNow drain did not finish within {timeout}s; "
+            "refusing to return a partial memory-sink table"
+        )
     return sdf.sparkSession.table(name)
 
 
@@ -7410,14 +7419,17 @@ def hard_negatives_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def editdist_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """String-similarity self-join under an EDIT-DISTANCE constraint
-    (operators/dedup.py editdist_join): Ed-Join's rare-first q-gram
-    prefix filter (q*d+1 rarest trigrams per string), length filter,
-    exact levenshtein verify. The oracle is the brute-force all-pairs
-    join, so the prefix filter's completeness is value-hash-audited on
-    every gate run — for ID-like customer names the rare prefix grams
-    are the digit-bearing tails, which keeps candidate buckets small
-    where naive shared-any-trigram blocking would degenerate to the
-    full cross product on the shared 'Customer#' stem."""
+    (operators/dedup.py editdist_join): deletion-neighborhood blocking
+    (FastSS/SymSpell — each distinct name explodes into itself plus
+    its single-char-deletion variants, candidates self-join on the
+    variant), then length filter and exact levenshtein verify. The
+    oracle is the brute-force all-pairs join, so the blocking's
+    completeness is value-hash-audited on every gate run. Chosen over
+    Ed-Join's q-gram prefix filter for d=1 because on ID-like customer
+    names even the RAREST trigrams are digit grams shared by ~1,100
+    names each (measured 11.2M candidates for 262,500 true pairs);
+    deletion variants collide only when strings actually sit within
+    one edit, so the candidate count tracks the result size (~956k)."""
     from parcialbigdata_spark.operators.dedup import editdist_join
 
     cust = load_table(spark, sf_dir, "customer")
@@ -7546,11 +7558,15 @@ def takedown_cascade_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     production), count every row each deletion would touch across the
     star schema — events by user, the customer rows themselves, their
     orders, and those orders' lineitems. Each hop is a LEFT SEMI join
-    that carries only the key column (takedown and its closures are
-    broadcast-sized: takedown lists are human-scale, not data-scale),
-    so at 100 TB the audit is four key-pruned scans — the same plan a
-    real delete would use to rewrite affected files, which is why the
-    audit and the delete share this operator in lakehouse designs."""
+    that carries only the key column. Only the takedown LIST itself is
+    force-broadcast (takedown lists are human-scale, not data-scale);
+    the customer/orders closures GROW with the fact data — ~1% of all
+    users here — so their join strategy is left to AQE, which
+    broadcasts them while they fit and falls back to shuffle joins at
+    scale instead of OOMing a forced broadcast. At 100 TB the audit is
+    four key-pruned scans — the same plan a real delete would use to
+    rewrite affected files, which is why the audit and the delete
+    share this operator in lakehouse designs."""
     ev = load_table(spark, sf_dir, "events")
     takedown = ev.filter(F.col("user_id") % 97 == 0).select("user_id").distinct()
     cust = (
@@ -7560,11 +7576,11 @@ def takedown_cascade_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ords = (
         load_table(spark, sf_dir, "orders")
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"), "left_semi")
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"), "left_semi")
         .select("o_orderkey")
     )
     li = load_table(spark, sf_dir, "lineitem").join(
-        F.broadcast(ords), F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
+        ords, F.col("l_orderkey") == F.col("o_orderkey"), "left_semi"
     )
     ev_hit = ev.join(F.broadcast(takedown), "user_id", "left_semi")
 
@@ -7758,14 +7774,21 @@ _DRIVER_WINDOW = [
     # (percentile_quantity_by_flag rotated out in r5 for its A4
     # quantile sibling equidepth_histogram_orders, CI-green but never
     # driver-checked; stays CI-green.)
-    "equidepth_histogram_orders",
+    # (equidepth_histogram_orders rotated out in r6 — driver-proven
+    # green in r5 — for its A4 quantile-family sibling
+    # winsorize_orders_by_segment, new in r5 and never driver-checked;
+    # stays CI-green via tests/test_correctness_full.py.)
+    "winsorize_orders_by_segment",
     "collect_nations_per_region",
     # r4 new families: graph analytics beyond PageRank, time-series
     # densification, complete (prefix-filtered) set-similarity join
     # (triangle_stats_supplier_graph rotated out in r5 for its graph
     # sibling sssp_supplier_graph, CI-green but never driver-checked;
     # triangles stay CI-green via tests/test_correctness_full.py.)
-    "sssp_supplier_graph",
+    # (sssp_supplier_graph rotated out in r6 — driver-proven green in
+    # r5 — for its iterative-graph sibling kcore_supplier_graph, new
+    # in r5 and never driver-checked; stays CI-green.)
+    "kcore_supplier_graph",
     "gap_fill_events_hourly",
     "setsim_join_documents",
     # windows (collect_segments_per_nation / window_running_revenue
@@ -7784,7 +7807,11 @@ _DRIVER_WINDOW = [
     # (events_hourly_agg rotated out in r4c — its F2 date-function
     # surface runs in-window inside gap_fill_events_hourly's bucketing
     # — for the distributed-prefix-sum family below; stays CI-green.)
-    "concurrent_sessions_hourly",
+    # (concurrent_sessions_hourly rotated out in r6 — driver-proven
+    # green in r5 — for its time-series/prefix-sum family sibling
+    # ewma_daily_revenue_orders, the r5 exact-integer-EWMA
+    # construction never driver-checked; stays CI-green.)
+    "ewma_daily_revenue_orders",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -7808,7 +7835,12 @@ _DRIVER_WINDOW = [
     "canonical_dedup_documents",
     "minhash_near_dups_documents",
     "simhash_near_dups_documents",
-    "ngram_jaccard_blocked",
+    # (ngram_jaccard_blocked rotated out in r6 — driver-proven green
+    # since r4 — for its N2 string-similarity sibling
+    # editdist_join_customers, the r5 Ed-Join entry re-blocked on
+    # deletion neighborhoods this round and never driver-checked;
+    # stays CI-green.)
+    "editdist_join_customers",
     "dedup_clusters_documents",
     # LLM pipeline: embeddings (r4: ivfpq + clustered near-dup carry
     # the planted-cluster recall attestations into the hard signal)

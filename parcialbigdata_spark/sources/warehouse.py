@@ -341,7 +341,7 @@ def compact_small_files(
 
     Unpartitioned data merges with ``coalesce`` (no shuffle — compaction
     only ever reduces file count); the hive-partitioned path
-    ``repartition``\ s on the partition columns so each directory gets
+    repartitions on the partition columns so each directory gets
     its own consolidated files (~1 file per partition VALUE — hash
     partitioning cannot split one value's rows across ``target_files``
     tasks, so ``target_files`` is a ceiling on parallelism there, not a

@@ -124,15 +124,23 @@ def merged_quantiles(
     """Quantile estimates per key from the partial store alone:
     ``kll_sketch_merge_double`` folded over each key's partials (a
     bounded per-key list — one ~KB sketch per batch; compact
-    periodically at scale), then ``kll_sketch_get_quantile_double``."""
+    periodically at scale), then ``kll_sketch_get_quantile_double``.
+
+    The fold runs in ``batch_id`` order (collect (batch_id, sk)
+    structs, ``array_sort``, then fold): ``collect_list`` order is
+    nondeterministic across runs and KLL merge results vary slightly
+    with merge order, so an unsorted fold would make est_p50/est_p95
+    (and rank checks near the ±ε boundary) non-reproducible."""
     store = spark.read.parquet(store_path)
     merged = store.groupBy(key_col).agg(
-        F.collect_list("sk").alias("sks"),
+        F.array_sort(
+            F.collect_list(F.struct("batch_id", "sk"))
+        ).alias("sks"),
         F.count(F.lit(1)).alias("n_partials"),
     )
     msk = F.expr(
-        "aggregate(slice(sks, 2, size(sks) - 1), sks[0],"
-        " (acc, x) -> kll_sketch_merge_double(acc, x))"
+        "aggregate(slice(sks, 2, size(sks) - 1), sks[0].sk,"
+        " (acc, x) -> kll_sketch_merge_double(acc, x.sk))"
     )
     out = merged.select(key_col, "n_partials", msk.alias("msk"))
     for r in ranks:

@@ -34,3 +34,16 @@ def test_coverage_totals_match_registry():
 
 def test_every_oracle_has_a_query():
     assert set(ORACLES) <= set(QUERIES)
+
+
+def test_plans_md_covers_the_whole_registry():
+    """PLANS.md (the human-facing plan audit) must carry one row per
+    registered query — including drained streaming rows, which its
+    header claims to audit (VERDICT r5 'What's wrong' #3: the report
+    had gone 8 queries stale with nothing pinning it)."""
+    text = (REPO / "PLANS.md").read_text()
+    plan_rows = set(re.findall(r"^\| `([a-z0-9_]+)`", text, re.MULTILINE))
+    missing = sorted(set(QUERIES) - plan_rows)
+    stale = sorted(plan_rows - set(QUERIES))
+    assert not missing, f"PLANS.md missing rows for: {missing}"
+    assert not stale, f"PLANS.md has rows for unregistered queries: {stale}"

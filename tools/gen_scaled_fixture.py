@@ -93,7 +93,7 @@ def main() -> int:
     # Word-salt per replica (see module docstring). The original text
     # column is read once; the salted text reuses the replica id the
     # key offset consumed, so recompute it from doc_id.
-    rep = (F.col("doc_id") / F.lit(D)).cast("bigint")
+    rep = F.expr(f"doc_id div {D}")  # integer div: exact past 2^53
     salted = F.array_join(
         F.transform(
             F.split(F.col("text"), " "),
