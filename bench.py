@@ -133,6 +133,20 @@ BENCH_QUERIES = [
     "kcore_supplier_graph",
     "takedown_cascade_users",
     "winsorize_orders_by_segment",
+    # r6 new operator families: incremental agg merge, skew profiling,
+    # BPE pair mining, grouped OLS, stratified sampling, Markov
+    # transitions, link prediction, data-quality suite, rolling
+    # distinct, A/B lift.
+    "incremental_agg_merge_orders",
+    "skew_profile_join_keys",
+    "bpe_merge_pairs_documents",
+    "grouped_ols_lineitem",
+    "stratified_sample_orders",
+    "markov_transitions_events",
+    "link_prediction_suppliers",
+    "data_quality_audit",
+    "sliding_distinct_users_daily",
+    "ab_lift_events",
 ]
 
 

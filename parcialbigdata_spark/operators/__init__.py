@@ -1,3 +1,19 @@
-from parcialbigdata_spark.operators import dedup, joins, similarity, skew
+from parcialbigdata_spark.operators import (
+    dedup,
+    diagnostics,
+    incremental,
+    joins,
+    sampling,
+    similarity,
+    skew,
+)
 
-__all__ = ["dedup", "joins", "similarity", "skew"]
+__all__ = [
+    "dedup",
+    "diagnostics",
+    "incremental",
+    "joins",
+    "sampling",
+    "similarity",
+    "skew",
+]

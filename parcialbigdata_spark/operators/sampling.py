@@ -1,0 +1,57 @@
+"""Deterministic distributed sampling.
+
+``stratified_sample`` draws an exact k-per-stratum uniform sample,
+reproducibly: rows are ranked inside each stratum by a multiplicative
+hash of their id (Knuth's 2654435761 mixing constant mod a large
+prime — plain integer arithmetic, so any engine recomputes the same
+ranks) and the k smallest win. Deterministic sampling is what makes
+training-data pipelines auditable: the same corpus snapshot always
+yields the same sample, diffs between runs are real data diffs.
+
+Scale design — bounded-shuffle top-k: a naive per-stratum row_number
+shuffles the FULL table to rank everything. Here each input partition
+first keeps only its local k smallest per stratum (a window over
+(stratum, spark_partition_id()) — no shuffle, partition-local), which
+upper-bounds the global winners, then the global rank runs over at
+most k x n_partitions survivors per stratum. At 100 TB that turns a
+full-fact shuffle into a few-thousand-row one per stratum — the same
+partial/final split Spark's own TakeOrderedAndProject applies to
+global LIMIT, generalized to grouped sampling. The pre-prune changes
+no output row (anything pruned locally loses to k better rows that
+survived), so the result is independent of partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+#: multiplicative-hash constants (Knuth 2654435761; 1e9+7 prime)
+_MIX = 2654435761
+_MOD = 1000000007
+
+
+def stratified_sample(
+    df: DataFrame, stratum_col: str, id_col: str, k: int = 5
+) -> DataFrame:
+    """Exact, deterministic k-per-stratum sample: rows ranked by
+    ``(id * 2654435761) % 1000000007`` (ties broken by id) inside each
+    stratum; rank <= k survive. Emits stratum, ``sample_rank`` and the
+    id column. ``id_col`` must be integral and unique per row for the
+    rank to be a total order."""
+    h = (F.col(id_col) * F.lit(_MIX)) % F.lit(_MOD)
+    with_h = df.select(
+        F.col(stratum_col), F.col(id_col), h.alias("__h"),
+        F.spark_partition_id().alias("__pid"),
+    )
+    local = Window.partitionBy(stratum_col, "__pid").orderBy("__h", id_col)
+    pruned = (
+        with_h.withColumn("__lrn", F.row_number().over(local))
+        .filter(F.col("__lrn") <= k)
+    )
+    global_w = Window.partitionBy(stratum_col).orderBy("__h", id_col)
+    return (
+        pruned.withColumn("sample_rank", F.row_number().over(global_w))
+        .filter(F.col("sample_rank") <= k)
+        .select(stratum_col, "sample_rank", id_col)
+    )

@@ -7728,6 +7728,623 @@ def streaming_kll_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+# --------------------------------------------------- r6 operator wave
+
+
+@query(
+    "incremental_agg_merge_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           round(CAST(CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS DOUBLE) / 100, 2) AS total_price,
+           MIN(o_totalprice) AS min_price,
+           MAX(o_totalprice) AS max_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental aggregate maintenance (operators/incremental.py):
+    the per-priority order stats are built as TWO algebraic partial
+    states — a "base" over orders before 1997 (in production: the
+    materialized state from the last run) and a "delta" over the rest
+    (the newly-arrived facts) — then MERGED with a key-grained full
+    outer join instead of re-aggregating the union. The oracle is the
+    full recompute, so the gate hash-audits state-merge == rescan on
+    every run (the algebraic-aggregate identity that makes
+    materialized-view maintenance sound). At 100 TB the payoff is the
+    whole point: the base fact scan disappears — only the delta is
+    aggregated, and the merge join touches two dim-sized state
+    relations, with AQE broadcasting the (tiny) delta state side."""
+    from parcialbigdata_spark.operators.incremental import (
+        agg_state,
+        merge_agg_states,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    split = "1997-01-01"
+    base = agg_state(
+        orders.filter(F.col("o_orderdate") < split), ["o_orderpriority"], "o_totalprice"
+    )
+    delta = agg_state(
+        orders.filter(F.col("o_orderdate") >= split), ["o_orderpriority"], "o_totalprice"
+    )
+    merged = merge_agg_states(base, delta, ["o_orderpriority"])
+    return merged.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.round(F.col("sum_cents").cast("double") / 100, 2).alias("total_price"),
+        F.col("min_v").alias("min_price"),
+        F.col("max_v").alias("max_price"),
+    )
+
+
+@query(
+    "skew_profile_join_keys",
+    """
+    WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
+    lp AS (SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+    po AS (
+      SELECT 'orders.o_custkey' AS rel,
+             COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+             round(CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                   / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS skew_ratio,
+             (SELECT CAST(MAX(k) AS VARCHAR) FROM oc
+              WHERE cnt = (SELECT MAX(cnt) FROM oc)) AS top_key
+      FROM oc
+    ),
+    pl AS (
+      SELECT 'lineitem.l_partkey' AS rel,
+             COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+             round(CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                   / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS skew_ratio,
+             (SELECT CAST(MAX(k) AS VARCHAR) FROM lp
+              WHERE cnt = (SELECT MAX(cnt) FROM lp)) AS top_key
+      FROM lp
+    )
+    SELECT * FROM po UNION ALL SELECT * FROM pl
+    """,
+)
+def skew_profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shuffle-key skew diagnostics (operators/diagnostics.py): one
+    profile row per prospective join/shuffle key — key cardinality,
+    row count, heaviest key and its count, count percentiles, and the
+    max/mean skew ratio that decides whether a salted join
+    (operators/skew.py) or AQE skew split is worth it. The measurement
+    itself is scale-safe: one map-side-combined count per key, then a
+    roll-up of the key-grained relation — profiling never costs more
+    than the shuffle it is sizing up."""
+    from parcialbigdata_spark.operators.diagnostics import key_skew_profile
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return key_skew_profile(orders, "o_custkey", "orders.o_custkey").unionByName(
+        key_skew_profile(li, "l_partkey", "lineitem.l_partkey")
+    )
+
+
+@query(
+    "bpe_merge_pairs_documents",
+    r"""
+    WITH tok AS (
+      SELECT regexp_extract_all(lower(text), '\p{L}+|\p{N}+|[^\s\p{L}\p{N}]') AS toks
+      FROM documents
+    ),
+    pairs AS (
+      SELECT toks[i] AS left_tok, toks[i + 1] AS right_tok
+      FROM tok, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+      WHERE len(toks) >= 2
+    ),
+    counts AS (
+      SELECT left_tok, right_tok, COUNT(*) AS pair_count
+      FROM pairs GROUP BY 1, 2
+    )
+    SELECT left_tok, right_tok, pair_count,
+           row_number() OVER (ORDER BY pair_count DESC, left_tok, right_tok)
+             AS pair_rank
+    FROM counts
+    QUALIFY pair_rank <= 20
+    """,
+)
+def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The statistics pass of one BPE merge iteration (Sennrich,
+    Haddow & Birch, *Neural Machine Translation of Rare Words with
+    Subword Units*, ACL'16): count every ADJACENT pre-token pair in
+    the corpus and surface the top candidates the next merge rule
+    would fuse. Adjacency comes from a JVM-side ``transform`` over
+    ``sequence(1, size-1)`` zipping each token with its successor (no
+    Python, no self-join on position); the pair counts are one
+    map-side-combined shuffle keyed on the pair, and the top-20 goes
+    through sort+limit so Catalyst compiles partial/final
+    TakeOrderedAndProject — at 100 TB the full pair-count relation is
+    vocab-bounded, never globally sorted. Tokenization is the
+    repo-wide BPE-ish regex proven byte-identical across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = (
+        docs.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
+        .filter(F.size("toks") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(toks) - 1),"
+                    " i -> struct(element_at(toks, i) AS left_tok,"
+                    "             element_at(toks, i + 1) AS right_tok))"
+                )
+            ).alias("p")
+        )
+        .select("p.left_tok", "p.right_tok")
+    )
+    top = (
+        pairs.groupBy("left_tok", "right_tok")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("pair_count"), "left_tok", "right_tok")
+    return top.withColumn("pair_rank", F.row_number().over(w))
+
+
+@query(
+    "grouped_ols_lineitem",
+    """
+    WITH c AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_quantity * 100 + 0.5) AS BIGINT) AS qc,
+             CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS pc
+      FROM lineitem
+    ),
+    m AS (
+      SELECT flag,
+             COUNT(*) AS n_rows,
+             CAST(COUNT(*) AS DOUBLE) AS nd,
+             CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) AS sxd,
+             CAST(CAST(SUM(pc) AS BIGINT) AS DOUBLE) AS syd,
+             CAST(CAST(SUM(qc * pc) AS BIGINT) AS DOUBLE) AS sxyd,
+             CAST(CAST(SUM(qc * qc) AS BIGINT) AS DOUBLE) AS sxxd,
+             CAST(SUM(CAST(pc AS DECIMAL(19,0)) * pc) AS DOUBLE) AS syyd
+      FROM c GROUP BY flag
+    )
+    SELECT flag, n_rows,
+      round((nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd), 6) AS slope,
+      round((syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+            / nd / 100, 4) AS intercept,
+      round((nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+            / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)), 6) AS r2
+    FROM m
+    """,
+)
+def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group closed-form OLS — extendedprice regressed on quantity
+    per returnflag — from exact integer raw moments: quantities and
+    prices become integer cents, the five sufficient statistics
+    (n, Sx, Sy, Sxy, Sxx; Syy as DECIMAL(38) since price-cents squared
+    overflows BIGINT at fact scale) accumulate exactly
+    (order-independent), and slope/intercept/R² are derived by
+    identical IEEE double arithmetic on both engines, rounded once.
+    This is the map-reduce regression pattern: one aggregation pass,
+    no iteration, no covariance matrix — at 100 TB it costs exactly
+    one map-side-combined shuffle keyed on the group, and the same
+    moments serve correlation, variance and R² for free."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qc = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    pc = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint")
+    c = li.select(
+        F.col("l_returnflag").alias("flag"), qc.alias("qc"), pc.alias("pc")
+    )
+    m = c.groupBy("flag").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("qc").cast("double").alias("sxd"),
+        F.sum("pc").cast("double").alias("syd"),
+        F.sum(F.col("qc") * F.col("pc")).cast("double").alias("sxyd"),
+        F.sum(F.col("qc") * F.col("qc")).cast("double").alias("sxxd"),
+        F.sum(F.col("pc").cast("decimal(19,0)") * F.col("pc")).cast("double").alias("syyd"),
+    )
+    nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
+    sxyd, sxxd, syyd = F.col("sxyd"), F.col("sxxd"), F.col("syyd")
+    cov_n = nd * sxyd - sxd * syd
+    var_xn = nd * sxxd - sxd * sxd
+    return m.select(
+        "flag",
+        "n_rows",
+        F.round(cov_n / var_xn, 6).alias("slope"),
+        F.round((syd - cov_n / var_xn * sxd) / nd / 100, 4).alias("intercept"),
+        F.round(cov_n * cov_n / (var_xn * (nd * syyd - syd * syd)), 6).alias("r2"),
+    )
+
+
+@query(
+    "stratified_sample_orders",
+    """
+    SELECT o_orderpriority,
+           row_number() OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey
+           ) AS sample_rank,
+           o_orderkey
+    FROM orders
+    QUALIFY sample_rank <= 5
+    """,
+)
+def stratified_sample_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-per-stratum sampling (operators/sampling.py):
+    5 orders per priority, chosen by multiplicative-hash rank so the
+    sample is exactly reproducible on any engine — the auditability
+    property training-data pipelines need (same snapshot, same
+    sample). Scale path: every input partition pre-prunes to its local
+    top-k per stratum BEFORE the shuffle (window over
+    (stratum, spark_partition_id()), partition-local), so the global
+    rank sees at most k x n_partitions rows per stratum instead of the
+    full fact table — the grouped generalization of
+    TakeOrderedAndProject's partial/final split, proven
+    output-invariant to partitioning by the oracle (which brute-forces
+    the rank over everything). Sibling of
+    ``stratified_sample_documents``: that one draws at a RATE per
+    stratum (Bernoulli-by-hash, shuffle-free, sample size varies);
+    this one draws an EXACT k per stratum (sample size guaranteed,
+    one bounded shuffle) — the two halves of the sampling family."""
+    from parcialbigdata_spark.operators.sampling import stratified_sample
+
+    orders = load_table(spark, sf_dir, "orders")
+    return stratified_sample(orders, "o_orderpriority", "o_orderkey", k=5)
+
+
+@query(
+    "markov_transitions_events",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS prev_type
+      FROM events
+    ),
+    c AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS n_transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, n_transitions,
+           round(CAST(n_transitions AS DOUBLE)
+                 / CAST(CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                             AS BIGINT) AS DOUBLE), 6) AS prob
+    FROM c
+    """,
+)
+def markov_transitions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: for each
+    ordered pair of event types, how often does one follow the other
+    in a user's timeline, and with what conditional probability. One
+    user-partitioned lag window (total order by ts + event_id — no
+    nondeterministic ties), a pair-keyed count with map-side combine,
+    and a row-normalizing window over the TYPE-PAIR relation (vocab²
+    rows, not events). At 100 TB the only fact-sized operation is the
+    per-user window — the standard sessionization shuffle this repo's
+    event queries already share."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    tr = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    wt = Window.partitionBy("prev_type")
+    return tr.withColumn(
+        "prob",
+        F.round(
+            F.col("n_transitions").cast("double")
+            / F.sum("n_transitions").over(wt).cast("double"),
+            6,
+        ),
+    )
+
+
+@query(
+    "link_prediction_suppliers",
+    """
+    WITH base AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48
+    ),
+    e AS (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    deg AS (SELECT a AS node, COUNT(*) AS deg FROM e GROUP BY a),
+    wedge AS (
+      SELECT e1.b AS na, e2.b AS nb, COUNT(*) AS n_common
+      FROM e e1 JOIN e e2 ON e1.a = e2.a AND e1.b < e2.b
+      GROUP BY e1.b, e2.b
+    ),
+    cand AS (
+      SELECT w.na, w.nb, w.n_common FROM wedge w
+      WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.a = w.na AND e.b = w.nb)
+    )
+    SELECT c.na AS node_a, c.nb AS node_b, c.n_common,
+           round(CAST(c.n_common AS DOUBLE)
+                 / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6) AS jaccard,
+           row_number() OVER (
+             ORDER BY round(CAST(c.n_common AS DOUBLE)
+                            / CAST(da.deg + db.deg - c.n_common AS DOUBLE), 6)
+                        DESC,
+                      c.n_common DESC, c.na, c.nb
+           ) AS link_rank
+    FROM cand c
+    JOIN deg da ON c.na = da.node
+    JOIN deg db ON c.nb = db.node
+    QUALIFY link_rank <= 20
+    """,
+)
+def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the supplier co-occurrence graph
+    (operators/graph.py neighborhood_overlap; Liben-Nowell & Kleinberg
+    CIKM'03): the top-20 NON-adjacent supplier pairs most likely to
+    co-occur next, scored by the Jaccard coefficient of their
+    neighborhoods. Completes the graph-analytics family around
+    triangle_stats (same middle-node wedge join, now closing AGAINST
+    the edge set instead of with it) and kcore (same edge relation).
+    Jaccard over Adamic-Adar keeps the score a ratio of exact integers
+    — no libm log, the repo's cross-engine determinism rule."""
+    from parcialbigdata_spark.operators.graph import neighborhood_overlap
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a, b = li.alias("a"), li.alias("b")
+    edges = a.join(
+        b,
+        (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+        & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+    ).select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    return neighborhood_overlap(edges, top_k=20)
+
+
+@query(
+    "data_quality_audit",
+    """
+    SELECT 'orders_fk_custkey' AS check_name,
+           (SELECT COUNT(*) FROM orders) AS n_checked,
+           (SELECT COUNT(*) FROM orders
+            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+             AS n_violations
+    UNION ALL
+    SELECT 'lineitem_fk_orderkey',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+    UNION ALL
+    SELECT 'customer_pk_unique',
+           (SELECT COUNT(*) FROM customer),
+           (SELECT COUNT(*) - COUNT(DISTINCT c_custkey) FROM customer)
+    UNION ALL
+    SELECT 'orders_totalprice_positive',
+           (SELECT COUNT(*) FROM orders),
+           (SELECT CAST(SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM orders)
+    UNION ALL
+    SELECT 'lineitem_shipdate_range',
+           (SELECT COUNT(*) FROM lineitem),
+           (SELECT CAST(SUM(CASE WHEN l_shipdate < TIMESTAMP '1992-01-01'
+                                   OR l_shipdate >= TIMESTAMP '2000-01-01'
+                                 THEN 1 ELSE 0 END) AS BIGINT) FROM lineitem)
+    UNION ALL
+    SELECT 'events_user_not_null',
+           (SELECT COUNT(*) FROM events),
+           (SELECT CAST(SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+                        AS BIGINT) FROM events)
+    """,
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality suite (the Deequ pattern — Schelter et
+    al., *Automating Large-Scale Data Quality Verification*, VLDB'18):
+    six constraints over the star schema — two referential-integrity
+    checks (anti-join counts, strategy left to AQE since both sides
+    are data-proportional), a primary-key uniqueness check
+    (count minus distinct-count), and three single-pass row predicates
+    (each table's predicate violations share ONE scan via conditional
+    aggregation, not one scan per rule). Emits the standard
+    (check, checked, violations) metrics relation a pipeline gates
+    deploys on. At 100 TB every check is either a conditional
+    aggregate folded into a scan the pipeline already pays for, or a
+    key-projected semi/anti join. Generalizes the FK-only sibling
+    ``fk_integrity_audit`` (which sweeps all 7 star-schema edges) with
+    predicate, uniqueness and null-rate rule types."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    cust = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+
+    def cnt1(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).alias(name))
+
+    o_stats = orders.agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_price"),
+    )
+    l_stats = li.agg(
+        F.count(F.lit(1)).alias("n_li"),
+        F.sum(
+            F.when(
+                (F.col("l_shipdate") < "1992-01-01")
+                | (F.col("l_shipdate") >= "2000-01-01"),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("v_date"),
+    )
+    c_stats = cust.agg(
+        F.count(F.lit(1)).alias("n_cust"),
+        (F.count(F.lit(1)) - F.count_distinct(F.col("c_custkey"))).alias("v_dup"),
+    )
+    e_stats = ev.agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        F.sum(F.when(F.col("user_id").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("v_null"),
+    )
+    fk_orders = cnt1(
+        orders.join(
+            cust.select("c_custkey"),
+            orders.o_custkey == F.col("c_custkey"),
+            "left_anti",
+        ),
+        "v_fk_o",
+    )
+    fk_li = cnt1(
+        li.join(
+            orders.select("o_orderkey"),
+            li.l_orderkey == F.col("o_orderkey"),
+            "left_anti",
+        ),
+        "v_fk_l",
+    )
+
+    def row(name: str, checked: F.Column, viol: F.Column, src: DataFrame) -> DataFrame:
+        return src.select(
+            F.lit(name).alias("check_name"),
+            checked.alias("n_checked"),
+            viol.alias("n_violations"),
+        )
+
+    r1 = row(
+        "orders_fk_custkey",
+        F.col("n_orders"),
+        F.col("v_fk_o"),
+        o_stats.crossJoin(fk_orders),
+    )
+    r2 = row(
+        "lineitem_fk_orderkey",
+        F.col("n_li"),
+        F.col("v_fk_l"),
+        l_stats.crossJoin(fk_li),
+    )
+    r3 = row("customer_pk_unique", F.col("n_cust"), F.col("v_dup"), c_stats)
+    r4 = row("orders_totalprice_positive", F.col("n_orders"), F.col("v_price"), o_stats)
+    r5 = row("lineitem_shipdate_range", F.col("n_li"), F.col("v_date"), l_stats)
+    r6 = row("events_user_not_null", F.col("n_ev"), F.col("v_null"), e_stats)
+    return r1.unionAll(r2).unionAll(r3).unionAll(r4).unionAll(r5).unionAll(r6)
+
+
+@query(
+    "sliding_distinct_users_daily",
+    """
+    WITH ud AS (SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events),
+    days AS (SELECT DISTINCT d FROM ud)
+    SELECT strftime(days.d, '%Y-%m-%d') AS day,
+           COUNT(DISTINCT ud.user_id) AS n_users_7d
+    FROM days JOIN ud
+      ON ud.d BETWEEN days.d - INTERVAL 6 DAY AND days.d
+    GROUP BY days.d
+    """,
+)
+def sliding_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day distinct users per day — the canonical WAU-style
+    rolling-distinct metric that windowed COUNT(DISTINCT) cannot
+    express (distinct is not frame-decomposable). The scalable shape:
+    reduce events to the DISTINCT (user, day) grain first (the big
+    cardinality win — one shuffle with map-side combine), then explode
+    each user-day into the 7 target days it contributes to (a CONSTANT
+    7x expansion of the reduced grain, not of raw events) and count
+    distinct users per target day, keeping only days present in the
+    data. The oracle brute-forces the same metric with a day-range
+    join. At 100 TB the raw stream is touched once; everything after
+    runs at user-day grain."""
+    ev = load_table(spark, sf_dir, "events")
+    ud = ev.select(F.to_date("ts").alias("d"), "user_id").distinct()
+    days = ud.select("d").distinct()
+    expanded = ud.select(
+        F.explode(F.expr("sequence(d, date_add(d, 6))")).alias("day"), "user_id"
+    )
+    agg = expanded.groupBy("day").agg(
+        F.count_distinct(F.col("user_id")).alias("n_users_7d")
+    )
+    return agg.join(
+        days.withColumnRenamed("d", "day"), "day", "left_semi"
+    ).select(F.date_format("day", "yyyy-MM-dd").alias("day"), "n_users_7d")
+
+
+@query(
+    "ab_lift_events",
+    """
+    WITH b AS (
+      SELECT (user_id % 2 = 0) AS is_a,
+             CAST(round(value, 6) AS DECIMAL(18,6)) AS x
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    m AS (
+      SELECT CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN is_a THEN x END) AS DOUBLE) AS s_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN x END) AS DOUBLE) AS s_b,
+             CAST(SUM(CASE WHEN is_a THEN x * x END) AS DOUBLE) AS ss_a,
+             CAST(SUM(CASE WHEN NOT is_a THEN x * x END) AS DOUBLE) AS ss_b
+      FROM b
+    )
+    SELECT n_a, n_b,
+      round(s_a / CAST(n_a AS DOUBLE), 6) AS mean_a,
+      round(s_b / CAST(n_b AS DOUBLE), 6) AS mean_b,
+      round(s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE), 6) AS lift,
+      round((s_b / CAST(n_b AS DOUBLE) - s_a / CAST(n_a AS DOUBLE))
+            / sqrt((ss_a - s_a * s_a / CAST(n_a AS DOUBLE))
+                     / (CAST(n_a AS DOUBLE) - 1) / CAST(n_a AS DOUBLE)
+                   + (ss_b - s_b * s_b / CAST(n_b AS DOUBLE))
+                     / (CAST(n_b AS DOUBLE) - 1) / CAST(n_b AS DOUBLE)), 4)
+        AS t_stat
+    FROM m
+    """,
+)
+def ab_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment readout in one aggregation pass: users split into
+    two deterministic variants (id parity — a hash bucket in
+    production), and the per-variant count/sum/sum-of-squares
+    accumulate as exact decimals (round-then-decimal-sum, the repo's
+    order-independence discipline), so Welch's t statistic derives
+    from six exact moments by identical IEEE double arithmetic on both
+    engines. No per-user materialization, no second pass for the
+    variance — the same sufficient-statistics pattern as
+    grouped_ols_lineitem. At 100 TB: one conditional aggregate over
+    one scan."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    x = F.round(F.col("value"), 6).cast("decimal(18,6)")
+    b = ev.select((F.col("user_id") % 2 == 0).alias("is_a"), x.alias("x"))
+    m = b.agg(
+        F.sum(F.when(F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~F.col("is_a"), 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(F.col("is_a"), F.col("x"))).cast("double").alias("s_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("x"))).cast("double").alias("s_b"),
+        F.sum(F.when(F.col("is_a"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("ss_a"),
+        F.sum(F.when(~F.col("is_a"), F.col("x") * F.col("x")))
+        .cast("double")
+        .alias("ss_b"),
+    )
+    n_ad = F.col("n_a").cast("double")
+    n_bd = F.col("n_b").cast("double")
+    s_a, s_b, ss_a, ss_b = F.col("s_a"), F.col("s_b"), F.col("ss_a"), F.col("ss_b")
+    mean_a = s_a / n_ad
+    mean_b = s_b / n_bd
+    var_term_a = (ss_a - s_a * s_a / n_ad) / (n_ad - 1) / n_ad
+    var_term_b = (ss_b - s_b * s_b / n_bd) / (n_bd - 1) / n_bd
+    return m.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, 6).alias("mean_a"),
+        F.round(mean_b, 6).alias("mean_b"),
+        F.round(mean_b - mean_a, 6).alias("lift"),
+        F.round((mean_b - mean_a) / F.sqrt(var_term_a + var_term_b), 4).alias(
+            "t_stat"
+        ),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -37,6 +37,12 @@ HEAVY = [
     "pq_topk_embeddings",
     "q18_large_volume_orders",
     "concurrent_sessions_hourly",
+    # r6: the re-blocked edit-distance join (VERDICT r5 #6) and the
+    # heaviest of the new wave.
+    "editdist_join_customers",
+    "sliding_distinct_users_daily",
+    "link_prediction_suppliers",
+    "bpe_merge_pairs_documents",
 ]
 
 
