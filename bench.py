@@ -147,6 +147,11 @@ BENCH_QUERIES = [
     "data_quality_audit",
     "sliding_distinct_users_daily",
     "ab_lift_events",
+    # r6b: reconciliation fingerprints + exact join-size estimation.
+    "table_fingerprint_reconcile",
+    "join_size_estimates",
+    "concentration_gini_customers",
+    "event_paths_topk",
 ]
 
 

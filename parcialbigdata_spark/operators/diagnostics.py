@@ -69,3 +69,61 @@ def key_skew_profile(df: DataFrame, key_col: str, rel_name: str) -> DataFrame:
             "top_key",
         )
     )
+
+
+def table_fingerprint(
+    df: DataFrame, cols: list[str], rel_name: str
+) -> DataFrame:
+    """Order-independent table checksum — the data-reconciliation
+    primitive for verifying a replication, migration or engine swap
+    without sorting or transferring rows: each row's listed columns
+    (integers/strings only — float formatting is not canonical across
+    engines) fold into a canonical ``|``-joined string, md5's leading
+    8 hex digits become a 32-bit integer, and the per-row integers SUM
+    (as DECIMAL(38) — a 100 TB table's sum of 2^32-sized terms
+    overflows BIGINT). Addition is commutative, so partitioning, scan
+    order and engine are all irrelevant; two sides agree iff their
+    (n_rows, fingerprint) pairs agree (collisions need an ADVERSARIAL
+    2^32-bucket imbalance — fine for reconciliation, not for
+    integrity against tampering; use a wider slice there). One scan,
+    one scalar aggregate, zero shuffles of row data."""
+    canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
+    h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(h.cast("decimal(38,0)")).alias("fingerprint"),
+    ).select(F.lit(rel_name).alias("rel"), "n_rows", "fingerprint")
+
+
+def join_size_estimate(
+    a: DataFrame, key_a: str, b: DataFrame, key_b: str, join_name: str
+) -> DataFrame:
+    """EXACT equi-join output cardinality WITHOUT running the join:
+    ``|A ⋈ B| = Σ_k cnt_A(k) · cnt_B(k)`` over the per-key count
+    relations — the planner-grade question ("will this self-join blow
+    up?") answered with two map-side-combined count aggregations and
+    one key-grained join, instead of materializing a possibly
+    quadratic result. NULL keys are excluded (SQL equi-joins never
+    match them). The oracle VERIFIES the identity by actually
+    performing the join and counting — so the gate proves the
+    estimator exact, which is precisely why it's safe to size a
+    100 TB shuffle with it."""
+    ca = (
+        a.filter(F.col(key_a).isNotNull())
+        .groupBy(F.col(key_a).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_a"))
+    )
+    cb = (
+        b.filter(F.col(key_b).isNotNull())
+        .groupBy(F.col(key_b).alias("k"))
+        .agg(F.count(F.lit(1)).alias("cnt_b"))
+    )
+    return (
+        ca.join(cb, "k")
+        .agg(
+            F.coalesce(F.sum(F.col("cnt_a") * F.col("cnt_b")), F.lit(0))
+            .cast("bigint")
+            .alias("est_pairs")
+        )
+        .select(F.lit(join_name).alias("join_name"), "est_pairs")
+    )

@@ -7782,21 +7782,9 @@ def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "skew_profile_join_keys",
     """
-    WITH oc AS (SELECT o_custkey AS k, COUNT(*) AS cnt FROM orders GROUP BY o_custkey),
-    lp AS (SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
-    po AS (
-      SELECT 'orders.o_custkey' AS rel,
-             COUNT(*) AS n_keys,
-             CAST(SUM(cnt) AS BIGINT) AS n_rows,
-             MAX(cnt) AS max_cnt,
-             round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
-             round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
-             round(CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
-                   / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS skew_ratio,
-             (SELECT CAST(MAX(k) AS VARCHAR) FROM oc
-              WHERE cnt = (SELECT MAX(cnt) FROM oc)) AS top_key
-      FROM oc
-    ),
+    WITH lp AS (SELECT l_partkey AS k, COUNT(*) AS cnt FROM lineitem GROUP BY l_partkey),
+    eu AS (SELECT user_id AS k, COUNT(*) AS cnt FROM events
+           WHERE user_id IS NOT NULL GROUP BY user_id),
     pl AS (
       SELECT 'lineitem.l_partkey' AS rel,
              COUNT(*) AS n_keys,
@@ -7809,25 +7797,45 @@ def incremental_agg_merge_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
              (SELECT CAST(MAX(k) AS VARCHAR) FROM lp
               WHERE cnt = (SELECT MAX(cnt) FROM lp)) AS top_key
       FROM lp
+    ),
+    pe AS (
+      SELECT 'events.user_id' AS rel,
+             COUNT(*) AS n_keys,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows,
+             MAX(cnt) AS max_cnt,
+             round(quantile_cont(cnt, 0.5), 6) AS p50_cnt,
+             round(quantile_cont(cnt, 0.99), 6) AS p99_cnt,
+             round(CAST(MAX(cnt) AS DOUBLE) * CAST(COUNT(*) AS DOUBLE)
+                   / CAST(CAST(SUM(cnt) AS BIGINT) AS DOUBLE), 6) AS skew_ratio,
+             (SELECT CAST(MAX(k) AS VARCHAR) FROM eu
+              WHERE cnt = (SELECT MAX(cnt) FROM eu)) AS top_key
+      FROM eu
     )
-    SELECT * FROM po UNION ALL SELECT * FROM pl
+    SELECT * FROM pl UNION ALL SELECT * FROM pe
     """,
 )
 def skew_profile_join_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Shuffle-key skew diagnostics (operators/diagnostics.py): one
-    profile row per prospective join/shuffle key — key cardinality,
-    row count, heaviest key and its count, count percentiles, and the
-    max/mean skew ratio that decides whether a salted join
-    (operators/skew.py) or AQE skew split is worth it. The measurement
-    itself is scale-safe: one map-side-combined count per key, then a
-    roll-up of the key-grained relation — profiling never costs more
-    than the shuffle it is sizing up."""
+    """Shuffle-key skew comparison (operators/diagnostics.py): the
+    REUSABLE multi-relation form of the skew report — one profile row
+    per CANDIDATE join/shuffle key across different tables (here the
+    part-key and user-id fact keys), each with key cardinality, row
+    count, the heaviest key's identity and count, count percentiles,
+    and the max/mean skew ratio that decides whether a salted join
+    (operators/skew.py) or AQE skew split is worth it. Sibling of
+    ``skew_diagnostics_orders``: that one is the single-key DEEP
+    report (adds top-1/top-10 share) over the customer key; this is
+    the operator extraction that lines candidate keys up side by side
+    — run it across every key a pipeline might shuffle on. The
+    measurement is scale-safe: one map-side-combined count per key,
+    then a roll-up of the key-grained relation — profiling never costs
+    more than the shuffle it is sizing up. NULL keys excluded (they
+    never match an equi-join)."""
     from parcialbigdata_spark.operators.diagnostics import key_skew_profile
 
-    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
     li = load_table(spark, sf_dir, "lineitem")
-    return key_skew_profile(orders, "o_custkey", "orders.o_custkey").unionByName(
-        key_skew_profile(li, "l_partkey", "lineitem.l_partkey")
+    return key_skew_profile(li, "l_partkey", "lineitem.l_partkey").unionByName(
+        key_skew_profile(ev, "user_id", "events.user_id")
     )
 
 
@@ -8343,6 +8351,281 @@ def ab_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t_stat"
         ),
     )
+
+
+@query(
+    "table_fingerprint_reconcile",
+    """
+    SELECT 'orders' AS rel, COUNT(*) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(concat_ws('|',
+                 CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
+                 o_orderstatus, o_orderpriority)), 1, 8))::BIGINT)
+                AS DECIMAL(38,0)) AS fingerprint
+    FROM orders
+    UNION ALL
+    SELECT 'customer', COUNT(*),
+           CAST(SUM(('0x' || substr(md5(concat_ws('|',
+                 CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)),
+                 1, 8))::BIGINT) AS DECIMAL(38,0))
+    FROM customer
+    """,
+)
+def table_fingerprint_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-independent table checksums (operators/diagnostics.py
+    table_fingerprint) for two star-schema tables — the reconciliation
+    primitive for proving a replica, migration or engine swap carried
+    every row, without sorting or shipping data: canonical row string
+    → md5's leading 32 bits → commutative DECIMAL(38) sum. The gate
+    itself demonstrates the use case: DuckDB recomputes the identical
+    fingerprint from the same parquet, i.e. a cross-ENGINE
+    reconciliation passing bit-for-bit. One scan + scalar agg per
+    table; zero row shuffles at any scale."""
+    from parcialbigdata_spark.operators.diagnostics import table_fingerprint
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return table_fingerprint(
+        orders, ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"], "orders"
+    ).unionAll(
+        table_fingerprint(cust, ["c_custkey", "c_name", "c_mktsegment"], "customer")
+    )
+
+
+@query(
+    "join_size_estimates",
+    """
+    SELECT 'lineitem_self_partkey' AS join_name,
+           (SELECT COUNT(*) FROM lineitem a JOIN lineitem b
+             ON a.l_partkey = b.l_partkey) AS est_pairs
+    UNION ALL
+    SELECT 'orders_lineitem_orderkey',
+           (SELECT COUNT(*) FROM orders o JOIN lineitem l
+             ON o.o_orderkey = l.l_orderkey)
+    UNION ALL
+    SELECT 'events_self_user',
+           (SELECT COUNT(*) FROM events a JOIN events b
+             ON a.user_id = b.user_id)
+    """,
+)
+def join_size_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planner-grade join cardinality estimation
+    (operators/diagnostics.py join_size_estimate): the exact output
+    size of three prospective joins — including the self-join blowup
+    cases — computed from per-key count relations
+    (``Σ cnt_a·cnt_b``) WITHOUT materializing any join. The oracle
+    performs each join for real and counts, so the gate proves the
+    estimator exact on every run. Companion of
+    ``skew_profile_join_keys``: profile tells you the shuffle shape,
+    this tells you the output size; together they are the pre-flight
+    check before committing a 100 TB fact-fact join."""
+    from parcialbigdata_spark.operators.diagnostics import join_size_estimate
+
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        join_size_estimate(li, "l_partkey", li, "l_partkey", "lineitem_self_partkey")
+        .unionAll(
+            join_size_estimate(
+                orders, "o_orderkey", li, "l_orderkey", "orders_lineitem_orderkey"
+            )
+        )
+        .unionAll(join_size_estimate(ev, "user_id", ev, "user_id", "events_self_user"))
+    )
+
+
+@query(
+    "streaming_agg_state_store",
+    """
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           round(CAST(CAST(SUM(CAST(floor(value * 100 + 0.5) AS BIGINT))
+                           AS BIGINT) AS DOUBLE) / 100, 2) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY event_type
+    """,
+)
+def streaming_agg_state_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming EXACT-state maintenance
+    (streaming/state_store.py) — the exact-arithmetic twin of
+    streaming_hll_partials/streaming_kll_partials and the streaming
+    face of operators/incremental.py: the event stream drains
+    availableNow through a foreachBatch that appends one algebraic
+    state row (count, integer-cents sum, min, max) per
+    (event_type, batch) to a parquet store; the final answer merges
+    the STORE (commutative adds/folds — no sort needed, unlike KLL),
+    never re-scanning events. The oracle is the batch recompute, so
+    the gate hash-audits store-merge == full scan exactly."""
+    import os
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming import state_store
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    base = tempfile.mkdtemp(prefix="agg_state_store_")
+    try:
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        q = state_store.stream_agg_state_to_store(
+            read_events_stream(spark, sf_dir), store, ckpt
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise RuntimeError(
+                "streaming_agg_state_store: availableNow drain did not "
+                "finish within 240 s; refusing to merge a partial store"
+            )
+        merged = state_store.merged_state(spark, store).select(
+            "event_type",
+            F.col("n").alias("n_events"),
+            F.round(F.col("sum_cents").cast("double") / 100, 2).alias("total_value"),
+            F.col("min_v").alias("min_value"),
+            F.col("max_v").alias("max_value"),
+        )
+        rows = merged.collect()
+        return spark.createDataFrame(rows, merged.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "concentration_gini_customers",
+    """
+    WITH r AS (
+      SELECT o_custkey AS c,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    rk AS (
+      SELECT rev,
+             row_number() OVER (ORDER BY rev, c) AS i,
+             COUNT(*) OVER () AS n
+      FROM r
+    )
+    SELECT COUNT(*) AS n_customers,
+      round(CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE) / 100, 2) AS total_revenue,
+      round(2.0 * CAST(SUM(CAST(i AS DECIMAL(38,0)) * rev) AS DOUBLE)
+              / (CAST(COUNT(*) AS DOUBLE)
+                 * CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE))
+            - (CAST(COUNT(*) AS DOUBLE) + 1.0) / CAST(COUNT(*) AS DOUBLE),
+            6) AS gini,
+      round(CAST(CAST(SUM(CASE WHEN i > n - CAST(ceil(n / 100.0) AS BIGINT)
+                               THEN rev ELSE 0 END) AS BIGINT) AS DOUBLE)
+            * 100.0 / CAST(CAST(SUM(rev) AS BIGINT) AS DOUBLE), 6)
+        AS top1pct_share_pct
+    FROM rk
+    """,
+)
+def concentration_gini_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration metrics — the Gini coefficient
+    (``2·Σ i·x_(i) / (n·Σx) − (n+1)/n`` over rank-ordered customer
+    revenues) and the top-1% revenue share. Every moment accumulates
+    exactly (integer cents; the rank-weighted sum as DECIMAL(38) since
+    rank × cents × rows overflows BIGINT at fact scale) and the final
+    division is identical IEEE arithmetic. The only ranked pass runs
+    over the CUSTOMER-grained revenue relation, not raw orders — at
+    100 TB that is the dim-sized single-partition window this repo
+    already accepts for per-key count ranking (skew_diagnostics); at
+    10⁹ customers swap exact ranks for equi-depth bin midpoints, which
+    bounds Gini error by 1/bins. Companion of
+    ``skew_diagnostics_orders``: same ranked-counts machinery, but
+    measuring ECONOMIC concentration (who holds the value) instead of
+    shuffle concentration (who holds the rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    r = orders.groupBy(F.col("o_custkey").alias("c")).agg(
+        F.sum(cents).cast("bigint").alias("rev")
+    )
+    w = Window.orderBy("rev", "c")
+    wn = Window.partitionBy(F.lit(1))
+    rk = r.select(
+        "rev",
+        F.row_number().over(w).alias("i"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    k = F.ceil(F.col("n") / 100.0).cast("bigint")
+    m = rk.agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.sum("rev").cast("bigint").alias("sx"),
+        F.sum(F.col("i").cast("decimal(38,0)") * F.col("rev")).alias("six"),
+        F.sum(F.when(F.col("i") > F.col("n") - k, F.col("rev")).otherwise(0))
+        .cast("bigint")
+        .alias("top_rev"),
+    )
+    nd = F.col("n_customers").cast("double")
+    sxd = F.col("sx").cast("double")
+    return m.select(
+        "n_customers",
+        F.round(sxd / 100, 2).alias("total_revenue"),
+        F.round(
+            F.lit(2.0) * F.col("six").cast("double") / (nd * sxd)
+            - (nd + F.lit(1.0)) / nd,
+            6,
+        ).alias("gini"),
+        F.round(F.col("top_rev").cast("double") * 100.0 / sxd, 6).alias(
+            "top1pct_share_pct"
+        ),
+    )
+
+
+@query(
+    "event_paths_topk",
+    """
+    WITH s AS (
+      SELECT user_id, CAST(ts AS DATE) AS d,
+             array_to_string(
+               (list(event_type ORDER BY ts, event_id))[1:5], '>') AS path
+      FROM events GROUP BY user_id, CAST(ts AS DATE)
+    )
+    SELECT path, COUNT(*) AS n_user_days,
+           row_number() OVER (ORDER BY COUNT(*) DESC, path) AS path_rank
+    FROM s GROUP BY path
+    QUALIFY path_rank <= 15
+    """,
+)
+def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top behavioral paths: each user-day's first five event types in
+    time order collapse to one ``a>b>c`` path string; the 15 most
+    common paths (with a total-order tie-break) are the product
+    question "how do users actually move through the app" that single-
+    step Markov transitions (``markov_transitions_events``, the
+    sibling: edge frequencies vs whole walks) cannot answer. The
+    ordered fold is one grouped ``sort_array(collect_list(struct))``
+    — per-group state is bounded by the day's events and the path by
+    its 5-step cap; the path-count relation is path-vocabulary-sized,
+    and the final top-15 is sort+limit (TakeOrderedAndProject). One
+    user-day shuffle + one path shuffle at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    s = (
+        ev.groupBy("user_id", F.to_date("ts").alias("d"))
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(F.struct("ts", "event_id", "event_type"))
+                        ),
+                        1,
+                        5,
+                    ),
+                    lambda x: x.event_type,
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    top = (
+        s.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_user_days"))
+        .orderBy(F.desc("n_user_days"), "path")
+        .limit(15)
+    )
+    w = Window.orderBy(F.desc("n_user_days"), "path")
+    return top.withColumn("path_rank", F.row_number().over(w))
 
 
 # ---------------------------------------------------------------------
