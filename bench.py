@@ -152,6 +152,9 @@ BENCH_QUERIES = [
     "join_size_estimates",
     "concentration_gini_customers",
     "event_paths_topk",
+    "association_rules_parts",
+    "drift_report_orders",
+    "sample_budget_apportionment",
 ]
 
 

@@ -8628,6 +8628,260 @@ def event_paths_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top.withColumn("path_rank", F.row_number().over(w))
 
 
+@query(
+    "association_rules_parts",
+    """
+    WITH items AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    tot AS (SELECT COUNT(DISTINCT l_orderkey) AS n_orders FROM items),
+    isup AS (SELECT l_partkey, COUNT(*) AS supp FROM items GROUP BY l_partkey),
+    upairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb, COUNT(*) AS supp_ab
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 2
+    ),
+    rules AS (
+      SELECT pa AS antecedent, pb AS consequent, supp_ab FROM upairs
+      UNION ALL
+      SELECT pb, pa, supp_ab FROM upairs
+    ),
+    scored AS (
+      SELECT r.antecedent, r.consequent, r.supp_ab,
+             round(CAST(r.supp_ab AS DOUBLE) / CAST(sa.supp AS DOUBLE), 6)
+               AS confidence,
+             round(CAST(r.supp_ab AS DOUBLE) * CAST(t.n_orders AS DOUBLE)
+                   / (CAST(sa.supp AS DOUBLE) * CAST(sc.supp AS DOUBLE)), 6)
+               AS lift
+      FROM rules r
+      JOIN isup sa ON r.antecedent = sa.l_partkey
+      JOIN isup sc ON r.consequent = sc.l_partkey
+      CROSS JOIN tot t
+    )
+    SELECT antecedent, consequent, supp_ab, confidence, lift,
+           row_number() OVER (
+             ORDER BY lift DESC, confidence DESC, antecedent, consequent
+           ) AS rule_rank
+    FROM scored
+    QUALIFY rule_rank <= 25
+    """,
+)
+def association_rules_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Association-rule mining (Agrawal, Imieliński & Swami,
+    SIGMOD'93): directed rules a→b over order baskets with support,
+    confidence (``supp_ab / supp_a``) and lift
+    (``supp_ab·N / (supp_a·supp_b)``), top-25 by lift with a total
+    tie-break order. The RULE-STATISTICS sibling of
+    ``copurchase_part_pairs`` (which stops at raw pair support):
+    same basket-local HOF pair generation — C(basket,2) structs per
+    order, no fact self-join — then the pair relation mirrors into
+    both rule directions and joins the part-grained support counts;
+    every score is a ratio of exact integers. At 100 TB: the basket
+    fold's two shuffles plus one part-keyed join of the (bounded)
+    qualifying-pair relation; the 1-row order total is a broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_partkey")).alias("parts")
+    )
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    isup = (
+        baskets.select(F.explode("parts").alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("supp"))
+    )
+    upairs = (
+        baskets.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(parts, (x, i) ->"
+                    " transform(slice(parts, i + 2, size(parts)),"
+                    " y -> struct(x AS pa, y AS pb))))"
+                )
+            ).alias("p")
+        )
+        .groupBy("p.pa", "p.pb")
+        .agg(F.count(F.lit(1)).alias("supp_ab"))
+        .filter(F.col("supp_ab") >= 2)
+    )
+    rules = upairs.select(
+        F.col("pa").alias("antecedent"), F.col("pb").alias("consequent"), "supp_ab"
+    ).unionAll(
+        upairs.select(
+            F.col("pb").alias("antecedent"), F.col("pa").alias("consequent"), "supp_ab"
+        )
+    )
+    sa = isup.select(F.col("l_partkey").alias("antecedent"), F.col("supp").alias("supp_a"))
+    sc = isup.select(F.col("l_partkey").alias("consequent"), F.col("supp").alias("supp_c"))
+    scored = (
+        rules.join(sa, "antecedent")
+        .join(sc, "consequent")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "antecedent",
+            "consequent",
+            "supp_ab",
+            F.round(
+                F.col("supp_ab").cast("double") / F.col("supp_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                F.col("supp_ab").cast("double")
+                * F.col("n_orders").cast("double")
+                / (F.col("supp_a").cast("double") * F.col("supp_c").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    top = scored.orderBy(
+        F.desc("lift"), F.desc("confidence"), "antecedent", "consequent"
+    ).limit(25)
+    w = Window.orderBy(F.desc("lift"), F.desc("confidence"), "antecedent", "consequent")
+    return top.withColumn("rule_rank", F.row_number().over(w))
+
+
+@query(
+    "drift_report_orders",
+    """
+    WITH m AS (
+      SELECT o_orderpriority AS prio,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN o_orderdate < TIMESTAMP '1996-01-01'
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents_a,
+             CAST(SUM(CASE WHEN o_orderdate >= TIMESTAMP '1996-01-01'
+                           THEN CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS cents_b
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT prio, n_a, n_b,
+      round(CAST(n_b AS DOUBLE) * 100.0
+              / CAST(CAST(SUM(n_b) OVER () AS BIGINT) AS DOUBLE)
+            - CAST(n_a AS DOUBLE) * 100.0
+              / CAST(CAST(SUM(n_a) OVER () AS BIGINT) AS DOUBLE), 6)
+        AS share_delta_pp,
+      round(CAST(cents_b AS DOUBLE) / 100 / CAST(n_b AS DOUBLE)
+            - CAST(cents_a AS DOUBLE) / 100 / CAST(n_a AS DOUBLE), 4)
+        AS mean_delta
+    FROM m
+    """,
+)
+def drift_report_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift report between two eras of the same table
+    (the training-data freshness check: did the class mix or the value
+    level move between snapshots?): per order priority, the
+    percentage-POINT shift in category share and the shift in mean
+    value between pre-1996 and 1996+ orders. One conditional-aggregate
+    pass over one scan builds both eras' exact moments (counts +
+    integer cents) simultaneously; the share normalization is a window
+    over the 5-row category relation. Complements
+    ``snapshot_diff_documents`` (which diffs row MEMBERSHIP between
+    snapshots — this diffs DISTRIBUTIONS) and ``data_quality_audit``
+    (hard rule violations — this is the soft statistical gate). At
+    100 TB: a single scan, one category-keyed map-side-combined
+    shuffle, dim-sized everything after."""
+    orders = load_table(spark, sf_dir, "orders")
+    is_a = F.col("o_orderdate") < "1996-01-01"
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    m = orders.groupBy(F.col("o_orderpriority").alias("prio")).agg(
+        F.sum(F.when(is_a, 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(~is_a, 1).otherwise(0)).cast("bigint").alias("n_b"),
+        F.sum(F.when(is_a, cents).otherwise(0)).cast("bigint").alias("cents_a"),
+        F.sum(F.when(~is_a, cents).otherwise(0)).cast("bigint").alias("cents_b"),
+    )
+    w = Window.partitionBy(F.lit(1))
+    tot_a = F.sum("n_a").over(w).cast("bigint").cast("double")
+    tot_b = F.sum("n_b").over(w).cast("bigint").cast("double")
+    return m.select(
+        "prio",
+        "n_a",
+        "n_b",
+        F.round(
+            F.col("n_b").cast("double") * 100.0 / tot_b
+            - F.col("n_a").cast("double") * 100.0 / tot_a,
+            6,
+        ).alias("share_delta_pp"),
+        F.round(
+            F.col("cents_b").cast("double") / 100 / F.col("n_b").cast("double")
+            - F.col("cents_a").cast("double") / 100 / F.col("n_a").cast("double"),
+            4,
+        ).alias("mean_delta"),
+    )
+
+
+@query(
+    "sample_budget_apportionment",
+    """
+    WITH s AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    ),
+    q AS (
+      SELECT source, n_docs,
+             (10000 * n_docs) // CAST(SUM(n_docs) OVER () AS BIGINT) AS base_alloc,
+             (10000 * n_docs) % CAST(SUM(n_docs) OVER () AS BIGINT) AS rem
+      FROM s
+    ),
+    r AS (
+      SELECT source, n_docs, base_alloc,
+             row_number() OVER (ORDER BY rem DESC, source) AS rem_rank,
+             10000 - CAST(SUM(base_alloc) OVER () AS BIGINT) AS n_extra
+      FROM q
+    )
+    SELECT source, n_docs, base_alloc,
+           CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS extra,
+           base_alloc + CASE WHEN rem_rank <= n_extra THEN 1 ELSE 0 END AS alloc
+    FROM r
+    """,
+)
+def sample_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact integer apportionment of a sampling budget (10,000 docs)
+    across sources by the largest-remainder / Hamilton method: each
+    source gets ``floor(budget·n/total)`` seats, and the leftover
+    seats go to the largest remainders (source-name tie-break). Pure
+    integer arithmetic end to end — quotas, remainders and ranks are
+    exact on any engine, and the allocations PROVABLY sum to the
+    budget, which float-rate rounding cannot guarantee. The
+    exact-seats sibling of ``mixture_resample_documents`` (float
+    keep-RATES from a char budget; sampling there is per-row hashing,
+    here the output IS the per-source quota a downstream exact sampler
+    — ``operators/sampling.py stratified_sample(k=alloc)`` — would
+    consume). All windows run over the catalog-sized source relation."""
+    docs = load_table(spark, sf_dir, "documents")
+    s = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy(F.lit(1))
+    tot = F.sum("n_docs").over(w).cast("bigint")
+    q = s.select(
+        "source",
+        "n_docs",
+        F.expr("10000 * n_docs").alias("__num"),
+        tot.alias("__tot"),
+    ).select(
+        "source",
+        "n_docs",
+        F.expr("__num div __tot").alias("base_alloc"),
+        (F.col("__num") % F.col("__tot")).alias("rem"),
+    )
+    wr = Window.orderBy(F.desc("rem"), "source")
+    r = q.select(
+        "source",
+        "n_docs",
+        "base_alloc",
+        F.row_number().over(wr).alias("rem_rank"),
+        (F.lit(10000) - F.sum("base_alloc").over(w).cast("bigint")).alias("n_extra"),
+    )
+    extra = F.when(F.col("rem_rank") <= F.col("n_extra"), 1).otherwise(0)
+    return r.select(
+        "source",
+        "n_docs",
+        "base_alloc",
+        extra.alias("extra"),
+        (F.col("base_alloc") + extra).alias("alloc"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
@@ -8703,7 +8957,14 @@ _DRIVER_WINDOW = [
     # top-k / set ops / scalar functions
     "topk_parts_by_price",
     "setops_customer_segments",
-    "string_funcs_parts",
+    # (string_funcs_parts rotated out in r6b — driver-proven green
+    # since r1, and the F1 string surface stays in-window via
+    # levenshtein (editdist_join_customers), regex/splitting
+    # (udtf_part_type_words) and variant paths — for the new r6
+    # incremental-maintenance family: the merge==full-recompute
+    # identity is exactly what the driver's independent kernel should
+    # audit; stays CI-green.)
+    "incremental_agg_merge_orders",
     # (events_hourly_agg rotated out in r4c — its F2 date-function
     # surface runs in-window inside gap_fill_events_hourly's bucketing
     # — for the distributed-prefix-sum family below; stays CI-green.)
@@ -8752,7 +9013,12 @@ _DRIVER_WINDOW = [
     # LLM pipeline: text + corpus + multimodal
     "text_metrics_by_lang",
     "lang_id_documents",
-    "decontaminate_documents",
+    # (decontaminate_documents rotated out in r6b — driver-proven
+    # green since r3; the corpus family keeps chunk_documents
+    # in-window — for the new r6 reconciliation family: the
+    # cross-engine fingerprint equality is uniquely meaningful when
+    # the DRIVER's own DuckDB kernel recomputes it; stays CI-green.)
+    "table_fingerprint_reconcile",
     "chunk_documents",
     "binary_media_features",
     # streaming
