@@ -155,6 +155,8 @@ BENCH_QUERIES = [
     "association_rules_parts",
     "drift_report_orders",
     "sample_budget_apportionment",
+    "attribution_time_decay",
+    "keyset_pagination_orders",
 ]
 
 

@@ -8882,6 +8882,149 @@ def sample_budget_apportionment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "attribution_time_decay",
+    """
+    WITH e AS (
+      SELECT user_id, event_id, event_type, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS es
+      FROM events
+    ),
+    t AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+    p AS (SELECT * FROM e WHERE event_type = 'purchase'),
+    j AS (
+      SELECT t.event_type AS touch_type, p.event_id AS conv_id,
+             p.value AS pval,
+             (1 << CAST(6 - (p.es - t.es) // 86400 AS INT)) AS w
+      FROM p JOIN t
+        ON p.user_id = t.user_id AND t.es < p.es AND p.es - t.es < 604800
+    ),
+    cr AS (
+      SELECT touch_type,
+             CAST(round(CAST(w AS DOUBLE)
+                        / CAST(CAST(SUM(w) OVER (PARTITION BY conv_id)
+                                    AS BIGINT) AS DOUBLE), 6)
+                  AS DECIMAL(18,6)) AS credit,
+             CAST(round(CAST(w AS DOUBLE)
+                        / CAST(CAST(SUM(w) OVER (PARTITION BY conv_id)
+                                    AS BIGINT) AS DOUBLE) * pval, 6)
+                  AS DECIMAL(18,6)) AS attributed
+      FROM j
+    )
+    SELECT touch_type, COUNT(*) AS n_touches,
+           round(CAST(SUM(credit) AS DOUBLE), 4) AS credit_sum,
+           round(CAST(SUM(attributed) AS DOUBLE), 4) AS attributed_value
+    FROM cr GROUP BY touch_type
+    """,
+)
+def attribution_time_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-DECAY multi-touch attribution — the fractional-credit
+    sibling of ``attribution_last_touch`` (winner-takes-all): every
+    click/view in a purchase's 7-day lookback earns credit
+    ``w / Σw`` with ``w = 2^(6 − days_before)`` — exact powers of two
+    on integer day buckets (the ``ewma_daily_revenue_orders`` trick),
+    so weights and their per-conversion window sums are exact integers
+    and each credit is one IEEE division. Credits and attributed value
+    round-then-DECIMAL-sum per touch type (the repo's
+    order-independence rule). The per-user touch×conversion join is
+    user-co-partitioned and bounded by the 7-day window — the one
+    extra shuffle multi-touch fundamentally needs over last-touch's
+    single window pass (that sibling exists precisely for when
+    one-touch credit is enough)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("es"),
+    )
+    t = e.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("user_id").alias("t_user"),
+        F.col("event_type").alias("touch_type"),
+        F.col("es").alias("t_es"),
+    )
+    p = e.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("conv_id"),
+        F.col("value").alias("pval"),
+        F.col("es").alias("p_es"),
+    )
+    j = p.join(
+        t,
+        (F.col("p_user") == F.col("t_user"))
+        & (F.col("t_es") < F.col("p_es"))
+        & (F.col("p_es") - F.col("t_es") < 604800),
+    ).select(
+        "touch_type",
+        "conv_id",
+        "pval",
+        F.expr("shiftleft(1, cast(6 - (p_es - t_es) div 86400 as int))").alias("w"),
+    )
+    wc = Window.partitionBy("conv_id")
+    total_w = F.sum("w").over(wc).cast("bigint").cast("double")
+    credit_raw = F.col("w").cast("double") / total_w
+    cr = j.select(
+        "touch_type",
+        F.round(credit_raw, 6).cast("decimal(18,6)").alias("credit"),
+        F.round(credit_raw * F.col("pval"), 6).cast("decimal(18,6)").alias("attributed"),
+    )
+    return cr.groupBy("touch_type").agg(
+        F.count(F.lit(1)).alias("n_touches"),
+        F.round(F.sum("credit").cast("double"), 4).alias("credit_sum"),
+        F.round(F.sum("attributed").cast("double"), 4).alias("attributed_value"),
+    )
+
+
+@query(
+    "keyset_pagination_orders",
+    """
+    SELECT o_orderkey, o_totalprice, page_pos
+    FROM (
+      SELECT o_orderkey, o_totalprice,
+             row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey)
+               AS page_pos
+      FROM orders
+    )
+    WHERE page_pos BETWEEN 41 AND 60
+    """,
+)
+def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyset (seek-method) pagination — page 3 (rows 41–60) of orders
+    by (totalprice DESC, orderkey) WITHOUT a global row_number or an
+    OFFSET: the page-2 boundary key is reduced to a 1-row broadcast
+    (min of the top-40's (price, −key) struct — itself a partial/final
+    TakeOrderedAndProject), the main scan filters rows strictly beyond
+    it with ONE struct comparison (a pushable predicate), and a top-20
+    on the survivors yields the page. The oracle is the brute-force
+    global rank. Why it matters at 100 TB: OFFSET N sorts/streams N+k
+    rows every page, monotonically worse per page; the seek predicate
+    keeps every page a filter + bounded top-k — and in a serving
+    system the boundary comes FREE from the previous page's last row
+    (the subquery here only bootstraps the demo). Pair with the sorted
+    layout (``warehouse.write_sorted``) and the predicate prunes row
+    groups too."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    ordkey = F.struct(
+        F.col("o_totalprice").alias("p"), (-F.col("o_orderkey")).alias("nk")
+    )
+    boundary = (
+        orders.orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(40)
+        .agg(F.min(ordkey).alias("b"))
+    )
+    page = (
+        orders.crossJoin(F.broadcast(boundary))
+        .filter(ordkey < F.col("b"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+    w = Window.orderBy(F.desc("o_totalprice"), "o_orderkey")
+    return page.select("o_orderkey", "o_totalprice").withColumn(
+        "page_pos", F.row_number().over(w) + F.lit(40)
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
