@@ -690,3 +690,28 @@ def test_shortest_paths_bfs_semantics_and_storage(spark):
     assert dist == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4, 10: 3}
     release_checkpoint(got)
     assert n_cached() <= base, "SSSP leaked per-round checkpoints"
+
+
+@given(
+    names=st.lists(
+        st.text(alphabet="abc", min_size=0, max_size=7), min_size=1, max_size=18
+    ),
+    d=st.integers(1, 2),
+)
+@settings(max_examples=10, deadline=None)
+def test_editdist_deletion_blocking_complete_on_random_strings(spark, names, d):
+    """For ANY set of small-alphabet strings (dense with near pairs —
+    the hardest regime for candidate blocking), the deletion-
+    neighborhood path (d <= 2) must return exactly the brute-force
+    pair set: no false negatives from blocking, no false positives
+    past the levenshtein verify."""
+    from parcialbigdata_spark.operators.dedup import editdist_join
+
+    from tests.test_round5_ops import _brute_force_pairs
+
+    df = spark.createDataFrame([(n,) for n in set(names)], ["name"])
+    got = {
+        (r["name_a"], r["name_b"], r["dist"])
+        for r in editdist_join(df, "name", max_dist=d).collect()
+    }
+    assert got == _brute_force_pairs(list(set(names)), d)
