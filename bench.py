@@ -157,6 +157,8 @@ BENCH_QUERIES = [
     "sample_budget_apportionment",
     "attribution_time_decay",
     "keyset_pagination_orders",
+    "weighted_median_lineitem",
+    "daily_streaks_users",
 ]
 
 

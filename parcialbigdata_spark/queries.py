@@ -9025,6 +9025,120 @@ def keyset_pagination_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "weighted_median_lineitem",
+    """
+    WITH g AS (
+      SELECT l_returnflag AS flag, l_extendedprice AS price,
+             CAST(SUM(CAST(floor(l_quantity * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS w
+      FROM lineitem GROUP BY l_returnflag, l_extendedprice
+    ),
+    c AS (
+      SELECT flag, price, w,
+             CAST(SUM(w) OVER (PARTITION BY flag ORDER BY price
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw,
+             CAST(SUM(w) OVER (PARTITION BY flag) AS BIGINT) AS tw
+      FROM g
+    )
+    SELECT flag, MIN(tw) AS total_weight,
+           MIN(CASE WHEN 2 * cw >= tw THEN price END) AS weighted_median_price
+    FROM c GROUP BY flag
+    """,
+)
+def weighted_median_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WEIGHTED order statistics — the quantity-weighted (lower)
+    median price per return flag: each price's total integer weight
+    (quantity cents) accumulates in price order and the median is the
+    first price whose doubled cumulative weight reaches the total.
+    Neither engine has a weighted quantile builtin, so this IS the
+    portable formulation — and because selection happens on the
+    PRICE-GROUPED relation (weights pre-summed per distinct price),
+    intra-price row order cannot perturb the answer: everything is
+    exact integers until the final selected price, which is a stored
+    double. Completes the quantile family (exact `percentile`,
+    attested `approx_percentile`, KLL sketches, equi-depth bins) with
+    the weighted variant those can't express. At 100 TB: one
+    (flag, price) map-side-combined agg, then windows over the
+    distinct-price relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    w = F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")
+    g = li.groupBy(
+        F.col("l_returnflag").alias("flag"), F.col("l_extendedprice").alias("price")
+    ).agg(F.sum(w).cast("bigint").alias("w"))
+    wc = (
+        Window.partitionBy("flag")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wt = Window.partitionBy("flag")
+    c = g.select(
+        "flag",
+        "price",
+        F.sum("w").over(wc).cast("bigint").alias("cw"),
+        F.sum("w").over(wt).cast("bigint").alias("tw"),
+    )
+    return c.groupBy("flag").agg(
+        F.min("tw").alias("total_weight"),
+        F.min(F.when(2 * F.col("cw") >= F.col("tw"), F.col("price"))).alias(
+            "weighted_median_price"
+        ),
+    )
+
+
+@query(
+    "daily_streaks_users",
+    """
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+      WHERE user_id IS NOT NULL
+    ),
+    n AS (
+      SELECT user_id, d - DATE '1995-01-01' AS dn FROM ud
+    ),
+    isl AS (
+      SELECT user_id,
+             dn - row_number() OVER (PARTITION BY user_id ORDER BY dn)
+               AS anchor
+      FROM n
+    ),
+    st AS (
+      SELECT user_id, anchor, COUNT(*) AS len
+      FROM isl GROUP BY user_id, anchor
+    ),
+    mx AS (
+      SELECT user_id, MAX(len) AS max_streak FROM st GROUP BY user_id
+    )
+    SELECT max_streak AS streak_len, COUNT(*) AS n_users
+    FROM mx GROUP BY max_streak
+    """,
+)
+def daily_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each user's LONGEST run of consecutive active
+    days, reported as a streak-length distribution — the classic
+    engagement metric (`day_number − row_number` is constant exactly
+    within a consecutive run, so runs fall out of one per-user window
+    plus one count). Sibling of `sessionization_events` (time-GAP
+    islands at event granularity, where islands split on a threshold)
+    — here islands are CALENDAR-consecutive at the distinct user-day
+    grain, which is also the scale story: the window runs over the
+    deduplicated user-day relation, never the raw stream, and
+    everything after is user-keyed aggregation on the same exchange.
+    All arithmetic is integer day numbers."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    ud = ev.select("user_id", F.to_date("ts").alias("d")).distinct()
+    n = ud.select("user_id", F.datediff("d", F.lit("1995-01-01")).alias("dn"))
+    wr = Window.partitionBy("user_id").orderBy("dn")
+    isl = n.select(
+        "user_id", (F.col("dn") - F.row_number().over(wr)).alias("anchor")
+    )
+    st = isl.groupBy("user_id", "anchor").agg(F.count(F.lit(1)).alias("len"))
+    mx = st.groupBy("user_id").agg(F.max("len").alias("max_streak"))
+    return mx.groupBy(F.col("max_streak").alias("streak_len")).agg(
+        F.count(F.lit(1)).alias("n_users")
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
