@@ -80,8 +80,14 @@ def table_fingerprint(
     (integers/strings only — float formatting is not canonical across
     engines) fold into a canonical ``|``-joined string, md5's leading
     8 hex digits become a 32-bit integer, and the per-row integers SUM
-    (as DECIMAL(38) — a 100 TB table's sum of 2^32-sized terms
-    overflows BIGINT). Addition is commutative, so partitioning, scan
+    (accumulated as DECIMAL(38) so the running sum cannot wrap — a
+    100 TB table's sum of 2^32-sized terms overflows BIGINT around
+    2^31 rows — then, for cross-engine emission, cast back to BIGINT:
+    the final value fits until ~2^31 rows per table, and at true
+    100 TB scale the caller should keep the DECIMAL(38) column
+    instead; pandas/Arrow render wide decimals as float64, which is
+    why the emitted dtype here is BIGINT). Addition is commutative,
+    so partitioning, scan
     order and engine are all irrelevant; two sides agree iff their
     (n_rows, fingerprint) pairs agree (collisions need an ADVERSARIAL
     2^32-bucket imbalance — fine for reconciliation, not for
@@ -91,7 +97,7 @@ def table_fingerprint(
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
     return df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h.cast("decimal(38,0)")).alias("fingerprint"),
+        F.sum(h.cast("decimal(38,0)")).cast("bigint").alias("fingerprint"),
     ).select(F.lit(rel_name).alias("rel"), "n_rows", "fingerprint")
 
 

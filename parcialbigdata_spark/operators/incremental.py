@@ -47,7 +47,6 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     state relations are key-grained (one row per group), so the join is
     dim-sized regardless of fact volume; AQE broadcasts the delta side
     whenever it fits."""
-    sel = [F.coalesce(a[k], b[k]).alias(k) for k in keys]
     an = {c: F.col(f"__a_{c}") for c in _STATE_COLS}
     bn = {c: F.col(f"__b_{c}") for c in _STATE_COLS}
     aa = a.select(*keys, *[F.col(c).alias(f"__a_{c}") for c in _STATE_COLS])

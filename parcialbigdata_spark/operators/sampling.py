@@ -8,17 +8,21 @@ ranks) and the k smallest win. Deterministic sampling is what makes
 training-data pipelines auditable: the same corpus snapshot always
 yields the same sample, diffs between runs are real data diffs.
 
-Scale design — bounded-shuffle top-k: a naive per-stratum row_number
-shuffles the FULL table to rank everything. Here each input partition
-first keeps only its local k smallest per stratum (a window over
-(stratum, spark_partition_id()) — no shuffle, partition-local), which
-upper-bounds the global winners, then the global rank runs over at
-most k x n_partitions survivors per stratum. At 100 TB that turns a
-full-fact shuffle into a few-thousand-row one per stratum — the same
-partial/final split Spark's own TakeOrderedAndProject applies to
-global LIMIT, generalized to grouped sampling. The pre-prune changes
-no output row (anything pruned locally loses to k better rows that
-survived), so the result is independent of partitioning.
+Scale design — two-level top-k: a naive per-stratum row_number ranks
+everything through one exchange hashed on the (possibly skewed)
+stratum alone. Here the first window partitions by (stratum,
+spark_partition_id()), so its exchange hashes on a composite key that
+spreads each stratum across the cluster (no single hot reducer even
+when one stratum is 90% of the table) and keeps only k survivors per
+(stratum, input partition); the final per-stratum window then ranks
+at most k x n_partitions rows per stratum — a few thousand — instead
+of the full fact. The full table still crosses the wire once (a
+partitionBy window always inserts a hash exchange), but on the
+skew-spreading key, and the stratum-keyed exchange that remains is
+bounded. Same partial/final split as Spark's TakeOrderedAndProject,
+generalized to grouped sampling. The pre-prune changes no output row
+(anything pruned locally loses to k better rows that survived), so
+the result is independent of partitioning.
 """
 
 from __future__ import annotations
@@ -35,11 +39,15 @@ def stratified_sample(
     df: DataFrame, stratum_col: str, id_col: str, k: int = 5
 ) -> DataFrame:
     """Exact, deterministic k-per-stratum sample: rows ranked by
-    ``(id * 2654435761) % 1000000007`` (ties broken by id) inside each
-    stratum; rank <= k survive. Emits stratum, ``sample_rank`` and the
-    id column. ``id_col`` must be integral and unique per row for the
-    rank to be a total order."""
-    h = (F.col(id_col) * F.lit(_MIX)) % F.lit(_MOD)
+    ``((id % 1000000007) * 2654435761) % 1000000007`` (ties broken by
+    id) inside each stratum; rank <= k survive. Emits stratum,
+    ``sample_rank`` and the id column. ``id_col`` must be integral and
+    unique per row for the rank to be a total order. Reducing the key
+    mod the prime BEFORE the multiply keeps the product < 2.66e18
+    (inside int64) for ANY bigint id — a bare ``id * MIX`` silently
+    wraps in non-ANSI Spark around id ~3.5e9 while DuckDB promotes,
+    which would break cross-engine rank agreement at scale."""
+    h = ((F.col(id_col) % F.lit(_MOD)) * F.lit(_MIX)) % F.lit(_MOD)
     with_h = df.select(
         F.col(stratum_col), F.col(id_col), h.alias("__h"),
         F.spark_partition_id().alias("__pid"),

@@ -82,19 +82,35 @@ def compare_query(
         res = con.execute(oracle)
         ocols = [d[0] for d in res.description]
         orows = [tuple(r) for r in res.fetchall()]
+        # The DRIVER fetches the oracle through pandas, which
+        # downcasts HUGEINT and wide DECIMAL columns to float64
+        # (rendering 32205642394166 as '3.22056e+13' under %.6g —
+        # the r6 table_fingerprint_reconcile red row). fetchall()
+        # returns exact ints/Decimals and so is blind to that drift;
+        # reproduce the driver's dtype path by coercing every cell of
+        # a pandas-float64 column to float, while keeping fetchall's
+        # exact None-vs-NaN distinction for NULL fidelity.
+        fdtypes = con.execute(oracle).fetchdf().dtypes
+        floaty = [i for i, d in enumerate(fdtypes) if str(d) == "float64"]
+        if floaty:
+            fset = set(floaty)
+            orows = [
+                tuple(
+                    float(v) if i in fset and v is not None else v
+                    for i, v in enumerate(r)
+                )
+                for r in orows
+            ]
     except Exception as exc:  # noqa: BLE001
         return [f"oracle error: {exc}"]
     problems = []
-    # fetchall() returns plain Python ints for DuckDB HUGEINT, so the
-    # hash below is blind to the dtype drift that makes the DRIVER's
-    # pandas-based kernel hash 7.0 vs 7 (r3 variant_event_props, r4
-    # concurrent_sessions_hourly). Flag it explicitly from the
-    # declared result schema: any HUGEINT output column would reach
-    # the driver as float64.
+    # Belt-and-braces on top of the float64 coercion above: flag the
+    # declared result schema directly, so the offending expression is
+    # named in the failure message instead of just hash-mismatching.
     hug = hugeint_columns(con, oracle)
     if hug:
         problems.append(
-            f"oracle HUGEINT drift (lands as float64 at the driver): {hug}"
+            f"oracle dtype drift (lands as float64 at the driver): {hug}"
         )
     if len(srows) != len(orows):
         problems.append(f"rows {len(srows)} != {len(orows)}")
@@ -106,14 +122,29 @@ def compare_query(
 
 
 def hugeint_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:
-    """Output columns whose declared DuckDB type is (U)HUGEINT —
-    DuckDB widens SUM(BIGINT) and windowed sums to HUGEINT, which
-    pandas can only hold as float64, so the driver's kernel hashes
-    '7.0' against Spark's '7'. Oracles must CAST such sums to BIGINT.
-    Uses DESCRIBE (bind-only, no execution); returns 'col: HUGEINT'
-    strings, empty when the oracle is clean or DESCRIBE can't bind."""
+    """Output columns whose declared DuckDB type pandas can only hold
+    as float64 — (U)HUGEINT (DuckDB widens SUM(BIGINT) and windowed
+    sums to it), and DECIMAL with precision > 18 (beyond int64, so
+    DuckDB's pandas conversion emits float64: the r6
+    table_fingerprint_reconcile DECIMAL(38,0) red row). The driver's
+    kernel then hashes '7.0' or '3.22056e+13' against Spark's exact
+    rendering. Oracles must CAST such sums to BIGINT (or DOUBLE when
+    the value is genuinely fractional). Uses DESCRIBE (bind-only, no
+    execution); returns 'col: TYPE' strings, empty when the oracle is
+    clean or DESCRIBE can't bind."""
     try:
         rows = con.execute(f"DESCRIBE {sql}").fetchall()
     except Exception:  # noqa: BLE001 — non-describable statement
         return []
-    return [f"{r[0]}: {r[1]}" for r in rows if "HUGEINT" in str(r[1]).upper()]
+    import re
+
+    flagged = []
+    for r in rows:
+        t = str(r[1]).upper()
+        if "HUGEINT" in t:
+            flagged.append(f"{r[0]}: {t}")
+            continue
+        m = re.match(r"DECIMAL\((\d+)", t)
+        if m and int(m.group(1)) > 18:
+            flagged.append(f"{r[0]}: {t}")
+    return flagged

@@ -270,7 +270,8 @@ def semi_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "anti_customers_without_orders",
     """
     SELECT c_mktsegment, COUNT(*) AS n_customers
-    FROM customer WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
     GROUP BY c_mktsegment
     """,
 )
@@ -7915,8 +7916,8 @@ def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(COUNT(*) AS DOUBLE) AS nd,
              CAST(CAST(SUM(qc) AS BIGINT) AS DOUBLE) AS sxd,
              CAST(CAST(SUM(pc) AS BIGINT) AS DOUBLE) AS syd,
-             CAST(CAST(SUM(qc * pc) AS BIGINT) AS DOUBLE) AS sxyd,
-             CAST(CAST(SUM(qc * qc) AS BIGINT) AS DOUBLE) AS sxxd,
+             CAST(SUM(CAST(qc AS DECIMAL(19,0)) * pc) AS DOUBLE) AS sxyd,
+             CAST(SUM(CAST(qc AS DECIMAL(19,0)) * qc) AS DOUBLE) AS sxxd,
              CAST(SUM(CAST(pc AS DECIMAL(19,0)) * pc) AS DOUBLE) AS syyd
       FROM c GROUP BY flag
     )
@@ -7933,8 +7934,9 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group closed-form OLS — extendedprice regressed on quantity
     per returnflag — from exact integer raw moments: quantities and
     prices become integer cents, the five sufficient statistics
-    (n, Sx, Sy, Sxy, Sxx; Syy as DECIMAL(38) since price-cents squared
-    overflows BIGINT at fact scale) accumulate exactly
+    (n, Sx, Sy; Sxy, Sxx and Syy as DECIMAL(38) since cents products
+    summed overflow BIGINT at fact scale — qc*pc alone is ~5e10/row,
+    wrapping a BIGINT sum around sf100) accumulate exactly
     (order-independent), and slope/intercept/R² are derived by
     identical IEEE double arithmetic on both engines, rounded once.
     This is the map-reduce regression pattern: one aggregation pass,
@@ -7952,8 +7954,8 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("double").alias("nd"),
         F.sum("qc").cast("double").alias("sxd"),
         F.sum("pc").cast("double").alias("syd"),
-        F.sum(F.col("qc") * F.col("pc")).cast("double").alias("sxyd"),
-        F.sum(F.col("qc") * F.col("qc")).cast("double").alias("sxxd"),
+        F.sum(F.col("qc").cast("decimal(19,0)") * F.col("pc")).cast("double").alias("sxyd"),
+        F.sum(F.col("qc").cast("decimal(19,0)") * F.col("qc")).cast("double").alias("sxxd"),
         F.sum(F.col("pc").cast("decimal(19,0)") * F.col("pc")).cast("double").alias("syyd"),
     )
     nd, sxd, syd = F.col("nd"), F.col("sxd"), F.col("syd")
@@ -7975,7 +7977,8 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT o_orderpriority,
            row_number() OVER (
              PARTITION BY o_orderpriority
-             ORDER BY (o_orderkey * 2654435761) % 1000000007, o_orderkey
+             ORDER BY ((o_orderkey % 1000000007) * 2654435761)
+                        % 1000000007, o_orderkey
            ) AS sample_rank,
            o_orderkey
     FROM orders
@@ -8116,14 +8119,16 @@ def link_prediction_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT 'orders_fk_custkey' AS check_name,
            (SELECT COUNT(*) FROM orders) AS n_checked,
-           (SELECT COUNT(*) FROM orders
-            WHERE o_custkey NOT IN (SELECT c_custkey FROM customer))
+           (SELECT COUNT(*) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
              AS n_violations
     UNION ALL
     SELECT 'lineitem_fk_orderkey',
            (SELECT COUNT(*) FROM lineitem),
-           (SELECT COUNT(*) FROM lineitem
-            WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+           (SELECT COUNT(*) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
     UNION ALL
     SELECT 'customer_pk_unique',
            (SELECT COUNT(*) FROM customer),
@@ -8360,13 +8365,13 @@ def ab_lift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(('0x' || substr(md5(concat_ws('|',
                  CAST(o_orderkey AS VARCHAR), CAST(o_custkey AS VARCHAR),
                  o_orderstatus, o_orderpriority)), 1, 8))::BIGINT)
-                AS DECIMAL(38,0)) AS fingerprint
+                AS BIGINT) AS fingerprint
     FROM orders
     UNION ALL
     SELECT 'customer', COUNT(*),
            CAST(SUM(('0x' || substr(md5(concat_ws('|',
                  CAST(c_custkey AS VARCHAR), c_name, c_mktsegment)),
-                 1, 8))::BIGINT) AS DECIMAL(38,0))
+                 1, 8))::BIGINT) AS BIGINT)
     FROM customer
     """,
 )
@@ -8375,7 +8380,9 @@ def table_fingerprint_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
     table_fingerprint) for two star-schema tables — the reconciliation
     primitive for proving a replica, migration or engine swap carried
     every row, without sorting or shipping data: canonical row string
-    → md5's leading 32 bits → commutative DECIMAL(38) sum. The gate
+    → md5's leading 32 bits → commutative DECIMAL(38) sum, emitted as
+    BIGINT (exact below ~2^31 rows/table; keep the DECIMAL(38) column
+    at true 100 TB scale — see operators/diagnostics.py). The gate
     itself demonstrates the use case: DuckDB recomputes the identical
     fingerprint from the same parquet, i.e. a cross-ENGINE
     reconciliation passing bit-for-bit. One scan + scalar agg per

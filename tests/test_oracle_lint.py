@@ -85,6 +85,57 @@ def test_hugeint_lint_catches_uncast_sum(con):
     )
 
 
+def test_wide_decimal_lint_catches_r6_fingerprint_shape(con):
+    """The exact oracle shape that went red in round 6
+    (``table_fingerprint_reconcile``): a DECIMAL(38,0) output column
+    is exact in fetchall() but float64 at the driver's pandas fetch,
+    so 32205642394166 hashes as '3.22056e+13'. The widened lint now
+    flags any DECIMAL with precision > 18."""
+    assert hugeint_columns(
+        con,
+        "SELECT CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS fp FROM orders",
+    ) == ["fp: DECIMAL(38,0)"]
+    # Fractional wide decimals drift the same way.
+    assert hugeint_columns(
+        con, "SELECT CAST(1.5 AS DECIMAL(20,4)) AS x"
+    ) == ["x: DECIMAL(20,4)"]
+    # int64-sized decimals survive pandas exactly and stay unflagged,
+    # as do BIGINT/DOUBLE casts (the sanctioned fixes).
+    assert hugeint_columns(
+        con, "SELECT CAST(SUM(o_totalprice) AS DECIMAL(18,2)) AS s FROM orders"
+    ) == []
+    assert hugeint_columns(
+        con, "SELECT CAST(SUM(o_orderkey) AS BIGINT) AS s FROM orders"
+    ) == []
+
+
+def test_compare_query_reproduces_driver_float64_path(con, spark):
+    """compare_query must hash the oracle through the driver's pandas
+    dtype path: a wide-decimal fingerprint whose fetchall() value is
+    the exact same integer as Spark's must STILL fail locally (it
+    fails at the driver), so local green ⇒ driver green."""
+
+    def fn(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from parcialbigdata_spark.sources.tables import load_table
+
+        return load_table(spark, sf_dir, "orders").agg(
+            F.sum("o_orderkey").cast("decimal(38,0)").alias("fp")
+        )
+
+    problems = compare_query(
+        spark,
+        con,
+        fn,
+        "SELECT CAST(SUM(o_orderkey) AS DECIMAL(38,0)) AS fp FROM orders",
+        SF_DIR,
+    )
+    # Both the named lint and the behavioral hash catch it.
+    assert any("float64" in p for p in problems), problems
+    assert any("hash" in p for p in problems), problems
+
+
 def test_compare_query_fails_on_hugeint_oracle(con, spark):
     """The full local gate — not just the standalone lint — rejects an
     uncast oracle even when rows, schema, and fetchall-values all
