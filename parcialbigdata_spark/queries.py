@@ -9186,9 +9186,18 @@ _DRIVER_WINDOW = [
     # tests/test_correctness_full.py.)
     "salted_join_segment_revenue",
     # grouping/agg families
-    "rollup_revenue_region_nation",
+    # (rollup_revenue_region_nation rotated out in r7 — driver-proven
+    # green since r2; A3 keeps grouping_sets_revenue in-window — for
+    # the distribution-statistics family rep
+    # concentration_gini_customers (exact integer Gini/Lorenz, r6c,
+    # never driver-checked); stays CI-green.)
     "grouping_sets_revenue",
-    "distinct_nations_per_segment",
+    "concentration_gini_customers",
+    # (distinct_nations_per_segment rotated out in r7 — driver-proven
+    # green since r1 — for its A2 distinct-family sibling
+    # sliding_distinct_users_daily (windowed distinct over a sliding
+    # date range, r6e, never driver-checked); stays CI-green.)
+    "sliding_distinct_users_daily",
     # (percentile_quantity_by_flag rotated out in r5 for its A4
     # quantile sibling equidepth_histogram_orders, CI-green but never
     # driver-checked; stays CI-green.)
@@ -9196,8 +9205,17 @@ _DRIVER_WINDOW = [
     # green in r5 — for its A4 quantile-family sibling
     # winsorize_orders_by_segment, new in r5 and never driver-checked;
     # stays CI-green via tests/test_correctness_full.py.)
-    "winsorize_orders_by_segment",
-    "collect_nations_per_region",
+    # (winsorize_orders_by_segment rotated out in r7 — driver-proven
+    # green in r6 — for its A4 quantile-family sibling
+    # weighted_median_lineitem (weight-cumulative exact median, r6f,
+    # never driver-checked); stays CI-green.)
+    "weighted_median_lineitem",
+    # (collect_nations_per_region rotated out in r7 — driver-proven
+    # green since r2; the A5 collect surface stays in-window inside
+    # association_rules_parts' basket collect_list + HOF pair
+    # expansion — for that market-basket family rep (r6c, never
+    # driver-checked); stays CI-green.)
+    "association_rules_parts",
     # r4 new families: graph analytics beyond PageRank, time-series
     # densification, complete (prefix-filtered) set-similarity join
     # (triangle_stats_supplier_graph rotated out in r5 for its graph
@@ -9214,12 +9232,20 @@ _DRIVER_WINDOW = [
     # make room for the newly recall-attested ANN entries below; both
     # stay CI-oracle green via tests/test_correctness_full.py)
     "window_top_orders_per_customer",
-    "sessionization_events",
+    # (sessionization_events rotated out in r7 — driver-proven green
+    # since r2 — for its event-sequencing W-family sibling
+    # daily_streaks_users (gaps-and-islands consecutive-day streaks,
+    # r6f, never driver-checked); stays CI-green.)
+    "daily_streaks_users",
     # (scd2_order_price_history rotated out in r4b — third W-family
     # sibling — for the new skyline family below; stays CI-green.)
     "skyline_parts",
     # top-k / set ops / scalar functions
-    "topk_parts_by_price",
+    # (topk_parts_by_price rotated out in r7 — driver-proven green
+    # since r1 — for its O1 ordered-retrieval sibling
+    # keyset_pagination_orders (seek-predicate pagination, r6e, never
+    # driver-checked); stays CI-green.)
+    "keyset_pagination_orders",
     "setops_customer_segments",
     # (string_funcs_parts rotated out in r6b — driver-proven green
     # since r1, and the F1 string surface stays in-window via
@@ -9236,7 +9262,11 @@ _DRIVER_WINDOW = [
     # green in r5 — for its time-series/prefix-sum family sibling
     # ewma_daily_revenue_orders, the r5 exact-integer-EWMA
     # construction never driver-checked; stays CI-green.)
-    "ewma_daily_revenue_orders",
+    # (ewma_daily_revenue_orders rotated out in r7 — driver-proven
+    # green in r6 — for its time-decay family sibling
+    # attribution_time_decay (exponential-decay credit attribution,
+    # r6d, never driver-checked); stays CI-green.)
+    "attribution_time_decay",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -9244,7 +9274,11 @@ _DRIVER_WINDOW = [
     # three window reps in-window — for the lifecycle-triad rep
     # weekly_churn_users, CI-green but never driver-checked; stays
     # CI-green.)
-    "weekly_churn_users",
+    # (weekly_churn_users rotated out in r7 — driver-proven green in
+    # r6 — for its event-cohort-analytics sibling ab_lift_events
+    # (deterministic A/B assignment + lift with exact integer
+    # accumulators, r6d, never driver-checked); stays CI-green.)
+    "ab_lift_events",
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",
