@@ -36,7 +36,7 @@ from parcialbigdata_spark.operators import (
     similarity,
     timeseries,
 )
-from parcialbigdata_spark.sources.tables import load_table
+from parcialbigdata_spark.sources.tables import load_table, spread
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
@@ -7875,8 +7875,14 @@ def bpe_merge_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     through sort+limit so Catalyst compiles partial/final
     TakeOrderedAndProject — at 100 TB the full pair-count relation is
     vocab-bounded, never globally sorted. Tokenization is the
-    repo-wide BPE-ish regex proven byte-identical across engines."""
-    docs = load_table(spark, sf_dir, "documents")
+    repo-wide BPE-ish regex proven byte-identical across engines.
+
+    The scan goes through ``spread`` because the regex tokenize +
+    explode is the CPU-bound stage: a source with fewer splits than
+    cores (one mid-size parquet file — the r6 sf1 profile showed 2
+    splits on 32 cores, per-core work growing 5x for 10x data) would
+    serialize it; at real scale the guard is a no-op."""
+    docs = spread(load_table(spark, sf_dir, "documents"))
     pairs = (
         docs.select(T.tokens(F.lower(F.col("text"))).alias("toks"))
         .filter(F.size("toks") >= 2)

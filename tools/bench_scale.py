@@ -43,6 +43,15 @@ HEAVY = [
     "sliding_distinct_users_daily",
     "link_prediction_suppliers",
     "bpe_merge_pairs_documents",
+    # r7: every family rotated into the driver window this round gets
+    # a 10x datapoint (VERDICT r6 item 7).
+    "association_rules_parts",
+    "concentration_gini_customers",
+    "attribution_time_decay",
+    "keyset_pagination_orders",
+    "weighted_median_lineitem",
+    "daily_streaks_users",
+    "ab_lift_events",
 ]
 
 
