@@ -128,26 +128,12 @@ def _signatures_from_rows(rows: DataFrame, id_col: str, num_hashes: int) -> Data
     )
 
 
-def _candidate_pairs_from_sigs(
-    sigs: DataFrame,
-    id_col: str,
-    num_hashes: int,
-    bands: int,
-    max_bucket: int,
+def _banded_rows(
+    sigs: DataFrame, id_col: str, num_hashes: int, bands: int
 ) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band.
-
-    Band *b*'s bucket key is ``xxhash64(m_{b·r}, …, m_{b·r+r-1})`` —
-    variadic column hashing, no array construction. ``max_bucket``
-    drops degenerate buckets before the quadratic self-join — at web
-    scale a single boilerplate bucket would otherwise emit billions of
-    pairs. The cap is a COUNT window over the self-join's own
-    (band_idx, band_hash) partitioning — one shuffle that the join then
-    reuses — instead of a separate groupBy + filter join (which costs an
-    extra shuffle and an extra join). The banded relation is persisted:
-    both self-join sides would otherwise recompute the signatures."""
-    from pyspark.sql import Window
-
+    """(id, band_idx, band_hash) LSH band rows. Band *b*'s bucket key
+    is ``xxhash64(m_{b·r}, …, m_{b·r+r-1})`` — variadic column
+    hashing, no array construction."""
     r = num_hashes // bands
     banded = F.array(
         *[
@@ -158,9 +144,30 @@ def _candidate_pairs_from_sigs(
             for b in range(bands)
         ]
     )
-    bb = sigs.select(F.col(id_col), F.explode(banded).alias("band")).select(
+    return sigs.select(F.col(id_col), F.explode(banded).alias("band")).select(
         id_col, "band.band_idx", "band.band_hash"
     )
+
+
+def _candidate_pairs_from_sigs(
+    sigs: DataFrame,
+    id_col: str,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) that share ≥1 LSH band
+    (band rows via :func:`_banded_rows`). ``max_bucket``
+    drops degenerate buckets before the quadratic self-join — at web
+    scale a single boilerplate bucket would otherwise emit billions of
+    pairs. The cap is a COUNT window over the self-join's own
+    (band_idx, band_hash) partitioning — one shuffle that the join then
+    reuses — instead of a separate groupBy + filter join (which costs an
+    extra shuffle and an extra join). The banded relation is persisted:
+    both self-join sides would otherwise recompute the signatures."""
+    from pyspark.sql import Window
+
+    bb = _banded_rows(sigs, id_col, num_hashes, bands)
     if max_bucket:
         bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
         bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
@@ -236,6 +243,86 @@ def minhash_near_dups(
         .filter(F.col("jaccard_sim") >= threshold)
     )
     return out
+
+
+def bucketed_band_self_join(spark, table: str, id_col: str) -> DataFrame:
+    """(id_a < id_b) band-sharing pairs from a band table bucketed on
+    ``band_hash``: both join sides scan the same bucketed files, whose
+    HashPartitioning(band_hash) satisfies the join's clustered
+    distribution — the executed plan has NO Exchange (a partition-local
+    sort may appear; that is not a shuffle). Pairs are NOT
+    deduplicated here (two shared bands → two rows); callers
+    ``distinct()`` when they need set semantics."""
+    stored = spark.table(table)
+    a, b = stored.alias("a"), stored.alias("b")
+    return a.join(
+        b,
+        (F.col("a.band_hash") == F.col("b.band_hash"))
+        & (F.col("a.band_idx") == F.col("b.band_idx"))
+        & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+    ).select(F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b"))
+
+
+def minhash_near_dups_bucketed(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    table: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    num_buckets: int = 8,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """``minhash_near_dups`` with the quadratic band self-join served
+    from a BUCKETED table — the shuffle-elimination pattern for any
+    similarity family that re-joins the same blocked relation.
+
+    The (id, band_idx, band_hash) band rows are written once with
+    ``bucketBy(num_buckets, band_hash) + sortBy(band_hash)``
+    (sources/warehouse.py); both sides of the self-join then scan the
+    SAME bucketed files, whose ``HashPartitioning(band_hash)``
+    already satisfies the join's clustered distribution — the
+    executed join plan contains ZERO Exchange nodes
+    (tests/test_round7_ops.py pins this). At 100 TB this is the
+    difference between shuffling the multi-TB band relation TWICE per
+    run and shuffling it ONCE at ingest, amortized across every
+    re-run (dedup is rerun per corpus snapshot; the band relation is
+    append-friendly). Siblings: ``minhash_near_dups`` (same
+    semantics, exchange-per-run) and ``sources/warehouse.py``'s
+    fact-table bucketing (same storage layout, equi-join use case).
+
+    ``max_bucket`` degenerate-bucket capping happens BEFORE the write
+    (a count window on the band key — the one shuffle this pipeline
+    pays, at ingest, not at query time). Output and oracle are
+    identical to ``minhash_near_dups``: candidates are verified by
+    exact Jaccard, so the blocking strategy is invisible in the
+    result."""
+    spark = df.sparkSession
+    rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
+    sigs = _signatures_from_rows(rows, id_col, num_hashes)
+    bb = _banded_rows(sigs, id_col, num_hashes, bands)
+    if max_bucket:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    write_bucketed(bb, table, "band_hash", num_buckets=num_buckets)
+    cands = bucketed_band_self_join(spark, table, id_col).distinct()
+    sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh")).persist()
+    return (
+        cands.join(sh.withColumnsRenamed({id_col: "id_a", "sh": "sh_a"}), "id_a")
+        .join(sh.withColumnsRenamed({id_col: "id_b", "sh": "sh_b"}), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
 
 
 def ngram_jaccard_pairs(

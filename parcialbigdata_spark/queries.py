@@ -951,9 +951,11 @@ def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.canonical_dedup(docs, "doc_id", "text")
 
 
-@query(
-    "minhash_near_dups_documents",
-    f"""
+# Shared by minhash_near_dups_documents and its bucketed twin
+# (minhash_bucketed_near_dups_documents): both produce the SAME
+# verified pair set, so one exhaustive exact-Jaccard oracle covers
+# both blocking strategies.
+_MINHASH_ORACLE = f"""
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -969,7 +971,12 @@ def canonical_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM sh a JOIN sh b ON a.doc_id < b.doc_id
     WHERE round(len(list_intersect(a.sh, b.sh)) /
                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.2
-    """,
+    """
+
+
+@query(
+    "minhash_near_dups_documents",
+    _MINHASH_ORACLE,
 )
 def minhash_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs (§2.10), exact-Jaccard verified.
@@ -9150,6 +9157,284 @@ def daily_streaks_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mx.groupBy(F.col("max_streak").alias("streak_len")).agg(
         F.count(F.lit(1)).alias("n_users")
     )
+
+
+# =====================================================================
+# R7: four new operator families — sequence-pattern matching
+# (MATCH_RECOGNIZE reduction), streaming reservoir sampling, bucketed
+# (exchange-free) similarity self-join, reciprocal-rank fusion.
+# =====================================================================
+
+_SEQ_PATTERNS = {
+    # Java-regex ∩ RE2 dialect only (no backreferences/lookaround) —
+    # rlike and DuckDB regexp_matches must agree byte-for-byte.
+    "view_then_purchase": "v.*p",
+    "click_streak_3plus": "c{3,}",
+    "error_then_purchase": "e.*p",
+    "signup_first": "^s",
+    "never_purchased": "^[^p]*$",
+    "view_click_cycle": "(vc){2,}",
+}
+
+_SYM_SQL = (
+    "CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c' "
+    "WHEN 'purchase' THEN 'p' WHEN 'error' THEN 'e' "
+    "WHEN 'signup' THEN 's' ELSE 'o' END"
+)
+
+
+@query(
+    "seqmatch_user_journeys",
+    f"""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg({_SYM_SQL}, '' ORDER BY ts, event_id) AS seq
+      FROM events WHERE user_id IS NOT NULL GROUP BY user_id
+    )
+    {" UNION ALL ".join(
+        f"SELECT '{name}' AS pattern, "
+        f"COUNT(*) FILTER (WHERE regexp_matches(seq, '{rx.replace(chr(39), chr(39)*2)}')) "
+        f"AS n_users FROM seq"
+        for name, rx in _SEQ_PATTERNS.items()
+    )}
+    """,
+)
+def seqmatch_user_journeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATCH_RECOGNIZE-style row-pattern recognition
+    (operators/seqmatch.py): each user's events become a time-ordered
+    one-char-per-event symbol string, and journey patterns run as
+    regular expressions over it — quantifiers (``c{3,}``),
+    alternation-by-class, anchors, all strictly beyond the fixed-step
+    funnel chain of sibling ``funnel_steps_events``. One shuffle
+    (sequence assembly), then all six patterns share a single scan of
+    the sequence relation. The oracle replays the identical
+    symbolize+regex reduction in DuckDB (shared-dialect patterns)."""
+    from parcialbigdata_spark.operators.seqmatch import match_counts, symbolize
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+    seq = symbolize(
+        ev,
+        {"view": "v", "click": "c", "purchase": "p", "error": "e", "signup": "s"},
+    )
+    return match_counts(seq, _SEQ_PATTERNS)
+
+
+@query(
+    "streaming_reservoir_events",
+    """
+    WITH p AS (
+      SELECT event_type, event_id,
+             ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT
+               AS prio,
+             COUNT(*) OVER (PARTITION BY event_type) AS n_seen
+      FROM events
+    )
+    SELECT event_type, n_seen,
+           row_number() OVER (PARTITION BY event_type
+                              ORDER BY prio, event_id) AS sample_rank,
+           event_id
+    FROM p QUALIFY sample_rank <= 8
+    """,
+)
+def streaming_reservoir_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4/N-family: streaming reservoir sampling
+    (streaming/sampling.py) — a deterministic bottom-k priority sample
+    per event type, maintained incrementally in
+    ``applyInPandasWithState`` state across micro-batches. min-k over
+    md5 priorities is associative+commutative, so the drained result
+    is independent of batch splits AND recomputable by a batch engine:
+    the oracle derives the identical sample with a window over the
+    static table. Batch sibling: ``stratified_sample_orders`` (same
+    deterministic-priority bottom-k, computed as a two-level window);
+    streaming siblings: ``streaming_spend_totals`` (same stateful API,
+    scalar state) and ``streaming_dedup_events``."""
+    from parcialbigdata_spark.streaming.sampling import reservoir_per_type
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    out = _drain(
+        reservoir_per_type(read_events_stream(spark, sf_dir), k=8),
+        output_mode="update",
+    )
+    final = out.groupBy("event_type").agg(
+        F.max("n_seen").alias("n_seen"),
+        F.max_by("sample_ids", "n_seen").alias("ids"),
+    )
+    return final.select(
+        "event_type",
+        "n_seen",
+        F.posexplode("ids").alias("pos", "event_id"),
+    ).select(
+        "event_type",
+        "n_seen",
+        (F.col("pos") + 1).cast("bigint").alias("sample_rank"),
+        "event_id",
+    )
+
+
+@query("minhash_bucketed_near_dups_documents", _MINHASH_ORACLE)
+def minhash_bucketed_near_dups_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-storage twin of ``minhash_near_dups_documents``:
+    the LSH band relation is written ONCE as a ``bucketBy(band_hash)``
+    table and the quadratic band self-join reads both sides from the
+    same bucketed files — ZERO Exchange in the executed join
+    (tests/test_round7_ops.py audits the plan; at 100 TB this turns
+    two per-run shuffles of the multi-TB band relation into one
+    ingest-time shuffle amortized over every re-run). Same verified
+    output as the sibling, so the same exhaustive exact-Jaccard oracle
+    covers both blocking strategies. Warehouse sibling:
+    ``sources/warehouse.py`` bucketed fact joins."""
+    docs = load_table(spark, sf_dir, "documents")
+    table = "r7_minhash_bands"
+    try:
+        out = dedup.minhash_near_dups_bucketed(
+            docs, "doc_id", "text", table, threshold=0.2, k_shingle=2
+        ).orderBy("id_a", "id_b")
+        # Materialize before dropping the table the plan reads from;
+        # the verified pair set is tiny (dozens of rows).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+@query(
+    "rrf_hybrid_ranking_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, t.term
+      FROM documents,
+           LATERAL unnest(string_split_regex(trim(lower(text)), '\\s+')) AS t(term)
+      WHERE t.term <> ''
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+    avgdl AS (SELECT CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    tf AS (
+      SELECT doc_id, term, COUNT(*) AS tf FROM toks
+      WHERE term IN ('spark', 'merge', 'stream') GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln(1 + (n.n_docs - d.df + 0.5) / (d.df + 0.5)) *
+               (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / a.avgdl))
+             , 6) AS DECIMAL(18,6)) AS term_score
+      FROM tf
+      JOIN dfreq d USING (term)
+      JOIN dl USING (doc_id)
+      CROSS JOIN avgdl a CROSS JOIN n
+    ),
+    agg AS (
+      SELECT doc_id, CAST(SUM(term_score) AS DOUBLE) AS bm25
+      FROM scored GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r
+      FROM agg QUALIFY r <= 50
+    ),
+    q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    cos AS (
+      SELECT e.vec_id AS doc_id,
+             round({_COS_SQL.format(a="e.embedding", b="q.qv")}, 6) AS cs
+      FROM embeddings e, q
+    ),
+    sem AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cs DESC, doc_id) AS r
+      FROM cos QUALIFY r <= 50
+    ),
+    fused AS (
+      SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+             l.r AS bm25_rank, s.r AS cos_rank,
+             round(COALESCE(CAST(1 AS DOUBLE) / (60 + l.r), 0)
+                   + COALESCE(CAST(1 AS DOUBLE) / (60 + s.r), 0), 6)
+               AS rrf_score
+      FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id
+    )
+    SELECT doc_id, bm25_rank, cos_rank, rrf_score FROM fused
+    QUALIFY row_number() OVER (ORDER BY rrf_score DESC, doc_id) <= 20
+    """,
+)
+def rrf_hybrid_ranking_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack, Clarke &
+    Büttcher, SIGIR'09: score = Σ 1/(60+rank)) — the standard way an
+    LLM-data / RAG pipeline merges a lexical and a semantic ranking
+    without calibrating their incomparable scores. List A: BM25 top-50
+    for fixed terms (identical construction to sibling
+    ``bm25_top_documents`` — 6dp-rounded decimal-summed term scores);
+    list B: exact cosine top-50 against the vec_id=0 query (sibling
+    ``cosine_topk_embeddings``, bit-exact fold, doc_id ≡ vec_id in the
+    fixture). Ranks are integers, the fusion is two IEEE double
+    divisions added in fixed order and rounded once — cross-engine
+    deterministic. Scale: both lists are TakeOrderedAndProject top-50s
+    (per-partition heaps), the rank windows run over ≤50 rows, and the
+    fusion join is 50×50 — driver-free and broadcast-sized."""
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    toks = docs.select(
+        "doc_id", F.explode(T.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    avgdl = dl.agg((F.sum("dl").cast("double") / F.count(F.lit(1))).alias("avgdl"))
+    n = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    tf = (
+        toks.filter(F.col("term").isin("spark", "merge", "stream"))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(avgdl))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    F.lit(1)
+                    + (F.col("n_docs") - F.col("df") + F.lit(0.5))
+                    / (F.col("df") + F.lit(0.5))
+                )
+                * (F.col("tf") * F.lit(2.2))
+                / (
+                    F.col("tf")
+                    + F.lit(1.2)
+                    * (F.lit(1) - F.lit(0.75) + F.lit(0.75) * F.col("dl") / F.col("avgdl"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("term_score"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(F.sum("term_score").cast("double").alias("bm25"))
+    lex50 = agg.orderBy(F.col("bm25").desc(), F.col("doc_id")).limit(50)
+    wl = Window.orderBy(F.col("bm25").desc(), F.col("doc_id"))
+    lex = lex50.select(
+        "doc_id", F.row_number().over(wl).cast("bigint").alias("bm25_rank")
+    )
+    cos50 = similarity.cosine_topk(emb, _query_vec(spark, sf_dir), k=50)
+    ws = Window.orderBy(F.col("cosine_sim").desc(), F.col("vec_id"))
+    sem = cos50.select(
+        F.col("vec_id").alias("doc_id"),
+        F.row_number().over(ws).cast("bigint").alias("cos_rank"),
+    )
+    one = F.lit(1).cast("double")
+    fused = lex.join(sem, "doc_id", "full").select(
+        "doc_id",
+        "bm25_rank",
+        "cos_rank",
+        F.round(
+            F.coalesce(one / (F.lit(60) + F.col("bm25_rank")), F.lit(0.0))
+            + F.coalesce(one / (F.lit(60) + F.col("cos_rank")), F.lit(0.0)),
+            6,
+        ).alias("rrf_score"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(20)
 
 
 # ---------------------------------------------------------------------
