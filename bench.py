@@ -159,6 +159,18 @@ BENCH_QUERIES = [
     "keyset_pagination_orders",
     "weighted_median_lineitem",
     "daily_streaks_users",
+    # r7 new operator families: regex sequence matching, bucketed
+    # (exchange-free) LSH self-join, RRF hybrid ranking, distributed
+    # prefix-scan KS test, privacy audit, MDM survivorship, and the
+    # two storage/source families (partition pruning, mergeSchema).
+    "seqmatch_user_journeys",
+    "minhash_bucketed_near_dups_documents",
+    "rrf_hybrid_ranking_documents",
+    "ks_2sample_order_values",
+    "k_anonymity_audit_customers",
+    "golden_record_documents",
+    "partition_pruned_events_daily",
+    "schema_evolution_documents",
 ]
 
 

@@ -9437,6 +9437,314 @@ def rrf_hybrid_ranking_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf_score").desc(), F.col("doc_id")).limit(20)
 
 
+@query(
+    "k_anonymity_audit_customers",
+    """
+    WITH classes AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             COUNT(*) AS n, COUNT(DISTINCT c_acctbal) AS l
+      FROM customer GROUP BY 1, 2, 3
+    )
+    SELECT k_threshold,
+           CAST(SUM(CASE WHEN n < k_threshold THEN 1 ELSE 0 END) AS BIGINT)
+             AS classes_below,
+           CAST(SUM(CASE WHEN n < k_threshold THEN n ELSE 0 END) AS BIGINT)
+             AS records_at_risk,
+           COUNT(*) AS n_classes,
+           MIN(n) AS k_min,
+           MIN(l) AS min_l
+    FROM classes
+    CROSS JOIN (VALUES (CAST(2 AS BIGINT)), (5), (10), (20)) t(k_threshold)
+    GROUP BY 1
+    """,
+)
+def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-risk audit (operators/privacy.py): k-anonymity /
+    l-diversity over the customer extract, quasi-identifiers
+    (nation, market segment, $1000 balance band), sensitive attribute
+    the exact balance. One row per k ∈ {2,5,10,20}: classes and
+    records re-identifiable below that k, plus global k_min / min_l.
+    Risk-measurement counterpart of remediation sibling
+    ``redact_pii_documents`` (which strips direct identifiers; this
+    measures what the surviving quasi-identifiers still leak). Scale:
+    one QI hash-agg over the table + one conditional agg to a single
+    row — NO threshold × class cross join (the oracle's cross join is
+    the spec, not the plan)."""
+    from parcialbigdata_spark.operators import privacy
+
+    cust = load_table(spark, sf_dir, "customer")
+    return privacy.k_anonymity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_band"),
+        ],
+        "c_acctbal",
+        thresholds=[2, 5, 10, 20],
+    )
+
+
+@query(
+    "ks_2sample_order_values",
+    """
+    WITH src AS (
+      SELECT o_totalprice AS v, c_mktsegment AS g
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')
+    ),
+    pv AS (
+      SELECT v,
+             SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS cb
+      FROM src GROUP BY v
+    ),
+    cum AS (
+      SELECT v,
+             SUM(ca) OVER (ORDER BY v) AS cum_a,
+             SUM(cb) OVER (ORDER BY v) AS cum_b
+      FROM pv
+    ),
+    tot AS (
+      SELECT CAST(SUM(CASE WHEN g = 'BUILDING' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN g = 'MACHINERY' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+      FROM src
+    )
+    SELECT n_a, n_b, v AS at_value,
+           round(CAST(num AS DOUBLE)
+                 / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)), 6) AS ks_d
+    FROM (
+      SELECT v, n_a, n_b,
+             abs(CAST(cum_a AS DECIMAL(38,0)) * n_b
+                 - CAST(cum_b AS DECIMAL(38,0)) * n_a) AS num
+      FROM cum CROSS JOIN tot
+    )
+    ORDER BY num DESC, v ASC LIMIT 1
+    """,
+)
+def ks_2sample_order_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov test (operators/scan.py):
+    sup-gap of the BUILDING vs MACHINERY order-value ECDFs. The ECDF
+    running counts come from the two-phase distributed prefix scan
+    (``partitioned_cumsum``) — NOT a single-reducer global window —
+    and the sup is ranked in exact integer arithmetic
+    (|c_a·n_b − c_b·n_a| as DECIMAL(38,0); one double division on the
+    winning row only). Nonparametric sibling of ``ab_lift_events``
+    (parametric Welch t on means) and ``drift_psi_orders`` (binned
+    proportion drift): KS is binning-free and sensitive to any
+    distributional difference. Oracle verifies with the plain
+    single-threaded window — the partition-invariance of the scan IS
+    the claim under test."""
+    from parcialbigdata_spark.operators import scan
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    j = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "o_totalprice", "c_mktsegment"
+    )
+    return scan.ks_two_sample(
+        j, "o_totalprice", "c_mktsegment", "BUILDING", "MACHINERY"
+    )
+
+
+def _partitioned_events_day(spark: SparkSession, sf_dir: str, base: str):
+    """Write events hive-partitioned by event_date under ``base``,
+    return (pruned one-day scan, hourly aggregate) — factored out so
+    tests can audit the pruned scan's plan (PartitionFilters) on the
+    lazy DataFrame."""
+    from parcialbigdata_spark.sources import warehouse
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.to_date("ts")
+    )
+    warehouse.write_partitioned(ev, base, ["event_date"])
+    day = spark.read.parquet(base).filter(
+        F.col("event_date") == F.lit("2024-01-15").cast("date")
+    )
+    out = day.groupBy(F.hour("ts").cast("int").alias("hour")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value"), 6).cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return day, out
+
+
+@query(
+    "partition_pruned_events_daily",
+    """
+    SELECT CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(round(value, 6) AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-15'
+    GROUP BY 1
+    """,
+)
+def partition_pruned_events_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-pruned scan at query level (sources/warehouse.py
+    ``write_partitioned``): events land hive-partitioned by
+    event_date; a one-day query then reads ONLY that partition — the
+    executed scan carries ``PartitionFilters: [event_date = …]`` and a
+    partition count of 1 (pinned in tests/test_round7b_ops.py). At
+    100 TB this is the difference between scanning 30 days and 1 —
+    pruning happens at planning from directory metadata, zero data
+    touched outside the target partition. Storage-layout sibling of
+    ``minhash_bucketed_near_dups_documents`` (bucketing kills the join
+    shuffle; partitioning kills the scan). The oracle filters the raw
+    unpartitioned table — identical result, the layout only changes
+    what is READ."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="part_events_")
+    try:
+        _, out = _partitioned_events_day(spark, sf_dir, base)
+        # Materialize before the partitioned dir disappears; 24 rows.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "schema_evolution_documents",
+    """
+    WITH evolved AS (
+      SELECT source,
+             CASE WHEN doc_id % 2 = 1 THEN lang END AS lang
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_missing_lang,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM evolved GROUP BY source
+    """,
+)
+def schema_evolution_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution on read: two parquet snapshots written at
+    different pipeline versions — v1 (doc_id, text, source) predates
+    the lang column, v2 adds it — are read as ONE relation with
+    ``mergeSchema=true``; rows from the old snapshot surface
+    ``lang IS NULL``. This is how a 100 TB corpus actually grows
+    (years of files, schema widens over time; rewriting history is
+    off the table), and the aggregate shows the downstream contract:
+    nullable new columns, per-source missing-rate audit. Snapshot
+    membership is deterministic (doc_id parity), so the oracle replays
+    the evolution as a CASE over the raw table. Column-pruning note:
+    mergeSchema unions footers at planning; the scan itself still
+    prunes to the referenced columns."""
+    import shutil
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="schema_evo_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        docs.filter(F.col("doc_id") % 2 == 0).select(
+            "doc_id", "text", "source"
+        ).write.parquet(f"{base}/v1")
+        docs.filter(F.col("doc_id") % 2 == 1).select(
+            "doc_id", "text", "source", "lang"
+        ).write.parquet(f"{base}/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/v1", f"{base}/v2"
+        )
+        out = merged.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_missing_lang"),
+            F.count_distinct("lang").alias("n_langs"),
+        )
+        # Materialize before the snapshot dirs disappear; ≤#sources rows.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "golden_record_documents",
+    f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, lang, source,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 1, 1) + 1),
+               i -> array_to_string(toks[i:i+1], ' '))) AS sh
+      FROM (SELECT doc_id, lang, source,
+                   {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+            FROM documents)
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b
+        ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+      WHERE round(len(list_intersect(a.sh, b.sh)) /
+                  greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.05
+    ),
+    edges AS (
+      SELECT id_a AS u, id_b AS v FROM pairs
+      UNION
+      SELECT id_b AS u, id_a AS v FROM pairs
+    ),
+    walk(node, comp) AS (
+      SELECT u, u FROM (SELECT DISTINCT u FROM edges)
+      UNION
+      SELECT e.v, w.comp FROM walk w JOIN edges e ON e.u = w.node
+    ),
+    labeled AS (
+      SELECT node, MIN(comp) AS component FROM walk GROUP BY node
+    ),
+    ranked AS (
+      SELECT l.component, l.node, d.n_chars,
+             row_number() OVER (PARTITION BY l.component
+                                ORDER BY d.n_chars DESC, l.node) AS rn
+      FROM labeled l JOIN documents d ON d.doc_id = l.node
+    )
+    SELECT component,
+           MAX(CASE WHEN rn = 1 THEN node END) AS golden_doc_id,
+           COUNT(*) AS n_members,
+           MAX(n_chars) AS max_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM ranked GROUP BY component
+    """,
+)
+def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Golden-record survivorship — the master-data-management step
+    AFTER clustering: sibling ``dedup_clusters_documents`` stops at
+    (component, min-id survivor, size); this consolidates each
+    near-dup cluster into one record by RULE — the longest member
+    wins (n_chars DESC, doc_id ASC tie-break), with field-level
+    rollups (max/total chars, member count). Same cluster definition
+    as the sibling (2-gram Jaccard ≥ 0.05, blocked by lang|source,
+    connected components), so the two queries reconcile:
+    survivorship changes WHICH record represents the cluster, not the
+    clustering. One extra per-component window over cluster members
+    (clusters are tiny by construction) — no new data-sized shuffle
+    beyond the sibling's."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", "source")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="block"
+    )
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    m = cc.join(
+        docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
+    )
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    ranked = m.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("component").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("golden_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("n_chars").alias("max_chars"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

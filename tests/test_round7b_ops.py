@@ -1,0 +1,167 @@
+"""Round-7b operator tests: k-anonymity report semantics, the
+two-phase distributed prefix scan (correctness vs the single-window
+reference + partition invariance), exact two-sample KS, the
+partition-pruned scan plan (PartitionFilters + single partition
+read), mergeSchema evolution nullability, and golden-record
+survivorship tie-breaks."""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# ------------------------------------------------------------- privacy
+
+
+def test_k_anonymity_report_counts(spark):
+    from parcialbigdata_spark.operators.privacy import k_anonymity_report
+
+    # Classes: (a,) -> 3 rows, sensitive {1,2};  (b,) -> 1 row {9}.
+    df = spark.createDataFrame(
+        [("a", 1), ("a", 2), ("a", 1), ("b", 9)], ["qi", "s"]
+    )
+    rows = {
+        r["k_threshold"]: r
+        for r in k_anonymity_report(df, ["qi"], "s", thresholds=[2, 5]).collect()
+    }
+    assert set(rows) == {2, 5}
+    r2, r5 = rows[2], rows[5]
+    # k=2: only the singleton class (b) is below.
+    assert (r2["classes_below"], r2["records_at_risk"]) == (1, 1)
+    # k=5: both classes are below; all 4 records at risk.
+    assert (r5["classes_below"], r5["records_at_risk"]) == (2, 4)
+    for r in (r2, r5):
+        assert (r["n_classes"], r["k_min"], r["min_l"]) == (2, 1, 1)
+
+
+# ---------------------------------------------------------------- scan
+
+
+def test_partitioned_cumsum_matches_global_window_and_is_partition_invariant(spark):
+    from parcialbigdata_spark.operators.scan import partitioned_cumsum
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 37 % 1000).alias("k"), (F.col("id") % 7).alias("x")
+    )
+    expected = {
+        (r["k"], r["cum"])
+        for r in df.withColumn(
+            "cum",
+            F.sum("x").over(
+                Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        ).collect()
+    }
+    for p in (2, 8):
+        got = {
+            (r["k"], r["cum"])
+            for r in partitioned_cumsum(df, ["k"], {"x": "cum"}, num_partitions=p).collect()
+        }
+        assert got == expected, f"num_partitions={p}"
+
+
+def test_partitioned_cumsum_plan_has_range_partitioning(spark):
+    from parcialbigdata_spark.operators.scan import partitioned_cumsum
+
+    df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("x"))
+    out = partitioned_cumsum(df, ["k"], {"x": "cum"}, num_partitions=4)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" in plan.lower()
+
+
+def test_ks_two_sample_known_value(spark):
+    from parcialbigdata_spark.operators.scan import ks_two_sample
+
+    # A = {1,2,3,4}, B = {3,4,5,6}: F_a - F_b is maximal at x=2
+    # (F_a=0.5, F_b=0) -> D = 0.5, attained first at value 1? No:
+    # at 1: |1/4 - 0| = 0.25; at 2: |2/4 - 0| = 0.5; at 3: |3/4-1/4|=0.5.
+    # Max = 0.5, tie between values 2 and 3 -> smallest value wins: 2.
+    rows = [(float(v), "A") for v in (1, 2, 3, 4)] + [
+        (float(v), "B") for v in (3, 4, 5, 6)
+    ]
+    df = spark.createDataFrame(rows, ["v", "g"])
+    r = ks_two_sample(df, "v", "g", "A", "B").collect()[0]
+    assert (r["n_a"], r["n_b"]) == (4, 4)
+    assert r["ks_d"] == 0.5
+    assert r["at_value"] == 2.0
+
+
+# --------------------------------------------------- partition pruning
+
+
+def test_partition_pruned_scan_reads_one_partition(spark):
+    from parcialbigdata_spark.queries import _partitioned_events_day
+
+    base = tempfile.mkdtemp(prefix="prune_test_")
+    try:
+        day, out = _partitioned_events_day(spark, SF_DIR, base)
+        plan = day._jdf.queryExecution().executedPlan().toString()
+        assert "PartitionFilters" in plan
+        pf = plan.split("PartitionFilters", 1)[1][:300]
+        assert "event_date" in pf
+        # The pruned scan must read exactly the one matching hive
+        # partition directory, not all ~30. (inputFiles() reflects the
+        # pre-pruning file index, so ask the scan node itself.)
+        scan = day._jdf.queryExecution().executedPlan().collectLeaves().apply(0)
+        assert scan.getClass().getSimpleName() == "FileSourceScanExec"
+        assert scan.selectedPartitions().partitionCount() == 1
+        n_dates = {f.split("event_date=")[1].split("/")[0] for f in day.inputFiles()}
+        assert len(n_dates) > 1  # the unpruned index really had ~30 days
+        assert out.count() > 0
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# ------------------------------------------------------ schema evolution
+
+
+def test_merge_schema_evolution_nullability(spark):
+    docs = spark.createDataFrame(
+        [(1, "t1", "s1"), (2, "t2", "s1")], ["doc_id", "text", "source"]
+    )
+    base = tempfile.mkdtemp(prefix="evo_test_")
+    try:
+        docs.write.parquet(f"{base}/v1")
+        docs.withColumn("lang", F.lit("en")).write.parquet(f"{base}/v2")
+        merged = spark.read.option("mergeSchema", "true").parquet(
+            f"{base}/v1", f"{base}/v2"
+        )
+        assert "lang" in merged.columns
+        assert merged.filter(F.col("lang").isNull()).count() == 2
+        assert merged.count() == 4
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+# -------------------------------------------------------- golden record
+
+
+def test_golden_record_survivorship_tiebreak(spark):
+    """Longest member wins; equal lengths fall back to min id."""
+    from parcialbigdata_spark.operators import graph
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], ["id_a", "id_b"]
+    )
+    chars = spark.createDataFrame(
+        [(1, 5), (2, 9), (3, 9), (10, 4), (11, 4)], ["node", "n_chars"]
+    )
+    cc = graph.connected_components(pairs, "id_a", "id_b")
+    m = cc.join(chars, "node")
+    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
+    golden = (
+        m.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("component", "node")
+        .collect()
+    )
+    by_comp = {r["component"]: r["node"] for r in golden}
+    # Cluster {1,2,3}: 2 and 3 tie at 9 chars -> min id 2.
+    # Cluster {10,11}: tie at 4 chars -> min id 10.
+    assert by_comp == {1: 2, 10: 10}
