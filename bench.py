@@ -171,6 +171,7 @@ BENCH_QUERIES = [
     "golden_record_documents",
     "partition_pruned_events_daily",
     "schema_evolution_documents",
+    "quantile_normalize_documents",
 ]
 
 

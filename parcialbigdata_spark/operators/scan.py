@@ -41,20 +41,31 @@ def partitioned_cumsum(
     order_cols: list[str],
     value_cols: dict[str, str],
     num_partitions: int = 32,
+    group_cols: list[str] | None = None,
 ) -> DataFrame:
-    """Global running sums of each ``value_cols`` key (aliased to its
-    value) in ``order_cols`` order, two-phase — no single-partition
-    window over the data. ``order_cols`` must be a total order (add a
+    """Running sums of each ``value_cols`` key (aliased to its value)
+    in ``order_cols`` order, two-phase — no single-partition window
+    over the data. ``order_cols`` must be a total order (add a
     tie-break column if not); output keeps all input columns and
-    appends the cumulative ones."""
+    appends the cumulative ones.
+
+    ``group_cols`` restarts the scan per group WITHOUT hashing each
+    group onto one reducer (a plain ``PARTITION BY group`` window
+    sends 90% of the table through one task when one group is 90% of
+    it): the range partitioner splits on (group, order) so a huge
+    group spans MANY partitions, and the offset relation grows only to
+    ≤ groups × partitions rows."""
+    group_cols = group_cols or []
     ranged = (
-        df.repartitionByRange(num_partitions, *[F.col(c) for c in order_cols])
-        .sortWithinPartitions(*order_cols)
+        df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in [*group_cols, *order_cols]]
+        )
+        .sortWithinPartitions(*group_cols, *order_cols)
         .withColumn("__pid", F.spark_partition_id())
         .persist()
     )
     w_local = (
-        Window.partitionBy("__pid")
+        Window.partitionBy(*group_cols, "__pid")
         .orderBy(*[F.col(c) for c in order_cols])
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
@@ -62,24 +73,96 @@ def partitioned_cumsum(
     for src, out in value_cols.items():
         local = local.withColumn(out, F.sum(src).over(w_local))
 
-    totals = ranged.groupBy("__pid").agg(
+    totals = ranged.groupBy(*group_cols, "__pid").agg(
         *[F.sum(src).alias(f"__tot_{out}") for src, out in value_cols.items()]
     )
-    # Exclusive prefix over ≤num_partitions rows: the one
-    # single-partition window, on a cluster-sized (not data-sized)
-    # relation.
-    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    # Exclusive prefix over the ≤ groups×partitions-row totals
+    # relation: the only window whose input is cluster-sized (and,
+    # grouped, it parallelizes across groups), not data-sized.
+    w_off = Window.partitionBy(*group_cols).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
     offs = totals.select(
+        *group_cols,
         "__pid",
         *[
             F.coalesce(F.sum(f"__tot_{out}").over(w_off), F.lit(0)).alias(f"__off_{out}")
             for out in value_cols.values()
         ],
     )
-    out_df = local.join(F.broadcast(offs), "__pid")
+    out_df = local.join(F.broadcast(offs), [*group_cols, "__pid"])
     for out in value_cols.values():
         out_df = out_df.withColumn(out, F.col(out) + F.col(f"__off_{out}"))
     return out_df.drop("__pid", *[f"__off_{out}" for out in value_cols.values()])
+
+
+def partitioned_carry(
+    df: DataFrame,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str,
+    descending: bool = False,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Global last-non-null carry (LOCF) in ``order_cols`` order
+    without a single-reducer window — the keyless distributed as-of.
+
+    ``out_col`` = the most recent non-null ``value_col`` at or before
+    each row in the global order (``descending=True`` reverses the
+    order, which turns LOCF into next-observation-carried-backward).
+    Same two-phase shape as :func:`partitioned_cumsum`: a range
+    partition + per-partition ``last(ignorenulls)`` window does the
+    local carry in parallel; each partition's final non-null value
+    forms a ≤P-row relation whose own (tiny) LOCF yields the carry
+    entering each partition, broadcast-joined back and coalesced.
+
+    The keyed as-of (``operators/joins.as_of_join``) shuffles on the
+    join key — many keys, natural parallelism. This handles the
+    degenerate KEYLESS case (one global order: rank→value lookups,
+    global step functions) where the keyed plan would hash everything
+    to one reducer. With ``descending=True`` the order columns must be
+    numeric (the partition-tail reduction negates them inside a struct
+    max)."""
+    sort_exprs = [
+        F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
+    ]
+    ranged = (
+        df.repartitionByRange(num_partitions, *sort_exprs)
+        .sortWithinPartitions(*sort_exprs)
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy("__pid")
+        .orderBy(*sort_exprs)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__local", F.last(value_col, ignorenulls=True).over(w_local))
+    # Last non-null raw value per partition, by order position: max of
+    # (order, value) structs over non-null rows only.
+    tail_struct = F.struct(
+        *[(-F.col(c)).alias(c) if descending else F.col(c).alias(c) for c in order_cols],
+        F.col(value_col).alias("__v"),
+    )
+    totals = (
+        ranged.filter(F.col(value_col).isNotNull())
+        .groupBy("__pid")
+        .agg(F.max(tail_struct).alias("__t"))
+        .select("__pid", F.col("__t.__v").alias("__tail"))
+    )
+    # LOCF over the ≤P-row partition-tail relation: the carry ENTERING
+    # partition p is the latest tail among partitions < p. Build it
+    # over ALL partition ids — a partition with zero non-null rows has
+    # no tail but still forwards its predecessors' carry.
+    all_pids = ranged.select("__pid").distinct()
+    w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    entering = all_pids.join(totals, "__pid", "left").select(
+        "__pid", F.last("__tail", ignorenulls=True).over(w_prev).alias("__enter")
+    )
+    out = local.join(F.broadcast(entering), "__pid", "left")
+    return out.withColumn(out_col, F.coalesce("__local", "__enter")).drop(
+        "__pid", "__local", "__enter"
+    )
 
 
 def ks_two_sample(
@@ -134,4 +217,95 @@ def ks_two_sample(
             / (F.col("n_a").cast("double") * F.col("n_b").cast("double")),
             6,
         ).alias("ks_d"),
+    )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    value_col: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """Quantile normalization: map each group's value distribution
+    onto the GLOBAL distribution (Bolstad et al. 2003 — the standard
+    rank-based cross-batch alignment; in an LLM-data pipeline, the
+    remediation once ``drift_psi_orders``-style audits show one
+    source's length/score distribution skewing the mix).
+
+    Each row's normalized value is the global order statistic at its
+    within-group quantile: ``kpos = ceil((r − 0.5)·N / n_g)`` for
+    within-group rank r (type-1 / inverse-ECDF definition — every
+    output value OCCURS in the data; no interpolation, so results are
+    exact and engine-portable). Built entirely from this module's
+    scans — no data-sized single-reducer window anywhere:
+
+    1. within-group ranks: grouped :func:`partitioned_cumsum` of ones
+       (a huge group spans many range partitions);
+    2. the global CDF: :func:`partitioned_cumsum` over per-value
+       counts;
+    3. the kpos→value order-statistic lookup (smallest value whose
+       cumulative count ≥ kpos): a keyless merge of probes and CDF
+       boundary rows via descending :func:`partitioned_carry`.
+
+    Returns (id, group, value, qn) — ``qn`` aliased
+    ``qn_<value_col>``."""
+    vtype = dict(df.dtypes)[value_col]
+    itype = dict(df.dtypes)[id_col]
+    gtype = dict(df.dtypes)[group_col]
+
+    base = df.select(id_col, group_col, value_col).withColumn("__one", F.lit(1))
+    r = partitioned_cumsum(
+        base,
+        [value_col, id_col],
+        {"__one": "__r"},
+        num_partitions,
+        group_cols=[group_col],
+    )
+    n_grp = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
+    n_all = df.agg(F.count(F.lit(1)).alias("__n_all"))
+    kpos = (
+        r.join(F.broadcast(n_grp), group_col)
+        .crossJoin(F.broadcast(n_all))
+        .withColumn(
+            "__kpos",
+            F.ceil(
+                (F.col("__r").cast("double") - F.lit(0.5))
+                * F.col("__n_all")
+                / F.col("__n_grp")
+            ).cast("bigint"),
+        )
+    )
+    gcnt = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    gcum = partitioned_cumsum(gcnt, [value_col], {"__cnt": "__cum"}, num_partitions)
+
+    probes = kpos.select(
+        F.col("__kpos").alias("__pos"),
+        F.lit(0).alias("__b"),
+        F.lit(None).cast(vtype).alias("__gv"),
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+    )
+    bounds = gcum.select(
+        F.col("__cum").alias("__pos"),
+        F.lit(1).alias("__b"),
+        F.col(value_col).alias("__gv"),
+        F.lit(None).cast(itype).alias(id_col),
+        F.lit(None).cast(gtype).alias(group_col),
+        F.lit(None).cast(vtype).alias(value_col),
+    )
+    # Descending (pos, b) order: at equal pos the boundary row (b=1)
+    # precedes the probe, so the carried __gv at a probe is the
+    # SMALLEST boundary with cum >= kpos — the type-1 order statistic.
+    carried = partitioned_carry(
+        probes.unionByName(bounds),
+        ["__pos", "__b"],
+        "__gv",
+        "__qn",
+        descending=True,
+        num_partitions=num_partitions,
+    )
+    return carried.filter(F.col(id_col).isNotNull()).select(
+        id_col, group_col, value_col, F.col("__qn").alias(f"qn_{value_col}")
     )

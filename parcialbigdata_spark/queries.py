@@ -9745,6 +9745,52 @@ def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "quantile_normalize_documents",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars, doc_id) AS r,
+             COUNT(*) OVER (PARTITION BY source) AS n_grp
+      FROM documents
+    ),
+    n AS (SELECT COUNT(*) AS n_all FROM documents),
+    k AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ceil((CAST(r AS DOUBLE) - 0.5) * n_all / n_grp) AS BIGINT)
+               AS kpos
+      FROM ranked CROSS JOIN n
+    ),
+    gcum AS (
+      SELECT n_chars AS gv, SUM(cnt) OVER (ORDER BY n_chars) AS cum
+      FROM (SELECT n_chars, COUNT(*) AS cnt FROM documents GROUP BY 1)
+    )
+    SELECT doc_id, source, n_chars,
+           (SELECT MIN(gv) FROM gcum WHERE cum >= kpos) AS qn_n_chars
+    FROM k
+    """,
+)
+def quantile_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile normalization of per-source document lengths onto the
+    corpus-global length distribution (operators/scan.py
+    ``quantile_normalize``; Bolstad 2003) — the REMEDIATION once a
+    drift audit (sibling ``drift_psi_orders`` / the new
+    ``ks_2sample_order_values``) shows one source's distribution
+    skewing the mixture. Type-1 inverse-ECDF (every output value
+    occurs in the data — exact, no interpolation), built entirely from
+    the two-phase scans: grouped cumsum for within-source ranks (a
+    huge source spans many range partitions instead of one reducer),
+    global cumsum for the CDF, and a descending keyless carry for the
+    rank→order-statistic lookup. The oracle replays the definition
+    with plain windows + a correlated MIN — fine single-threaded,
+    which is exactly the contrast."""
+    from parcialbigdata_spark.operators import scan
+
+    docs = load_table(spark, sf_dir, "documents")
+    return scan.quantile_normalize(docs, "doc_id", "source", "n_chars")
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -165,3 +165,83 @@ def test_golden_record_survivorship_tiebreak(spark):
     # Cluster {1,2,3}: 2 and 3 tie at 9 chars -> min id 2.
     # Cluster {10,11}: tie at 4 chars -> min id 10.
     assert by_comp == {1: 2, 10: 10}
+
+
+def test_partitioned_carry_matches_global_locf(spark):
+    from parcialbigdata_spark.operators.scan import partitioned_carry
+
+    df = spark.range(0, 500).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 7 == 0, F.col("id")).alias("v"),
+    )
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        (r["k"], r["locf"])
+        for r in df.withColumn("locf", F.last("v", ignorenulls=True).over(w)).collect()
+    }
+    for p in (3, 16):
+        got = {
+            (r["k"], r["locf"])
+            for r in partitioned_carry(df, ["k"], "v", "locf", num_partitions=p).collect()
+        }
+        assert got == expected, f"num_partitions={p}"
+
+
+def test_partitioned_carry_descending_is_nocb(spark):
+    from parcialbigdata_spark.operators.scan import partitioned_carry
+
+    df = spark.range(0, 200).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 11 == 3, F.col("id")).alias("v"),
+    )
+    w = Window.orderBy(F.col("k").desc()).rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        (r["k"], r["nocb"])
+        for r in df.withColumn("nocb", F.last("v", ignorenulls=True).over(w)).collect()
+    }
+    got = {
+        (r["k"], r["nocb"])
+        for r in partitioned_carry(
+            df, ["k"], "v", "nocb", descending=True, num_partitions=5
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_grouped_cumsum_matches_per_group_window(spark):
+    from parcialbigdata_spark.operators.scan import partitioned_cumsum
+
+    df = spark.range(0, 600).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.col("id") * 13 % 600).alias("k"),
+        (F.col("id") % 5).alias("x"),
+    )
+    w = Window.partitionBy("g").orderBy("k").rowsBetween(Window.unboundedPreceding, 0)
+    expected = {
+        (r["g"], r["k"], r["cum"])
+        for r in df.withColumn("cum", F.sum("x").over(w)).collect()
+    }
+    got = {
+        (r["g"], r["k"], r["cum"])
+        for r in partitioned_cumsum(
+            df, ["k"], {"x": "cum"}, num_partitions=7, group_cols=["g"]
+        ).collect()
+    }
+    assert got == expected
+
+
+def test_quantile_normalize_identity_on_single_group(spark):
+    """With one group the map is (up to rank definition) the identity:
+    each value normalizes to a value of the same multiset; the
+    normalized multiset equals the original multiset."""
+    from parcialbigdata_spark.operators.scan import quantile_normalize
+
+    df = spark.createDataFrame(
+        [(i, "s", v) for i, v in enumerate([5, 1, 3, 3, 9, 1, 7, 5])],
+        ["doc_id", "source", "n_chars"],
+    )
+    out = quantile_normalize(df, "doc_id", "source", "n_chars").collect()
+    assert sorted(r["qn_n_chars"] for r in out) == sorted([5, 1, 3, 3, 9, 1, 7, 5])
+    # And every row maps to its own within-group order statistic.
+    for r in out:
+        assert r["qn_n_chars"] is not None
