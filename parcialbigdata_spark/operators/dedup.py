@@ -350,6 +350,16 @@ def ngram_jaccard_pairs(
                 f"{n} rows > max_unblocked_rows={max_unblocked_rows}. Pass a "
                 f"block_col or use minhash_near_dups."
             )
+    # Shingles are hashed to int64 ONCE before the quadratic verify:
+    # the pairwise intersections then compare 8-byte longs instead of
+    # re-comparing shingle strings per pair (same equivalence the
+    # minhash path relies on; 64-bit collisions are negligible and the
+    # exact-Jaccard oracles on raw strings stay green). spread() lifts
+    # an under-split scan to cluster parallelism before the CPU-heavy
+    # tokenize+shingle map (no-op whenever splits >= cores).
+    from parcialbigdata_spark.sources.tables import spread
+
+    df = spread(df)
     sh = df.select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
@@ -357,9 +367,15 @@ def ngram_jaccard_pairs(
     ).select(
         F.col(id_col),
         *([F.col(block_col)] if block_col else []),
-        T.shingles_from_tokens(F.col("__toks"), k_shingle).alias("sh"),
+        T.shingle_hashes(F.col("__toks"), k_shingle).alias("sh"),
     )
-    a, b = sh.alias("a"), sh.alias("b")
+    # Broadcast the build side: a shuffled self-join would hash on the
+    # block key — a handful of distinct blocks caps parallelism at
+    # #blocks tasks. Broadcasting keeps the probe side at full input
+    # parallelism. The blocked-quadratic contract already implies a
+    # bounded relation (unblocked inputs are size-guarded above; for
+    # inputs too large to broadcast use minhash/setsim blocking).
+    a, b = sh.alias("a"), F.broadcast(sh.alias("b"))
     cond = F.col(f"a.{id_col}") < F.col(f"b.{id_col}")
     if block_col:
         cond = cond & (F.col(f"a.{block_col}") == F.col(f"b.{block_col}"))
