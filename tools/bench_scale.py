@@ -52,6 +52,13 @@ HEAVY = [
     "weighted_median_lineitem",
     "daily_streaks_users",
     "ab_lift_events",
+    # r7b: the heaviest of the new families — clustering+survivorship,
+    # the bucketed band join (ingest write + zero-exchange self-join),
+    # and the two distributed-scan consumers.
+    "golden_record_documents",
+    "minhash_bucketed_near_dups_documents",
+    "ks_2sample_order_values",
+    "quantile_normalize_documents",
 ]
 
 
