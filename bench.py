@@ -172,6 +172,7 @@ BENCH_QUERIES = [
     "partition_pruned_events_daily",
     "schema_evolution_documents",
     "quantile_normalize_documents",
+    "record_linkage_customers",
 ]
 
 

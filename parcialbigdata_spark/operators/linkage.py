@@ -1,0 +1,77 @@
+"""Probabilistic record linkage (Fellegi & Sunter, JASA 1969).
+
+Single-rule similarity joins (``dedup.editdist_join`` — one string
+field, one blocking scheme) answer "which strings are close"; record
+LINKAGE answers "which RECORDS are the same entity" by combining
+evidence across fields: candidate pairs come from a UNION of cheap
+blocking rules (each rule only needs to catch pairs the others miss),
+each candidate gets a field-agreement comparison vector, and the
+match score is the sum of per-field log-odds weights
+(log m/u for agreement, log (1−m)/(1−u) for disagreement — here fixed
+integer literals so both engines sum exactly), thresholded into
+match / possible / non-match classes for clerical review.
+
+Scale design: every blocking rule is an equi-join on its block key
+(shuffle on the key, no all-pairs), the union dedups CANDIDATE PAIRS
+(ids only — 16 bytes) before the field comparisons run once per
+distinct pair, and scoring is a single codegen'd projection. Adding a
+blocking rule costs one more equi-join, not a quadratic term — the
+standard trade of recall for bounded candidates (Christen 2012).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def blocked_candidates(
+    left: DataFrame,
+    right: DataFrame,
+    left_id: str,
+    right_id: str,
+    block_keys: list[tuple[Column | str, Column | str]],
+) -> DataFrame:
+    """Distinct (left_id, right_id) candidate pairs from a UNION of
+    blocking rules. ``block_keys`` is a list of (left_expr,
+    right_expr) pairs — one entry per rule; a pair is a candidate when
+    ANY rule's keys agree. Only ids travel through the union/distinct;
+    callers join payloads back once per distinct pair."""
+    parts = []
+    for lk, rk in block_keys:
+        lkc = F.col(lk) if isinstance(lk, str) else lk
+        rkc = F.col(rk) if isinstance(rk, str) else rk
+        l = left.select(F.col(left_id), lkc.alias("__bk"))
+        r = right.select(F.col(right_id), rkc.alias("__bk"))
+        parts.append(l.join(r, "__bk").select(left_id, right_id))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def score_pairs(
+    pairs: DataFrame,
+    comparisons: list[tuple[str, Column, int, int]],
+    match_threshold: int,
+    possible_threshold: int,
+) -> DataFrame:
+    """Fellegi–Sunter scoring over joined candidate pairs.
+
+    ``comparisons``: (name, agreement_predicate, agree_weight,
+    disagree_weight) per field — weights are INTEGER log-odds
+    surrogates so the score is exact on any engine. Appends one
+    ``<name>_agree`` boolean per field, the summed ``score``, and the
+    decision ``cls`` ('match' / 'possible' / 'non_match')."""
+    out = pairs
+    score = F.lit(0)
+    for name, pred, w_agree, w_disagree in comparisons:
+        out = out.withColumn(f"{name}_agree", pred)
+        score = score + F.when(F.col(f"{name}_agree"), w_agree).otherwise(w_disagree)
+    out = out.withColumn("score", score.cast("bigint"))
+    return out.withColumn(
+        "cls",
+        F.when(F.col("score") >= match_threshold, F.lit("match"))
+        .when(F.col("score") >= possible_threshold, F.lit("possible"))
+        .otherwise(F.lit("non_match")),
+    )

@@ -9791,6 +9791,129 @@ def quantile_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scan.quantile_normalize(docs, "doc_id", "source", "n_chars")
 
 
+@query(
+    "record_linkage_customers",
+    """
+    WITH dirty AS (
+      SELECT c_custkey + 10000000 AS dirty_id,
+             CASE WHEN c_custkey % 3 = 0
+                  THEN concat(substr(c_name, 1, 2), substr(c_name, 4))
+                  ELSE c_name END AS d_name,
+             CASE WHEN c_custkey % 7 = 0
+                  THEN (c_nationkey + 1) % 25
+                  ELSE c_nationkey END AS d_nationkey,
+             c_acctbal AS d_acctbal,
+             c_mktsegment AS d_mktsegment
+      FROM customer
+    ),
+    cand AS (
+      SELECT l.c_custkey, r.dirty_id
+      FROM customer l JOIN dirty r
+        ON l.c_nationkey = r.d_nationkey AND l.c_mktsegment = r.d_mktsegment
+      UNION
+      SELECT l.c_custkey, r.dirty_id
+      FROM customer l JOIN dirty r
+        ON CAST(FLOOR(l.c_acctbal) AS BIGINT) = CAST(FLOOR(r.d_acctbal) AS BIGINT)
+    ),
+    scored AS (
+      SELECT c.c_custkey, c.dirty_id,
+             levenshtein(l.c_name, r.d_name) <= 1 AS name_agree,
+             l.c_nationkey = r.d_nationkey AS nation_agree,
+             l.c_acctbal = r.d_acctbal AS acct_agree,
+             CAST(CASE WHEN levenshtein(l.c_name, r.d_name) <= 1 THEN 6 ELSE -4 END
+                  + CASE WHEN l.c_nationkey = r.d_nationkey THEN 2 ELSE -1 END
+                  + CASE WHEN l.c_acctbal = r.d_acctbal THEN 5 ELSE -5 END
+               AS BIGINT) AS score,
+             r.dirty_id - 10000000 = c.c_custkey AS is_true
+      FROM cand c
+      JOIN customer l ON l.c_custkey = c.c_custkey
+      JOIN dirty r ON r.dirty_id = c.dirty_id
+    )
+    SELECT c_custkey, dirty_id, name_agree, nation_agree, acct_agree, score,
+           CASE WHEN score >= 10 THEN 'match'
+                WHEN score >= 4 THEN 'possible'
+                ELSE 'non_match' END AS cls,
+           is_true
+    FROM scored WHERE score >= 4
+    """,
+)
+def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Probabilistic record linkage (operators/linkage.py; Fellegi &
+    Sunter 1969): link customers against a deterministically dirtied
+    copy of themselves (every 3rd record loses a name character, every
+    7th shifts nation — the ground truth ``is_true`` stays derivable,
+    so the emitted match classes are auditable). Candidates come from
+    a UNION of two complementary blocking rules — (nation, segment)
+    catches nation-intact pairs with a coarser key, exact
+    floor(acctbal) catches the nation-perturbed remainder — then each
+    distinct pair is scored ONCE with integer log-odds weights over a
+    three-field comparison vector (levenshtein≤1 name, nation
+    equality, exact balance) and thresholded into
+    match/possible/non_match. Multi-field sibling of single-rule
+    ``editdist_join_customers`` (one string field, one blocking
+    scheme) and of ``fuzzy_join_part_names``; cross-engine levenshtein
+    parity follows the editdist precedent. Scale: each rule is an
+    equi-join (no all-pairs), the union dedups 16-byte id pairs before
+    payloads join back, scoring is one codegen projection."""
+    from parcialbigdata_spark.operators import linkage
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        (F.col("c_custkey") + 10000000).alias("dirty_id"),
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(
+                F.substring("c_name", 1, 2),
+                F.expr("substring(c_name, 4, length(c_name))"),
+            ),
+        )
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.when(F.col("c_custkey") % 7 == 0, (F.col("c_nationkey") + 1) % 25)
+        .otherwise(F.col("c_nationkey"))
+        .alias("d_nationkey"),
+        F.col("c_acctbal").alias("d_acctbal"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+    )
+    cand = linkage.blocked_candidates(
+        cust,
+        dirty,
+        "c_custkey",
+        "dirty_id",
+        [
+            (
+                F.concat_ws("|", "c_nationkey", "c_mktsegment"),
+                F.concat_ws("|", "d_nationkey", "d_mktsegment"),
+            ),
+            (
+                F.floor("c_acctbal").cast("bigint").cast("string"),
+                F.floor("d_acctbal").cast("bigint").cast("string"),
+            ),
+        ],
+    )
+    pairs = cand.join(cust, "c_custkey").join(dirty, "dirty_id")
+    scored = linkage.score_pairs(
+        pairs,
+        [
+            ("name", F.levenshtein("c_name", "d_name") <= 1, 6, -4),
+            ("nation", F.col("c_nationkey") == F.col("d_nationkey"), 2, -1),
+            ("acct", F.col("c_acctbal") == F.col("d_acctbal"), 5, -5),
+        ],
+        match_threshold=10,
+        possible_threshold=4,
+    )
+    return scored.filter(F.col("score") >= 4).select(
+        "c_custkey",
+        "dirty_id",
+        "name_agree",
+        "nation_agree",
+        "acct_agree",
+        "score",
+        "cls",
+        (F.col("dirty_id") - 10000000 == F.col("c_custkey")).alias("is_true"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

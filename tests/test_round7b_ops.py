@@ -245,3 +245,48 @@ def test_quantile_normalize_identity_on_single_group(spark):
     # And every row maps to its own within-group order statistic.
     for r in out:
         assert r["qn_n_chars"] is not None
+
+
+# ------------------------------------------------------- record linkage
+
+
+def test_blocked_candidates_union_dedups(spark):
+    from parcialbigdata_spark.operators.linkage import blocked_candidates
+
+    left = spark.createDataFrame([(1, "a", "x"), (2, "b", "y")], ["lid", "k1", "k2"])
+    right = spark.createDataFrame([(10, "a", "x"), (11, "c", "y")], ["rid", "k1", "k2"])
+    # Rule 1 (k1): (1,10). Rule 2 (k2): (1,10) again + (2,11).
+    cand = blocked_candidates(left, right, "lid", "rid", [("k1", "k1"), ("k2", "k2")])
+    got = {(r["lid"], r["rid"]) for r in cand.collect()}
+    assert got == {(1, 10), (2, 11)}
+    assert cand.count() == 2  # the duplicate (1,10) candidate collapsed
+
+
+def test_score_pairs_classes(spark):
+    from parcialbigdata_spark.operators.linkage import score_pairs
+
+    pairs = spark.createDataFrame(
+        [("p1", 1, 1), ("p2", 1, 0), ("p3", 0, 0)], ["pid", "f1", "f2"]
+    )
+    out = {
+        r["pid"]: (r["score"], r["cls"])
+        for r in score_pairs(
+            pairs,
+            [("a", F.col("f1") == 1, 6, -4), ("b", F.col("f2") == 1, 5, -5)],
+            match_threshold=10,
+            possible_threshold=1,
+        ).collect()
+    }
+    assert out == {"p1": (11, "match"), "p2": (1, "possible"), "p3": (-9, "non_match")}
+
+
+def test_record_linkage_full_recall_on_ground_truth(spark):
+    """Every true (original, dirtied-copy) pair must land in 'match'."""
+    from parcialbigdata_spark.queries import QUERIES
+    from parcialbigdata_spark.sources.tables import load_table
+
+    n_cust = load_table(spark, SF_DIR, "customer").count()
+    out = QUERIES["record_linkage_customers"](spark, SF_DIR)
+    true_rows = out.filter(F.col("is_true")).collect()
+    assert len(true_rows) == n_cust
+    assert all(r["cls"] == "match" for r in true_rows)
