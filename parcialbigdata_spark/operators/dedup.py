@@ -703,7 +703,14 @@ def shared_window_pairs(
 
     At 100 TB the shuffle carries (id, 16 B digest) rows — window text
     never moves — and the cap bounds every join bucket."""
-    toks = df.select(
+    from parcialbigdata_spark.sources.tables import spread
+
+    # The tokenize + per-position window transform is the CPU-heavy
+    # narrow map; spread() lifts an under-split scan to cluster
+    # parallelism first (no-op whenever splits >= cores — r7 sf1
+    # profile: the 2-split documents scan serialized this map on 2/32
+    # cores, the same bin-packing artifact as the bpe stage).
+    toks = spread(df).select(
         F.col(id_col), T.tokens(T.normalize(F.col(text_col))).alias("__toks")
     )
     n = F.size("__toks")
