@@ -9914,6 +9914,101 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_mg_heavy_hitters",
+    """
+    WITH ev AS (
+      SELECT event_type, user_id FROM events WHERE user_id IS NOT NULL
+    ),
+    cnt AS (
+      SELECT event_type, user_id, COUNT(*) AS exact_cnt
+      FROM ev GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT event_type, user_id, exact_cnt,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY exact_cnt DESC, user_id) AS rn
+      FROM cnt
+    )
+    SELECT event_type, user_id, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           TRUE AS covered_ok, TRUE AS est_ok
+    FROM top WHERE rn <= 10
+    """,
+)
+def streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming heavy hitters: per-micro-batch Misra–Gries summaries
+    (streaming/sketch_store.py ``mg_partial_applier``; mergeable form
+    of Agarwal et al. PODS'12) appended to a store, merged by plain
+    counter ADDITION — the FREQUENCY member of the sketch-store
+    triple beside distinct (``streaming_hll_partials``) and quantile
+    (``streaming_kll_partials``), and the streaming complement of
+    batch ``heavy_hitter_terms``. Attestation oracle: for the exact
+    top-10 users per event type, the PODS'12 theorem booleans are
+    pinned TRUE — any item with true count > N/(k+1) retains a merged
+    counter (covered_ok), and counters under-count by at most N/(k+1)
+    (est_ok) — both checked in INTEGER arithmetic
+    (cnt·(k+1) vs N), so they hold for every batch split; the exact
+    counts come from the same fixture the stream drains."""
+    import os
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming import sketch_store
+    from parcialbigdata_spark.streaming.windows import read_events_stream
+
+    k = 50
+    base = tempfile.mkdtemp(prefix="mg_store_")
+    try:
+        store = os.path.join(base, "store")
+        ckpt = os.path.join(base, "ckpt")
+        q = sketch_store.stream_mg_to_store(
+            read_events_stream(spark, sf_dir).filter(F.col("user_id").isNotNull()),
+            store,
+            ckpt,
+            k=k,
+        )
+        q.awaitTermination(240)
+        if q.isActive:
+            q.stop()
+            raise RuntimeError(
+                "streaming_mg_heavy_hitters: availableNow drain did not "
+                "finish within 240 s; refusing to attest a partial store"
+            )
+        est = sketch_store.merged_counters(spark, store)
+        ev = load_table(spark, sf_dir, "events").filter(F.col("user_id").isNotNull())
+        n_key = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_key"))
+        exact = ev.groupBy("event_type", "user_id").agg(
+            F.count(F.lit(1)).alias("exact_cnt")
+        )
+        w = Window.partitionBy("event_type").orderBy(
+            F.desc("exact_cnt"), F.asc("user_id")
+        )
+        top = exact.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 10)
+        joined = (
+            top.join(F.broadcast(n_key), "event_type")
+            .join(est, ["event_type", "user_id"], "left")
+        )
+        above = F.col("exact_cnt") * (k + 1) > F.col("n_key")
+        out = joined.select(
+            "event_type",
+            "user_id",
+            F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+            (~above | F.col("est").isNotNull()).alias("covered_ok"),
+            (
+                F.col("est").isNull()
+                | (
+                    (F.col("est") <= F.col("exact_cnt"))
+                    & ((F.col("exact_cnt") - F.col("est")) * (k + 1) <= F.col("n_key"))
+                )
+            ).alias("est_ok"),
+        )
+        # Materialize before the store dir disappears; ≤10 rows/type.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

@@ -149,3 +149,87 @@ def merged_quantiles(
             F.kll_sketch_get_quantile_double(F.col("msk"), F.lit(r)),
         )
     return out.drop("msk")
+
+
+# ------------------------------------------------- Misra–Gries frequency
+#
+# Third sketch type in the store, completing distinct (HLL) / quantile
+# (KLL) with FREQUENCY: per-batch Misra–Gries heavy-hitter summaries in
+# the mergeable-summaries form (Agarwal, Cormode, Huang, Phillips, Wei,
+# Yi — PODS'12): a batch's exact per-item counts minus its (k+1)-th
+# largest count, positives kept. Counters only ever UNDER-count
+# (est ≤ true), merging is counter ADDITION, and the merged summary
+# keeps the theorem: any item with true count > N/(k+1) retains a
+# counter, and true − est ≤ N/(k+1) with N the key's total row count.
+# Unlike HLL/KLL these partials are plain (key, item, cnt) rows — no
+# binary sketch column — so compaction is an ordinary groupBy-sum.
+
+
+def mg_partial_applier(
+    store_path: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 50,
+):
+    """foreachBatch body: reduce the batch to a ≤k-counter Misra–Gries
+    summary per key (exact counts − (k+1)-th largest, positives kept)
+    and append (key, item, cnt, batch_id) to the store."""
+
+    def apply(batch_df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window
+
+        counts = batch_df.groupBy(key_col, item_col).agg(
+            F.count(F.lit(1)).alias("__c")
+        )
+        w_rank = Window.partitionBy(key_col).orderBy(
+            F.desc("__c"), F.asc(item_col)
+        )
+        w_key = Window.partitionBy(key_col)
+        d = F.max(
+            F.when(F.row_number().over(w_rank) == k + 1, F.col("__c"))
+        ).over(w_key)
+        (
+            counts.withColumn("__d", F.coalesce(d, F.lit(0)))
+            .select(
+                key_col,
+                item_col,
+                (F.col("__c") - F.col("__d")).alias("cnt"),
+                F.lit(batch_id).alias("batch_id"),
+            )
+            .filter(F.col("cnt") > 0)
+            .write.mode("append")
+            .parquet(store_path)
+        )
+
+    return apply
+
+
+def stream_mg_to_store(
+    stream: DataFrame,
+    store_path: str,
+    checkpoint_dir: str,
+    key_col: str = "event_type",
+    item_col: str = "user_id",
+    k: int = 50,
+):
+    """availableNow drain of a stream into per-batch MG summaries."""
+    return (
+        stream.writeStream.foreachBatch(
+            mg_partial_applier(store_path, key_col, item_col, k)
+        )
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def merged_counters(
+    spark: SparkSession, store_path: str, key_col: str = "event_type",
+    item_col: str = "user_id",
+) -> DataFrame:
+    """Merged heavy-hitter counters per (key, item) from the store
+    alone — counter addition IS the merge (no fold-order issues, the
+    sum is commutative), and a periodic compaction is the same
+    groupBy-sum rewritten."""
+    store = spark.read.parquet(store_path)
+    return store.groupBy(key_col, item_col).agg(F.sum("cnt").alias("est"))

@@ -290,3 +290,68 @@ def test_record_linkage_full_recall_on_ground_truth(spark):
     true_rows = out.filter(F.col("is_true")).collect()
     assert len(true_rows) == n_cust
     assert all(r["cls"] == "match" for r in true_rows)
+
+
+# -------------------------------------------------- MG heavy hitters
+
+
+def test_mg_partial_prune_math(spark):
+    """Batch summary = counts minus (k+1)-th largest, positives kept."""
+    import os
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming.sketch_store import mg_partial_applier
+
+    base = tempfile.mkdtemp(prefix="mg_unit_")
+    try:
+        # Counts: a->5, b->3, c->2, d->1. k=2 -> d = 3rd largest = 2.
+        rows = [("k", x) for x, n in [("a", 5), ("b", 3), ("c", 2), ("d", 1)] for _ in range(n)]
+        df = spark.createDataFrame(rows, ["event_type", "user_id"])
+        mg_partial_applier(base + "/store", k=2)(df, 0)
+        got = {
+            (r["user_id"], r["cnt"])
+            for r in spark.read.parquet(base + "/store").collect()
+        }
+        assert got == {("a", 3), ("b", 1)}
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_mg_merged_bounds_hold_across_batch_splits(spark):
+    """Merged counters under-count by at most N/(k+1) and cover every
+    above-bound item, for two different batch partitionings."""
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming.sketch_store import (
+        mg_partial_applier,
+        merged_counters,
+    )
+
+    items = [("k", f"u{i % 7}") for i in range(200)] + [("k", "hot")] * 100
+    k = 3
+    for split in (1, 4):
+        base = tempfile.mkdtemp(prefix="mg_split_")
+        try:
+            applier = mg_partial_applier(base + "/store", k=k)
+            chunk = len(items) // split
+            for b in range(split):
+                part = items[b * chunk : (b + 1) * chunk] or items[:1]
+                applier(spark.createDataFrame(part, ["event_type", "user_id"]), b)
+            est = {
+                r["user_id"]: r["est"]
+                for r in merged_counters(spark, base + "/store").collect()
+            }
+            from collections import Counter
+
+            exact = Counter(u for _, u in items)
+            n = len(items)
+            for u, c in exact.items():
+                if c * (k + 1) > n:
+                    assert u in est, (split, u)
+                if u in est:
+                    assert est[u] <= c
+                    assert (c - est[u]) * (k + 1) <= n
+        finally:
+            shutil.rmtree(base, ignore_errors=True)
