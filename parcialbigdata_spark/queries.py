@@ -9810,6 +9810,8 @@ def quantile_normalize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT l.c_custkey, r.dirty_id
       FROM customer l JOIN dirty r
         ON l.c_nationkey = r.d_nationkey AND l.c_mktsegment = r.d_mktsegment
+       AND CAST(FLOOR(l.c_acctbal / 1000.0) AS BIGINT)
+           = CAST(FLOOR(r.d_acctbal / 1000.0) AS BIGINT)
       UNION
       SELECT l.c_custkey, r.dirty_id
       FROM customer l JOIN dirty r
@@ -9881,10 +9883,27 @@ def record_linkage_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey",
         "dirty_id",
         [
+            # Rule (a) — demographic + COARSE financial band: a key
+            # that bounds block size as data grows (nation × segment
+            # alone is a FIXED ~125 blocks — quadratic per block at
+            # scale; blocking keys must gain cardinality with volume,
+            # Christen 2012 §4).
             (
-                F.concat_ws("|", "c_nationkey", "c_mktsegment"),
-                F.concat_ws("|", "d_nationkey", "d_mktsegment"),
+                F.concat_ws(
+                    "|",
+                    "c_nationkey",
+                    "c_mktsegment",
+                    F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint"),
+                ),
+                F.concat_ws(
+                    "|",
+                    "d_nationkey",
+                    "d_mktsegment",
+                    F.floor(F.col("d_acctbal") / F.lit(1000.0)).cast("bigint"),
+                ),
             ),
+            # Rule (b) — exact unit balance, nation-free: catches the
+            # nation-perturbed pairs rule (a) misses.
             (
                 F.floor("c_acctbal").cast("bigint").cast("string"),
                 F.floor("d_acctbal").cast("bigint").cast("string"),

@@ -59,6 +59,7 @@ HEAVY = [
     "minhash_bucketed_near_dups_documents",
     "ks_2sample_order_values",
     "quantile_normalize_documents",
+    "record_linkage_customers",
 ]
 
 
