@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "schema_evolution_documents",
     "quantile_normalize_documents",
     "record_linkage_customers",
+    "incremental_clusters_documents",
 ]
 
 

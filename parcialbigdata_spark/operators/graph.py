@@ -214,6 +214,44 @@ def dedup_clusters(
     )
 
 
+def incremental_components(
+    prior_labels: DataFrame,
+    new_pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 20,
+    algorithm: str = "label",
+) -> DataFrame:
+    """(node, component) after adding ``new_pairs`` to a graph whose
+    previous run produced ``prior_labels`` (node, component) — WITHOUT
+    re-touching the old pair graph.
+
+    The incremental-view-maintenance move (Gupta–Mumick, applied to
+    connectivity): each prior component collapses to STAR EDGES
+    node→component (the component id is itself a member — the minimum
+    node — so the stars preserve exactly the old connectivity and node
+    set), and propagation runs on stars ∪ new edges. The result is
+    BIT-IDENTICAL to a full recompute over old ∪ new edges: min
+    reachable id is invariant under collapsing a component to its
+    representative. New edges that bridge two old components merge
+    them to the smaller min, exactly as the full run would.
+
+    Why it scales: the stars relation is one edge per previously
+    clustered NODE (not per old PAIR — at web scale the pair graph is
+    orders of magnitude larger), old components enter with diameter ≤2
+    so convergence is driven by the NEW edges' diameter, and the old
+    corpus is never re-paired — the daily cost tracks the daily delta.
+    Batch sibling: ``dedup_clusters``/``connected_components`` (full
+    recompute); incremental siblings: ``operators/incremental.py``
+    (agg merge), ``incremental_dedup_documents`` (fingerprint store).
+    """
+    stars = prior_labels.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(src), F.col("component").alias(dst)
+    )
+    edges = stars.unionByName(new_pairs.select(F.col(src), F.col(dst)))
+    return connected_components(edges, src, dst, max_iter, algorithm)
+
+
 def pagerank_scaled(
     edges: DataFrame,
     src: str = "src",

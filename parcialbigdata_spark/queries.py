@@ -2948,9 +2948,12 @@ def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "dedup_clusters_documents",
-    f"""
+# Shared by dedup_clusters_documents (full recompute) and
+# incremental_clusters_documents (star-collapse warm start): both must
+# produce the SAME clustering, so one full-recompute oracle covers
+# both — for the incremental query, equality with this oracle IS the
+# incremental-equals-full claim under the hash gate.
+_CLUSTERS_ORACLE = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id, lang, source,
              list_distinct(list_transform(
@@ -2982,8 +2985,10 @@ def variant_event_props(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT node, MIN(comp) AS component FROM walk GROUP BY node
     ) labeled
     GROUP BY component
-    """,
-)
+    """
+
+
+@query("dedup_clusters_documents", _CLUSTERS_ORACLE)
 def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup CLUSTERS (§2.10): transitive closure of the 2-gram
     Jaccard ≥ 0.05 pair graph (blocked by lang|source) via iterative
@@ -10026,6 +10031,42 @@ def streaming_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         return spark.createDataFrame(rows, out.schema)
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+@query("incremental_clusters_documents", _CLUSTERS_ORACLE)
+def incremental_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental connected components
+    (operators/graph.py ``incremental_components``): the 10% of
+    documents with ``doc_id % 10 == 0`` arrive as a NEW batch on top
+    of a corpus whose clusters were already computed — prior
+    components collapse to star edges (one edge per clustered NODE,
+    not per old pair) and propagation runs on stars ∪ new edges only.
+    The oracle is the full-recompute clustering over ALL pairs
+    (shared with sibling ``dedup_clusters_documents``), so the
+    incremental-equals-full equivalence is exactly what the hash gate
+    verifies. In this fixture both edge sets derive from one pair
+    computation (the split simulates arrival); in production the new
+    batch's pairs come from an incremental index probe
+    (``incremental_dedup_documents``'s store pattern) and the old
+    corpus is never re-paired — daily cost tracks the daily delta.
+    Incremental sibling: ``incremental_agg_merge_orders``
+    (Gupta–Mumick for aggregates; this is the connectivity member)."""
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "block", F.concat_ws("|", "lang", "source")
+    )
+    pairs = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="block"
+    ).persist()
+    is_new_a = F.col("id_a") % 10 == 0
+    is_new_b = F.col("id_b") % 10 == 0
+    old_pairs = pairs.filter(~is_new_a & ~is_new_b)
+    new_pairs = pairs.filter(is_new_a | is_new_b)
+    prior = graph.connected_components(old_pairs, "id_a", "id_b")
+    cc = graph.incremental_components(prior, new_pairs, "id_a", "id_b")
+    return cc.groupBy("component").agg(
+        F.min("node").alias("survivor_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
 
 
 # ---------------------------------------------------------------------

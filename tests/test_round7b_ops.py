@@ -355,3 +355,34 @@ def test_mg_merged_bounds_hold_across_batch_splits(spark):
                     assert (c - est[u]) * (k + 1) <= n
         finally:
             shutil.rmtree(base, ignore_errors=True)
+
+
+# --------------------------------------------- incremental components
+
+
+def test_incremental_components_equals_full_recompute(spark):
+    """Star-collapse warm start is bit-identical to a full recompute,
+    including the case where a new edge MERGES two old components."""
+    from parcialbigdata_spark.operators import graph
+
+    # Old graph: components {1,2,3} and {10,11}; 20-21 too.
+    old = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21)], ["id_a", "id_b"]
+    )
+    # New edges: attach 4 to the first component, MERGE {1..3} with
+    # {10,11} via 3-10, and a brand-new component {30,31}.
+    new = spark.createDataFrame([(3, 4), (3, 10), (30, 31)], ["id_a", "id_b"])
+    prior = graph.connected_components(old, "id_a", "id_b")
+    inc = {
+        (r["node"], r["component"])
+        for r in graph.incremental_components(prior, new, "id_a", "id_b").collect()
+    }
+    full = {
+        (r["node"], r["component"])
+        for r in graph.connected_components(
+            old.unionByName(new), "id_a", "id_b"
+        ).collect()
+    }
+    assert inc == full
+    # Merged component labeled by the global min (1), new one by 30.
+    assert (10, 1) in inc and (4, 1) in inc and (31, 30) in inc
