@@ -81,21 +81,28 @@ def connected_components(
         .select("node", F.col("node").alias("comp"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_iter):
+    def _hop(lab: DataFrame) -> DataFrame:
         # Min label over the closed neighborhood: own label ∪ neighbors'.
         neighbor_min = (
-            edges.join(labels, edges.v == labels.node)
+            edges.join(lab, edges.v == lab.node)
             .groupBy("u")
             .agg(F.min("comp").alias("n_comp"))
         )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.u, "left")
-            .select(
-                "node",
-                F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
-            )
-            .localCheckpoint(eager=True)
+        return lab.join(neighbor_min, lab.node == neighbor_min.u, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
+
+    for _ in range(max_iter):
+        # TWO hops per checkpoint/convergence probe: label distance
+        # covered per round doubles while the per-round FIXED costs
+        # (eager checkpoint + changed-probe action) stay constant —
+        # at fixture scale those fixed costs dominate the loop, and at
+        # cluster scale the second hop's joins are the same
+        # data-proportional work either way. Idempotent at the
+        # fixpoint, so overshooting by one hop after convergence
+        # changes nothing.
+        new_labels = _hop(_hop(labels)).localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
