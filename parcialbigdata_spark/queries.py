@@ -10148,7 +10148,13 @@ _DRIVER_WINDOW = [
     # r5 — for its iterative-graph sibling kcore_supplier_graph, new
     # in r5 and never driver-checked; stays CI-green.)
     "kcore_supplier_graph",
-    "gap_fill_events_hourly",
+    # (gap_fill_events_hourly rotated out in r7b — driver-proven green
+    # since r4; the date/densification surface stays in-window via
+    # streaming_hourly_events' bucketing — for the new r7
+    # distribution-alignment family quantile_normalize_documents
+    # (rank-based quantile normalization on the grouped scans), never
+    # driver-checked; stays CI-green.)
+    "quantile_normalize_documents",
     "setsim_join_documents",
     # windows (collect_segments_per_nation / window_running_revenue
     # rotated out in r4 — family siblings of the two lines above — to
@@ -10162,14 +10168,26 @@ _DRIVER_WINDOW = [
     "daily_streaks_users",
     # (scd2_order_price_history rotated out in r4b — third W-family
     # sibling — for the new skyline family below; stays CI-green.)
-    "skyline_parts",
+    # (skyline_parts rotated out in r7b — driver-proven green since
+    # r4b; its dominance/NOT-EXISTS shape stays in-window via
+    # anti_customers_without_orders and q18 — for the new r7
+    # row-pattern-recognition family seqmatch_user_journeys
+    # (MATCH_RECOGNIZE regex journeys), never driver-checked; stays
+    # CI-green.)
+    "seqmatch_user_journeys",
     # top-k / set ops / scalar functions
     # (topk_parts_by_price rotated out in r7 — driver-proven green
     # since r1 — for its O1 ordered-retrieval sibling
     # keyset_pagination_orders (seek-predicate pagination, r6e, never
     # driver-checked); stays CI-green.)
     "keyset_pagination_orders",
-    "setops_customer_segments",
+    # (setops_customer_segments rotated out in r7b — driver-proven
+    # green since r1; union/intersect/except shapes run throughout the
+    # window (every UNION-blocked oracle, setsim's union sides) — for
+    # the new r7 nonparametric-statistics family
+    # ks_2sample_order_values (exact two-sample KS on the distributed
+    # prefix scan), never driver-checked; stays CI-green.)
+    "ks_2sample_order_values",
     # (string_funcs_parts rotated out in r6b — driver-proven green
     # since r1, and the F1 string surface stays in-window via
     # levenshtein (editdist_join_customers), regex/splitting
@@ -10207,7 +10225,13 @@ _DRIVER_WINDOW = [
     "scalar_subquery_parts_above_avg",
     "q9_profit_by_nation_year",
     "q18_large_volume_orders",
-    "q21_sole_supplier_orders",
+    # (q21_sole_supplier_orders rotated out in r7b — driver-proven
+    # green since r2; the EXISTS/NOT-EXISTS decorrelation shape stays
+    # in-window via anti_customers_without_orders and q18's
+    # correlated HAVING — for the new r7 privacy-audit family
+    # k_anonymity_audit_customers, never driver-checked; stays
+    # CI-green.)
+    "k_anonymity_audit_customers",
     # Python UDF surface
     "udaf_weighted_value",
     "udtf_part_type_words",
@@ -10216,18 +10240,34 @@ _DRIVER_WINDOW = [
     # LLM pipeline: dedup
     "canonical_dedup_documents",
     "minhash_near_dups_documents",
-    "simhash_near_dups_documents",
+    # (simhash_near_dups_documents rotated out in r7b — driver-proven
+    # green since r2; the Hamming-LSH family stays CI-green — for the
+    # new r7 storage-layout family minhash_bucketed_near_dups_documents
+    # (zero-Exchange bucketed band self-join, SAME exhaustive Jaccard
+    # oracle as the shuffled twin above), never driver-checked.)
+    "minhash_bucketed_near_dups_documents",
     # (ngram_jaccard_blocked rotated out in r6 — driver-proven green
     # since r4 — for its N2 string-similarity sibling
     # editdist_join_customers, the r5 Ed-Join entry re-blocked on
     # deletion neighborhoods this round and never driver-checked;
     # stays CI-green.)
-    "editdist_join_customers",
+    # (editdist_join_customers rotated out in r7b — driver-proven
+    # green in r6 AND r7; levenshtein stays in-window inside the new
+    # entry itself — for its multi-field upgrade
+    # record_linkage_customers (Fellegi–Sunter blocking-union +
+    # comparison-vector scoring), never driver-checked; stays
+    # CI-green.)
+    "record_linkage_customers",
     "dedup_clusters_documents",
     # LLM pipeline: embeddings (r4: ivfpq + clustered near-dup carry
     # the planted-cluster recall attestations into the hard signal)
     "cosine_topk_embeddings",
-    "knn_join_embeddings",
+    # (knn_join_embeddings rotated out in r7b — driver-proven green
+    # since r3; the embedding family keeps FOUR reps in-window — for
+    # the new r7 MDM-survivorship family golden_record_documents
+    # (rule-based consolidation over the dedup_clusters clustering),
+    # never driver-checked; stays CI-green.)
+    "golden_record_documents",
     "semantic_dedup_embeddings",
     "ivfpq_topk_embeddings",
     "embedding_near_dup_clustered",
@@ -10244,7 +10284,12 @@ _DRIVER_WINDOW = [
     "binary_media_features",
     # streaming
     "streaming_hourly_events",
-    "streaming_dedup_events",
+    # (streaming_dedup_events rotated out in r7b — driver-proven green
+    # since r2; exactly-once dedup-at-arrival stays CI-green — for the
+    # new r7 streaming-sampling family streaming_reservoir_events
+    # (deterministic bottom-k reservoir via applyInPandasWithState,
+    # batch-split-invariant), never driver-checked.)
+    "streaming_reservoir_events",
 ]
 
 
