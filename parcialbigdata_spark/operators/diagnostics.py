@@ -15,7 +15,7 @@ The skew-JOIN mitigation itself (salting) lives in ``operators/skew.py``
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -95,10 +95,37 @@ def table_fingerprint(
     one scalar aggregate, zero shuffles of row data."""
     canon = F.concat_ws("|", *[F.col(c).cast("string") for c in cols])
     h = F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
-    return df.agg(
+    agg = df.agg(
         F.count(F.lit(1)).alias("n_rows"),
-        F.sum(h.cast("decimal(38,0)")).cast("bigint").alias("fingerprint"),
-    ).select(F.lit(rel_name).alias("rel"), "n_rows", "fingerprint")
+        F.sum(h.cast("decimal(38,0)")).alias("__fp_dec"),
+    )
+    # The BIGINT emission is guarded, not silent: under non-ANSI Spark
+    # a plain cast of an overflowing DECIMAL(38) yields NULL, and a
+    # reconciliation primitive degrading to NULL==NULL comparisons at
+    # exactly the scale it targets is worse than failing. try_cast +
+    # raise_error turns overflow (~2^31 rows) into a loud run failure
+    # telling the caller to keep the DECIMAL(38) column.
+    guarded = guarded_bigint(
+        F.col("__fp_dec"),
+        "table_fingerprint: checksum sum exceeds BIGINT (~2^31 rows) — "
+        "emit the DECIMAL(38,0) sum instead of the BIGINT cast at this scale",
+    )
+    return agg.select(
+        F.lit(rel_name).alias("rel"), "n_rows", guarded.alias("fingerprint")
+    )
+
+
+def guarded_bigint(col: Column, msg: str) -> Column:
+    """``col`` cast to BIGINT, raising ``msg`` instead of silently
+    emitting NULL when a non-NULL value does not fit (non-ANSI Spark's
+    plain cast returns NULL on overflow; ANSI mode would throw a
+    generic CAST_OVERFLOW without the operator-specific remediation).
+    NULL input stays NULL — only lossy casts raise."""
+    as_big = col.try_cast("bigint")
+    return F.when(
+        col.isNotNull() & as_big.isNull(),
+        F.raise_error(F.lit(msg)).cast("bigint"),
+    ).otherwise(as_big)
 
 
 def join_size_estimate(

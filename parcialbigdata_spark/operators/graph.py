@@ -256,7 +256,18 @@ def incremental_components(
         F.col("node").alias(src), F.col("component").alias(dst)
     )
     edges = stars.unionByName(new_pairs.select(F.col(src), F.col(dst)))
-    return connected_components(edges, src, dst, max_iter, algorithm)
+    cc = connected_components(edges, src, dst, max_iter, algorithm)
+    # A prior SINGLETON component (node == component, no other member)
+    # contributes no star edge, so unless that node reappears in
+    # new_pairs it is absent from the propagation output — union it
+    # back so the old node set is preserved exactly, as the contract
+    # above states. Labels derived from pair graphs have no singletons
+    # (every node has a partner), so this anti-join is empty there;
+    # it matters for caller-supplied labels with isolated nodes. The
+    # anti-join key is the node id — prior-labels-sized, not
+    # pair-graph-sized.
+    missing = prior_labels.join(cc, "node", "left_anti").select("node", "component")
+    return cc.unionByName(missing)
 
 
 def pagerank_scaled(

@@ -86,13 +86,26 @@ def partitioned_cumsum(
         *group_cols,
         "__pid",
         *[
-            F.coalesce(F.sum(f"__tot_{out}").over(w_off), F.lit(0)).alias(f"__off_{out}")
+            F.sum(f"__tot_{out}").over(w_off).alias(f"__off_{out}")
             for out in value_cols.values()
         ],
     )
     out_df = local.join(F.broadcast(offs), [*group_cols, "__pid"])
+    # SQL running-sum NULL semantics: SUM() OVER an all-NULL (or
+    # empty) prefix is NULL, and the first non-NULL value starts the
+    # sum. The per-partition offset is therefore NOT coalesced to 0 —
+    # a row whose local prefix is all-NULL must inherit the carry from
+    # earlier partitions (off), a row in the first partitions with no
+    # earlier non-NULL keeps its local value, and only when BOTH are
+    # NULL is the result NULL. coalesce(local+off, local, off) encodes
+    # exactly that case split in one expression.
     for out in value_cols.values():
-        out_df = out_df.withColumn(out, F.col(out) + F.col(f"__off_{out}"))
+        out_df = out_df.withColumn(
+            out,
+            F.coalesce(
+                F.col(out) + F.col(f"__off_{out}"), F.col(out), F.col(f"__off_{out}")
+            ),
+        )
     return out_df.drop("__pid", *[f"__off_{out}" for out in value_cols.values()])
 
 

@@ -89,9 +89,12 @@ def compare_query(
         # returns exact ints/Decimals and so is blind to that drift;
         # reproduce the driver's dtype path by coercing every cell of
         # a pandas-float64 column to float, while keeping fetchall's
-        # exact None-vs-NaN distinction for NULL fidelity.
-        fdtypes = con.execute(oracle).fetchdf().dtypes
-        floaty = [i for i, d in enumerate(fdtypes) if str(d) == "float64"]
+        # exact None-vs-NaN distinction for NULL fidelity. The
+        # float64 column set is inferred from DESCRIBE (bind-only) +
+        # the rows already fetched, so the oracle executes ONCE —
+        # re-running it through fetchdf() just to read dtypes doubled
+        # the cost of every recursive-CTE oracle.
+        floaty = _float64_columns(con, oracle, orows)
         if floaty:
             fset = set(floaty)
             orows = [
@@ -119,6 +122,39 @@ def compare_query(
     elif value_hash(srows, scols) != value_hash(orows, ocols):
         problems.append("value-hash mismatch")
     return problems
+
+
+def _float64_columns(
+    con: duckdb.DuckDBPyConnection, sql: str, rows: list[tuple]
+) -> list[int]:
+    """Indices of output columns duckdb's ``fetchdf()`` would hand the
+    driver as pandas float64, WITHOUT executing the query again:
+    HUGEINT/UHUGEINT/DOUBLE/DECIMAL columns always convert to float64,
+    and integer columns convert iff they contain a NULL (duckdb fills
+    NULL with NaN, forcing the float dtype) — verified against
+    ``fetchdf().dtypes`` across the full type matrix in
+    tests/test_oracle_lint.py. FLOAT lands as float32 (excluded here,
+    matching the previous ``== float64`` check; its fetchall values
+    are Python floats already, so coercion is a no-op either way).
+    Falls back to one extra ``fetchdf()`` execution only when DESCRIBE
+    cannot bind the statement."""
+    import re
+
+    try:
+        desc = con.execute(f"DESCRIBE {sql}").fetchall()
+    except Exception:  # noqa: BLE001 — non-describable statement
+        dt = con.execute(sql).fetchdf().dtypes
+        return [i for i, d in enumerate(dt) if str(d) == "float64"]
+    always = re.compile(r"^(HUGEINT|UHUGEINT|DOUBLE|DECIMAL\()")
+    integral = re.compile(r"^U?(TINYINT|SMALLINT|INTEGER|BIGINT)$")
+    out: list[int] = []
+    for i, row in enumerate(desc):
+        t = str(row[1]).upper()
+        if always.match(t):
+            out.append(i)
+        elif integral.match(t) and any(r[i] is None for r in rows):
+            out.append(i)
+    return out
 
 
 def hugeint_columns(con: duckdb.DuckDBPyConnection, sql: str) -> list[str]:

@@ -10097,7 +10097,12 @@ _DRIVER_WINDOW = [
     # exact-overlap side — freeing the slot for the new sketch-algebra
     # family below; stays CI-green.)
     "anti_customers_without_orders",
-    "theta_audience_overlap",
+    # (theta_audience_overlap rotated out in r8 — driver-proven green
+    # since r2; J4 keeps range_join_price_bands in-window — for the
+    # new r7 hybrid-retrieval family rrf_hybrid_ranking_documents
+    # (reciprocal-rank fusion of the BM25 and cosine legs), never
+    # driver-checked; stays CI-green.)
+    "rrf_hybrid_ranking_documents",
     "range_join_price_bands",
     "asof_latest_order_before_event",
     # (cross_join_region_segment, approx_distinct_users and
@@ -10107,7 +10112,13 @@ _DRIVER_WINDOW = [
     # covers A4) — to make room for the three NEW r4 operator families
     # below; all three stay CI-oracle green via
     # tests/test_correctness_full.py.)
-    "salted_join_segment_revenue",
+    # (salted_join_segment_revenue rotated out in r8 — driver-proven
+    # green since r4; the equi-join + skew surface stays in-window via
+    # q3/q9/q18 — for the new r7 partition-layout family
+    # partition_pruned_events_daily (hive-partitioned write + pruned
+    # one-day read, partitionCount==1 pinned), never driver-checked;
+    # stays CI-green.)
+    "partition_pruned_events_daily",
     # grouping/agg families
     # (rollup_revenue_region_nation rotated out in r7 — driver-proven
     # green since r2; A3 keeps grouping_sets_revenue in-window — for
@@ -10160,7 +10171,14 @@ _DRIVER_WINDOW = [
     # rotated out in r4 — family siblings of the two lines above — to
     # make room for the newly recall-attested ANN entries below; both
     # stay CI-oracle green via tests/test_correctness_full.py)
-    "window_top_orders_per_customer",
+    # (window_top_orders_per_customer rotated out in r8 — driver-proven
+    # green since r1; the W family keeps daily_streaks_users,
+    # sliding_distinct_users_daily and seqmatch_user_journeys
+    # in-window — for the new r7 schema-lifecycle family
+    # schema_evolution_documents (mergeSchema union of versioned
+    # snapshots + missing-rate audit), never driver-checked; stays
+    # CI-green.)
+    "schema_evolution_documents",
     # (sessionization_events rotated out in r7 — driver-proven green
     # since r2 — for its event-sequencing W-family sibling
     # daily_streaks_users (gaps-and-islands consecutive-day streaks,
@@ -10195,7 +10213,12 @@ _DRIVER_WINDOW = [
     # incremental-maintenance family: the merge==full-recompute
     # identity is exactly what the driver's independent kernel should
     # audit; stays CI-green.)
-    "incremental_agg_merge_orders",
+    # (incremental_agg_merge_orders rotated out in r8 — driver-proven
+    # green in r6 AND r7 — for its incremental-maintenance sibling
+    # incremental_clusters_documents (Gupta–Mumick for connectivity:
+    # star-collapsed prior components ∪ new edges, full-recompute
+    # oracle), never driver-checked; stays CI-green.)
+    "incremental_clusters_documents",
     # (events_hourly_agg rotated out in r4c — its F2 date-function
     # surface runs in-window inside gap_fill_events_hourly's bucketing
     # — for the distributed-prefix-sum family below; stays CI-green.)
@@ -10270,7 +10293,13 @@ _DRIVER_WINDOW = [
     "golden_record_documents",
     "semantic_dedup_embeddings",
     "ivfpq_topk_embeddings",
-    "embedding_near_dup_clustered",
+    # (embedding_near_dup_clustered rotated out in r8 — driver-proven
+    # green since r4; the embedding family keeps cosine_topk,
+    # semantic_dedup and ivfpq in-window — for the new r7 streaming
+    # mergeable-sketch family streaming_mg_heavy_hitters (Misra–Gries
+    # store whose counter addition IS the merge), never
+    # driver-checked; stays CI-green.)
+    "streaming_mg_heavy_hitters",
     # LLM pipeline: text + corpus + multimodal
     "text_metrics_by_lang",
     "lang_id_documents",
