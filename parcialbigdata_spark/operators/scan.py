@@ -10,30 +10,86 @@ genuinely GLOBAL scan: ECDFs, global ranks, cumulative totals).
 Two-phase scan (Blelloch 1990, the textbook parallel prefix-sum,
 re-expressed in DataFrame ops):
 
-1. **Local pass** — ``repartitionByRange`` on the order key gives
-   range-partitioned data; a window partitioned by
-   ``spark_partition_id()`` computes per-partition running sums. The
-   window's hash exchange on the partition id moves each range bucket
-   as a unit — P parallel tasks, no single reducer.
-2. **Offset pass** — per-partition totals form a ≤P-row relation
+1. **Local pass** — an explicit range-bucket column (assigned
+   row-locally from sampled quantile boundaries of the leading order
+   column) splits the total order into P contiguous buckets; ONE
+   ``repartition`` on the bucket id clusters each bucket, and the
+   per-bucket running-sum window plus the per-bucket totals
+   aggregation both reuse that exchange (their required clustering is
+   exactly the repartition key) — P parallel tasks, no single reducer,
+   ONE data-sized shuffle. (The r7 design reached the same
+   parallelism via ``repartitionByRange`` + a window on
+   ``spark_partition_id()``, but Catalyst cannot know the pid column
+   is partition-local, so the window re-shuffled the whole relation a
+   SECOND time — the explicit bucket column is how the plan proves
+   its own clustering.)
+2. **Offset pass** — per-bucket totals form a ≤P-row relation
    (bounded by the cluster's partition count, NOT by data volume); an
    exclusive prefix sum over it — the only single-partition window, on
-   P rows — yields each partition's starting offset, broadcast-joined
+   P rows — yields each bucket's starting offset, broadcast-joined
    back. ``global running sum = local running sum + offset``.
 
-The input is persisted before branching so both passes observe the
-SAME ``spark_partition_id()`` assignment (range boundaries come from a
-sample; re-execution could legally re-draw them).
+Bucket boundaries come from one ``percentile_approx`` probe job over
+the leading order column (a pushed single-column scan — the same
+sampling pass ``repartitionByRange``'s RangePartitioner runs
+internally, made explicit). Correctness NEVER depends on boundary
+quality: any monotone bucket assignment yields the exact answer
+(skewed boundaries only cost parallelism), ties of the leading column
+share a bucket, and NULLs land in the bucket matching their sort
+position (first for ascending, last for descending). Non-numeric
+leading order columns (no percentile support) fall back to the r7
+``repartitionByRange`` + pid-window path, which is correct but pays
+the second data-sized exchange.
 
-Result is partition-invariant: offsets add exactly what an
-unpartitioned scan would have accumulated, so the oracle can verify
+Result is partition- and boundary-invariant: offsets add exactly what
+an unpartitioned scan would have accumulated, so the oracle can verify
 with a plain ``SUM() OVER (ORDER BY ...)``.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _bucket_column(
+    df: DataFrame,
+    order_cols: list[str],
+    num_partitions: int,
+    descending: bool,
+    boundaries: list | None = None,
+) -> Column | None:
+    """Row-local range-bucket id over the total ``order_cols`` order
+    (bucket i's rows all precede bucket i+1's), or ``None`` when the
+    leading order column's type has no percentile support. Boundaries
+    are quantiles of the leading column only — ties share a bucket,
+    which preserves the ordering invariant for any tie-break columns;
+    duplicate boundaries (heavy ties) just leave some buckets empty.
+
+    ``boundaries`` (driver-side values of the leading column's type)
+    skips the probe job entirely — callers that KNOW their order
+    column's range (e.g. rank positions uniform in [1, N]) pass
+    explicit splits, which matters when the input is an expensive
+    pipeline the probe would otherwise re-execute."""
+    first = order_cols[0]
+    if boundaries is None:
+        qs = [i / num_partitions for i in range(1, num_partitions)]
+        try:
+            row = df.agg(
+                F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]))
+            ).first()
+        except Exception:  # noqa: BLE001 — non-numeric order column
+            return None
+        boundaries = row[0] if row is not None else None
+    uniq = sorted({b for b in (boundaries or []) if b is not None})
+    # asc rank = #boundaries strictly below the value; NULL comparisons
+    # yield 0, i.e. the first ascending bucket (asc_nulls_first) and,
+    # via the descending flip below, the last descending bucket
+    # (desc_nulls_last) — matching the sort-order null placement.
+    asc = F.lit(0)
+    for b in uniq:
+        asc = asc + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
+    return (F.lit(len(uniq)) - asc) if descending else asc
 
 
 def partitioned_cumsum(
@@ -42,28 +98,41 @@ def partitioned_cumsum(
     value_cols: dict[str, str],
     num_partitions: int = 32,
     group_cols: list[str] | None = None,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Running sums of each ``value_cols`` key (aliased to its value)
     in ``order_cols`` order, two-phase — no single-partition window
-    over the data. ``order_cols`` must be a total order (add a
-    tie-break column if not); output keeps all input columns and
-    appends the cumulative ones.
+    over the data and (numeric leading order column) ONE data-sized
+    shuffle. ``order_cols`` must be a total order (add a tie-break
+    column if not); output keeps all input columns and appends the
+    cumulative ones.
 
     ``group_cols`` restarts the scan per group WITHOUT hashing each
     group onto one reducer (a plain ``PARTITION BY group`` window
     sends 90% of the table through one task when one group is 90% of
-    it): the range partitioner splits on (group, order) so a huge
-    group spans MANY partitions, and the offset relation grows only to
-    ≤ groups × partitions rows."""
+    it): the shuffle keys on (group, bucket), so a huge group spans
+    MANY buckets, and the offset relation grows only to
+    ≤ groups × buckets rows."""
     group_cols = group_cols or []
-    ranged = (
-        df.repartitionByRange(
-            num_partitions, *[F.col(c) for c in [*group_cols, *order_cols]]
+    bkt = _bucket_column(
+        df, order_cols, num_partitions, descending=False, boundaries=boundaries
+    )
+    if bkt is None:
+        return _cumsum_ranged_fallback(
+            df, order_cols, value_cols, num_partitions, group_cols
         )
-        .sortWithinPartitions(*group_cols, *order_cols)
-        .withColumn("__pid", F.spark_partition_id())
+    # Persist + EAGER materialization: an already-built cache retains
+    # the repartition's HashPartitioning (an unbuilt one reports
+    # unknown partitioning under AQE and every consumer re-shuffles —
+    # measured, tests pin it), so the window below and the totals agg
+    # read the one materialized shuffle with NO further exchange, and
+    # the cache also cuts the upstream lineage out of both branches.
+    ranged = (
+        df.withColumn("__pid", bkt)
+        .repartition(num_partitions, *[F.col(c) for c in [*group_cols, "__pid"]])
         .persist()
     )
+    ranged.count()
     w_local = (
         Window.partitionBy(*group_cols, "__pid")
         .orderBy(*[F.col(c) for c in order_cols])
@@ -73,10 +142,12 @@ def partitioned_cumsum(
     for src, out in value_cols.items():
         local = local.withColumn(out, F.sum(src).over(w_local))
 
+    # Same clustering as the materialized repartition — no second
+    # exchange.
     totals = ranged.groupBy(*group_cols, "__pid").agg(
         *[F.sum(src).alias(f"__tot_{out}") for src, out in value_cols.items()]
     )
-    # Exclusive prefix over the ≤ groups×partitions-row totals
+    # Exclusive prefix over the ≤ groups×buckets-row totals
     # relation: the only window whose input is cluster-sized (and,
     # grouped, it parallelizes across groups), not data-sized.
     w_off = Window.partitionBy(*group_cols).orderBy("__pid").rowsBetween(
@@ -91,11 +162,15 @@ def partitioned_cumsum(
         ],
     )
     out_df = local.join(F.broadcast(offs), [*group_cols, "__pid"])
+    return _merge_offsets(out_df, value_cols)
+
+
+def _merge_offsets(out_df: DataFrame, value_cols: dict[str, str]) -> DataFrame:
     # SQL running-sum NULL semantics: SUM() OVER an all-NULL (or
     # empty) prefix is NULL, and the first non-NULL value starts the
-    # sum. The per-partition offset is therefore NOT coalesced to 0 —
+    # sum. The per-bucket offset is therefore NOT coalesced to 0 —
     # a row whose local prefix is all-NULL must inherit the carry from
-    # earlier partitions (off), a row in the first partitions with no
+    # earlier buckets (off), a row in the first buckets with no
     # earlier non-NULL keeps its local value, and only when BOTH are
     # NULL is the result NULL. coalesce(local+off, local, off) encodes
     # exactly that case split in one expression.
@@ -109,6 +184,52 @@ def partitioned_cumsum(
     return out_df.drop("__pid", *[f"__off_{out}" for out in value_cols.values()])
 
 
+def _cumsum_ranged_fallback(
+    df: DataFrame,
+    order_cols: list[str],
+    value_cols: dict[str, str],
+    num_partitions: int,
+    group_cols: list[str],
+) -> DataFrame:
+    """r7 path for non-numeric leading order columns:
+    ``repartitionByRange`` + a window on ``spark_partition_id()``.
+    Correct, but the window re-shuffles on the opaque pid column — two
+    data-sized exchanges. The input is persisted so both passes
+    observe the SAME pid assignment (range boundaries come from a
+    sample; re-execution could legally re-draw them)."""
+    ranged = (
+        df.repartitionByRange(
+            num_partitions, *[F.col(c) for c in [*group_cols, *order_cols]]
+        )
+        .withColumn("__pid", F.spark_partition_id())
+        .persist()
+    )
+    w_local = (
+        Window.partitionBy(*group_cols, "__pid")
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged
+    for src, out in value_cols.items():
+        local = local.withColumn(out, F.sum(src).over(w_local))
+    totals = ranged.groupBy(*group_cols, "__pid").agg(
+        *[F.sum(src).alias(f"__tot_{out}") for src, out in value_cols.items()]
+    )
+    w_off = Window.partitionBy(*group_cols).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offs = totals.select(
+        *group_cols,
+        "__pid",
+        *[
+            F.sum(f"__tot_{out}").over(w_off).alias(f"__off_{out}")
+            for out in value_cols.values()
+        ],
+    )
+    out_df = local.join(F.broadcast(offs), [*group_cols, "__pid"])
+    return _merge_offsets(out_df, value_cols)
+
+
 def partitioned_carry(
     df: DataFrame,
     order_cols: list[str],
@@ -116,6 +237,7 @@ def partitioned_carry(
     out_col: str,
     descending: bool = False,
     num_partitions: int = 32,
+    boundaries: list | None = None,
 ) -> DataFrame:
     """Global last-non-null carry (LOCF) in ``order_cols`` order
     without a single-reducer window — the keyless distributed as-of.
@@ -123,36 +245,46 @@ def partitioned_carry(
     ``out_col`` = the most recent non-null ``value_col`` at or before
     each row in the global order (``descending=True`` reverses the
     order, which turns LOCF into next-observation-carried-backward).
-    Same two-phase shape as :func:`partitioned_cumsum`: a range
-    partition + per-partition ``last(ignorenulls)`` window does the
-    local carry in parallel; each partition's final non-null value
-    forms a ≤P-row relation whose own (tiny) LOCF yields the carry
-    entering each partition, broadcast-joined back and coalesced.
+    Same two-phase shape as :func:`partitioned_cumsum` (explicit
+    range-bucket column, one data-sized shuffle that the local-carry
+    window and the bucket-tail aggregation both reuse): a
+    per-bucket ``last(ignorenulls)`` window does the local carry in
+    parallel; each bucket's final non-null value forms a ≤P-row
+    relation whose own (tiny) LOCF yields the carry entering each
+    bucket, broadcast-joined back and coalesced.
 
     The keyed as-of (``operators/joins.as_of_join``) shuffles on the
     join key — many keys, natural parallelism. This handles the
     degenerate KEYLESS case (one global order: rank→value lookups,
     global step functions) where the keyed plan would hash everything
-    to one reducer. With ``descending=True`` the order columns must be
-    numeric (the partition-tail reduction negates them inside a struct
-    max)."""
+    to one reducer. The order columns must be numeric: bucket
+    boundaries come from ``percentile_approx``, and with
+    ``descending=True`` the bucket-tail reduction additionally negates
+    them inside a struct max."""
     sort_exprs = [
         F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
     ]
+    bkt = _bucket_column(df, order_cols, num_partitions, descending, boundaries)
+    if bkt is None:
+        raise ValueError(
+            f"partitioned_carry needs a numeric leading order column for "
+            f"bucket boundaries; got {dict(df.dtypes).get(order_cols[0])!r}"
+        )
+    # Persist + eager materialization — same cache-partitioning
+    # discipline as partitioned_cumsum (see there).
     ranged = (
-        df.repartitionByRange(num_partitions, *sort_exprs)
-        .sortWithinPartitions(*sort_exprs)
-        .withColumn("__pid", F.spark_partition_id())
-        .persist()
+        df.withColumn("__pid", bkt).repartition(num_partitions, "__pid").persist()
     )
+    ranged.count()
     w_local = (
         Window.partitionBy("__pid")
         .orderBy(*sort_exprs)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     local = ranged.withColumn("__local", F.last(value_col, ignorenulls=True).over(w_local))
-    # Last non-null raw value per partition, by order position: max of
-    # (order, value) structs over non-null rows only.
+    # Last non-null raw value per bucket, by order position: max of
+    # (order, value) structs over non-null rows only. Same clustering
+    # as the repartition — no second exchange.
     tail_struct = F.struct(
         *[(-F.col(c)).alias(c) if descending else F.col(c).alias(c) for c in order_cols],
         F.col(value_col).alias("__v"),
@@ -163,9 +295,9 @@ def partitioned_carry(
         .agg(F.max(tail_struct).alias("__t"))
         .select("__pid", F.col("__t.__v").alias("__tail"))
     )
-    # LOCF over the ≤P-row partition-tail relation: the carry ENTERING
-    # partition p is the latest tail among partitions < p. Build it
-    # over ALL partition ids — a partition with zero non-null rows has
+    # LOCF over the ≤P-row bucket-tail relation: the carry ENTERING
+    # bucket p is the latest tail among buckets < p. Build it
+    # over ALL bucket ids — a bucket with zero non-null rows has
     # no tail but still forwards its predecessors' carry.
     all_pids = ranged.select("__pid").distinct()
     w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
@@ -209,7 +341,18 @@ def ks_two_sample(
     per_value = tagged.groupBy("v").agg(
         F.sum("ia").alias("ca"), F.sum("ib").alias("cb")
     )
-    cum = partitioned_cumsum(per_value, ["v"], {"ca": "cum_a", "cb": "cum_b"})
+    # Bucket boundaries probed on the RAW pre-agg rows (a pushed
+    # single-column scan), not on per_value — letting the cumsum probe
+    # itself would re-execute the distinct-value aggregation once.
+    nq = 32
+    vb = tagged.agg(
+        F.percentile_approx(
+            F.col("v"), F.array(*[F.lit(i / nq) for i in range(1, nq)])
+        )
+    ).first()[0]
+    cum = partitioned_cumsum(
+        per_value, ["v"], {"ca": "cum_a", "cb": "cum_b"}, boundaries=list(vb or [])
+    )
     totals = tagged.agg(
         F.sum("ia").cast("bigint").alias("n_a"), F.sum("ib").cast("bigint").alias("n_b")
     )
@@ -262,10 +405,31 @@ def quantile_normalize(
        boundary rows via descending :func:`partitioned_carry`.
 
     Returns (id, group, value, qn) — ``qn`` aliased
-    ``qn_<value_col>``."""
+    ``qn_<value_col>``.
+
+    Boundary discipline (r8): the three scan calls receive EXPLICIT
+    bucket boundaries so none of them runs its own probe job over an
+    expensive input — one ``percentile_approx`` over the raw value
+    column serves both cumsums (row-quantiles are a fine layout for
+    the distinct-value CDF too), and the carry's positions are ranks
+    uniform in [1, N] by construction, so its splits are just
+    ``i·N/P`` (N from one metadata-cheap ``count()``). Without this
+    the carry's probe would re-execute the whole rank pipeline once
+    before the real run."""
     vtype = dict(df.dtypes)[value_col]
     itype = dict(df.dtypes)[id_col]
     gtype = dict(df.dtypes)[group_col]
+
+    qs = [i / num_partitions for i in range(1, num_partitions)]
+    probe = df.agg(
+        F.percentile_approx(F.col(value_col), F.array(*[F.lit(q) for q in qs])),
+        F.count(F.lit(1)),
+    ).first()
+    vbounds = list(probe[0] or [])
+    n_total = int(probe[1])
+    pos_bounds = [
+        max(1, (i * n_total) // num_partitions) for i in range(1, num_partitions)
+    ]
 
     base = df.select(id_col, group_col, value_col).withColumn("__one", F.lit(1))
     r = partitioned_cumsum(
@@ -274,23 +438,24 @@ def quantile_normalize(
         {"__one": "__r"},
         num_partitions,
         group_cols=[group_col],
+        boundaries=vbounds,
     )
     n_grp = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
-    n_all = df.agg(F.count(F.lit(1)).alias("__n_all"))
     kpos = (
         r.join(F.broadcast(n_grp), group_col)
-        .crossJoin(F.broadcast(n_all))
         .withColumn(
             "__kpos",
             F.ceil(
                 (F.col("__r").cast("double") - F.lit(0.5))
-                * F.col("__n_all")
+                * F.lit(n_total)
                 / F.col("__n_grp")
             ).cast("bigint"),
         )
     )
     gcnt = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    gcum = partitioned_cumsum(gcnt, [value_col], {"__cnt": "__cum"}, num_partitions)
+    gcum = partitioned_cumsum(
+        gcnt, [value_col], {"__cnt": "__cum"}, num_partitions, boundaries=vbounds
+    )
 
     probes = kpos.select(
         F.col("__kpos").alias("__pos"),
@@ -318,6 +483,7 @@ def quantile_normalize(
         "__qn",
         descending=True,
         num_partitions=num_partitions,
+        boundaries=pos_bounds,
     )
     return carried.filter(F.col(id_col).isNotNull()).select(
         id_col, group_col, value_col, F.col("__qn").alias(f"qn_{value_col}")

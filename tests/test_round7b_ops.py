@@ -66,13 +66,25 @@ def test_partitioned_cumsum_matches_global_window_and_is_partition_invariant(spa
         assert got == expected, f"num_partitions={p}"
 
 
-def test_partitioned_cumsum_plan_has_range_partitioning(spark):
+def test_partitioned_cumsum_plan_single_data_exchange(spark):
+    # r8: the explicit range-bucket column replaces repartitionByRange
+    # + spark_partition_id(); the local window and the totals agg must
+    # REUSE the one explicit repartition — Catalyst adding an
+    # ENSURE_REQUIREMENTS exchange on the bucket column is exactly the
+    # double-shuffle this design eliminates.
     from parcialbigdata_spark.operators.scan import partitioned_cumsum
 
     df = spark.range(0, 100).select(F.col("id").alias("k"), F.lit(1).alias("x"))
     out = partitioned_cumsum(df, ["k"], {"x": "cum"}, num_partitions=4)
     plan = out._jdf.queryExecution().executedPlan().toString()
-    assert "rangepartitioning" in plan.lower()
+    assert "REPARTITION_BY_NUM" in plan
+    assert "rangepartitioning" not in plan.lower()
+    bad = [
+        line
+        for line in plan.splitlines()
+        if "ENSURE_REQUIREMENTS" in line and "__pid" in line
+    ]
+    assert not bad, f"window/agg re-shuffled the bucketed data: {bad}"
 
 
 def test_ks_two_sample_known_value(spark):
