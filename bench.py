@@ -178,6 +178,17 @@ BENCH_QUERIES = [
     # wall time is prior-CC + incremental-CC — more than one full
     # recompute, which misrepresents the operator. The focused
     # measurement lives in R7_NOTES.md; correctness is oracle-gated.)
+    # r8 new operator families: URL canonicalization + host rollup
+    # (pure-SQL narrow map / natural-key agg), the 2-D z-order box
+    # scan (write + pruned read), and the watermark-eviction outer
+    # join (sentinel-batch drain).
+    "url_canonical_documents",
+    "host_profile_documents",
+    "zorder_scan_orders",
+    "interval_overlap_clicks_errors",
+    # (streaming_left_outer_join_events follows the streaming-family
+    # precedent: oracle-gated, not headline-benched — its wall time is
+    # dominated by the sentinel-file drain harness, not the operator.)
 ]
 
 

@@ -160,6 +160,71 @@ def range_join(
     return left.join(r, condition, how)
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+    equi_on: list[str] | None = None,
+) -> DataFrame:
+    """Scalable interval-overlap join: every (left, right) pair whose
+    closed intervals intersect (``l_start <= r_end AND r_start <=
+    l_end``), found WITHOUT a nested-loop join — the bucketized
+    overlap join (the unit-time partitioning of DeWitt et al.'s
+    partitioned band join, the same decomposition Flink/Interval-join
+    and the IEJoin literature's bucketing baseline use).
+
+    Why it exists: Spark plans a pure inequality condition as
+    BroadcastNestedLoopJoin — fine for band/dimension tables
+    (:func:`range_join`'s contract) but O(n·m) compares and a
+    broadcast-sized right side at 100 TB. Here BOTH sides explode
+    their intervals into fixed-width time buckets
+    (``floor(t / bucket_width)`` … a row-local ``sequence``), the join
+    is a plain EQUI join on (equi keys…, bucket), and Catalyst gives
+    the usual shuffled-hash machinery: cardinality tracks true
+    overlaps per bucket, never |L|×|R|.
+
+    Dedup without ``distinct()``: a pair overlapping k shared buckets
+    would emit k times, so the match is COUNTED ONLY in the canonical
+    bucket — the one containing ``greatest(l_start, r_start)`` (the
+    overlap's left edge, which both sides always explode). A filter,
+    not a data-sized distinct shuffle.
+
+    Interval columns must be integral (epoch seconds/millis — cast
+    timestamps first). ``bucket_width`` trades explode factor
+    (≈ interval_len / width rows per input row) against per-bucket
+    population; set it near the TYPICAL interval length. Long-tail
+    intervals explode into many buckets — cap or split pathological
+    spans upstream (same guidance as the LSH ``max_bucket``).
+
+    Columns: all left columns + all right columns (caller aliases
+    collisions beforehand). Siblings: :func:`range_join` (BNLJ,
+    broadcast-bounded contract), :func:`as_of_join` (nearest-event,
+    not overlap)."""
+    lb = F.floor(F.col(left_start) / bucket_width)
+    le = F.floor(F.col(left_end) / bucket_width)
+    rb = F.floor(F.col(right_start) / bucket_width)
+    re_ = F.floor(F.col(right_end) / bucket_width)
+    lx = left.withColumn("__bkt", F.explode(F.sequence(lb, le)))
+    rx = right.withColumn("__bkt", F.explode(F.sequence(rb, re_)))
+    on = [*(equi_on or []), "__bkt"]
+    canonical = F.floor(
+        F.greatest(F.col(left_start), F.col(right_start)) / bucket_width
+    )
+    return (
+        lx.join(rx, on)
+        .filter(
+            (F.col(left_start) <= F.col(right_end))
+            & (F.col(right_start) <= F.col(left_end))
+            & (F.col("__bkt") == canonical)
+        )
+        .drop("__bkt")
+    )
+
+
 def pareto_front_2d(
     df: DataFrame,
     minimize: str,

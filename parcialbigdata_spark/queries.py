@@ -10069,6 +10069,394 @@ def incremental_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------------------------------------- r8: URL canonicalization
+#
+# The fixture has no URL column, so both engines BUILD the same messy
+# URL deterministically from (doc_id, source) — mixed-case scheme/host,
+# www. prefixes, default and non-default ports, duplicate/trailing
+# slashes, tracking params, unordered params, fragments — and the
+# canonicalization rules (functions/urls.py) are what the hash checks.
+_URL_SQL = """
+    CASE doc_id % 3 WHEN 0 THEN 'HTTP' WHEN 1 THEN 'https' ELSE 'HTTPS' END
+    || '://'
+    || CASE WHEN doc_id % 2 = 0 THEN 'WWW.' ELSE '' END
+    || CASE WHEN doc_id % 5 = 0 THEN upper(source) ELSE source END
+    || '.example.com'
+    || CASE doc_id % 4 WHEN 0 THEN ':443' WHEN 1 THEN ':8080' ELSE '' END
+    || '/docs//' || CAST(doc_id % 50 AS VARCHAR)
+    || CASE WHEN doc_id % 7 = 0 THEN '/' ELSE '' END
+    || CASE doc_id % 6
+         WHEN 0 THEN '?utm_source=feed&b=2&a=1'
+         WHEN 1 THEN '?b=2&a=1'
+         WHEN 2 THEN '?a=1&b=2&gclid=xyz'
+         WHEN 3 THEN '?'
+         ELSE '' END
+    || CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END
+"""
+
+_CANON_SQL = """
+    lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))
+    || '://'
+    || regexp_replace(regexp_replace(
+         lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+         ':[0-9]+$', ''), '^www\\.', '')
+    || CASE
+         WHEN regexp_extract(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) = '' THEN ''
+         WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'http'
+              AND regexp_extract(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) = '80' THEN ''
+         WHEN lower(regexp_extract({u}, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) = 'https'
+              AND regexp_extract(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1) = '443' THEN ''
+         ELSE ':' || regexp_extract(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), ':([0-9]+)$', 1)
+       END
+    || regexp_replace(regexp_replace(
+         regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]+([^?#]*)', 1),
+         '/{{2,}}', '/', 'g'), '/$', '')
+    || CASE
+         WHEN coalesce(array_to_string(list_sort(list_filter(
+                string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))), '&'), '') = ''
+         THEN ''
+         ELSE '?' || array_to_string(list_sort(list_filter(
+                string_split(regexp_extract({u}, '\\?([^#]*)', 1), '&'),
+                p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|gclid|fbclid|msclkid|ref)='))), '&')
+       END
+"""
+
+_HOST_SQL = """
+    regexp_replace(regexp_replace(
+      lower(regexp_extract({u}, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1)),
+      ':[0-9]+$', ''), '^www\\.', '')
+"""
+
+
+def _messy_url_col() -> F.Column:
+    d = F.col("doc_id")
+    scheme = (
+        F.when(d % 3 == 0, F.lit("HTTP"))
+        .when(d % 3 == 1, F.lit("https"))
+        .otherwise(F.lit("HTTPS"))
+    )
+    host = F.concat(
+        F.when(d % 2 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 5 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".example.com"),
+    )
+    port = (
+        F.when(d % 4 == 0, F.lit(":443"))
+        .when(d % 4 == 1, F.lit(":8080"))
+        .otherwise(F.lit(""))
+    )
+    path = F.concat(
+        F.lit("/docs//"),
+        (d % 50).cast("string"),
+        F.when(d % 7 == 0, F.lit("/")).otherwise(F.lit("")),
+    )
+    q = (
+        F.when(d % 6 == 0, F.lit("?utm_source=feed&b=2&a=1"))
+        .when(d % 6 == 1, F.lit("?b=2&a=1"))
+        .when(d % 6 == 2, F.lit("?a=1&b=2&gclid=xyz"))
+        .when(d % 6 == 3, F.lit("?"))
+        .otherwise(F.lit(""))
+    )
+    frag = F.when(d % 8 == 0, F.lit("#sec")).otherwise(F.lit(""))
+    return F.concat(scheme, F.lit("://"), host, port, path, q, frag)
+
+
+@query(
+    "url_canonical_documents",
+    f"""
+    SELECT doc_id, url, {_CANON_SQL.format(u="url")} AS canon_url,
+           {_HOST_SQL.format(u="url")} AS host
+    FROM (SELECT doc_id, {_URL_SQL} AS url FROM documents)
+    """,
+)
+def url_canonical_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization (functions/urls.py) — the CommonCrawl-style
+    pre-dedup key: scheme/host lowercased, default ports and leading
+    www. stripped, fragments and tracking params dropped, remaining
+    params sorted, slashes normalized. The messy input URL is built
+    deterministically from (doc_id, source) on BOTH engines, so the
+    hash checks the RULES, not the synthesis. One narrow projection —
+    no shuffle, no UDF; at 100 TB this runs inline during the scan.
+    Siblings: ``canonical_dedup_documents`` (content-key analog, and
+    the downstream consumer of canonical URL keys),
+    ``host_profile_documents`` (the host-level rollup of this key)."""
+    from parcialbigdata_spark.functions import urls as U
+
+    docs = load_table(spark, sf_dir, "documents")
+    with_url = docs.select("doc_id", "source").withColumn("url", _messy_url_col())
+    return with_url.select(
+        "doc_id",
+        "url",
+        U.canonicalize_url(F.col("url")).alias("canon_url"),
+        U.url_host(F.col("url")).alias("host"),
+    )
+
+
+@query(
+    "host_profile_documents",
+    f"""
+    WITH c AS (
+      SELECT doc_id, lang,
+             {_HOST_SQL.format(u="url")} AS host,
+             {_CANON_SQL.format(u="url")} AS canon_url
+      FROM (SELECT doc_id, lang, {_URL_SQL} AS url FROM documents)
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canon_url) AS n_canonical,
+           ROUND(1.0 - COUNT(DISTINCT canon_url) / COUNT(*), 6) AS url_dup_ratio,
+           COUNT(DISTINCT lang) AS n_langs
+    FROM c GROUP BY host
+    """,
+)
+def host_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level crawl profile over canonical URLs: docs per host,
+    distinct canonical URLs, the URL-alias duplication ratio (what
+    canonicalization is FOR — the same canonical key reached through
+    different spellings), and language spread. One hash aggregation
+    keyed on the canonical host — the politeness/quality bucketing a
+    crawler applies before fetching; at 100 TB the host key has
+    millions of values, so the shuffle parallelizes naturally (no
+    fixed-cardinality key). Sibling: ``url_canonical_documents`` (the
+    row-level rules this rollup consumes); ``text_metrics_by_lang``
+    (the content-side quality profile)."""
+    from parcialbigdata_spark.functions import urls as U
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.select("doc_id", "lang", "source").withColumn("url", _messy_url_col()).select(
+        "doc_id",
+        "lang",
+        U.url_host(F.col("url")).alias("host"),
+        U.canonicalize_url(F.col("url")).alias("canon_url"),
+    )
+    return c.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("canon_url").alias("n_canonical"),
+        F.round(
+            F.lit(1.0) - F.countDistinct("canon_url") / F.count(F.lit(1)), 6
+        ).alias("url_dup_ratio"),
+        F.countDistinct("lang").alias("n_langs"),
+    )
+
+
+@query(
+    "streaming_left_outer_join_events",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           CAST(floor(epoch(p.ts)) AS BIGINT) - CAST(floor(epoch(c.ts)) AS BIGINT)
+             AS secs_between
+    FROM events c LEFT JOIN events p
+      ON p.user_id = c.user_id AND p.event_type = 'purchase'
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 30 MINUTE
+    WHERE c.event_type = 'click'
+    """,
+)
+def streaming_left_outer_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """E4: watermarked stream-stream LEFT OUTER join drained to the
+    exact batch LEFT JOIN (the oracle). The trap this query exists to
+    pin (see streaming/windows.py ``click_purchase_join_outer``):
+    null-extended rows are emitted by watermark-driven state EVICTION,
+    not by matching, so the source must deliver trailing batches that
+    push the watermark past every real click's match horizon —
+    otherwise the drain silently returns only the inner rows. The
+    fixture is therefore re-written as THREE files consumed one per
+    micro-batch (maxFilesPerTrigger=1, mtime-ordered): the real
+    events, then two sentinel files holding one far-future click +
+    purchase each on impossible user ids (< 0). Sentinel batch 1
+    advances the watermark past max(ts)+horizon; sentinel batch 2
+    makes the engine apply it (eviction uses the PREVIOUS batch's
+    watermark), flushing every unmatched real click. Sentinels are
+    dropped from the result by ``user_id >= 0``. Inner sibling:
+    ``streaming_click_purchase_join`` (same horizon, same shuffle-on-
+    user shape, no eviction dependence)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    from datetime import timedelta
+
+    from parcialbigdata_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        click_purchase_join_outer,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    base = tempfile.mkdtemp(prefix="ssjoin-")
+    try:
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+
+        def write_file(df: DataFrame, name: str, mtime: float) -> None:
+            tmp = os.path.join(base, f"w_{name}")
+            df.coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"{name}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (mtime, mtime))
+
+        import time as _time
+
+        now = _time.time()
+        sentinels = [
+            [
+                (-1, max_ts + timedelta(hours=10 * i), -1, "click", 0.0, None),
+                (-2, max_ts + timedelta(hours=10 * i), -2, "purchase", 0.0, None),
+            ]
+            for i in (1, 2)
+        ]
+        write_file(ev, "f0_events", now - 300)
+        write_file(
+            spark.createDataFrame(sentinels[0], EVENTS_SCHEMA), "f1_flush", now - 200
+        )
+        write_file(
+            spark.createDataFrame(sentinels[1], EVENTS_SCHEMA), "f2_flush", now - 100
+        )
+
+        stream = (
+            spark.readStream.schema(EVENTS_SCHEMA)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(stream_dir)
+        )
+        joined = click_purchase_join_outer(stream)
+        out = _drain(joined, output_mode="append").filter(F.col("user_id") >= 0)
+        # Materialize before the stream dir disappears (memory-sink rows
+        # are already driver-side; the filter result is re-derived from
+        # them, not from the files).
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "zorder_scan_orders",
+    """
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM orders
+    WHERE o_custkey BETWEEN 100 AND 600
+      AND o_totalprice BETWEEN 50000 AND 150000
+    GROUP BY o_orderpriority
+    """,
+)
+def zorder_scan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout at query level — the third leg of
+    the storage-layout triad: bucketing kills the join shuffle
+    (``minhash_bucketed_near_dups_documents``), hive partitioning
+    kills the scan (``partition_pruned_events_daily``), and
+    MULTI-COLUMN ordering kills the 2-D range read — a layout sorted
+    on one column serves only that column's predicates, while the
+    interleaved-bits Morton key (sources/warehouse.py ``zorder_key``,
+    pure codegen bit arithmetic) keeps rows close in EVERY listed
+    dimension, so parquet footer min/max stats stay tight on all of
+    them simultaneously and a conjunctive range predicate skips most
+    files/row groups (row-group-level skipping pinned in
+    tests/test_round8_ops.py against a single-column-sorted twin of
+    the same data). Orders land z-ordered by (o_custkey,
+    o_totalprice); the query is the canonical 2-D box scan. The
+    oracle filters the raw table — identical rows, the layout only
+    changes what is READ; at 100 TB that difference is the read
+    amplification factor."""
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.sources.warehouse import write_zordered
+
+    base = tempfile.mkdtemp(prefix="zorder_orders_")
+    try:
+        orders = load_table(spark, sf_dir, "orders")
+        write_zordered(
+            orders, f"{base}/z", ["o_custkey", "o_totalprice"], num_files=16
+        )
+        z = spark.read.parquet(f"{base}/z")
+        out = (
+            z.filter(
+                F.col("o_custkey").between(100, 600)
+                & F.col("o_totalprice").between(50000, 150000)
+            )
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+                .cast("double")
+                .alias("sum_price"),
+            )
+        )
+        # Materialize before the layout dir disappears; ≤5 rows.
+        rows = out.collect()
+        return spark.createDataFrame(rows, out.schema)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+@query(
+    "interval_overlap_clicks_errors",
+    """
+    WITH c AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS c_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS c_end
+      FROM events WHERE event_type = 'click'
+    ), e AS (
+      SELECT user_id, event_id AS error_id,
+             CAST(floor(epoch(ts)) AS BIGINT) AS e_start,
+             CAST(floor(epoch(ts)) AS BIGINT) + 600 AS e_end
+      FROM events WHERE event_type = 'error'
+    )
+    SELECT c.user_id AS user_id, click_id, error_id,
+           least(c_end, e_end) - greatest(c_start, e_start) AS overlap_secs
+    FROM c JOIN e
+      ON e.user_id = c.user_id
+     AND c_start <= e_end AND e_start <= c_end
+    """,
+)
+def interval_overlap_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalable interval-overlap join (operators/joins.py
+    ``interval_overlap_join``): each user's 10-minute click-activity
+    windows paired with their overlapping 10-minute error windows —
+    "which errors landed during active sessions". The J4 theta-family
+    upgrade: ``theta_audience_overlap``/``range_join`` carry an
+    intentionally-bounded BroadcastNestedLoop contract, while this
+    plan explodes both interval sets into fixed-width time buckets
+    row-locally and runs a plain EQUI join on (user_id, bucket) —
+    cardinality tracks true overlaps, nothing is broadcast, and the
+    per-pair dedup is a canonical-bucket FILTER (the bucket holding
+    the overlap's left edge), not a data-sized distinct. The oracle
+    is the direct inequality join — bucketing is invisible in the
+    result."""
+    ev = load_table(spark, sf_dir, "events")
+    s = F.unix_timestamp(F.col("ts"))
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("event_id").alias("click_id"),
+        s.alias("c_start"),
+        (s + 600).alias("c_end"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("event_id").alias("error_id"),
+        s.alias("e_start"),
+        (s + 600).alias("e_end"),
+    )
+    out = joins.interval_overlap_join(
+        clicks, errors, "c_start", "c_end", "e_start", "e_end",
+        bucket_width=600, equi_on=["user_id"],
+    )
+    return out.select(
+        "user_id",
+        "click_id",
+        "error_id",
+        (
+            F.least("c_end", "e_end") - F.greatest("c_start", "e_start")
+        ).alias("overlap_secs"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

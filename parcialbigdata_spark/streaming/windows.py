@@ -175,6 +175,67 @@ def click_purchase_join(
     )
 
 
+def click_purchase_join_outer(
+    events: DataFrame, horizon: str = "30 minutes", watermark: str = "1 hour"
+) -> DataFrame:
+    """Watermarked stream-stream LEFT OUTER join (E4): every click
+    paired with the same user's purchases within ``horizon``, and
+    clicks with NO such purchase emitted once — with NULL purchase
+    columns — when the watermark proves no match can still arrive.
+
+    The correctness trap vs the inner sibling
+    (:func:`click_purchase_join`): inner matches emit as soon as both
+    rows are buffered, but the null-extended rows are emitted by STATE
+    EVICTION — a buffered click flushes only when the right-side
+    watermark passes ``c_ts + horizon``. Watermarks advance at batch
+    BOUNDARIES from the previous batch's max event time, so a
+    single-batch ``availableNow`` drain never evicts anything and the
+    "outer" part silently never happens; even multi-batch, the rows
+    near the stream's end stay buffered at termination. Draining this
+    join to a batch-equivalent answer therefore requires the SOURCE to
+    deliver trailing batches whose event times push the watermark past
+    every real click's horizon — the sentinel-file pattern the
+    registered query (queries.py streaming_left_outer_join_events)
+    builds, keeping this operator honest end to end.
+
+    State is bounded exactly as in the inner join (both sides
+    watermarked, both join-time bounds present); the extra cost of
+    leftOuter is only that evicted-unmatched rows produce output."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+        .withWatermark("p_ts", watermark)
+    )
+    return (
+        clicks.join(
+            purchases,
+            (F.col("c_user") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("c_ts"))
+            & (F.col("p_ts") <= F.col("c_ts") + F.expr(f"INTERVAL {horizon}")),
+            "leftOuter",
+        )
+        .select(
+            F.col("c_user").alias("user_id"),
+            "click_id",
+            "purchase_id",
+            (F.unix_timestamp("p_ts") - F.unix_timestamp("c_ts")).alias("secs_between"),
+        )
+    )
+
+
 _STATE_SCHEMA = "n bigint"
 _COUNT_OUT_SCHEMA = "user_id bigint, n_events bigint"
 

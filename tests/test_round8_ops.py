@@ -193,6 +193,171 @@ def test_ngram_jaccard_pairs_rejects_nonpositive_threshold(spark):
         dedup.ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.0)
 
 
+# -------------------------------------------------- URL canonicalization
+
+
+def test_canonicalize_url_rules(spark):
+    from parcialbigdata_spark.functions import urls as U
+
+    cases = [
+        # scheme+host lowercased, www/default port stripped, fragment dropped
+        ("HTTPS://WWW.Example.COM:443/a/b#frag", "https://example.com/a/b"),
+        ("http://example.com:80/", "http://example.com"),
+        # non-default port survives
+        ("http://example.com:8080/x", "http://example.com:8080/x"),
+        # tracking params dropped, rest sorted, empty ? dropped
+        ("http://e.com/p?utm_source=x&b=2&a=1", "http://e.com/p?a=1&b=2"),
+        ("http://e.com/p?gclid=1&fbclid=2&utm_campaign=z", "http://e.com/p"),
+        ("http://e.com/p?", "http://e.com/p"),
+        # duplicate + trailing slashes
+        ("http://e.com//a//b/", "http://e.com/a/b"),
+        ("http://e.com/", "http://e.com"),
+        # unparseable → NULL
+        ("not a url", None),
+        ("/relative/only", None),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [
+        r.c for r in df.select(U.canonicalize_url(F.col("url")).alias("c")).collect()
+    ]
+    assert got == [want for _, want in cases]
+
+
+def test_url_host_strips_port_and_www(spark):
+    from parcialbigdata_spark.functions import urls as U
+
+    df = spark.createDataFrame(
+        [("https://WWW.Sub.Example.com:8443/x?q=1",)], "url string"
+    )
+    assert df.select(U.url_host(F.col("url"))).first()[0] == "sub.example.com"
+
+
+def test_url_canonical_collapses_aliases(spark):
+    from parcialbigdata_spark.functions import urls as U
+
+    aliases = [
+        "http://WWW.e.com/a?b=2&a=1",
+        "HTTP://e.com:80/a?a=1&b=2&utm_medium=m",
+        "http://e.com//a/?a=1&b=2#sec",
+    ]
+    df = spark.createDataFrame([(u,) for u in aliases], "url string")
+    got = {
+        r.c for r in df.select(U.canonicalize_url(F.col("url")).alias("c")).collect()
+    }
+    assert got == {"http://e.com/a?a=1&b=2"}
+
+
+# --------------------------------- stream-stream left outer join eviction
+
+
+def test_click_purchase_outer_matches_inner_on_matched_rows(spark):
+    # The outer builder's matched rows must equal the inner builder's
+    # output on a static frame (batch mode: leftOuter join directly).
+    from parcialbigdata_spark.sources.tables import load_table
+    from parcialbigdata_spark.streaming.windows import (
+        click_purchase_join,
+        click_purchase_join_outer,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    ev = load_table(spark, sf, "events")
+    inner = {tuple(r) for r in click_purchase_join(ev).collect()}
+    outer = {
+        tuple(r)
+        for r in click_purchase_join_outer(ev)
+        .filter(F.col("purchase_id").isNotNull())
+        .collect()
+    }
+    assert outer == inner
+
+
+# ------------------------------------------- z-order 2-D box-scan locality
+
+
+def test_zorder_box_scan_reads_fewer_row_groups_than_sorted(spark, tmp_path):
+    """The registered zorder_scan_orders predicate (custkey AND
+    totalprice box) must be satisfiable from fewer row groups under the
+    Morton layout than under a single-column o_custkey sort — the
+    row-group-stats pin behind the query's 100 TB read-amplification
+    claim."""
+    import pathlib
+
+    import pyarrow.parquet as pq
+
+    from parcialbigdata_spark.sources.tables import load_table
+    from parcialbigdata_spark.sources.warehouse import write_sorted, write_zordered
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    zdir, sdir = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(orders, zdir, ["o_custkey", "o_totalprice"], num_files=16)
+    write_sorted(orders, sdir, ["o_custkey"], num_files=16)
+
+    def overlapping_row_groups(d):
+        n = 0
+        for f in pathlib.Path(d).glob("*.parquet"):
+            md = pq.ParquetFile(str(f)).metadata
+            idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            for rg in range(md.num_row_groups):
+                ck = md.row_group(rg).column(idx["o_custkey"]).statistics
+                tp = md.row_group(rg).column(idx["o_totalprice"]).statistics
+                ck_hit = ck.min <= 600 and ck.max >= 100
+                tp_hit = float(tp.min) <= 150000 and float(tp.max) >= 50000
+                if ck_hit and tp_hit:
+                    n += 1
+        return n
+
+    z_hits, s_hits = overlapping_row_groups(zdir), overlapping_row_groups(sdir)
+    assert z_hits < s_hits, f"z-order row groups {z_hits} !< sorted {s_hits}"
+
+
+# ------------------------------------------- bucketized interval join
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    import itertools
+    import random
+
+    from parcialbigdata_spark.operators import joins
+
+    rng = random.Random(8)
+    lrows = [(i, rng.randrange(0, 5000), rng.randrange(1, 900)) for i in range(60)]
+    rrows = [(i, rng.randrange(0, 5000), rng.randrange(1, 900)) for i in range(60)]
+    left = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in lrows], "lid int, l_s long, l_e long"
+    )
+    right = spark.createDataFrame(
+        [(i, s, s + d) for i, s, d in rrows], "rid int, r_s long, r_e long"
+    )
+    for width in (50, 300, 1000):
+        got = {
+            (r.lid, r.rid)
+            for r in joins.interval_overlap_join(
+                left, right, "l_s", "l_e", "r_s", "r_e", bucket_width=width
+            ).collect()
+        }
+        exp = {
+            (li, ri)
+            for (li, ls, ld), (ri, rs, rd) in itertools.product(lrows, rrows)
+            if ls <= rs + rd and rs <= ls + ld
+        }
+        assert got == exp, f"width={width}"
+
+
+def test_interval_overlap_join_emits_each_pair_once(spark):
+    # A pair overlapping MANY shared buckets must still emit one row
+    # (the canonical-bucket filter, not a distinct).
+    from parcialbigdata_spark.operators import joins
+
+    left = spark.createDataFrame([(1, 0, 10_000)], "lid int, l_s long, l_e long")
+    right = spark.createDataFrame([(2, 5, 9_999)], "rid int, r_s long, r_e long")
+    out = joins.interval_overlap_join(
+        left, right, "l_s", "l_e", "r_s", "r_e", bucket_width=10
+    )
+    assert out.count() == 1
+
+
 # -------------------------------------- oracle float64 dtype inference
 
 

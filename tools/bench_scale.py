@@ -60,6 +60,17 @@ HEAVY = [
     "ks_2sample_order_values",
     "quantile_normalize_documents",
     "record_linkage_customers",
+    # r8: families rotated into the driver window this round (VERDICT
+    # r7 item 6 invariant: every window family has a 10x datapoint)
+    # plus the heaviest of the new r8 families.
+    "rrf_hybrid_ranking_documents",
+    "partition_pruned_events_daily",
+    "schema_evolution_documents",
+    "incremental_clusters_documents",
+    "host_profile_documents",
+    "zorder_scan_orders",
+    "interval_overlap_clicks_errors",
+    "streaming_left_outer_join_events",
 ]
 
 
@@ -92,6 +103,14 @@ def main() -> int:
             "ratio": round(r1["sec"] / max(r01["sec"], 1e-9), 2),
             "rows_sf01": r01["rows"],
             "rows_sf1": r1["rows"],
+            # Output-normalized ratio (VERDICT r7 item 7): when the
+            # result legitimately grows faster than the input (pair
+            # emitters like record_linkage: the replicated sf1 copies
+            # ARE near-duplicates, so output grows ~100x for 10x
+            # input), raw sec-ratio conflates engine cost with result
+            # size; sec per 1k emitted rows separates them.
+            "sec_per_1k_rows_sf01": round(r01["sec"] * 1000 / max(r01["rows"], 1), 4),
+            "sec_per_1k_rows_sf1": round(r1["sec"] * 1000 / max(r1["rows"], 1), 4),
             "bhj": f"{r01['joins_bhj']}->{r1['joins_bhj']}",
             "smj": f"{r01['joins_smj']}->{r1['joins_smj']}",
             "exch": f"{r01['exchanges']}->{r1['exchanges']}",
