@@ -93,31 +93,36 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
 
+    def _label_sum(lab: DataFrame) -> int:
+        # Exact DECIMAL(38) sum — no overflow for any realistic
+        # node-count × id-magnitude product.
+        return lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+
+    prev_sum = _label_sum(labels)
     for _ in range(max_iter):
         # TWO hops per checkpoint/convergence probe: label distance
         # covered per round doubles while the per-round FIXED costs
-        # (eager checkpoint + changed-probe action) stay constant —
+        # (eager checkpoint + convergence probe) stay constant —
         # at fixture scale those fixed costs dominate the loop, and at
         # cluster scale the second hop's joins are the same
         # data-proportional work either way. Idempotent at the
         # fixpoint, so overshooting by one hop after convergence
         # changes nothing.
         new_labels = _hop(_hop(labels)).localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.node") == F.col("o.node"))
-            .filter(F.col("n.comp") != F.col("o.comp"))
-            .limit(1)
-            .count()
-        )
-        # The changed-probe above was the last read of the previous
-        # round's labels; release its checkpoint so the loop holds at
-        # most two label generations in executor storage at any time.
+        # Convergence probe: min-label propagation is MONOTONE — every
+        # node's label is non-increasing per hop — so the label sum
+        # strictly decreases until the fixpoint and is constant exactly
+        # there. Comparing exact sums replaces the r7 per-round
+        # equality JOIN of two data-sized label relations (a shuffle
+        # join per round) with one trivial aggregate over the relation
+        # just checkpointed.
+        cur_sum = _label_sum(new_labels)
         release_checkpoint(labels)
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             release_checkpoint(edges)
             return labels.select(F.col("node"), F.col("comp").alias("component"))
+        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
