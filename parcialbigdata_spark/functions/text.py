@@ -221,16 +221,25 @@ def top_token_ratio(text: Column | str) -> Column:
     return top_token_ratio_from_tokens(tokens(F.lower(_c(text))))
 
 
-def dup_bigram_ratio_from_tokens(toks: Column) -> Column:
-    """``toks`` must be lowercased tokens."""
+def bigrams_from_tokens(toks: Column) -> Column:
+    """COUNTED word bigrams (``'w1 w2'`` strings, duplicates kept) —
+    the occurrence stream an n-gram language model is estimated from,
+    unlike :func:`shingles_from_tokens` whose distinct sets feed
+    similarity ops. Row-local sequence+transform, no UDF, no shuffle;
+    <2 tokens → empty array."""
     n = F.size(toks)
-    grams = F.when(
+    return F.when(
         n >= 2,
         F.transform(
             F.sequence(F.lit(0), n - 2),
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 2)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def dup_bigram_ratio_from_tokens(toks: Column) -> Column:
+    """``toks`` must be lowercased tokens."""
+    grams = bigrams_from_tokens(toks)
     ng = F.size(grams)
     return (ng - F.size(F.array_distinct(grams))) / F.greatest(ng, F.lit(1))
 

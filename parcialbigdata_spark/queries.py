@@ -10457,6 +10457,213 @@ def interval_overlap_clicks_errors(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@query(
+    "ngram_lm_quality_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, lang,
+             {_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))} AS toks
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, lang,
+             unnest(list_transform(range(1, greatest(len(toks), 1)),
+                                   i -> toks[i] || ' ' || toks[i+1])) AS bg
+      FROM toks
+    ), ref_bi AS (
+      SELECT bg, COUNT(*) AS n_bi FROM bg WHERE lang = 'en' GROUP BY bg
+    ), ref_uni AS (
+      SELECT split_part(bg, ' ', 1) AS w1, CAST(SUM(n_bi) AS BIGINT) AS n_uni
+      FROM ref_bi GROUP BY 1
+    ), vocab AS (
+      SELECT COUNT(DISTINCT split_part(bg, ' ', 2)) AS v FROM ref_bi
+    ), scored AS (
+      SELECT b.doc_id, b.lang,
+             (1000000 * (COALESCE(r.n_bi, 0) + 1))
+               // (COALESCE(u.n_uni, 0) + v.v) AS ppm,
+             CASE WHEN r.n_bi IS NULL THEN 1 ELSE 0 END AS oov
+      FROM bg b
+      LEFT JOIN ref_bi r USING (bg)
+      LEFT JOIN ref_uni u ON split_part(b.bg, ' ', 1) = u.w1
+      CROSS JOIN vocab v
+    )
+    SELECT doc_id, lang, COUNT(*) AS n_bigrams,
+           CAST(SUM(oov) AS BIGINT) AS oov_bigrams,
+           CAST(CAST(SUM(ppm) AS BIGINT) // COUNT(*) AS BIGINT) AS avg_prob_ppm
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def ngram_lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the CCNet-style corpus filter
+    (Wenzek et al., *CCNet: Extracting High Quality Monolingual
+    Datasets from Web Crawl Data*, LREC 2020): estimate an add-one
+    smoothed bigram model on a reference slice (here ``lang = 'en'``)
+    and score every document by its mean smoothed conditional
+    probability p(w2|w1) = (c(w1 w2)+1)/(c(w1 ·)+V), plus its
+    out-of-vocabulary bigram count. Textbook filters report log-space
+    perplexity; this reports the mean probability in exact integer
+    PARTS-PER-MILLION (per-bigram ``(1e6*num) div den``, then an
+    integer-division mean) — the same monotone low-scores-are-junk
+    signal with NO cross-engine libm ``ln`` in the hash (the
+    determinism rule ``tfidf_top_terms`` documents; integer sums are
+    order-independent, double log-sums are not).
+
+    Plan: one tokenize+bigram explode (row-local, counted — see
+    ``functions/text.py bigrams_from_tokens`` vs the DISTINCT shingle
+    sets similarity ops use); the model relations ``ref_bi``/``ref_uni``
+    are VOCABULARY-sized hash aggs, so AQE broadcasts them onto the
+    corpus-sized bigram stream (at 100 TB a ~10M-entry bigram table is
+    a few hundred MB — still broadcast range; beyond that the join
+    keys on the bigram string, cardinality grows with vocabulary, no
+    skew wall); the final per-doc agg shuffles on doc_id. Siblings:
+    ``tfidf_top_terms`` (df-weighted term stats, not a generative
+    score), ``text_metrics_by_lang`` (surface heuristics),
+    ``decontaminate_documents`` (membership against a reference, not
+    likelihood under it)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.tokens(T.normalize("text")).alias("toks")
+    )
+    bg = docs.select(
+        "doc_id", "lang", F.explode(T.bigrams_from_tokens(F.col("toks"))).alias("bg")
+    )
+    ref_bi = (
+        bg.filter(F.col("lang") == "en")
+        .groupBy("bg")
+        .agg(F.count(F.lit(1)).alias("n_bi"))
+    )
+    ref_uni = ref_bi.groupBy(
+        F.substring_index("bg", " ", 1).alias("w1")
+    ).agg(F.sum("n_bi").alias("n_uni"))
+    vocab = ref_bi.agg(
+        F.countDistinct(F.substring_index("bg", " ", -1)).alias("v")
+    )
+    scored = (
+        bg.join(ref_bi, "bg", "left")
+        .withColumn("w1", F.substring_index("bg", " ", 1))
+        .join(ref_uni, "w1", "left")
+        .crossJoin(vocab)
+        .withColumn(
+            "num", (F.coalesce(F.col("n_bi"), F.lit(0)) + 1) * F.lit(1000000)
+        )
+        .withColumn("den", F.coalesce(F.col("n_uni"), F.lit(0)) + F.col("v"))
+        .withColumn("ppm", F.expr("num div den"))
+        .withColumn(
+            "oov", F.when(F.col("n_bi").isNull(), F.lit(1)).otherwise(F.lit(0))
+        )
+    )
+    return scored.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.sum("oov").alias("oov_bigrams"),
+        F.expr("sum(ppm) div count(1)").alias("avg_prob_ppm"),
+    )
+
+
+@query(
+    "compaction_plan_documents",
+    """
+    WITH files AS (
+      SELECT source, doc_id % 8 AS file_id,
+             CAST(SUM(n_chars) AS BIGINT) AS bytes, COUNT(*) AS n_docs
+      FROM documents GROUP BY 1, 2
+    ), planned AS (
+      SELECT source, file_id, bytes, n_docs,
+             CAST(COALESCE(
+               SUM(bytes) OVER (PARTITION BY source
+                                ORDER BY bytes DESC, file_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND CURRENT ROW) - bytes,
+               0) AS BIGINT) // 2000 AS bin
+      FROM files
+    )
+    SELECT source, bin, COUNT(*) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           MAX(bytes) AS max_file_bytes
+    FROM planned GROUP BY source, bin
+    """,
+)
+def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction PLAN (sources/warehouse.py
+    ``plan_compaction_bins``): build a file manifest (here synthesized
+    deterministically — per-source files keyed ``doc_id % 8`` with
+    byte size = summed n_chars, the same both engines), then
+    next-fit-decreasing bin packing toward a 2000-byte target and a
+    per-bin rollup (file count, bytes, max input file). This is the
+    metadata-side half of lakehouse ``OPTIMIZE``: the planner reads
+    the MANIFEST (millions of rows at 100 TB, not billions), windows
+    per hive partition (compaction never crosses partitions — it would
+    break pruning), and each output bin becomes one rewrite task;
+    ``compact_small_files`` is the execution-side sibling that
+    coalesce-rewrites without choosing groupings. All-integer output —
+    nothing floating in the hash. Siblings: ``zorder_scan_orders`` /
+    ``partition_pruned_events_daily`` (the layout this job maintains),
+    ``merge_upsert_orders`` (the writer whose fine-grained output
+    creates the small files)."""
+    from parcialbigdata_spark.sources import warehouse as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    files = docs.groupBy(
+        "source", (F.col("doc_id") % 8).alias("file_id")
+    ).agg(
+        F.sum("n_chars").alias("bytes"), F.count(F.lit(1)).alias("n_docs")
+    )
+    plan = W.plan_compaction_bins(
+        files, ["source"], "bytes", "file_id", target_bytes=2000
+    )
+    return plan.groupBy("source", "bin").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.sum("n_docs").alias("n_docs"),
+        F.max("bytes").alias("max_file_bytes"),
+    )
+
+
+@query(
+    "skyline_orders",
+    """
+    WITH g AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS price,
+             MAX(o_orderdate) AS best
+      FROM orders GROUP BY 1, 2
+    ), r1 AS (
+      SELECT grp, price, best,
+             MAX(best) OVER (PARTITION BY grp ORDER BY price
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND CURRENT ROW) AS run
+      FROM g
+    ), r2 AS (
+      SELECT grp, price, best,
+             LAG(run) OVER (PARTITION BY grp ORDER BY price) AS prev
+      FROM r1
+    )
+    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, o.o_orderdate
+    FROM orders o
+    JOIN r2 ON o.o_orderpriority = r2.grp AND o.o_totalprice = r2.price
+           AND o.o_orderdate = r2.best
+    WHERE r2.prev IS NULL OR r2.best > r2.prev
+    """,
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline / Pareto frontier (operators/skyline.py ``skyline_2d``,
+    Börzsönyi et al. ICDE 2001): per order priority, the orders no
+    other order beats on BOTH price (lower) and recency (later) — the
+    multi-criteria "best offers" operator the relational algebra
+    lacks. The naive form is a quadratic NOT-EXISTS theta self-join;
+    the 2-D sort-filter form here is one distinct-price hash agg + two
+    shared-sort windows + a distinct-value-sized join back (AQE
+    broadcasts it), everything partitioned by the group column — see
+    the module docstring for the local-skyline/merge contract a global
+    frontier uses at 100 TB. Siblings: ``topk_parts_by_price``
+    (single-criterion ranking), ``keyset_pagination_orders`` (ordered
+    scan, no dominance)."""
+    from parcialbigdata_spark.operators.skyline import skyline_2d
+
+    orders = load_table(spark, sf_dir, "orders")
+    sky = skyline_2d(orders, ["o_orderpriority"], "o_totalprice", "o_orderdate")
+    return sky.select(
+        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.

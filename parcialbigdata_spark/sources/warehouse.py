@@ -22,7 +22,8 @@ join plan contains no Exchange.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
 
 
 def write_bucketed(
@@ -321,6 +322,56 @@ def write_training_shards(
         .partitionBy("shard")
         .format(fmt)
         .save(path)
+    )
+
+
+def plan_compaction_bins(
+    files: DataFrame,
+    part_cols: "list[str]",
+    size_col: str,
+    id_col: str,
+    target_bytes: int,
+) -> DataFrame:
+    """Bin-packing PLAN for small-file compaction: assign each file in
+    a manifest relation (one row per file, ``size_col`` bytes,
+    ``id_col`` unique within the partition) to an output bin of
+    ~``target_bytes`` — the metadata-side half of
+    :func:`compact_small_files` (which executes a coalesce rewrite
+    without choosing groupings) and what Delta/Iceberg ``OPTIMIZE``
+    computes from the table manifest before launching rewrite tasks.
+
+    Algorithm: next-fit-decreasing — within each partition, files
+    ordered by (size desc, id), bin = running-sum-before-this-file
+    ``div`` target. Deterministic (the tie-break is total), single
+    window pass, and NFD's guarantee fits compaction exactly: every
+    bin except possibly the last per partition holds >= target bytes
+    BEFORE its last file lands, so no two adjacent bins could merge —
+    the planned file count is within 2x of optimal (classical NFD
+    bound) while never splitting a file.
+
+    Scale: the input is the MANIFEST, not the data — millions of rows
+    for a 100 TB lake, not billions. The window partitions by the
+    table's partition columns (compaction never merges across hive
+    partitions, it would break pruning), so planning parallelizes per
+    partition with one metadata-sized shuffle; the plan relation then
+    drives rewrite tasks (one per bin) that read only their own files.
+    Returns ``files`` + a ``bin`` column."""
+    w = Window.partitionBy(*part_cols).orderBy(
+        F.col(size_col).desc(), F.col(id_col)
+    )
+    cum_before = F.coalesce(
+        F.sum(size_col).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        - F.col(size_col),
+        F.lit(0),
+    )
+    return (
+        files.withColumn("__cum_before", cum_before.cast("bigint"))
+        # `div` (exact bigint division) — a double `/` + cast would
+        # round above 2^53 bytes of cumulative partition size.
+        .withColumn("bin", F.expr(f"__cum_before div {int(target_bytes)}"))
+        .drop("__cum_before")
     )
 
 
