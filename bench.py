@@ -190,10 +190,9 @@ BENCH_QUERIES = [
     # precedent: oracle-gated, not headline-benched — its wall time is
     # dominated by the sentinel-file drain harness, not the operator.)
     # r8b: bigram-LM corpus filter (explode + broadcast model join),
-    # NFD compaction planner (manifest window), 2-D skyline.
+    # NFD compaction planner (manifest window).
     "ngram_lm_quality_documents",
     "compaction_plan_documents",
-    "skyline_orders",
 ]
 
 

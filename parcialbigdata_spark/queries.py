@@ -10519,7 +10519,10 @@ def ngram_lm_quality_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     score), ``text_metrics_by_lang`` (surface heuristics),
     ``decontaminate_documents`` (membership against a reference, not
     likelihood under it)."""
-    docs = load_table(spark, sf_dir, "documents").select(
+    # spread(): the tokenize+bigram explode is the CPU-heavy narrow map
+    # — a small single-file fixture would otherwise run it on 2/32
+    # cores (no-op at scale, see sources/tables.spread).
+    docs = spread(load_table(spark, sf_dir, "documents")).select(
         "doc_id", "lang", T.tokens(T.normalize("text")).alias("toks")
     )
     bg = docs.select(
@@ -10596,8 +10599,8 @@ def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     coalesce-rewrites without choosing groupings. All-integer output —
     nothing floating in the hash. Siblings: ``zorder_scan_orders`` /
     ``partition_pruned_events_daily`` (the layout this job maintains),
-    ``merge_upsert_orders`` (the writer whose fine-grained output
-    creates the small files)."""
+    ``upsert_latest_events`` / ``sources/warehouse.py merge_upsert``
+    (the writers whose fine-grained output creates the small files)."""
     from parcialbigdata_spark.sources import warehouse as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -10614,53 +10617,6 @@ def compaction_plan_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("bytes").alias("bin_bytes"),
         F.sum("n_docs").alias("n_docs"),
         F.max("bytes").alias("max_file_bytes"),
-    )
-
-
-@query(
-    "skyline_orders",
-    """
-    WITH g AS (
-      SELECT o_orderpriority AS grp, o_totalprice AS price,
-             MAX(o_orderdate) AS best
-      FROM orders GROUP BY 1, 2
-    ), r1 AS (
-      SELECT grp, price, best,
-             MAX(best) OVER (PARTITION BY grp ORDER BY price
-                             ROWS BETWEEN UNBOUNDED PRECEDING
-                                      AND CURRENT ROW) AS run
-      FROM g
-    ), r2 AS (
-      SELECT grp, price, best,
-             LAG(run) OVER (PARTITION BY grp ORDER BY price) AS prev
-      FROM r1
-    )
-    SELECT o.o_orderpriority, o.o_orderkey, o.o_totalprice, o.o_orderdate
-    FROM orders o
-    JOIN r2 ON o.o_orderpriority = r2.grp AND o.o_totalprice = r2.price
-           AND o.o_orderdate = r2.best
-    WHERE r2.prev IS NULL OR r2.best > r2.prev
-    """,
-)
-def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Skyline / Pareto frontier (operators/skyline.py ``skyline_2d``,
-    Börzsönyi et al. ICDE 2001): per order priority, the orders no
-    other order beats on BOTH price (lower) and recency (later) — the
-    multi-criteria "best offers" operator the relational algebra
-    lacks. The naive form is a quadratic NOT-EXISTS theta self-join;
-    the 2-D sort-filter form here is one distinct-price hash agg + two
-    shared-sort windows + a distinct-value-sized join back (AQE
-    broadcasts it), everything partitioned by the group column — see
-    the module docstring for the local-skyline/merge contract a global
-    frontier uses at 100 TB. Siblings: ``topk_parts_by_price``
-    (single-criterion ranking), ``keyset_pagination_orders`` (ordered
-    scan, no dominance)."""
-    from parcialbigdata_spark.operators.skyline import skyline_2d
-
-    orders = load_table(spark, sf_dir, "orders")
-    sky = skyline_2d(orders, ["o_orderpriority"], "o_totalprice", "o_orderdate")
-    return sky.select(
-        "o_orderpriority", "o_orderkey", "o_totalprice", "o_orderdate"
     )
 
 
@@ -10698,7 +10654,13 @@ _DRIVER_WINDOW = [
     # (reciprocal-rank fusion of the BM25 and cosine legs), never
     # driver-checked; stays CI-green.)
     "rrf_hybrid_ranking_documents",
-    "range_join_price_bands",
+    # (range_join_price_bands rotated out in r8b — driver-proven green
+    # since r2; J4 is now represented by its own scale upgrade
+    # interval_overlap_clicks_errors (bucketized band join: row-local
+    # bucket explode → equi join → canonical-bucket dedup filter, the
+    # plan that replaces the broadcast-bounded BNLJ contract), new in
+    # r8 and never driver-checked; stays CI-green.)
+    "interval_overlap_clicks_errors",
     "asof_latest_order_before_event",
     # (cross_join_region_segment, approx_distinct_users and
     # stats_quantity_price rotated out in r4 — each had a same-family
@@ -10841,7 +10803,13 @@ _DRIVER_WINDOW = [
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",
-    "q9_profit_by_nation_year",
+    # (q9_profit_by_nation_year rotated out in r8b — driver-proven
+    # green since r2; the multi-way star-join + conditional-agg shape
+    # stays in-window via q3/q18/q1 — for the new r8 layout family
+    # zorder_scan_orders (Morton-interleaved write + 2-D box scan with
+    # row-group skipping pinned vs a single-column sort), never
+    # driver-checked; stays CI-green.)
+    "zorder_scan_orders",
     "q18_large_volume_orders",
     # (q21_sole_supplier_orders rotated out in r7b — driver-proven
     # green since r2; the EXISTS/NOT-EXISTS decorrelation shape stays
@@ -10857,7 +10825,13 @@ _DRIVER_WINDOW = [
     "ref_parse_listings",
     # LLM pipeline: dedup
     "canonical_dedup_documents",
-    "minhash_near_dups_documents",
+    # (minhash_near_dups_documents rotated out in r8b — driver-proven
+    # green since r2; its zero-exchange twin
+    # minhash_bucketed_near_dups_documents carries the SAME exhaustive
+    # Jaccard oracle in-window — for the new r8b corpus-quality family
+    # ngram_lm_quality_documents (CCNet-style bigram-LM filter in
+    # exact integer ppm), never driver-checked; stays CI-green.)
+    "ngram_lm_quality_documents",
     # (simhash_near_dups_documents rotated out in r7b — driver-proven
     # green since r2; the Hamming-LSH family stays CI-green — for the
     # new r7 storage-layout family minhash_bucketed_near_dups_documents
@@ -10879,7 +10853,14 @@ _DRIVER_WINDOW = [
     "dedup_clusters_documents",
     # LLM pipeline: embeddings (r4: ivfpq + clustered near-dup carry
     # the planted-cluster recall attestations into the hard signal)
-    "cosine_topk_embeddings",
+    # (cosine_topk_embeddings rotated out in r8b — driver-proven green
+    # since r1; the exact-cosine surface stays in-window inside
+    # ivfpq_topk_embeddings' exact-rescore shortlist and
+    # semantic_dedup_embeddings' within-cluster cosine — for the new
+    # r8b lake-maintenance family compaction_plan_documents
+    # (next-fit-decreasing bin packing over the file manifest), never
+    # driver-checked; stays CI-green.)
+    "compaction_plan_documents",
     # (knn_join_embeddings rotated out in r7b — driver-proven green
     # since r3; the embedding family keeps FOUR reps in-window — for
     # the new r7 MDM-survivorship family golden_record_documents
@@ -10896,7 +10877,13 @@ _DRIVER_WINDOW = [
     # driver-checked; stays CI-green.)
     "streaming_mg_heavy_hitters",
     # LLM pipeline: text + corpus + multimodal
-    "text_metrics_by_lang",
+    # (text_metrics_by_lang rotated out in r8b — driver-proven green
+    # since r2; N4 keeps lang_id_documents in-window — for the new r8
+    # crawl-key family host_profile_documents (URL canonicalization
+    # rules + host-level alias-dup rollup; its oracle embeds the same
+    # _CANON_SQL rules as sibling url_canonical_documents), never
+    # driver-checked; stays CI-green.)
+    "host_profile_documents",
     "lang_id_documents",
     # (decontaminate_documents rotated out in r6b — driver-proven
     # green since r3; the corpus family keeps chunk_documents
@@ -10907,7 +10894,14 @@ _DRIVER_WINDOW = [
     "chunk_documents",
     "binary_media_features",
     # streaming
-    "streaming_hourly_events",
+    # (streaming_hourly_events rotated out in r8b — driver-proven
+    # green since r2; E4's watermark+window surface stays in-window
+    # via streaming_reservoir_events and streaming_mg_heavy_hitters —
+    # for the new r8 stream-stream family
+    # streaming_left_outer_join_events (watermark-eviction LEFT OUTER
+    # with sentinel-batch drain == batch LEFT JOIN), never
+    # driver-checked; stays CI-green.)
+    "streaming_left_outer_join_events",
     # (streaming_dedup_events rotated out in r7b — driver-proven green
     # since r2; exactly-once dedup-at-arrival stays CI-green — for the
     # new r7 streaming-sampling family streaming_reservoir_events

@@ -399,7 +399,7 @@ def test_float64_columns_falls_back_without_describe():
     assert _float64_columns(con, sql, rows) in ([0], [0])
 
 
-# ------------------------- r8b: bigram LM / compaction plan / skyline
+# ------------------------- r8b: bigram LM / compaction plan
 
 
 def test_bigrams_from_tokens_counted_and_edges(spark):
@@ -413,58 +413,6 @@ def test_bigrams_from_tokens_counted_and_edges(spark):
     assert got[0] == ["a b", "b a", "a b"]
     assert got[1] == [] and got[2] == []
     assert got[3] == ["x y"]
-
-
-def _brute_skyline(rows):
-    # rows: (grp, price, date, id); minimize price, maximize date.
-    out = []
-    for o in rows:
-        dominated = any(
-            d[0] == o[0]
-            and d[1] <= o[1]
-            and d[2] >= o[2]
-            and (d[1] < o[1] or d[2] > o[2])
-            for d in rows
-        )
-        if not dominated:
-            out.append(o[3])
-    return sorted(out)
-
-
-def test_skyline_2d_matches_brute_force(spark):
-    from parcialbigdata_spark.operators.skyline import skyline_2d
-
-    rows = [
-        # grp A: frontier should be (1, 9), (2, 12); (1, 9) twice (tie
-        # in both dims -> both survive); (1, 7) dominated by (1, 9);
-        # (3, 12) dominated by (2, 12) on price with equal date.
-        ("A", 1.0, 9, 1),
-        ("A", 1.0, 9, 2),
-        ("A", 1.0, 7, 3),
-        ("A", 2.0, 12, 4),
-        ("A", 3.0, 12, 5),
-        ("A", 5.0, 1, 6),
-        # grp B: strictly increasing date with price -> all on frontier
-        ("B", 1.0, 1, 7),
-        ("B", 2.0, 2, 8),
-        ("B", 3.0, 3, 9),
-    ]
-    df = spark.createDataFrame(rows, "grp string, price double, d int, id int")
-    got = sorted(
-        r.id for r in skyline_2d(df, ["grp"], "price", "d").collect()
-    )
-    assert got == _brute_skyline(rows) == [1, 2, 4, 7, 8, 9]
-
-
-def test_skyline_2d_excludes_null_dimensions(spark):
-    from parcialbigdata_spark.operators.skyline import skyline_2d
-
-    df = spark.createDataFrame(
-        [("A", None, 9, 1), ("A", 1.0, None, 2), ("A", 2.0, 5, 3)],
-        "grp string, price double, d int, id int",
-    )
-    got = [r.id for r in skyline_2d(df, ["grp"], "price", "d").collect()]
-    assert got == [3]
 
 
 def test_plan_compaction_bins_matches_nfd_simulation(spark):
