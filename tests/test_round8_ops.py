@@ -440,3 +440,46 @@ def test_plan_compaction_bins_matches_nfd_simulation(spark):
     # no bin skipped, and every non-final p1 bin crossed the target
     p1_bins = sorted({b for (p, _), b in got.items() if p == "p1"})
     assert p1_bins == list(range(len(p1_bins)))
+
+
+# ------------------- r8c: bloom pre-join filter / delta join maintenance
+
+
+def test_bloom_filter_no_false_negatives_and_prunes(spark):
+    from parcialbigdata_spark.operators import joins as J
+
+    keys = spark.createDataFrame([(i,) for i in range(0, 2000, 17)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(2000)], "k long")
+    bloom = J.bloom_build(keys, "k")
+    kept = {r.k for r in J.bloom_filter_rows(probe, "k", bloom).collect()}
+    member = {i for i in range(0, 2000, 17)}
+    # no false negatives: every true member survives the filter
+    assert member <= kept
+    # and it actually prunes (64Kbit / 3 hashes over 118 keys -> fp
+    # rate well under 1%; equality would mean the filter is a no-op)
+    assert len(kept) < 2000
+    assert len(kept) - len(member) <= 20
+
+
+def test_delta_join_equals_direct_join(spark):
+    from parcialbigdata_spark.operators.incremental import delta_join
+
+    a = spark.createDataFrame(
+        [(i, i % 5, f"a{i}") for i in range(40)], "id long, k long, pa string"
+    )
+    b = spark.createDataFrame(
+        [(j, j % 5, f"b{j}") for j in range(7)], "bid long, k long, pb string"
+    )
+    direct = {tuple(r) for r in a.join(b, "k").collect()}
+    for a_pred, b_pred in [(3, 2), (1, 7), (40, 1)]:  # incl. empty deltas
+        got = {
+            tuple(r)
+            for r in delta_join(
+                a.filter(F.col("id") % a_pred != 0),
+                a.filter(F.col("id") % a_pred == 0),
+                b.filter(F.col("bid") % b_pred != 0),
+                b.filter(F.col("bid") % b_pred == 0),
+                "k",
+            ).collect()
+        }
+        assert got == direct

@@ -71,10 +71,12 @@ HEAVY = [
     "zorder_scan_orders",
     "interval_overlap_clicks_errors",
     "streaming_left_outer_join_events",
-    # r8b: the second-rotation window entrants (invariant: every
+    # r8b/r8c: the second-rotation window entrants (invariant: every
     # window family has a 10x datapoint).
     "ngram_lm_quality_documents",
     "compaction_plan_documents",
+    "bloom_prejoin_lineitem_parts",
+    "incremental_join_orders_customers",
 ]
 
 
