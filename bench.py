@@ -193,9 +193,11 @@ BENCH_QUERIES = [
     # NFD compaction planner (manifest window).
     "ngram_lm_quality_documents",
     "compaction_plan_documents",
-    # r8c: explicit bloom semi-join pruning, delta-rule join refresh.
+    # r8c: explicit bloom semi-join pruning, delta-rule join refresh,
+    # signed-multiplicity CDC aggregate maintenance.
     "bloom_prejoin_lineitem_parts",
     "incremental_join_orders_customers",
+    "cdc_agg_orders",
 ]
 
 

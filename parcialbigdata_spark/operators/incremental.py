@@ -97,8 +97,9 @@ def delta_join(
     materialized view scan in production; recomputing it here (when no
     stored view is passed) is the fixture stand-in the oracle checks
     the algebra against. Deletions/updates need signed multiplicities
-    (counting algebra) — out of scope; insertions-only matches the
-    append-only lake this engine targets.
+    (counting algebra) — see :func:`signed_agg_refresh`; the
+    insertion-only join rule matches the append-only lake this engine
+    targets.
     """
     return (
         a_old.join(b_old, on)
@@ -106,3 +107,71 @@ def delta_join(
         .unionByName(a_old.join(F.broadcast(b_delta), on))
         .unionByName(F.broadcast(a_delta).join(b_delta, on))
     )
+
+
+def signed_agg_refresh(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    val_col: str,
+    mult_col: str,
+) -> DataFrame:
+    """Aggregate maintenance under DELETES and UPDATES — the counting
+    (signed-multiplicity) algebra that :func:`agg_state`/:func:`merge_agg_states`
+    (insertion-only) cannot express: every change row carries
+    ``mult_col`` ∈ {+1, −1} (an update is a −1 retraction of the old
+    row plus a +1 insertion of the new one), the change batch
+    aggregates to per-key signed deltas (Σmult, Σmult·cents), and a
+    key-grained merge with the base state applies them. Groups whose
+    count reaches zero vanish from the result — exactly the semantics
+    of re-aggregating the post-change snapshot. This is the Z-relation
+    /counting algebra of incremental view processing (Gupta & Mumick
+    1995 counting algorithm; Green et al., *Reconcilable Differences*,
+    ICDT 2009; DBSP/differential dataflow generalize it).
+
+    Only COUNT and SUM survive retractions without auxiliary state —
+    min/max are deliberately absent: deleting the current minimum
+    needs the runner-up, which a scalar state cannot supply (the
+    textbook reason engines keep per-group heaps or re-scan affected
+    groups for MIN/MAX under CDC).
+
+    Scale: the change batch is CDC-sized (MBs against a 100 TB fact);
+    both sides reduce to KEY-GRAINED states before the merge, so the
+    refresh never re-scans processed facts. The merge itself is a
+    full-outer join (a key may exist on either side only), which Spark
+    cannot broadcast — it sort-merges — but both inputs are dim-sized
+    state relations, so the shuffle moves group counts, not facts.
+    Returns (keys, n, sum_cents) for the refreshed view.
+    """
+    cents = F.floor(F.col(val_col) * 100 + F.lit(0.5)).cast("bigint")
+    mult = F.col(mult_col).cast("bigint")
+    base_state = base.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"), F.sum(cents).alias("sum_cents")
+    )
+    delta_state = changes.groupBy(*keys).agg(
+        F.sum(mult).alias("n"), F.sum(mult * cents).alias("sum_cents")
+    )
+    bb = base_state.select(
+        *keys, F.col("n").alias("__b_n"), F.col("sum_cents").alias("__b_s")
+    )
+    # Rename the delta-side keys: both states usually descend from the
+    # same source relation, so identical names would trip Spark's
+    # ambiguous-self-join check in the merge condition.
+    dd = delta_state.select(
+        *[F.col(k).alias(f"__d_{k}") for k in keys],
+        F.col("n").alias("__d_n"),
+        F.col("sum_cents").alias("__d_s"),
+    )
+    cond = None
+    for k in keys:
+        eq = bb[k].eqNullSafe(dd[f"__d_{k}"])
+        cond = eq if cond is None else (cond & eq)
+    zero = F.lit(0).cast("bigint")
+    merged = bb.join(dd, cond, "full_outer").select(
+        *[F.coalesce(bb[k], dd[f"__d_{k}"]).alias(k) for k in keys],
+        (F.coalesce(F.col("__b_n"), zero) + F.coalesce(F.col("__d_n"), zero)).alias("n"),
+        (F.coalesce(F.col("__b_s"), zero) + F.coalesce(F.col("__d_s"), zero)).alias(
+            "sum_cents"
+        ),
+    )
+    return merged.filter(F.col("n") > 0)

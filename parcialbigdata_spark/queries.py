@@ -10715,6 +10715,70 @@ def incremental_join_orders_customers(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+@query(
+    "cdc_agg_orders",
+    """
+    WITH post AS (
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 10 != 3 AND o_orderkey % 20 != 5
+        AND o_orderkey % 20 != 15
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice FROM orders
+      WHERE o_orderkey % 10 = 3
+      UNION ALL
+      SELECT o_orderpriority, o_totalprice * 2 FROM orders
+      WHERE o_orderkey % 20 = 15
+    )
+    SELECT o_orderpriority,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM post GROUP BY o_orderpriority
+    """,
+)
+def cdc_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC aggregate maintenance with RETRACTIONS
+    (operators/incremental.py ``signed_agg_refresh``): a deterministic
+    change batch — deletes (o_orderkey % 20 = 5), updates (% 20 = 15,
+    price doubled; applied as −1 retraction + +1 insertion), inserts
+    (% 10 = 3, absent from the base snapshot) — refreshes per-priority
+    COUNT/SUM through the signed-multiplicity counting algebra, and
+    the oracle re-aggregates the post-change snapshot directly: the
+    hash checks that retraction arithmetic equals recomputation. This
+    is change APPLICATION, completing what ``snapshot_diff_documents``
+    only DETECTS, and the deletion-aware step beyond the
+    insertion-only IVM family (``incremental_agg_merge_orders``
+    aggregates, ``incremental_join_orders_customers`` joins,
+    ``incremental_clusters_documents`` connectivity). At 100 TB the
+    change batch is CDC-sized and both sides collapse to key-grained
+    states before a broadcast merge — no fact re-scan; min/max are
+    deliberately not maintained (retracting the current extremum
+    needs the runner-up — see the operator docstring)."""
+    from parcialbigdata_spark.operators.incremental import signed_agg_refresh
+
+    orders = load_table(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    base = orders.filter(k % 10 != 3)
+    m = lambda s: F.lit(s).alias("__mult")  # noqa: E731
+    dels = base.filter(k % 20 == 5).select("o_orderpriority", "o_totalprice", m(-1))
+    upd_old = base.filter(k % 20 == 15).select(
+        "o_orderpriority", "o_totalprice", m(-1)
+    )
+    upd_new = base.filter(k % 20 == 15).select(
+        "o_orderpriority", (F.col("o_totalprice") * 2).alias("o_totalprice"), m(1)
+    )
+    ins = orders.filter(k % 10 == 3).select("o_orderpriority", "o_totalprice", m(1))
+    changes = dels.unionByName(upd_old).unionByName(upd_new).unionByName(ins)
+    refreshed = signed_agg_refresh(
+        base, changes, ["o_orderpriority"], "o_totalprice", "__mult"
+    )
+    return refreshed.select(
+        "o_orderpriority",
+        F.col("n").alias("n_orders"),
+        F.col("sum_cents").alias("revenue_cents"),
+    )
+
+
 # ---------------------------------------------------------------------
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
@@ -10863,7 +10927,13 @@ _DRIVER_WINDOW = [
     # the new r7 nonparametric-statistics family
     # ks_2sample_order_values (exact two-sample KS on the distributed
     # prefix scan), never driver-checked; stays CI-green.)
-    "ks_2sample_order_values",
+    # (ks_2sample_order_values rotated out in r8c — driver-proven
+    # green in r7; the nonparametric family keeps ab_lift_events and
+    # the prefix-scan family keeps quantile_normalize_documents
+    # in-window — for the new r8c retraction-algebra family
+    # cdc_agg_orders (signed-multiplicity CDC aggregate refresh,
+    # recompute oracle), never driver-checked; stays CI-green.)
+    "cdc_agg_orders",
     # (string_funcs_parts rotated out in r6b — driver-proven green
     # since r1, and the F1 string surface stays in-window via
     # levenshtein (editdist_join_customers), regex/splitting

@@ -483,3 +483,28 @@ def test_delta_join_equals_direct_join(spark):
             ).collect()
         }
         assert got == direct
+
+
+def test_signed_agg_refresh_equals_recompute_and_drops_empty_groups(spark):
+    from parcialbigdata_spark.operators.incremental import signed_agg_refresh
+
+    base = spark.createDataFrame(
+        [("a", 10.0), ("a", 20.0), ("b", 5.0), ("c", 7.0)], "k string, v double"
+    )
+    # delete both 'a' rows (group vanishes), update the 'b' row
+    # (retract 5.0, insert 8.0), insert a row into new group 'd'.
+    changes = spark.createDataFrame(
+        [
+            ("a", 10.0, -1),
+            ("a", 20.0, -1),
+            ("b", 5.0, -1),
+            ("b", 8.0, 1),
+            ("d", 3.0, 1),
+        ],
+        "k string, v double, m int",
+    )
+    got = {
+        (r.k, r.n, r.sum_cents)
+        for r in signed_agg_refresh(base, changes, ["k"], "v", "m").collect()
+    }
+    assert got == {("b", 1, 800), ("c", 1, 700), ("d", 1, 300)}

@@ -77,6 +77,7 @@ HEAVY = [
     "compaction_plan_documents",
     "bloom_prejoin_lineitem_parts",
     "incremental_join_orders_customers",
+    "cdc_agg_orders",
 ]
 
 
