@@ -174,4 +174,18 @@ def signed_agg_refresh(
             "sum_cents"
         ),
     )
-    return merged.filter(F.col("n") > 0)
+    # A negative refreshed count means a retraction arrived for a row
+    # the base never held — corrupt CDC input. Filtering it away would
+    # silently reconcile garbage; fail loudly instead (guarded_bigint
+    # idiom).
+    negative_guard = F.when(
+        F.col("n") < 0,
+        F.raise_error(
+            F.lit(
+                "signed_agg_refresh: group count went negative — a "
+                "retraction has no matching base row (corrupt or "
+                "double-applied CDC batch)"
+            )
+        ).cast("boolean"),
+    ).otherwise(F.col("n") > 0)
+    return merged.filter(negative_guard)

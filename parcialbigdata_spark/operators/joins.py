@@ -306,6 +306,21 @@ def bloom_filter_rows(
     join shuffle, the explicit form of what AQE's injected runtime
     filters do when they apply. ``m_bits``/``k`` must match the build.
     """
+    # Param-mismatch guard: the build embeds its (m, k) in the one-row
+    # relation; probing with different params would hash to DIFFERENT
+    # bits and produce false NEGATIVES — silently wrong join results,
+    # not just lost pruning. raise_error turns that into a loud run
+    # failure (same idiom as diagnostics.guarded_bigint).
+    guard = F.when(
+        (F.col("__m") != F.lit(m_bits)) | (F.col("__k_rounds") != F.lit(k)),
+        F.raise_error(
+            F.lit(
+                "bloom_filter_rows: (m_bits, k) differ from the values "
+                "bloom_build embedded — probe bits would not match build "
+                "bits (false negatives). Pass the same parameters."
+            )
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
     # One SQL expression per hash round (pyspark's F.shiftleft only
     # accepts a literal shift count — the per-row count needs expr()).
     tests = [
@@ -319,6 +334,6 @@ def bloom_filter_rows(
     ]
     return (
         df.crossJoin(F.broadcast(bloom))
-        .filter(F.expr(" AND ".join(tests)))
+        .filter(guard & F.expr(" AND ".join(tests)))
         .drop("__bloom", "__m", "__k_rounds")
     )

@@ -355,7 +355,9 @@ def plan_compaction_bins(
     partitions, it would break pruning), so planning parallelizes per
     partition with one metadata-sized shuffle; the plan relation then
     drives rewrite tasks (one per bin) that read only their own files.
-    Returns ``files`` + a ``bin`` column."""
+    Returns ``files`` + a ``bin`` column. Precondition: ``size_col``
+    is non-negative (file sizes are; a negative value would break the
+    running sum's monotonicity and the NFD bound silently)."""
     w = Window.partitionBy(*part_cols).orderBy(
         F.col(size_col).desc(), F.col(id_col)
     )

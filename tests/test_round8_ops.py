@@ -508,3 +508,24 @@ def test_signed_agg_refresh_equals_recompute_and_drops_empty_groups(spark):
         for r in signed_agg_refresh(base, changes, ["k"], "v", "m").collect()
     }
     assert got == {("b", 1, 800), ("c", 1, 700), ("d", 1, 300)}
+
+
+def test_bloom_filter_rejects_param_mismatch(spark):
+    from parcialbigdata_spark.operators import joins as J
+
+    keys = spark.createDataFrame([(1,), (2,)], "k long")
+    probe = spark.createDataFrame([(1,), (3,)], "k long")
+    bloom = J.bloom_build(keys, "k", m_bits=1 << 12, k=3)
+    with pytest.raises(Exception, match="false negatives"):
+        J.bloom_filter_rows(probe, "k", bloom, m_bits=1 << 16, k=3).collect()
+
+
+def test_signed_agg_refresh_raises_on_unmatched_retraction(spark):
+    from parcialbigdata_spark.operators.incremental import signed_agg_refresh
+
+    base = spark.createDataFrame([("a", 10.0)], "k string, v double")
+    changes = spark.createDataFrame(
+        [("zzz", 5.0, -1)], "k string, v double, m int"
+    )
+    with pytest.raises(Exception, match="no matching base row"):
+        signed_agg_refresh(base, changes, ["k"], "v", "m").collect()
