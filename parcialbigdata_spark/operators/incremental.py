@@ -69,6 +69,33 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _broadcast_if_bounded(delta: DataFrame) -> DataFrame:
+    """Broadcast-hint a delta batch only when its optimizer size
+    estimate is plausibly broadcast-sized (r9; the r8 version hinted
+    unconditionally, and an explicit hint OVERRIDES
+    ``autoBroadcastJoinThreshold`` — an oversized delta would have been
+    force-broadcast into driver OOM, with nothing enforcing the
+    docstring's "split it" advice).
+
+    Policy: honor a disabled threshold (≤ 0 → never hint); otherwise
+    hint while the estimate stays within 16× the threshold. The slack
+    exists because Catalyst's pre-AQE estimate for a filtered delta is
+    a conservative overestimate (unknown selectivity ≈ full input), so
+    requiring est ≤ threshold would drop the hint on exactly the
+    CDC-sized batches the contract targets; 16× (~160 MB at the 10 MB
+    default) still refuses anything that could threaten the driver,
+    and an un-hinted delta is not a lost cause — AQE re-plans with
+    ACCURATE runtime sizes and still broadcasts it if it truly fits."""
+    spark = delta.sparkSession
+    threshold = int(
+        spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
+    )
+    if threshold <= 0:
+        return delta
+    est = int(str(delta._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    return F.broadcast(delta) if est <= 16 * threshold else delta
+
+
 def delta_join(
     a_old: DataFrame,
     a_delta: DataFrame,
@@ -91,9 +118,11 @@ def delta_join(
     compute only the three delta terms.
 
     Scale: ΔA and ΔB are batch-sized (GBs against a 100 TB fact), so
-    the three delta terms broadcast their delta side (hinted below —
-    a delta that outgrows the broadcast cap should be split, not
-    shuffled against the full fact). The A_old ⋈ B_old term is the
+    the three delta terms broadcast their delta side — via the
+    size-guarded hint (:func:`_broadcast_if_bounded`): a delta whose
+    size estimate outgrows the broadcast envelope is left un-hinted
+    for AQE to place with accurate runtime sizes instead of being
+    force-broadcast into the driver. The A_old ⋈ B_old term is the
     materialized view scan in production; recomputing it here (when no
     stored view is passed) is the fixture stand-in the oracle checks
     the algebra against. Deletions/updates need signed multiplicities
@@ -101,11 +130,12 @@ def delta_join(
     insertion-only join rule matches the append-only lake this engine
     targets.
     """
+    da, db = _broadcast_if_bounded(a_delta), _broadcast_if_bounded(b_delta)
     return (
         a_old.join(b_old, on)
-        .unionByName(F.broadcast(a_delta).join(b_old, on))
-        .unionByName(a_old.join(F.broadcast(b_delta), on))
-        .unionByName(F.broadcast(a_delta).join(b_delta, on))
+        .unionByName(da.join(b_old, on))
+        .unionByName(a_old.join(db, on))
+        .unionByName(da.join(b_delta, on))
     )
 
 

@@ -292,48 +292,38 @@ def bloom_build(keys: DataFrame, key_col: str, m_bits: int = 1 << 16, k: int = 3
     )
 
 
-def bloom_filter_rows(
-    df: DataFrame, key_col: str, bloom: DataFrame, m_bits: int = 1 << 16, k: int = 3
-) -> DataFrame:
+def bloom_filter_rows(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFrame:
     """Keep only rows of ``df`` whose ``key_col`` MAY be in the Bloom
     filter built by :func:`bloom_build` (false positives possible,
     false negatives impossible — the downstream exact join removes
     the former, so the filter is result-invisible).
 
     The one-row filter relation cross-joins in (broadcast: bytes), and
-    membership is a narrow codegen expression — at 100 TB this is the
+    membership is a narrow JVM-side expression — at 100 TB this is the
     semi-join pushdown that drops non-qualifying fact rows BEFORE the
     join shuffle, the explicit form of what AQE's injected runtime
-    filters do when they apply. ``m_bits``/``k`` must match the build.
+    filters do when they apply.
+
+    The probe derives its modulus and round count FROM the filter row's
+    embedded ``__m``/``__k_rounds`` columns (a ``forall`` over
+    ``sequence(0, __k_rounds − 1)``), so a build/probe parameter
+    mismatch — which would hash to different bits and produce false
+    NEGATIVES, i.e. silently wrong join results — is impossible by
+    construction rather than merely detected at runtime (r9; the r8
+    version took redundant ``m_bits``/``k`` args and raise_error-ed on
+    disagreement). ``sequence`` of two INTs yields INT elements, the
+    same type as the build's ``array(0, 1, …)`` literals, so
+    ``xxhash64(key, j)`` hashes identical bytes on both sides.
     """
-    # Param-mismatch guard: the build embeds its (m, k) in the one-row
-    # relation; probing with different params would hash to DIFFERENT
-    # bits and produce false NEGATIVES — silently wrong join results,
-    # not just lost pruning. raise_error turns that into a loud run
-    # failure (same idiom as diagnostics.guarded_bigint).
-    guard = F.when(
-        (F.col("__m") != F.lit(m_bits)) | (F.col("__k_rounds") != F.lit(k)),
-        F.raise_error(
-            F.lit(
-                "bloom_filter_rows: (m_bits, k) differ from the values "
-                "bloom_build embedded — probe bits would not match build "
-                "bits (false negatives). Pass the same parameters."
-            )
-        ).cast("boolean"),
-    ).otherwise(F.lit(True))
-    # One SQL expression per hash round (pyspark's F.shiftleft only
-    # accepts a literal shift count — the per-row count needs expr()).
-    tests = [
-        (
-            "(coalesce(element_at(__bloom, "
-            f"CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) / 64 AS BIGINT)), 0L)"
-            f" & shiftleft(1L, CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) % 64"
-            " AS INT))) != 0"
-        )
-        for j in range(k)
-    ]
+    member = F.expr(
+        "forall(sequence(0, __k_rounds - 1), j -> "
+        "(coalesce(element_at(__bloom, "
+        f"CAST(pmod(xxhash64(`{key_col}`, j), __m) / 64 AS BIGINT)), 0L)"
+        f" & shiftleft(1L, CAST(pmod(xxhash64(`{key_col}`, j), __m) % 64"
+        " AS INT))) != 0)"
+    )
     return (
         df.crossJoin(F.broadcast(bloom))
-        .filter(guard & F.expr(" AND ".join(tests)))
+        .filter(member)
         .drop("__bloom", "__m", "__k_rounds")
     )

@@ -73,13 +73,21 @@ def _bucket_column(
     pipeline the probe would otherwise re-execute."""
     first = order_cols[0]
     if boundaries is None:
-        qs = [i / num_partitions for i in range(1, num_partitions)]
-        try:
-            row = df.agg(
-                F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]))
-            ).first()
-        except Exception:  # noqa: BLE001 — non-numeric order column
+        # Explicit dtype gate (r9, was a bare except): percentile_approx
+        # supports exactly the numeric families below. Any OTHER
+        # failure of the probe job (executor loss, corrupt input, OOM)
+        # is a real runtime error and must propagate — silently routing
+        # it into the double-shuffle fallback would mask data problems
+        # and mislabel them as "non-numeric order column".
+        dtype = dict(df.dtypes).get(first, "")
+        if not dtype.startswith(
+            ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
+        ):
             return None
+        qs = [i / num_partitions for i in range(1, num_partitions)]
+        row = df.agg(
+            F.percentile_approx(F.col(first), F.array(*[F.lit(q) for q in qs]))
+        ).first()
         boundaries = row[0] if row is not None else None
     uniq = sorted({b for b in (boundaries or []) if b is not None})
     # asc rank = #boundaries strictly below the value; NULL comparisons

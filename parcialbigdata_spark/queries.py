@@ -10904,8 +10904,14 @@ _DRIVER_WINDOW = [
     # (sessionization_events rotated out in r7 — driver-proven green
     # since r2 — for its event-sequencing W-family sibling
     # daily_streaks_users (gaps-and-islands consecutive-day streaks,
-    # r6f, never driver-checked); stays CI-green.)
-    "daily_streaks_users",
+    # r6f); daily_streaks_users itself rotated out in r9 —
+    # driver-proven green in r8; W keeps sliding_distinct + keyset
+    # pagination in-window, F2 keeps partition_pruned_events_daily —
+    # for url_canonical_documents (the LAST registry entry never
+    # driver-checked; its canonicalization rules were in-window via
+    # sibling host_profile's oracle, now checked directly); both
+    # stay CI-green.)
+    "url_canonical_documents",
     # (scd2_order_price_history rotated out in r4b — third W-family
     # sibling — for the new skyline family below; stays CI-green.)
     # (skyline_parts rotated out in r7b — driver-proven green since

@@ -510,14 +510,21 @@ def test_signed_agg_refresh_equals_recompute_and_drops_empty_groups(spark):
     assert got == {("b", 1, 800), ("c", 1, 700), ("d", 1, 300)}
 
 
-def test_bloom_filter_rejects_param_mismatch(spark):
+def test_bloom_filter_probe_derives_params_from_build(spark):
+    # r9: the probe reads __m/__k_rounds from the filter row itself, so
+    # a build/probe param mismatch (r8's false-negative hazard, then a
+    # runtime raise_error) is structurally impossible — non-default
+    # build params must probe correctly with zero false negatives and
+    # no caller-side param plumbing.
     from parcialbigdata_spark.operators import joins as J
 
-    keys = spark.createDataFrame([(1,), (2,)], "k long")
-    probe = spark.createDataFrame([(1,), (3,)], "k long")
-    bloom = J.bloom_build(keys, "k", m_bits=1 << 12, k=3)
-    with pytest.raises(Exception, match="false negatives"):
-        J.bloom_filter_rows(probe, "k", bloom, m_bits=1 << 16, k=3).collect()
+    keys = spark.createDataFrame([(i,) for i in range(0, 500, 13)], "k long")
+    probe = spark.createDataFrame([(i,) for i in range(500)], "k long")
+    bloom = J.bloom_build(keys, "k", m_bits=1 << 12, k=5)
+    kept = {r.k for r in J.bloom_filter_rows(probe, "k", bloom).collect()}
+    member = {i for i in range(0, 500, 13)}
+    assert member <= kept
+    assert len(kept) < 500
 
 
 def test_signed_agg_refresh_raises_on_unmatched_retraction(spark):
