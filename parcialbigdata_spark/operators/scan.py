@@ -58,13 +58,16 @@ def _bucket_column(
     num_partitions: int,
     descending: bool,
     boundaries: list | None = None,
-) -> Column | None:
+) -> tuple[Column, int] | None:
     """Row-local range-bucket id over the total ``order_cols`` order
-    (bucket i's rows all precede bucket i+1's), or ``None`` when the
-    leading order column's type has no percentile support. Boundaries
-    are quantiles of the leading column only — ties share a bucket,
-    which preserves the ordering invariant for any tie-break columns;
-    duplicate boundaries (heavy ties) just leave some buckets empty.
+    (bucket i's rows all precede bucket i+1's) plus the bucket COUNT
+    (ids are dense in ``[0, n_buckets)``, so callers can enumerate all
+    possible ids driver-side with ``spark.range`` instead of a
+    data-sized ``distinct``), or ``None`` when the leading order
+    column's type has no percentile support. Boundaries are quantiles
+    of the leading column only — ties share a bucket, which preserves
+    the ordering invariant for any tie-break columns; duplicate
+    boundaries (heavy ties) just leave some buckets empty.
 
     ``boundaries`` (driver-side values of the leading column's type)
     skips the probe job entirely — callers that KNOW their order
@@ -97,7 +100,7 @@ def _bucket_column(
     asc = F.lit(0)
     for b in uniq:
         asc = asc + F.when(F.col(first) > F.lit(b), 1).otherwise(0)
-    return (F.lit(len(uniq)) - asc) if descending else asc
+    return ((F.lit(len(uniq)) - asc) if descending else asc), len(uniq) + 1
 
 
 def partitioned_cumsum(
@@ -122,13 +125,14 @@ def partitioned_cumsum(
     MANY buckets, and the offset relation grows only to
     ≤ groups × buckets rows."""
     group_cols = group_cols or []
-    bkt = _bucket_column(
+    bucketed = _bucket_column(
         df, order_cols, num_partitions, descending=False, boundaries=boundaries
     )
-    if bkt is None:
+    if bucketed is None:
         return _cumsum_ranged_fallback(
             df, order_cols, value_cols, num_partitions, group_cols
         )
+    bkt, _ = bucketed
     # Persist + EAGER materialization: an already-built cache retains
     # the repartition's HashPartitioning (an unbuilt one reports
     # unknown partitioning under AQE and every consumer re-shuffles —
@@ -272,12 +276,13 @@ def partitioned_carry(
     sort_exprs = [
         F.col(c).desc() if descending else F.col(c).asc() for c in order_cols
     ]
-    bkt = _bucket_column(df, order_cols, num_partitions, descending, boundaries)
-    if bkt is None:
+    bucketed = _bucket_column(df, order_cols, num_partitions, descending, boundaries)
+    if bucketed is None:
         raise ValueError(
             f"partitioned_carry needs a numeric leading order column for "
             f"bucket boundaries; got {dict(df.dtypes).get(order_cols[0])!r}"
         )
+    bkt, n_buckets = bucketed
     # Persist + eager materialization — same cache-partitioning
     # discipline as partitioned_cumsum (see there).
     ranged = (
@@ -306,8 +311,13 @@ def partitioned_carry(
     # LOCF over the ≤P-row bucket-tail relation: the carry ENTERING
     # bucket p is the latest tail among buckets < p. Build it
     # over ALL bucket ids — a bucket with zero non-null rows has
-    # no tail but still forwards its predecessors' carry.
-    all_pids = ranged.select("__pid").distinct()
+    # no tail but still forwards its predecessors' carry. Bucket ids
+    # are dense in [0, n_buckets) by construction, so the id relation
+    # is a driver-side range (r9; the r8 version ran a data-sized
+    # DISTINCT over the persisted input to enumerate the same ids).
+    all_pids = ranged.sparkSession.range(n_buckets).select(
+        F.col("id").cast("int").alias("__pid")
+    )
     w_prev = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
     entering = all_pids.join(totals, "__pid", "left").select(
         "__pid", F.last("__tail", ignorenulls=True).over(w_prev).alias("__enter")
@@ -415,15 +425,22 @@ def quantile_normalize(
     Returns (id, group, value, qn) — ``qn`` aliased
     ``qn_<value_col>``.
 
-    Boundary discipline (r8): the three scan calls receive EXPLICIT
-    bucket boundaries so none of them runs its own probe job over an
-    expensive input — one ``percentile_approx`` over the raw value
-    column serves both cumsums (row-quantiles are a fine layout for
-    the distinct-value CDF too), and the carry's positions are ranks
-    uniform in [1, N] by construction, so its splits are just
-    ``i·N/P`` (N from one metadata-cheap ``count()``). Without this
-    the carry's probe would re-execute the whole rank pipeline once
-    before the real run."""
+    Job discipline (r9, the fixture-scale claw-back): ONE probe job
+    (``percentile_approx`` + count over the raw value column) and ONE
+    persisted row-level relation — bucketed by the value boundaries
+    and clustered on (group, bucket) — feed EVERY pass: the
+    within-group rank window and its bucket totals, the per-group
+    counts, and the per-value counts behind the global CDF. The r8
+    version composed three generic scan calls, which cost two extra
+    eager persist jobs and re-scanned the input three more times
+    (``n_grp``/``gcnt`` went back to the source); at 100 TB those
+    re-scans are the dominant waste, at fixture scale the per-job
+    fixed overhead is. The CDF's per-(bucket, value) counts are
+    partial-aggregated from the cache on each use instead of persisted
+    — distinct-value-sized, two cheap consumers. The carry's positions
+    are ranks uniform in [1, N] by construction, so its splits are
+    ``i·N/P`` — no second probe. Data-sized exchanges: the shared
+    repartition and the carry's, nothing else."""
     vtype = dict(df.dtypes)[value_col]
     itype = dict(df.dtypes)[id_col]
     gtype = dict(df.dtypes)[group_col]
@@ -439,30 +456,78 @@ def quantile_normalize(
         max(1, (i * n_total) // num_partitions) for i in range(1, num_partitions)
     ]
 
-    base = df.select(id_col, group_col, value_col).withColumn("__one", F.lit(1))
-    r = partitioned_cumsum(
-        base,
-        [value_col, id_col],
-        {"__one": "__r"},
-        num_partitions,
-        group_cols=[group_col],
-        boundaries=vbounds,
+    base = df.select(id_col, group_col, value_col)
+    bkt, _ = _bucket_column(
+        base, [value_col, id_col], num_partitions, descending=False, boundaries=vbounds
     )
-    n_grp = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("__n_grp"))
+    # The one shared materialization (see partitioned_cumsum for why
+    # persist must be EAGER to pin the hash partitioning under AQE).
+    ranged = (
+        base.withColumn("__pid", bkt)
+        .repartition(num_partitions, F.col(group_col), F.col("__pid"))
+        .persist()
+    )
+    ranged.count()
+
+    # Within-group ranks, two-phase: per-(group, bucket) running count
+    # + exclusive per-group prefix of bucket totals (≤ groups×buckets
+    # rows). Counts are never NULL, so the offset merge is a coalesce.
+    w_local = (
+        Window.partitionBy(group_col, "__pid")
+        .orderBy(F.col(value_col), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranged.withColumn("__r", F.count(F.lit(1)).over(w_local))
+    totals = ranged.groupBy(group_col, "__pid").agg(F.count(F.lit(1)).alias("__tot"))
+    w_off = Window.partitionBy(group_col).orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    # The group's TOTAL count rides the same window partitioning as
+    # the exclusive prefix (full-range frame, chained WindowExec — no
+    # extra exchange and no separate n_grp aggregation/join).
+    w_all = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offs = totals.select(
+        group_col,
+        "__pid",
+        F.sum("__tot").over(w_off).alias("__off"),
+        F.sum("__tot").over(w_all).alias("__n_grp"),
+    )
     kpos = (
-        r.join(F.broadcast(n_grp), group_col)
+        local.join(F.broadcast(offs), [group_col, "__pid"])
         .withColumn(
             "__kpos",
             F.ceil(
-                (F.col("__r").cast("double") - F.lit(0.5))
+                ((F.col("__r") + F.coalesce(F.col("__off"), F.lit(0))).cast("double")
+                 - F.lit(0.5))
                 * F.lit(n_total)
                 / F.col("__n_grp")
             ).cast("bigint"),
         )
     )
-    gcnt = df.groupBy(value_col).agg(F.count(F.lit(1)).alias("__cnt"))
-    gcum = partitioned_cumsum(
-        gcnt, [value_col], {"__cnt": "__cum"}, num_partitions, boundaries=vbounds
+
+    # Global CDF from the SAME cache: per-(bucket, value) counts (the
+    # bucket id is a function of the value, so each distinct value
+    # lives in exactly one bucket), local running sum within the
+    # bucket, plus the exclusive prefix of per-bucket totals over the
+    # ≤P-row bucket relation.
+    gcnt = ranged.groupBy("__pid", value_col).agg(F.count(F.lit(1)).alias("__cnt"))
+    w_gloc = (
+        Window.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    g_local = gcnt.withColumn("__cum", F.sum("__cnt").over(w_gloc))
+    # Per-bucket totals re-aggregated from the RANK side's totals
+    # (groups×buckets rows, and that agg reads the cache clustering
+    # with no exchange) rather than from a second pass over gcnt.
+    g_tot = totals.groupBy("__pid").agg(F.sum("__tot").alias("__gtot"))
+    w_goff = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    g_offs = g_tot.select("__pid", F.sum("__gtot").over(w_goff).alias("__goff"))
+    gcum = g_local.join(F.broadcast(g_offs), "__pid").select(
+        value_col,
+        (F.col("__cum") + F.coalesce(F.col("__goff"), F.lit(0))).alias("__cum"),
     )
 
     probes = kpos.select(
