@@ -413,7 +413,14 @@ def ngram_jaccard_pairs(
                 T.shingle_hashes(T.tokens(T.normalize(F.col(text_col))), k_shingle)
             ).alias("__h"),
         )
-        .localCheckpoint(eager=True)  # 3 consumers: join sides a/b, sizes
+        # Hash-partitioned on the join key BEFORE the checkpoint
+        # (LogicalRDD retains the partitioning): the a/b sides of the
+        # self-join below then both read the checkpointed layout with
+        # NO exchange — the r8 version shuffled the exploded relation
+        # (the largest intermediate in the pipeline) twice, once per
+        # join side. 3 consumers: join sides a/b, sizes.
+        .repartition(*[F.col(c) for c in [*keys, "__h"]])
+        .localCheckpoint(eager=True)
     )
     sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
     a = rows.select(F.col(id_col).alias("id_a"), *keys, "__h")

@@ -25,7 +25,7 @@ alternations regardless of diameter.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.session import release_checkpoint
@@ -68,19 +68,28 @@ def connected_components(
     if algorithm != "label":
         raise ValueError(f"unknown algorithm {algorithm!r}: use 'label' or 'star'")
     # Symmetrize once; checkpoint cuts the upstream pair plan out of
-    # every round's lineage.
+    # every round's lineage. The checkpointed relation is hash-
+    # partitioned on the probe-side key ``v`` FIRST (LogicalRDD
+    # retains the physical partitioning), so at scale each round's
+    # edges⋈labels join reshuffles only the label side; at fixture
+    # scale AQE broadcasts the labels anyway.
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
     edges = (
         fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
         .distinct()
+        .repartition(F.col("v"))
         .localCheckpoint(eager=True)
     )
+    # Initial labels are DERIVED (distinct over the checkpointed
+    # edges, comp = node) — a shallow plan that needs no checkpoint or
+    # materialization job of its own (r9; r8 eagerly checkpointed it
+    # and ran a separate initial label-sum probe job).
     labels = (
         edges.select(F.col("u").alias("node"))
         .distinct()
         .select("node", F.col("node").alias("comp"))
-        .localCheckpoint(eager=True)
     )
+
     def _hop(lab: DataFrame) -> DataFrame:
         # Min label over the closed neighborhood: own label ∪ neighbors'.
         neighbor_min = (
@@ -93,36 +102,63 @@ def connected_components(
             F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
         )
 
-    def _label_sum(lab: DataFrame) -> int:
-        # Exact DECIMAL(38) sum — no overflow for any realistic
-        # node-count × id-magnitude product.
-        return lab.agg(F.sum(F.col("comp").cast("decimal(38,0)"))).first()[0]
+    def _hop_tracked(lab: DataFrame) -> DataFrame:
+        # Second hop of a round, threading the first hop's label
+        # through as ``__prev`` so the round can observe both.
+        neighbor_min = (
+            edges.join(lab, edges.v == lab.node)
+            .groupBy("u")
+            .agg(F.min("comp").alias("n_comp"))
+        )
+        return lab.join(neighbor_min, lab.node == neighbor_min.u, "left").select(
+            "node",
+            F.least(F.col("comp"), F.coalesce(F.col("n_comp"), F.col("comp"))).alias("comp"),
+            F.col("comp").alias("__prev"),
+        )
 
-    prev_sum = _label_sum(labels)
-    for _ in range(max_iter):
-        # TWO hops per checkpoint/convergence probe: label distance
-        # covered per round doubles while the per-round FIXED costs
-        # (eager checkpoint + convergence probe) stay constant —
-        # at fixture scale those fixed costs dominate the loop, and at
-        # cluster scale the second hop's joins are the same
-        # data-proportional work either way. Idempotent at the
-        # fixpoint, so overshooting by one hop after convergence
-        # changes nothing.
-        new_labels = _hop(_hop(labels)).localCheckpoint(eager=True)
-        # Convergence probe: min-label propagation is MONOTONE — every
-        # node's label is non-increasing per hop — so the label sum
-        # strictly decreases until the fixpoint and is constant exactly
-        # there. Comparing exact sums replaces the r7 per-round
-        # equality JOIN of two data-sized label relations (a shuffle
-        # join per round) with one trivial aggregate over the relation
-        # just checkpointed.
-        cur_sum = _label_sum(new_labels)
-        release_checkpoint(labels)
-        labels = new_labels
-        if cur_sum == prev_sum:
+    labels_checkpointed = False
+    for i in range(max_iter):
+        # TWO hops per checkpoint round: label distance covered per
+        # round doubles while the per-round FIXED cost (ONE
+        # eager-checkpoint job) stays constant — at fixture scale that
+        # fixed cost dominates the loop, at cluster scale the second
+        # hop's joins are the same data-proportional work either way.
+        # NOT more than two: each un-checkpointed hop references its
+        # input relation twice (label base + neighbor join side), so
+        # plan size doubles per hop — 4-hop rounds were measured
+        # SLOWER (2^4 subplan copies) despite fewer checkpoints.
+        #
+        # Convergence detection is WITHIN the round, not across
+        # rounds: the second hop threads the first hop's labels
+        # through as ``__prev``, and both exact DECIMAL(38) label sums
+        # ride the checkpoint materialization itself via observe()
+        # (CollectMetrics fires during the eager-checkpoint action).
+        # Labels are MONOTONE non-increasing per node per hop, so
+        # Σcomp == Σ__prev ⟺ hop 2 changed NO label ⟺ hop 1's output
+        # was already the fixpoint — the round detects its own
+        # convergence, with no separate probe job and no extra
+        # confirmation round (r8 ran a per-round aggregation job and
+        # always paid one full no-op round to observe sum stability;
+        # for the clique-dominated near-dup graphs this loop serves,
+        # that halves the rounds: hop 1 converges, hop 2 certifies).
+        obs = Observation(f"cc_round_{i}")
+        new_labels = (
+            _hop_tracked(_hop(labels))
+            .observe(
+                obs,
+                F.sum(F.col("comp").cast("decimal(38,0)")).alias("s_comp"),
+                F.sum(F.col("__prev").cast("decimal(38,0)")).alias("s_prev"),
+            )
+            .select("node", "comp")
+            .localCheckpoint(eager=True)
+        )
+        got = obs.get
+        if labels_checkpointed:
+            release_checkpoint(labels)
+        labels, labels_checkpointed = new_labels, True
+        if got["s_comp"] == got["s_prev"]:
             release_checkpoint(edges)
             return labels.select(F.col("node"), F.col("comp").alias("component"))
-        prev_sum = cur_sum
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
