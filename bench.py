@@ -198,6 +198,7 @@ BENCH_QUERIES = [
     "bloom_prejoin_lineitem_parts",
     "incremental_join_orders_customers",
     "cdc_agg_orders",
+    "cdc_minmax_orders",
 ]
 
 

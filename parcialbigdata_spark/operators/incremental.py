@@ -19,7 +19,7 @@ again (associativity), which is what makes backfill/compaction work.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 #: state columns produced by :func:`agg_state`, keyed by suffix
@@ -219,3 +219,205 @@ def signed_agg_refresh(
         ).cast("boolean"),
     ).otherwise(F.col("n") > 0)
     return merged.filter(negative_guard)
+
+
+def signed_minmax_refresh(
+    base: DataFrame,
+    changes: DataFrame,
+    keys: list[str],
+    val_col: str,
+    mult_col: str,
+    heap_k: int = 8,
+) -> DataFrame:
+    """MIN/MAX maintenance under DELETES — the member
+    :func:`signed_agg_refresh` deliberately omits: deleting the
+    current minimum needs the runner-up, which a scalar state cannot
+    supply, so the textbook remedy (Gupta & Mumick's "self-maintenance
+    with auxiliary data"; every production IVM engine does a variant)
+    keeps a BOUNDED per-group heap — the ``heap_k`` smallest and
+    largest value instances — beside the count/sum state.
+
+    Refresh algebra, per group:
+
+    - retraction of a value INSIDE the heap removes one matching
+      instance (multiset semantics — first occurrence, via an indexed
+      ``filter`` fold); a retraction ABOVE the min-heap's range (resp.
+      below the max-heap's) cannot affect that extreme and is ignored
+      by that heap. Only the ``heap_k`` smallest retractions can touch
+      the min-heap (pigeonhole: in-range retractions sort first), so
+      the delta state is bounded too;
+    - insertions contribute their ``heap_k`` smallest/largest;
+    - the refreshed extreme is the head of the merged heap, and the
+      merged heap is itself a valid (possibly SHRUNKEN) heap of the
+      refreshed group — heaps degrade under deletes and are refilled
+      by the periodic re-scan, the standard operational contract;
+    - **loud failure**: if a heap EMPTIES while base-sourced rows
+      remain in the group, the true extreme is no longer derivable
+      from bounded state (all tracked runners-up were deleted — or,
+      for a never-truncated heap, the CDC retracted rows the base
+      never held). ``raise_error`` fires with the remediation named:
+      re-scan the affected groups (or raise ``heap_k``). Filtering
+      the group away instead would silently serve a wrong extreme.
+
+    COUNT/SUM ride along with :func:`signed_agg_refresh` semantics
+    (signed deltas, empty groups vanish, negative counts raise).
+    Returns (keys, n, sum_cents, min_v, max_v, min_heap, max_heap) —
+    the heaps so a caller can persist the refreshed auxiliary state.
+
+    Scale: the base pass is ONE keyed window (asc + desc ranks and the
+    full-frame count/sum share one exchange), the change batch is
+    CDC-sized, both reduce to key-grained states (heap arrays bounded
+    by ``heap_k``), and the merge is the same dim-sized full-outer
+    join as the scalar refresh — processed facts are never re-scanned.
+    """
+    vtype = dict(base.dtypes)[val_col]
+    empty = f"CAST(array() AS array<{vtype}>)"
+    v = F.col(val_col)
+    cents = F.floor(v * 100 + F.lit(0.5)).cast("bigint")
+
+    w_asc = Window.partitionBy(*keys).orderBy(F.col("__v").asc())
+    w_desc = Window.partitionBy(*keys).orderBy(F.col("__v").desc())
+    w_all = Window.partitionBy(*keys)
+    ranked = (
+        base.select(*keys, v.alias("__v"), cents.alias("__c"))
+        .withColumn("__ra", F.row_number().over(w_asc))
+        .withColumn("__rd", F.row_number().over(w_desc))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        .withColumn("__s", F.sum("__c").over(w_all))
+    )
+    bs = (
+        ranked.filter((F.col("__ra") <= heap_k) | (F.col("__rd") <= heap_k))
+        .groupBy(*keys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("__ra") <= heap_k, F.col("__v")))
+            ).alias("__min_k"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("__rd") <= heap_k, F.col("__v"))),
+                asc=False,
+            ).alias("__max_k"),
+            F.first("__n").alias("__b_n"),
+            F.first("__s").alias("__b_s"),
+        )
+    )
+
+    bad_mult = F.when(
+        ~F.col(mult_col).isin(1, -1),
+        F.raise_error(
+            F.lit("signed_minmax_refresh: mult_col must be +1 or -1")
+        ).cast("boolean"),
+    ).otherwise(F.lit(True))
+    ch = changes.filter(bad_mult).select(
+        *[F.col(c).alias(f"__d_{c}") for c in keys],
+        v.alias("__v"),
+        cents.alias("__c"),
+        F.col(mult_col).cast("bigint").alias("__m"),
+    )
+    dkeys = [f"__d_{c}" for c in keys]
+    w_m_asc = Window.partitionBy(*dkeys, "__m").orderBy(F.col("__v").asc())
+    w_m_desc = Window.partitionBy(*dkeys, "__m").orderBy(F.col("__v").desc())
+    w_d_all = Window.partitionBy(*dkeys)
+    ins, ret = F.col("__m") > 0, F.col("__m") < 0
+    dranked = (
+        ch.withColumn("__ra", F.row_number().over(w_m_asc))
+        .withColumn("__rd", F.row_number().over(w_m_desc))
+        .withColumn("__dn", F.sum("__m").over(w_d_all))
+        .withColumn("__ds", F.sum(F.col("__m") * F.col("__c")).over(w_d_all))
+        .withColumn("__dr", F.sum(F.when(ret, 1).otherwise(0)).over(w_d_all))
+    )
+    ds = (
+        dranked.filter((F.col("__ra") <= heap_k) | (F.col("__rd") <= heap_k))
+        .groupBy(*dkeys)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(ins & (F.col("__ra") <= heap_k), F.col("__v")))
+            ).alias("__ins_min"),
+            F.sort_array(
+                F.collect_list(F.when(ins & (F.col("__rd") <= heap_k), F.col("__v"))),
+                asc=False,
+            ).alias("__ins_max"),
+            F.sort_array(
+                F.collect_list(F.when(ret & (F.col("__ra") <= heap_k), F.col("__v")))
+            ).alias("__ret_min"),
+            F.sort_array(
+                F.collect_list(F.when(ret & (F.col("__rd") <= heap_k), F.col("__v"))),
+                asc=False,
+            ).alias("__ret_max"),
+            F.first("__dn").alias("__d_n"),
+            F.first("__ds").alias("__d_s"),
+            F.first("__dr").alias("__d_r"),
+        )
+    )
+
+    cond = None
+    for c in keys:
+        eq = bs[c].eqNullSafe(ds[f"__d_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    zero = F.lit(0).cast("bigint")
+    j = bs.join(ds, cond, "full_outer")
+
+    # Remove one instance per retraction (first occurrence, indexed
+    # filter — array_remove/array_except are set-semantics and drop
+    # duplicates) — retractions that match nothing fall through, which
+    # the exhaustion/negative-count guards then adjudicate.
+    def _heap_minus(heap: str, rets: str) -> str:
+        return (
+            f"aggregate(coalesce({rets}, {empty}), coalesce({heap}, {empty}), "
+            "(acc, r) -> CASE WHEN array_position(acc, r) > 0 "
+            "THEN filter(acc, (x, i) -> i != int(array_position(acc, r)) - 1) "
+            "ELSE acc END)"
+        )
+
+    merged = j.select(
+        *[F.coalesce(bs[c], ds[f"__d_{c}"]).alias(c) for c in keys],
+        (F.coalesce(F.col("__b_n"), zero) + F.coalesce(F.col("__d_n"), zero)).alias("n"),
+        (F.coalesce(F.col("__b_s"), zero) + F.coalesce(F.col("__d_s"), zero)).alias(
+            "sum_cents"
+        ),
+        (F.coalesce(F.col("__b_n"), zero) - F.coalesce(F.col("__d_r"), zero)).alias(
+            "__remaining_base"
+        ),
+        F.expr(
+            f"slice(array_sort(concat({_heap_minus('__min_k', '__ret_min')}, "
+            f"coalesce(__ins_min, {empty}))), 1, {heap_k})"
+        ).alias("min_heap"),
+        F.expr(
+            f"slice(sort_array(concat({_heap_minus('__max_k', '__ret_max')}, "
+            f"coalesce(__ins_max, {empty})), false), 1, {heap_k})"
+        ).alias("max_heap"),
+    )
+    guard = (
+        F.when(
+            F.col("n") < 0,
+            F.raise_error(
+                F.lit(
+                    "signed_minmax_refresh: group count went negative — a "
+                    "retraction has no matching base row (corrupt or "
+                    "double-applied CDC batch)"
+                )
+            ).cast("boolean"),
+        )
+        .when(
+            (F.col("__remaining_base") > 0)
+            & ((F.size("min_heap") == 0) | (F.size("max_heap") == 0)),
+            F.raise_error(
+                F.lit(
+                    "signed_minmax_refresh: heap exhausted — every tracked "
+                    "runner-up was retracted while base rows remain, so the "
+                    "group's min/max is no longer derivable from bounded "
+                    "state. Re-scan the affected groups (or raise heap_k)."
+                )
+            ).cast("boolean"),
+        )
+        .otherwise(F.col("n") > 0)
+    )
+    null_v = F.lit(None).cast(vtype)
+    return merged.filter(guard).select(
+        *keys,
+        "n",
+        "sum_cents",
+        F.when(F.size("min_heap") > 0, F.col("min_heap")[0]).otherwise(null_v).alias("min_v"),
+        F.when(F.size("max_heap") > 0, F.col("max_heap")[0]).otherwise(null_v).alias("max_v"),
+        "min_heap",
+        "max_heap",
+    )

@@ -10751,9 +10751,10 @@ def cdc_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates, ``incremental_join_orders_customers`` joins,
     ``incremental_clusters_documents`` connectivity). At 100 TB the
     change batch is CDC-sized and both sides collapse to key-grained
-    states before a broadcast merge — no fact re-scan; min/max are
-    deliberately not maintained (retracting the current extremum
-    needs the runner-up — see the operator docstring)."""
+    states before a broadcast merge — no fact re-scan; min/max need
+    the bounded-heap auxiliary state — the sibling
+    ``cdc_minmax_orders`` (``signed_minmax_refresh``) maintains
+    them."""
     from parcialbigdata_spark.operators.incremental import signed_agg_refresh
 
     orders = load_table(spark, sf_dir, "orders")
@@ -10777,6 +10778,85 @@ def cdc_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").alias("n_orders"),
         F.col("sum_cents").alias("revenue_cents"),
     )
+
+
+@query(
+    "cdc_minmax_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority AS k, o_totalprice AS v, o_orderkey
+      FROM orders WHERE o_orderkey % 10 <> 0
+    ),
+    ret AS (
+      SELECT k, v FROM (
+        SELECT k, v, o_orderkey,
+               row_number() OVER (PARTITION BY k ORDER BY v, o_orderkey) AS rn
+        FROM base
+      ) WHERE rn <= 5 OR o_orderkey % 10 = 3
+    ),
+    ins AS (
+      SELECT o_orderpriority AS k,
+             floor(o_totalprice * 50 + 0.5) / 100.0 AS v
+      FROM orders WHERE o_orderkey % 10 = 0
+    ),
+    snap AS (
+      (SELECT k, v FROM base EXCEPT ALL SELECT k, v FROM ret)
+      UNION ALL SELECT k, v FROM ins
+    )
+    SELECT k, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(floor(v * 100 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           MIN(v) AS min_v, MAX(v) AS max_v
+    FROM snap GROUP BY k
+    """,
+)
+def cdc_minmax_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MIN/MAX maintenance under CDC retractions
+    (operators/incremental.py ``signed_minmax_refresh``) — closing the
+    gap sibling ``cdc_agg_orders`` documents: scalar state cannot
+    survive deleting the current extremum, so a bounded per-group heap
+    (the ``heap_k`` smallest/largest instances) is kept beside
+    COUNT/SUM, retractions remove matching instances from it, and the
+    refreshed extremes read off the merged heads. The change batch is
+    maximally adversarial BY CONSTRUCTION: it retracts each group's 5
+    smallest values (rank rule — scale-invariant, so the heap never
+    exhausts at any SF while every group's current minimum dies) plus
+    a 10% modulo slice, and inserts half-priced rows that land BELOW
+    the surviving base minima (exercising insert-into-heap). The
+    oracle re-aggregates the post-change multiset (EXCEPT ALL /
+    UNION ALL) — heap arithmetic must equal recomputation, for the
+    minima the deletes actually moved. The heap-exhaustion loud-fail
+    path is pinned by tests/test_round9_ops.py. Inserted values use
+    the floor(v·50 + 0.5)/100 form on BOTH engines (identical IEEE
+    ops; ``round(x, 2)`` half-rule drift is what it avoids)."""
+    from parcialbigdata_spark.operators.incremental import signed_minmax_refresh
+
+    orders = load_table(spark, sf_dir, "orders")
+    base = orders.filter(F.col("o_orderkey") % 10 != 0).select(
+        F.col("o_orderpriority").alias("k"),
+        F.col("o_totalprice").alias("v"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("k").orderBy(F.col("v").asc(), F.col("o_orderkey").asc())
+    ret = (
+        base.withColumn("__rn", F.row_number().over(w))
+        .filter((F.col("__rn") <= 5) | (F.col("o_orderkey") % 10 == 3))
+        .select("k", "v", F.lit(-1).alias("m"))
+    )
+    ins = orders.filter(F.col("o_orderkey") % 10 == 0).select(
+        F.col("o_orderpriority").alias("k"),
+        (F.floor(F.col("o_totalprice") * 50 + F.lit(0.5)) / F.lit(100.0)).alias("v"),
+        F.lit(1).alias("m"),
+    )
+    out = signed_minmax_refresh(
+        base.select("k", "v"),
+        ret.unionByName(ins),
+        ["k"],
+        "v",
+        "m",
+        heap_k=64,
+    )
+    return out.select("k", "n", "sum_cents", "min_v", "max_v")
 
 
 # ---------------------------------------------------------------------
@@ -10938,8 +11018,13 @@ _DRIVER_WINDOW = [
     # the prefix-scan family keeps quantile_normalize_documents
     # in-window — for the new r8c retraction-algebra family
     # cdc_agg_orders (signed-multiplicity CDC aggregate refresh,
+    # recompute oracle).)
+    # (cdc_agg_orders rotated out in r9 — driver-proven green in r8 —
+    # for its new r9 family completion cdc_minmax_orders
+    # (signed_minmax_refresh: MIN/MAX under retractions via bounded
+    # per-group heaps, adversarial delete-the-minima change batch,
     # recompute oracle), never driver-checked; stays CI-green.)
-    "cdc_agg_orders",
+    "cdc_minmax_orders",
     # (string_funcs_parts rotated out in r6b — driver-proven green
     # since r1, and the F1 string surface stays in-window via
     # levenshtein (editdist_join_customers), regex/splitting

@@ -78,6 +78,7 @@ HEAVY = [
     "bloom_prejoin_lineitem_parts",
     "incremental_join_orders_customers",
     "cdc_agg_orders",
+    "cdc_minmax_orders",
 ]
 
 
