@@ -401,6 +401,34 @@ def ngram_jaccard_pairs(
                 f"has {n} rows > max_unblocked_rows={max_unblocked_rows}. "
                 f"Pass a block_col or use minhash_near_dups."
             )
+    overlap = _sparse_pair_overlap(df, id_col, text_col, k_shingle, block_col)
+    return (
+        overlap.select(
+            "id_a",
+            "id_b",
+            F.round(
+                F.col("__inter")
+                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")),
+                6,
+            ).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
+    )
+
+
+def _sparse_pair_overlap(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k_shingle: int,
+    block_col: str | None,
+) -> DataFrame:
+    """The sparse set-intersection stage shared by
+    :func:`ngram_jaccard_pairs` and :func:`ngram_containment_pairs`:
+    (id_a < id_b, __inter, __sz_a, __sz_b) with exact intersection
+    sizes over distinct hashed shingles — complete for any pair
+    sharing ≥ 1 element, nothing broadcast (see the callers for the
+    plan-shape contract)."""
     from parcialbigdata_spark.sources.tables import spread
 
     keys = [block_col] if block_col else []
@@ -433,20 +461,65 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("__sz_a"))
     sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("__sz_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.round(
-                F.col("__inter")
-                / (F.col("__sz_a") + F.col("__sz_b") - F.col("__inter")),
-                6,
-            ).alias("jaccard_sim"),
-        )
-        .filter(F.col("jaccard_sim") >= threshold)
+    return inter.join(sa, "id_a").join(sb, "id_b")
+
+
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    k_shingle: int = 3,
+    block_col: str | None = None,
+    max_unblocked_rows: int = 20_000,
+) -> DataFrame:
+    """ASYMMETRIC n-gram containment pairs — the doc-in-doc detector
+    Jaccard structurally misses: ``containment(inner → outer) =
+    |inner ∩ outer| / |inner|``, so a short document fully quoted
+    inside a long one scores ≈ 1.0 while its Jaccard is ≈
+    |inner|/|outer| (arbitrarily small). Boilerplate-wrapped articles,
+    quote-heavy posts, and excerpt pages are exactly this shape, and
+    LLM dedup pipelines treat high containment as a near-dup signal in
+    its own right (the suffix-array substring dedup of Lee et al. 2022
+    is the positional cousin; ``winnow_fingerprints`` covers the
+    fixed-window form here).
+
+    Returns DIRECTIONAL rows (id_inner, id_outer, containment ≥
+    ``threshold``) — both directions of a pair can qualify (mutual
+    near-dups) and the relation is deliberately not symmetric.
+    Same candidate stage as :func:`ngram_jaccard_pairs`
+    (:func:`_sparse_pair_overlap` — sparse intersection join on
+    (block, element), nothing broadcast, complete at any threshold >
+    0 because a qualifying pair shares ≥ ⌈t·|inner|⌉ ≥ 1 elements),
+    then each undirected overlap row emits its two directions with
+    the matching denominator. Same ``max_unblocked_rows`` guard and
+    blocking guidance as the Jaccard sibling."""
+    if threshold <= 0:
+        raise ValueError("ngram_containment_pairs requires threshold > 0")
+    if block_col is None and max_unblocked_rows:
+        n = df.count()
+        if n > max_unblocked_rows:
+            raise ValueError(
+                f"ngram_containment_pairs without block_col can be O(n²); "
+                f"input has {n} rows > max_unblocked_rows="
+                f"{max_unblocked_rows}. Pass a block_col."
+            )
+    overlap = _sparse_pair_overlap(df, id_col, text_col, k_shingle, block_col)
+    fwd = overlap.select(
+        F.col("id_a").alias("id_inner"),
+        F.col("id_b").alias("id_outer"),
+        F.round(F.col("__inter") / F.greatest(F.col("__sz_a"), F.lit(1)), 6).alias(
+            "containment"
+        ),
     )
+    rev = overlap.select(
+        F.col("id_b").alias("id_inner"),
+        F.col("id_a").alias("id_outer"),
+        F.round(F.col("__inter") / F.greatest(F.col("__sz_b"), F.lit(1)), 6).alias(
+            "containment"
+        ),
+    )
+    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------- winnowing (rolling hash)
@@ -1103,4 +1176,117 @@ def _editdist_join_deletions(names: DataFrame, max_dist: int) -> DataFrame:
         .distinct()
         .withColumn("dist", F.levenshtein("name_a", "name_b"))
         .filter(F.col("dist") <= max_dist)
+    )
+
+
+# ------------------------------------------- cross-run dedup-index store (r9)
+
+
+def minhash_index_ingest(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands_table: str,
+    sets_table: str,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+    num_buckets: int = 8,
+    max_bucket: int = 10_000,
+    append: bool = False,
+) -> None:
+    """Shingle + sign a corpus batch ONCE and persist its dedup index:
+    the (id, band_idx, band_hash) LSH band relation bucketed on
+    ``band_hash`` and the (id, sh) hashed-shingle-set relation bucketed
+    on the id — the cross-RUN extension of
+    :func:`minhash_near_dups_bucketed` (which amortizes the band
+    shuffle across re-runs of ONE corpus). With ``append=True`` a new
+    crawl batch's rows are ADDED to both tables, so the index is
+    maintained by delta batches: at 100 TB the nightly batch is
+    shingled once, probed against the whole history via the bucketed
+    band join, and appended — the historical corpus is NEVER
+    re-shingled, re-signed, or re-shuffled (the Gupta–Mumick
+    maintenance discipline applied to a similarity index; exact-hash
+    sibling: ``incremental_dedup_documents``'s fingerprint store,
+    connectivity sibling: ``graph.incremental_components``).
+
+    ``max_bucket`` caps degenerate buckets at ingest (boilerplate band
+    keys would otherwise make every future probe quadratic in the hot
+    bucket). The cap is per-batch; a bucket that only crosses the cap
+    ACROSS batches is the documented residual (production re-compacts
+    the index periodically, which re-applies the cap globally)."""
+    rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
+    sigs = _signatures_from_rows(rows, id_col, num_hashes)
+    bb = _banded_rows(sigs, id_col, num_hashes, bands)
+    if max_bucket:
+        from pyspark.sql import Window
+
+        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    mode = "append" if append else "overwrite"
+    write_bucketed(bb, bands_table, "band_hash", num_buckets=num_buckets, mode=mode)
+    sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+    write_bucketed(sh, sets_table, id_col, num_buckets=num_buckets, mode=mode)
+    rows.unpersist()
+
+
+def minhash_index_probe(
+    batch: DataFrame,
+    id_col: str,
+    text_col: str,
+    bands_table: str,
+    sets_table: str,
+    threshold: float = 0.8,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (new_id, old_id, jaccard_sim) between a NEW
+    batch and the persisted index built by :func:`minhash_index_ingest`
+    — without touching the historical documents.
+
+    The batch is shingled/signed once (batch-sized work); its band
+    rows join the stored band table on (band_idx, band_hash), where
+    the table's ``bucketBy(band_hash)`` layout means only the
+    BATCH side shuffles — the multi-TB historical band relation is
+    read in place. Candidates are then verified by exact Jaccard
+    between the batch's hashed shingle sets and the STORED sets
+    (``sets_table`` — history is never re-shingled), so the output is
+    exactly the exact-Jaccard answer for every candidate the banding
+    surfaces (same recall contract and oracle shape as the
+    within-corpus minhash family). ``num_hashes``/``bands``/
+    ``k_shingle`` must match the ingest parameters — they define the
+    hash family the stored index was built with."""
+    spark = batch.sparkSession
+    rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
+    sigs = _signatures_from_rows(rows, id_col, num_hashes)
+    probe_bands = _banded_rows(sigs, id_col, num_hashes, bands).withColumnRenamed(
+        id_col, "new_id"
+    )
+    stored = spark.table(bands_table).withColumnRenamed(id_col, "old_id")
+    cands = (
+        probe_bands.join(stored, ["band_idx", "band_hash"])
+        .filter(F.col("new_id") != F.col("old_id"))
+        .select("new_id", "old_id")
+        .distinct()
+    )
+    sh_new = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+    sh_old = spark.table(sets_table)
+    return (
+        cands.join(
+            sh_new.select(F.col(id_col).alias("new_id"), F.col("sh").alias("sh_a")),
+            "new_id",
+        )
+        .join(
+            sh_old.select(F.col(id_col).alias("old_id"), F.col("sh").alias("sh_b")),
+            "old_id",
+        )
+        .select(
+            "new_id",
+            "old_id",
+            F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 6).alias("jaccard_sim"),
+        )
+        .filter(F.col("jaccard_sim") >= threshold)
     )

@@ -421,3 +421,56 @@ def signed_minmax_refresh(
         "min_heap",
         "max_heap",
     )
+
+
+def snapshot_to_changes(old: DataFrame, new: DataFrame) -> DataFrame:
+    """CDC EXTRACTION: the minimal signed change batch that transforms
+    the ``old`` snapshot's multiset of rows into ``new``'s — the
+    Z-relation difference (new ⊖ old) that GENERATES the input
+    :func:`signed_agg_refresh`/:func:`signed_minmax_refresh` APPLY and
+    ``snapshot_diff`` (operators/corpus.py) only detects. With it the
+    IVM family closes end-to-end: diff two table versions (no CDC feed
+    required — the common lake reality), feed the batch to the signed
+    refreshes, and the refreshed view equals a recompute over the new
+    snapshot (the registered query's oracle checks exactly that
+    composition).
+
+    Per distinct row value r: multiplicity delta d = count_new(r) −
+    count_old(r); emit |d| copies of r with mult = sign(d), nothing
+    when d = 0. Minimality: Σ|mult| is the multiset symmetric
+    difference — no retract-and-reinsert of unchanged rows (an update
+    appears as −1 old + +1 new because those ARE different row
+    values). NULL-safe grouping, so NULL-bearing rows diff correctly.
+
+    Scale: two hash aggregations (map-side combined to distinct row
+    values) + one key-grained full-outer join on the row value — the
+    same shuffle discipline as the refreshes; the explode only
+    re-expands rows that actually changed. Returns old's columns plus
+    ``mult`` ∈ {+1, −1}."""
+    if old.columns != new.columns:
+        raise ValueError(
+            f"snapshot_to_changes: column mismatch {old.columns} vs {new.columns}"
+        )
+    cols = old.columns
+    co = old.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_o"))
+    cn = new.groupBy(*cols).agg(F.count(F.lit(1)).alias("__n_n"))
+    nn = cn.select(
+        *[F.col(c).alias(f"__d_{c}") for c in cols], "__n_n"
+    )
+    cond = None
+    for c in cols:
+        eq = co[c].eqNullSafe(nn[f"__d_{c}"])
+        cond = eq if cond is None else (cond & eq)
+    zero = F.lit(0).cast("bigint")
+    j = co.join(nn, cond, "full_outer").select(
+        *[F.coalesce(co[c], nn[f"__d_{c}"]).alias(c) for c in cols],
+        (F.coalesce(F.col("__n_n"), zero) - F.coalesce(F.col("__n_o"), zero)).alias(
+            "__delta"
+        ),
+    )
+    changed = j.filter(F.col("__delta") != 0)
+    return changed.select(
+        *cols,
+        F.explode(F.expr("sequence(1, abs(__delta))")).alias("__i"),
+        F.signum(F.col("__delta")).cast("int").alias("mult"),
+    ).drop("__i")

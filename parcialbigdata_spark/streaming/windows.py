@@ -403,3 +403,134 @@ def running_count_per_user(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def run_late_data_audit(
+    spark: SparkSession,
+    stream_dir: str,
+    delay_secs: int = 3600,
+    window_secs: int = 3600,
+    quarantine_dir: str | None = None,
+    timeout: float = 180.0,
+):
+    """Watermark / late-data AUDIT (E4 operational complement): drain
+    the event file-stream batch-by-batch and, for every batch, count
+    and ROUTE the rows a ``delay_secs`` watermark would make a
+    downstream ``window_secs`` tumbling aggregation DROP — the rows
+    Structured Streaming otherwise discards silently (visible only as
+    an opaque ``numDroppedRows`` metric, with the rows themselves
+    gone). Production wants both halves: the per-batch lateness
+    profile (is a source's clock skewing? is the delay budget right?)
+    and the quarantined rows for replay once the cause is fixed.
+
+    The audit replicates the engine's watermark-advancement rule in
+    integer-second space: before batch *i*,
+    ``wm = max(event time over batches < i) − delay`` (the global
+    maximum the driver tracks; batch 0 has no watermark), and a row is
+    LATE iff its window END ≤ wm — the same condition under which the
+    windowed agg's state for that window has been finalized and the
+    row would be dropped. tests/test_round9_ops.py pins this replica
+    against the engine itself: per-window admitted counts equal the
+    sentinel-flushed ``streaming_hourly_counts`` output on the same
+    file sequence. Integer-second arithmetic keeps the classification
+    bit-identical in any engine (the DuckDB oracle replays it with a
+    window max over the per-batch maxima).
+
+    Scale: the per-batch classification is one scalar comparison per
+    row (the watermark broadcasts as a literal — no state store, no
+    keyed shuffle), the driver keeps ONE number (the running max), the
+    audit relation is (batches × groups)-grained, and late rows stream
+    to ``quarantine_dir`` as an append parquet sink — nothing
+    data-sized ever lands on the driver. Returns
+    ``(audit_df, quarantine_df)``: per-(batch, event_type) admitted /
+    late counts with max lateness, and the routed late rows (empty
+    relation when no quarantine dir is given)."""
+    # TWO maxima, because the engine applies watermarks with a
+    # one-extra-batch lag (verified empirically against
+    # streaming_hourly_counts, and the reason the outer-join query
+    # needs TWO sentinel files): the watermark filtering batch i is
+    # computed from event times of batches ≤ i−2 — batch i−1's stats
+    # are folded into the offset metadata only after its commit, and
+    # take effect one trigger later. ``seen`` = max through the
+    # previous batch; ``applied`` = max through the batch before that,
+    # i.e. what the engine actually filters with.
+    state = {"seen": None, "applied": None}
+    audit_rows: list[tuple] = []
+
+    def _audit_batch(batch_df: DataFrame, epoch_id: int) -> None:
+        wm = None if state["applied"] is None else state["applied"] - delay_secs
+        ep = F.unix_timestamp("ts").cast("bigint")
+        wend = (F.floor(ep / window_secs) + 1) * window_secs
+        classified = batch_df.withColumn("__ep", ep).withColumn("__wend", wend)
+        if wm is None:
+            classified = classified.withColumn("__late", F.lit(False))
+        else:
+            classified = classified.withColumn("__late", F.col("__wend") <= F.lit(wm))
+        classified = classified.withColumn(
+            "__late_secs",
+            F.when(F.col("__late"), F.lit(wm) - F.col("__wend")),
+        )
+        agg = (
+            classified.groupBy("event_type")
+            .agg(
+                F.sum(F.when(~F.col("__late"), 1).otherwise(0)).alias("n_admitted"),
+                F.sum(F.when(F.col("__late"), 1).otherwise(0)).alias("n_late"),
+                F.max("__late_secs").alias("max_late_secs"),
+                F.max("__ep").alias("__mx"),
+            )
+            .collect()
+        )
+        for r in agg:  # batches × groups rows — bounded, driver-safe
+            # -1 (not NULL) when a batch/group had no late rows: a
+            # nullable BIGINT lands as float64 at pandas-fetching
+            # drivers, which mangles large exact lateness values.
+            audit_rows.append(
+                (int(epoch_id), r.event_type, int(r.n_admitted), int(r.n_late),
+                 -1 if r.max_late_secs is None else int(r.max_late_secs))
+            )
+        if quarantine_dir is not None:
+            (
+                classified.filter(F.col("__late"))
+                .drop("__ep", "__wend", "__late", "__late_secs")
+                .write.mode("append")
+                .parquet(quarantine_dir)
+            )
+        batch_max = max((r["__mx"] for r in agg if r["__mx"] is not None), default=None)
+        state["applied"] = state["seen"]
+        if batch_max is not None:
+            state["seen"] = (
+                batch_max if state["seen"] is None else max(state["seen"], batch_max)
+            )
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    q = (
+        stream.writeStream.foreachBatch(_audit_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError(
+            f"late-data audit drain did not finish within {timeout}s; "
+            "refusing to return a partial audit"
+        )
+    audit = spark.createDataFrame(
+        audit_rows,
+        "batch_id int, event_type string, n_admitted bigint, n_late bigint, "
+        "max_late_secs bigint",
+    )
+    if quarantine_dir is not None:
+        import os
+
+        if os.path.isdir(quarantine_dir):
+            quarantine = spark.read.parquet(quarantine_dir)
+        else:  # no batch had late rows — the sink dir was never created
+            quarantine = spark.createDataFrame([], EVENTS_SCHEMA)
+    else:
+        quarantine = spark.createDataFrame([], EVENTS_SCHEMA)
+    return audit, quarantine

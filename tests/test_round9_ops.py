@@ -132,3 +132,323 @@ def test_minmax_refresh_duplicate_values_multiset_semantics(spark):
     ch = spark.createDataFrame([("a", 1.0, -1)], "k string, v double, m int")
     row = signed_minmax_refresh(base, ch, ["k"], "v", "m", heap_k=3).collect()[0]
     assert (row.n, row.min_v, row.max_v) == (2, 1.0, 9.0)
+
+
+# ------------------------------------------- cross-run dedup-index store
+
+
+@pytest.fixture()
+def _idx_tables(spark):
+    yield "t9_idx_bands", "t9_idx_sets"
+    spark.sql("DROP TABLE IF EXISTS t9_idx_bands")
+    spark.sql("DROP TABLE IF EXISTS t9_idx_sets")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+BASE_TEXT = "the quick brown fox jumps over the lazy dog again and again today"
+
+
+def test_minhash_index_probe_finds_history_dups(spark, _idx_tables):
+    from parcialbigdata_spark.operators import dedup
+
+    bands_t, sets_t = _idx_tables
+    history = _docs(
+        spark,
+        [(1, BASE_TEXT), (2, "completely different words about spark shuffles here")],
+    )
+    batch = _docs(spark, [(10, BASE_TEXT + " extra"), (11, "nothing shared at all zz qq")])
+    dedup.minhash_index_ingest(history, "doc_id", "text", bands_t, sets_t, k_shingle=2)
+    got = dedup.minhash_index_probe(
+        batch, "doc_id", "text", bands_t, sets_t, threshold=0.5, k_shingle=2
+    ).collect()
+    assert {(r.new_id, r.old_id) for r in got} == {(10, 1)}
+    assert all(r.jaccard_sim >= 0.5 for r in got)
+
+
+def test_minhash_index_append_maintains_across_batches(spark, _idx_tables):
+    # batch2 must match a batch1 document WITHOUT any re-ingest of
+    # history — the index was maintained by the batch1 append.
+    from parcialbigdata_spark.operators import dedup
+
+    bands_t, sets_t = _idx_tables
+    history = _docs(spark, [(1, "some old corpus content entirely unrelated")])
+    b1_text = "fresh crawl page with shared boilerplate navigation footer text"
+    batch1 = _docs(spark, [(10, b1_text)])
+    batch2 = _docs(spark, [(20, b1_text + " minor edit")])
+    dedup.minhash_index_ingest(history, "doc_id", "text", bands_t, sets_t, k_shingle=2)
+    p1 = dedup.minhash_index_probe(
+        batch1, "doc_id", "text", bands_t, sets_t, threshold=0.5, k_shingle=2
+    ).collect()
+    assert p1 == []  # batch1 is new content
+    dedup.minhash_index_ingest(
+        batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2, append=True
+    )
+    p2 = dedup.minhash_index_probe(
+        batch2, "doc_id", "text", bands_t, sets_t, threshold=0.5, k_shingle=2
+    ).collect()
+    assert {(r.new_id, r.old_id) for r in p2} == {(20, 10)}
+
+
+def test_minhash_index_probe_shuffles_only_batch_side(spark, _idx_tables):
+    # The stored band table is bucketed on band_hash: the probe join's
+    # executed plan must contain NO exchange on the stored-side scan
+    # subtree (only the batch side may shuffle).
+    from parcialbigdata_spark.operators import dedup
+
+    bands_t, sets_t = _idx_tables
+    history = _docs(
+        spark, [(i, f"history doc {i} shares very little") for i in range(20)]
+    )
+    batch = _docs(spark, [(100, BASE_TEXT)])
+    dedup.minhash_index_ingest(history, "doc_id", "text", bands_t, sets_t, k_shingle=2)
+    out = dedup.minhash_index_probe(
+        batch, "doc_id", "text", bands_t, sets_t, threshold=0.2, k_shingle=2
+    )
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # every line between the stored-table FileScan and the join must be
+    # exchange-free on the stored side: assert no Exchange directly
+    # above the bucketed scan by checking the scan reports its bucket
+    # layout and the plan has no exchange whose child scans the table.
+    import re
+
+    assert re.search(r"FileScan parquet.*t9_idx_bands", plan, re.I), plan
+    stored_scan_chunks = [
+        c for c in plan.split("+-") if re.search(r"t9_idx_bands", c, re.I)
+    ]
+    assert stored_scan_chunks, plan
+    # SelectedBucketsCount present == Spark planned the bucketed read
+    assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+
+
+# ------------------------------------------- streaming late-data audit
+
+
+def _write_event_files(spark, base, batches):
+    """Write each batch (list of event tuples) as one mtime-ordered
+    parquet file in base/stream; returns the stream dir."""
+    import glob
+    import os
+    import shutil
+    import time
+
+    from parcialbigdata_spark.streaming.windows import EVENTS_SCHEMA
+
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    now = time.time()
+    for i, rows in enumerate(batches):
+        tmp = os.path.join(base, f"w{i}")
+        spark.createDataFrame(rows, EVENTS_SCHEMA).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = os.path.join(stream_dir, f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 600 + 60 * i, now - 600 + 60 * i))
+    return stream_dir
+
+
+def _ts(h, m=0):
+    from datetime import datetime
+
+    return datetime(2024, 1, 1, h, m)
+
+
+def test_late_audit_classification_and_quarantine(spark, tmp_path):
+    from parcialbigdata_spark.streaming.windows import run_late_data_audit
+
+    batches = [
+        # batch 0: no watermark yet -> everything admitted; max ts 05:30
+        [
+            (1, _ts(0, 10), 1, "click", 1.0, None),
+            (2, _ts(5, 30), 1, "click", 1.0, None),
+        ],
+        # batch 1: the 05:30-derived watermark has NOT applied yet
+        # (one-extra-batch lag) -> everything admitted
+        [
+            (3, _ts(2, 0), 1, "click", 1.0, None),
+        ],
+        # batch 2: wm = 05:30 - 1h = 04:30 now applies
+        [
+            (4, _ts(2, 30), 1, "click", 1.0, None),  # wend 03:00 <= wm -> late
+            (5, _ts(3, 59), 1, "click", 1.0, None),  # wend 04:00 <= wm -> late
+            (6, _ts(4, 15), 1, "click", 1.0, None),  # wend 05:00 >  wm -> admitted
+            (7, _ts(5, 45), 1, "click", 1.0, None),  # admitted
+        ],
+    ]
+    base = str(tmp_path)
+    stream_dir = _write_event_files(spark, base, batches)
+    qdir = str(tmp_path / "quarantine")
+    audit, quarantine = run_late_data_audit(
+        spark, stream_dir, delay_secs=3600, window_secs=3600, quarantine_dir=qdir
+    )
+    got = {(r.batch_id, r.event_type): (r.n_admitted, r.n_late, r.max_late_secs)
+           for r in audit.collect()}
+    # wm 04:30 (epoch secs); late row wend 03:00 -> lateness 5400s
+    assert got[(0, "click")] == (2, 0, -1)
+    assert got[(1, "click")] == (1, 0, -1)
+    assert got[(2, "click")] == (2, 2, 5400)
+    assert {r.event_id for r in quarantine.collect()} == {4, 5}
+
+
+def test_late_audit_replica_matches_engine_drops(spark, tmp_path):
+    # The audit's admit/late rule must agree with what the engine's own
+    # watermarked tumbling aggregation keeps: run streaming_hourly_counts
+    # on the SAME file sequence (plus a far-future flush sentinel so all
+    # windows emit in append mode) and compare per-window counts with
+    # the rule's prediction.
+    from parcialbigdata_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        run_late_data_audit,
+        streaming_hourly_counts,
+    )
+
+    batches = [
+        [
+            (1, _ts(0, 10), 1, "click", 1.0, None),
+            (2, _ts(5, 30), 1, "click", 1.0, None),
+        ],
+        [(3, _ts(2, 0), 1, "click", 1.0, None)],   # lag: still admitted
+        [
+            (4, _ts(2, 30), 1, "click", 1.0, None),   # dropped (wm 04:30)
+            (5, _ts(3, 59), 1, "click", 1.0, None),   # dropped
+            (6, _ts(4, 15), 1, "click", 1.0, None),   # admitted
+            (7, _ts(5, 45), 1, "click", 1.0, None),   # admitted
+        ],
+        [(99, _ts(23, 0), -1, "flush", 0.0, None)],
+    ]
+    base = str(tmp_path)
+    stream_dir = _write_event_files(spark, base, batches)
+    audit, _ = run_late_data_audit(
+        spark, stream_dir, delay_secs=3600, window_secs=3600
+    )
+    per_batch = {(r.batch_id, r.event_type): (r.n_admitted, r.n_late)
+                 for r in audit.collect()}
+    assert per_batch[(1, "click")] == (1, 0)
+    assert per_batch[(2, "click")] == (2, 2)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+    )
+    agg = streaming_hourly_counts(stream, watermark="1 hour")
+    name = "t9_late_agg"
+    q = (
+        agg.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    assert not q.isActive
+    engine = {
+        (r.hour, r.event_type): r.n_events
+        for r in spark.table(name).collect()
+        if r.event_type == "click"
+    }
+    # admitted rows by the audit rule, re-bucketed into hour windows:
+    # 00:10, 05:30 (b0), 02:00 (b1 — lag), 04:15, 05:45 (b2); the
+    # engine must count exactly these (02:30 and 03:59 dropped).
+    assert engine == {
+        ("2024-01-01 00:00:00", "click"): 1,
+        ("2024-01-01 02:00:00", "click"): 1,
+        ("2024-01-01 04:00:00", "click"): 1,
+        ("2024-01-01 05:00:00", "click"): 2,
+    }
+
+
+# ------------------------------------------- containment join / CDC extract
+
+
+def test_containment_is_asymmetric_doc_in_doc(spark):
+    from parcialbigdata_spark.operators import dedup
+
+    inner = "alpha beta gamma delta"
+    outer = (
+        "zero one two three four five six seven eight nine ten eleven "
+        "twelve alpha beta gamma delta thirteen fourteen fifteen sixteen"
+    )
+    df = spark.createDataFrame(
+        [(1, inner), (2, outer)], "doc_id long, text string"
+    )
+    got = {
+        (r.id_inner, r.id_outer): r.containment
+        for r in dedup.ngram_containment_pairs(
+            df, "doc_id", "text", threshold=0.5, k_shingle=2
+        ).collect()
+    }
+    # all 3 of the inner doc's 2-shingles appear in the outer doc ->
+    # containment 1.0 inner->outer; the reverse direction is tiny.
+    assert got == {(1, 2): 1.0}
+
+
+def test_containment_mutual_near_dups_emit_both_directions(spark):
+    from parcialbigdata_spark.operators import dedup
+
+    t = "one two three four five six"
+    df = spark.createDataFrame(
+        [(1, t), (2, t + " seven")], "doc_id long, text string"
+    )
+    got = {(r.id_inner, r.id_outer) for r in dedup.ngram_containment_pairs(
+        df, "doc_id", "text", threshold=0.8, k_shingle=2
+    ).collect()}
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_snapshot_to_changes_minimal_and_composes(spark):
+    from parcialbigdata_spark.operators.incremental import (
+        signed_agg_refresh,
+        snapshot_to_changes,
+    )
+
+    old = spark.createDataFrame(
+        [("a", 1.0), ("a", 1.0), ("a", 2.0), ("b", 3.0)], "k string, v double"
+    )
+    new = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 2.0), ("c", 9.0)], "k string, v double"
+    )
+    ch = snapshot_to_changes(old, new)
+    rows = sorted(tuple(r) for r in ch.collect())
+    # minimal: one -1 for the lost duplicate 'a'/1.0, one +1 for the
+    # extra 'a'/2.0, -1 b, +1 c — unchanged rows never appear.
+    assert rows == [("a", 1.0, -1), ("a", 2.0, 1), ("b", 3.0, -1), ("c", 9.0, 1)]
+    refreshed = {
+        (r.k, r.n, r.sum_cents)
+        for r in signed_agg_refresh(old, ch, ["k"], "v", "mult").collect()
+    }
+    direct = {
+        (r.k, r.n, r.sum_cents)
+        for r in new.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("v") * 100 + 0.5).cast("bigint")).alias("sum_cents"),
+        )
+        .collect()
+    }
+    assert refreshed == direct
+
+
+def test_snapshot_to_changes_null_rows_and_multiplicity(spark):
+    from parcialbigdata_spark.operators.incremental import snapshot_to_changes
+
+    old = spark.createDataFrame([("a", None), ("a", None)], "k string, v double")
+    new = spark.createDataFrame([("a", None)], "k string, v double")
+    rows = [tuple(r) for r in snapshot_to_changes(old, new).collect()]
+    assert rows == [("a", None, -1)]
+    # 3 copies inserted at once -> three +1 rows
+    old2 = spark.createDataFrame([], "k string, v double")
+    new2 = spark.createDataFrame([("x", 1.0)] * 3, "k string, v double")
+    rows2 = [tuple(r) for r in snapshot_to_changes(old2, new2).collect()]
+    assert rows2 == [("x", 1.0, 1)] * 3
+
+
+def test_snapshot_to_changes_rejects_column_mismatch(spark):
+    from parcialbigdata_spark.operators.incremental import snapshot_to_changes
+
+    a = spark.createDataFrame([(1,)], "x long")
+    b = spark.createDataFrame([(1,)], "y long")
+    with pytest.raises(ValueError, match="column mismatch"):
+        snapshot_to_changes(a, b)

@@ -79,6 +79,9 @@ HEAVY = [
     "incremental_join_orders_customers",
     "cdc_agg_orders",
     "cdc_minmax_orders",
+    "cdc_extract_apply_orders",
+    "dedup_index_probe_documents",
+    "containment_pairs_documents",
 ]
 
 
