@@ -35,6 +35,21 @@ from parcialbigdata_spark.session import get_spark
 # ---------------------------------------------------------------------
 CALIBRATION_REF_SEC = 0.765
 
+# Second calibration axis (r9): the CPU kernel above is ONE job of pure
+# codegen, so it tracks compute throughput but not per-JOB fixed cost
+# (scheduler round-trips, shuffle setup, file commit). The r8 builder-
+# vs-driver comparison showed identical code drifting 1.3-1.5x on
+# multi-job queries (zorder 1.52x, cdc 1.52x) while single-job scans sat
+# near 1.0x — the ambient gap lives in job overhead, not CPU. This
+# kernel is deliberately SMALL data over MANY jobs (parquet write,
+# filtered scan-agg, shuffle join-agg = 3+ jobs) so its wall time is
+# fixed-overhead-dominated; drift_multijob = multijob_sec /
+# MULTIJOB_REF_SEC. Queries whose PLANS.md row shows several jobs
+# transfer across rigs under drift_multijob; scan-shaped queries under
+# drift. MULTIJOB_REF_SEC is the r9 builder-rig measurement (min-of-3)
+# — rebaseline only together with BENCH history.
+MULTIJOB_REF_SEC = 0.821
+
 
 def _calibration_kernel(spark) -> None:
     df = spark.range(0, 400_000_000, 1, 32)
@@ -45,6 +60,27 @@ def _calibration_kernel(spark) -> None:
     mixed.agg(F.sum("h"), F.count(F.lit(1))).collect()
 
 
+def _calibration_kernel_multijob(spark, path: str) -> None:
+    # Job(s) 1: parquet write (8 small files + commit protocol).
+    df = spark.range(0, 2_000_000, 1, 8).select(
+        F.col("id"),
+        (F.col("id") % 1000).alias("k"),
+        F.xxhash64("id").alias("v"),
+    )
+    df.write.mode("overwrite").parquet(path)
+    # Job 2: filtered scan + agg over the written files.
+    back = spark.read.parquet(path)
+    back.where(F.col("v") % 7 == 0).agg(F.sum("v")).collect()
+    # Job 3: shuffle join + agg (hint defeats broadcast so the shuffle
+    # machinery is actually exercised).
+    dim = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("w")
+    )
+    back.hint("shuffle_hash").join(dim, "k").agg(
+        F.sum(F.col("v") + F.col("w"))
+    ).collect()
+
+
 def measure_calibration(spark, n: int = 3) -> float:
     best = float("inf")
     for _ in range(n):
@@ -52,6 +88,22 @@ def measure_calibration(spark, n: int = 3) -> float:
         _calibration_kernel(spark)
         best = min(best, time.perf_counter() - t0)
     return round(best, 3)
+
+
+def measure_calibration_multijob(spark, n: int = 3) -> float:
+    import shutil
+    import tempfile
+
+    root = tempfile.mkdtemp(prefix="bench_multijob_")
+    try:
+        best = float("inf")
+        for _ in range(n):
+            t0 = time.perf_counter()
+            _calibration_kernel_multijob(spark, os.path.join(root, "t"))
+            best = min(best, time.perf_counter() - t0)
+        return round(best, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 # Headline set: the most expensive/representative plans, one per family.
 BENCH_QUERIES = [
@@ -199,6 +251,9 @@ BENCH_QUERIES = [
     "incremental_join_orders_customers",
     "cdc_agg_orders",
     "cdc_minmax_orders",
+    "cdc_extract_apply_orders",
+    "dedup_index_probe_documents",
+    "containment_pairs_documents",
 ]
 
 
@@ -250,6 +305,12 @@ def main() -> None:
     # band would normalize to ~1.0).
     calibration = measure_calibration(spark)
     drift = round(calibration / CALIBRATION_REF_SEC, 3)
+    # Multi-job drift is REPORTED beside the CPU drift (r9+) so rig
+    # comparisons of job-heavy queries have the right denominator;
+    # `normalized` stays on the CPU drift to keep r4-r8 history
+    # comparable on one basis.
+    calibration_mj = measure_calibration_multijob(spark)
+    drift_mj = round(calibration_mj / MULTIJOB_REF_SEC, 3)
     normalized = {n: round(t / drift, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
@@ -263,6 +324,9 @@ def main() -> None:
             "kernel_sec": calibration,
             "ref_sec": CALIBRATION_REF_SEC,
             "drift": drift,
+            "multijob_sec": calibration_mj,
+            "multijob_ref_sec": MULTIJOB_REF_SEC,
+            "drift_multijob": drift_mj,
         },
         "value_normalized": round(total / drift, 3),
         "queries_normalized": normalized,
@@ -295,6 +359,9 @@ def main() -> None:
                     "kernel_sec": calibration,
                     "ref_sec": CALIBRATION_REF_SEC,
                     "drift": drift,
+                    "multijob_sec": calibration_mj,
+                    "multijob_ref_sec": MULTIJOB_REF_SEC,
+                    "drift_multijob": drift_mj,
                 },
                 "value_normalized": round(total / drift, 3),
             }
