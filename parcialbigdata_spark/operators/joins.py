@@ -305,25 +305,38 @@ def bloom_filter_rows(df: DataFrame, key_col: str, bloom: DataFrame) -> DataFram
     filters do when they apply.
 
     The probe derives its modulus and round count FROM the filter row's
-    embedded ``__m``/``__k_rounds`` columns (a ``forall`` over
-    ``sequence(0, __k_rounds − 1)``), so a build/probe parameter
-    mismatch — which would hash to different bits and produce false
-    NEGATIVES, i.e. silently wrong join results — is impossible by
-    construction rather than merely detected at runtime (r9; the r8
-    version took redundant ``m_bits``/``k`` args and raise_error-ed on
-    disagreement). ``sequence`` of two INTs yields INT elements, the
-    same type as the build's ``array(0, 1, …)`` literals, so
-    ``xxhash64(key, j)`` hashes identical bytes on both sides.
+    embedded ``__m``/``__k_rounds`` values, read DRIVER-SIDE from the
+    one-row relation, so a build/probe parameter mismatch — which would
+    hash to different bits and produce false NEGATIVES, i.e. silently
+    wrong join results — is impossible by construction rather than
+    merely detected at runtime (r9; the r8 version took redundant
+    ``m_bits``/``k`` args and raise_error-ed on disagreement). The
+    derived values are then baked into the membership predicate as
+    LITERALS — one unrolled conjunct per hash round — keeping the probe
+    inside whole-stage codegen with the modulus constant-folded; the
+    first r9 cut expressed the same derivation as a per-row ``forall``
+    over ``sequence(0, __k_rounds − 1)`` and paid ~6× on the fact scan
+    (higher-order-function lambda interpretation, nothing foldable).
+    The integer literals ``0…k−1`` are INT, the same type as the
+    build's ``array(0, 1, …)`` literals, so ``xxhash64(key, j)``
+    hashes identical bytes on both sides.
     """
-    member = F.expr(
-        "forall(sequence(0, __k_rounds - 1), j -> "
-        "(coalesce(element_at(__bloom, "
-        f"CAST(pmod(xxhash64(`{key_col}`, j), __m) / 64 AS BIGINT)), 0L)"
-        f" & shiftleft(1L, CAST(pmod(xxhash64(`{key_col}`, j), __m) % 64"
-        " AS INT))) != 0)"
-    )
+    # Bytes-sized by contract (≤ m_bits/8 + params); persist so the
+    # param fetch and the broadcast share one build execution.
+    bloom = bloom.persist()
+    params = bloom.select("__m", "__k_rounds").first()  # one row
+    m_bits, k = int(params["__m"]), int(params["__k_rounds"])
+    tests = [
+        (
+            "(coalesce(element_at(__bloom, "
+            f"CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) / 64 AS BIGINT)), 0L)"
+            f" & shiftleft(1L, CAST(pmod(xxhash64(`{key_col}`, {j}), {m_bits}) % 64"
+            " AS INT))) != 0"
+        )
+        for j in range(k)
+    ]
     return (
         df.crossJoin(F.broadcast(bloom))
-        .filter(member)
+        .filter(F.expr(" AND ".join(tests)))
         .drop("__bloom", "__m", "__k_rounds")
     )
