@@ -160,3 +160,66 @@ def join_size_estimate(
         )
         .select(F.lit(join_name).alias("join_name"), "est_pairs")
     )
+
+
+def reliability_bins(
+    df: DataFrame,
+    conf_col: str,
+    label_col: str,
+    n_bins: int = 10,
+) -> DataFrame:
+    """Reliability diagram / calibration audit for a scored relation
+    (Murphy & Winkler 1977; the binned-ECE formulation of Naeini et
+    al., AAAI'15; Guo et al., ICML'17 popularized it for neural
+    classifiers): bucket rows by predicted confidence into ``n_bins``
+    equi-width bins over [0, 1] and compare, per bin, the MEAN
+    PREDICTED confidence against the OBSERVED positive rate. A quality
+    filter that says "0.9" for documents that are good 60% of the time
+    is miscalibrated even when its ranking is perfect — and every
+    downstream threshold choice (what survives into the training mix)
+    silently inherits that bias; this audit is how the threshold gets
+    chosen on evidence. Completes the model-ops family:
+    ``drift_psi_orders`` watches the INPUT distribution move,
+    ``ab_lift_events`` compares interventions, this watches the
+    MODEL's probability semantics.
+
+    Determinism discipline (the cross-engine value-hash rules): the
+    bin id is integer ``floor(conf·n_bins)`` clamped to the top bin;
+    confidences are summed as rounded DECIMALs (order-independent),
+    divided by exact counts ONCE at the end; the observed rate is a
+    ratio of exact integers; ``abs_gap`` subtracts the two
+    already-rounded doubles. Scale: one map-side-combined hash
+    aggregation to ≤ ``n_bins`` rows — runs inline on the scoring
+    pass's output at any volume; nothing driver-side.
+
+    Returns (bin, n_rows, avg_conf, pos_rate, abs_gap), bin ascending
+    by value; ECE = Σ n_rows·abs_gap / Σ n_rows is one more
+    aggregation away and deliberately left to the caller (the per-bin
+    relation is the operational artifact — it shows WHERE the model
+    lies, not just how much)."""
+    conf = F.col(conf_col)
+    bin_id = F.least(
+        F.floor(conf * n_bins).cast("int"), F.lit(n_bins - 1)
+    ).alias("bin")
+    agg = (
+        df.select(
+            bin_id,
+            F.round(conf, 9).cast("decimal(18,9)").alias("__c"),
+            F.col(label_col).cast("int").alias("__y"),
+        )
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("__c").alias("__sum_c"),
+            F.sum("__y").alias("__n_pos"),
+        )
+    )
+    avg_conf = F.round(F.col("__sum_c").cast("double") / F.col("n_rows"), 6)
+    pos_rate = F.round(F.col("__n_pos").cast("double") / F.col("n_rows"), 6)
+    return agg.select(
+        "bin",
+        "n_rows",
+        avg_conf.alias("avg_conf"),
+        pos_rate.alias("pos_rate"),
+        F.round(F.abs(avg_conf - pos_rate), 6).alias("abs_gap"),
+    )

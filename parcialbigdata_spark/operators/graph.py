@@ -947,3 +947,78 @@ def neighborhood_overlap(
     ).limit(top_k)
     w = Window.orderBy(F.desc("jaccard"), F.desc("n_common"), "node_a", "node_b")
     return top.withColumn("link_rank", F.row_number().over(w))
+
+
+def label_propagation(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    rounds: int = 4,
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara, *Near linear time algorithm to detect community
+    structures in large-scale networks*, Phys. Rev. E 2007), the
+    deterministic variant: every node starts labeled with its own id;
+    each round every node adopts the most frequent label in its CLOSED
+    neighborhood (neighbors plus its own current label — the self-vote
+    damps the 2-cycle oscillation synchronous LPA exhibits on bipartite
+    structures), ties broken by the MINIMUM label. Unlike
+    :func:`connected_components` (which this module uses for near-dup
+    clusters and which merges everything reachable), LPA splits a
+    connected graph into densely-linked groups — the community
+    structure of supplier/co-purchase graphs.
+
+    Runs a FIXED ``rounds`` sweeps rather than to convergence: classic
+    LPA's stopping rule is order-dependent (and synchronous LPA may
+    never converge), so a fixed unrolled round count is what makes the
+    result a pure function of the graph — reproducible across engines
+    and runs (the registered query's DuckDB oracle replays the same
+    rounds literally). Production tuning raises ``rounds`` (label
+    influence spreads one hop per round); communities stabilize in a
+    handful of sweeps on small-world graphs (op. cit. §4: >95% of
+    nodes correctly classified after 5 iterations).
+
+    Scale: each round is one co-keyed equi join (edge dst → label),
+    one map-side-combined (node, label) count, and one per-node
+    top-1 window — all shuffles keyed on node id, linear in |E|, the
+    same per-round discipline as :func:`connected_components`; rounds
+    are a constant, not data-dependent. Celebrity-node vote counting
+    is groupBy-combined, so skew lands on the combiner, not a single
+    reducer. Per-round ``localCheckpoint`` + release keeps lineage
+    flat and executor storage bounded. The input is treated as
+    UNDIRECTED: edges are symmetrized and self-loops dropped.
+
+    Returns (node, community) for every node with at least one edge;
+    ``community`` is the surviving label (a node id)."""
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    e = e.unionAll(e.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+    e = e.localCheckpoint(eager=True)
+    labels = (
+        e.select(F.col("a").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(rounds):
+        nbr = e.join(
+            labels.select(F.col("node").alias("b"), "label"), "b"
+        ).select(F.col("a").alias("node"), "label")
+        votes = nbr.unionByName(labels)
+        new_labels = (
+            votes.groupBy("node", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+        release_checkpoint(labels)
+        labels = new_labels
+    out = labels.select("node", F.col("label").alias("community"))
+    release_checkpoint(e)
+    return out

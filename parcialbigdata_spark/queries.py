@@ -4750,6 +4750,108 @@ def quality_classifier_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "calibration_audit_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, {_TOKS_SQL.format(c="lower(text)")} AS toks FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] || '_' || toks[i + 1] AS b
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             SUM(((('0x' || substr(md5(b), 1, 4))::BIGINT % 64) * 37 + 11) % 201
+                 - 100) AS sum_w,
+             COUNT(*) AS n
+      FROM bg GROUP BY doc_id
+    ),
+    lab AS (
+      SELECT doc_id,
+             CASE WHEN 100 * len(list_distinct(toks)) >= 55 * len(toks)
+                  THEN 1 ELSE 0 END AS y
+      FROM t
+    ),
+    scored AS (
+      SELECT round((CAST(sum_w AS DOUBLE) / (100 * n) + 1) / 2, 9) AS conf, y
+      FROM perdoc JOIN lab USING (doc_id)
+    ),
+    bins AS (
+      SELECT LEAST(CAST(FLOOR(conf * 10) AS INT), 9) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_rows,
+             ROUND(CAST(SUM(CAST(conf AS DECIMAL(18,9))) AS DOUBLE)
+                   / COUNT(*), 6) AS avg_conf,
+             ROUND(CAST(SUM(y) AS DOUBLE) / COUNT(*), 6) AS pos_rate
+      FROM scored GROUP BY 1
+    )
+    SELECT bin, n_rows, avg_conf, pos_rate,
+           ROUND(ABS(avg_conf - pos_rate), 6) AS abs_gap
+    FROM bins
+    """,
+)
+def calibration_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION AUDIT of the quality filter (``operators/
+    diagnostics.py reliability_bins`` — Guo et al. ICML'17 reliability
+    diagram): the hashed-bigram classifier of its inference sibling
+    ``quality_classifier_documents`` is re-read as a probability
+    (its integer logit mapped to [0,1] with pure arithmetic — no
+    sigmoid/exp, the repo-wide no-libm rule) and audited per
+    confidence decile against an independent outcome proxy (distinct-
+    token ratio ≥ 0.55, an exact integer comparison). Where the
+    sibling reports WHAT the model scores, this reports whether the
+    scores MEAN what they say — the number every survives-into-the-
+    training-mix threshold hangs on. Model-ops family: input drift
+    ``drift_psi_orders``, intervention lift ``ab_lift_events``,
+    probability semantics here. Plan: the scoring pass is one narrow
+    map (``aggregate`` HOF over the bigram array — no explode, no
+    per-doc shuffle), then ONE map-side-combined hash agg to ≤ 10
+    bin rows; the oracle replays the binning literally."""
+    from parcialbigdata_spark.operators.diagnostics import reliability_bins
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.zip_with(
+            F.slice(toks, 1, F.size(toks) - 1),
+            F.slice(toks, 2, F.size(toks) - 1),
+            lambda a, b: F.concat(a, F.lit("_"), b),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _w(b):
+        bucket = F.conv(F.substring(F.md5(b), 1, 4), 16, 10).cast("bigint") % 64
+        return (bucket * 37 + 11) % 201 - 100
+
+    perdoc = (
+        docs.select(
+            "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .select(
+            "doc_id",
+            F.aggregate(
+                bigrams, F.lit(0).cast("bigint"), lambda acc, b: acc + _w(b)
+            ).alias("sum_w"),
+            F.size(bigrams).cast("bigint").alias("n"),
+            (
+                F.lit(100) * F.size(F.array_distinct(toks))
+                >= F.lit(55) * F.size(toks)
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        .filter(F.col("n") >= 1)
+    )
+    scored = perdoc.select(
+        F.round(
+            (F.col("sum_w").cast("double") / (F.lit(100) * F.col("n")) + 1) / 2, 9
+        ).alias("conf"),
+        "y",
+    )
+    return reliability_bins(scored, "conf", "y", n_bins=10)
+
+
+@query(
     "boilerplate_prune_documents",
     f"""
     WITH t AS (
@@ -7449,6 +7551,31 @@ def editdist_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return editdist_join(cust, "c_name", max_dist=1)
 
 
+def _lpa_rounds_sql(rounds: int) -> str:
+    """Unrolled synchronous-LPA rounds for the community_lpa oracle:
+    each round re-votes every node's label from its closed neighborhood
+    (neighbor labels + self-vote), max count with min-label tie-break —
+    the literal replay of ``operators/graph.py label_propagation``
+    (same fixed-rounds bound style as ``_KCORE_ROUNDS_SQL`` below)."""
+    parts = []
+    prev = "l0"
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"""
+    v{i} AS MATERIALIZED (
+      SELECT e.a AS node, l.label FROM e0 e JOIN {prev} l ON l.node = e.b
+      UNION ALL SELECT node, label FROM {prev}),
+    l{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY COUNT(*) DESC, label ASC) AS rn
+        FROM v{i} GROUP BY node, label) WHERE rn = 1)"""
+        )
+        prev = f"l{i}"
+    return ",".join(parts)
+
+
 _KCORE_ROUNDS_SQL = """
     k1 AS MATERIALIZED (SELECT a FROM e0 GROUP BY a HAVING COUNT(*) >= 4),
     e1 AS MATERIALIZED (SELECT e.a, e.b FROM e0 e
@@ -7536,6 +7663,51 @@ def kcore_supplier_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
     )
     return kcore(edges, k=4)
+
+
+@query(
+    "community_lpa_suppliers",
+    f"""
+    WITH base AS (
+      SELECT DISTINCT a.l_suppkey AS a, b.l_suppkey AS b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_suppkey <> b.l_suppkey
+      WHERE a.l_quantity >= 48 AND b.l_quantity >= 48
+    ),
+    e0 AS MATERIALIZED (SELECT a, b FROM base UNION SELECT b, a FROM base),
+    l0 AS MATERIALIZED (SELECT DISTINCT a AS node, a AS label FROM e0),
+{_lpa_rounds_sql(4)}
+    SELECT node, label AS community FROM l4
+    """,
+)
+def community_lpa_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION on the supplier co-occurrence graph (same
+    graph as its structural sibling ``kcore_supplier_graph`` — suppliers
+    sharing a high-quantity order) via deterministic synchronous label
+    propagation: ``operators/graph.py label_propagation``, 4 fixed
+    sweeps, closed-neighborhood voting, min-label tie-break (Raghavan
+    et al. 2007). Where ``dedup_clusters_documents``/k-core extract
+    connectivity and coreness, LPA extracts the densely-linked GROUPS —
+    the missing member of the graph-analytics family (components /
+    pagerank / k-core / triangles / link-prediction / communities).
+    The DuckDB oracle replays the 4 sweeps literally via
+    ``_lpa_rounds_sql`` (fixed unrolled rounds make the result a pure
+    function of the graph — the same bound style as the kcore and sssp
+    oracles); each Spark round is one co-keyed join + map-side-combined
+    vote count + per-node top-1, all shuffles on the node id."""
+    from parcialbigdata_spark.operators.graph import label_propagation
+
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 48)
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") != F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("src"), F.col("b.l_suppkey").alias("dst"))
+    )
+    return label_propagation(edges, rounds=4)
 
 
 @query(
@@ -9492,6 +9664,73 @@ def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "cl_diversity_audit_customers",
+    """
+    WITH sv AS (
+      SELECT c_nationkey, c_mktsegment,
+             CAST(FLOOR(c_acctbal / 1000.0) AS BIGINT) AS bal_band,
+             c_acctbal AS svv, COUNT(*) AS cnt
+      FROM customer GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY c_nationkey, c_mktsegment, bal_band
+               ORDER BY cnt DESC, svv ASC) AS rn
+      FROM sv
+    ),
+    per_class AS (
+      SELECT c_nationkey, c_mktsegment, bal_band,
+             MAX(CASE WHEN rn = 1 THEN cnt END) AS r1,
+             CAST(SUM(cnt) AS BIGINT) AS class_n,
+             CAST(COALESCE(SUM(CASE WHEN rn >= 2 THEN cnt END), 0) AS BIGINT)
+               AS tail_2,
+             CAST(COALESCE(SUM(CASE WHEN rn >= 3 THEN cnt END), 0) AS BIGINT)
+               AS tail_3
+      FROM ranked GROUP BY 1, 2, 3
+    )
+    SELECT c, l,
+           CAST(SUM(CASE WHEN r1 >= c * (CASE WHEN l = 2 THEN tail_2
+                                              ELSE tail_3 END)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS classes_violating,
+           CAST(SUM(CASE WHEN r1 >= c * (CASE WHEN l = 2 THEN tail_2
+                                              ELSE tail_3 END)
+                    THEN class_n ELSE 0 END) AS BIGINT) AS records_exposed,
+           COUNT(*) AS n_classes
+    FROM per_class
+    CROSS JOIN (VALUES (CAST(2 AS BIGINT), CAST(2 AS BIGINT)),
+                       (2, 3), (3, 2)) t(c, l)
+    GROUP BY 1, 2
+    """,
+)
+def cl_diversity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive (c, l)-DIVERSITY audit (operators/privacy.py
+    ``recursive_cl_diversity_report`` — Machanavajjhala et al.
+    ICDE'06): flags equivalence classes whose MOST FREQUENT sensitive
+    value dominates the rank-l tail (``r1 ≥ c·Σ_{i≥l} r_i``) — the
+    skew its sibling ``k_anonymity_audit_customers``'s distinct-count
+    ``min_l`` is blind to (998/1/1 has three distinct values and a
+    99.8%-confident attacker). Same quasi-identifiers and sensitive
+    attribute as the sibling; one row per (c, l) ∈ {(2,2),(2,3),
+    (3,2)}. Plan: one (QI, value) hash agg, a per-class rank window
+    on the class-count-sized relation, one per-class agg, one
+    conditional agg to a single row unpivoted with ``stack`` — the
+    oracle's combo cross join is the spec, not the plan."""
+    from parcialbigdata_spark.operators import privacy
+
+    cust = load_table(spark, sf_dir, "customer")
+    return privacy.recursive_cl_diversity_report(
+        cust,
+        [
+            F.col("c_nationkey"),
+            F.col("c_mktsegment"),
+            F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("bigint").alias("bal_band"),
+        ],
+        "c_acctbal",
+        combos=[(2, 2), (2, 3), (3, 2)],
+    )
+
+
+@query(
     "ks_2sample_order_values",
     """
     WITH src AS (
@@ -11259,7 +11498,12 @@ _DRIVER_WINDOW = [
     # (sssp_supplier_graph rotated out in r6 — driver-proven green in
     # r5 — for its iterative-graph sibling kcore_supplier_graph, new
     # in r5 and never driver-checked; stays CI-green.)
-    "kcore_supplier_graph",
+    # (kcore_supplier_graph rotated out in r9 — driver-proven green
+    # r5-r8 — for its community-detection sibling
+    # community_lpa_suppliers (deterministic synchronous label
+    # propagation over the SAME supplier co-occurrence graph, unrolled
+    # 4-sweep oracle), never driver-checked; stays CI-green.)
+    "community_lpa_suppliers",
     # (gap_fill_events_hourly rotated out in r7b — driver-proven green
     # since r4; the date/densification surface stays in-window via
     # streaming_hourly_events' bucketing — for the new r7
@@ -11365,7 +11609,13 @@ _DRIVER_WINDOW = [
     # r6 — for its event-cohort-analytics sibling ab_lift_events
     # (deterministic A/B assignment + lift with exact integer
     # accumulators, r6d, never driver-checked); stays CI-green.)
-    "ab_lift_events",
+    # (ab_lift_events rotated out in r9 — driver-proven green r7-r8 —
+    # for its model-ops sibling calibration_audit_documents
+    # (reliability-diagram audit of the quality classifier's
+    # probability semantics: per-decile predicted-vs-observed gaps,
+    # diagnostics.reliability_bins), never driver-checked; stays
+    # CI-green.)
+    "calibration_audit_documents",
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",
@@ -11383,7 +11633,13 @@ _DRIVER_WINDOW = [
     # correlated HAVING — for the new r7 privacy-audit family
     # k_anonymity_audit_customers, never driver-checked; stays
     # CI-green.)
-    "k_anonymity_audit_customers",
+    # (k_anonymity_audit_customers rotated out in r9 — driver-proven
+    # green r7-r8 — for its privacy-family sibling
+    # cl_diversity_audit_customers (recursive (c,l)-diversity, the
+    # sensitive-value-skew test distinct-count min_l is blind to,
+    # privacy.recursive_cl_diversity_report), never driver-checked;
+    # stays CI-green.)
+    "cl_diversity_audit_customers",
     # Python UDF surface
     "udaf_weighted_value",
     "udtf_part_type_words",

@@ -452,3 +452,102 @@ def test_snapshot_to_changes_rejects_column_mismatch(spark):
     b = spark.createDataFrame([(1,)], "y long")
     with pytest.raises(ValueError, match="column mismatch"):
         snapshot_to_changes(a, b)
+
+
+# ---------------------------------------- r9: label-propagation communities
+
+
+def test_lpa_splits_communities_components_merge(spark):
+    # Two triangles bridged by one edge: connected_components merges
+    # everything into one component; LPA keeps the two densely-linked
+    # triangles apart (the bridge is outvoted by each side's closed
+    # neighborhood).
+    from parcialbigdata_spark.operators.graph import (
+        connected_components,
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src bigint, dst bigint",
+    )
+    comm = {
+        r.node: r.community for r in label_propagation(edges, rounds=4).collect()
+    }
+    assert comm == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4, 6: 4}
+    cc = {
+        r.node: r.component
+        for r in connected_components(edges, src="src", dst="dst").collect()
+    }
+    assert set(cc.values()) == {1}
+
+
+def test_lpa_deterministic_and_direction_invariant(spark):
+    # Symmetrization: reversing every input edge yields identical
+    # communities; repeated runs are bit-identical (fixed rounds,
+    # min-label tie-break — no RNG anywhere).
+    from parcialbigdata_spark.operators.graph import label_propagation
+
+    fwd = spark.createDataFrame(
+        [(10, 20), (20, 30), (30, 10), (30, 40)], "src bigint, dst bigint"
+    )
+    rev = fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    a = sorted(map(tuple, label_propagation(fwd, rounds=3).collect()))
+    b = sorted(map(tuple, label_propagation(rev, rounds=3).collect()))
+    c = sorted(map(tuple, label_propagation(fwd, rounds=3).collect()))
+    assert a == b == c
+
+
+# ------------------------- r9: calibration audit / recursive (c,l)-diversity
+
+
+def test_reliability_bins_gaps_and_clamp(spark):
+    from parcialbigdata_spark.operators.diagnostics import reliability_bins
+
+    rows = (
+        # bin 9 via clamp: conf = 1.0 -> floor(10.0) = 10, clamped to 9
+        [(1.0, 1)] * 4
+        # bin 5: mean conf 0.535, observed rate 0.25 -> gap 0.285
+        + [(0.5, 1), (0.5, 0), (0.55, 0), (0.59, 0)]
+        # bin 0: perfectly calibrated at 0
+        + [(0.05, 0), (0.05, 0)]
+    )
+    df = spark.createDataFrame(rows, "conf double, y int")
+    got = {r.bin: r for r in reliability_bins(df, "conf", "y").collect()}
+    assert set(got) == {0, 5, 9}
+    assert got[9].n_rows == 4 and got[9].abs_gap == 0.0
+    assert got[5].avg_conf == 0.535 and got[5].pos_rate == 0.25
+    assert got[5].abs_gap == 0.285
+    assert got[0].pos_rate == 0.0 and got[0].abs_gap == 0.05
+
+
+def test_recursive_cl_diversity_catches_skew_min_l_misses(spark):
+    from parcialbigdata_spark.operators.privacy import (
+        recursive_cl_diversity_report,
+    )
+
+    rows = (
+        # class A: counts (98, 1, 1) -> l = 3 distinct (plain l-diversity
+        # happy) but r1 = 98 >= 2 * tail_2 = 4 -> recursive (2,2) violated
+        [("A", "x")] * 98
+        + [("A", "y"), ("A", "z")]
+        # class B: counts (2, 2, 2) -> r1 = 2 < 2 * tail_2 = 8 -> fine
+        + [("B", "x"), ("B", "x"), ("B", "y"), ("B", "y"), ("B", "z"), ("B", "z")]
+    )
+    df = spark.createDataFrame(rows, "qi string, s string")
+    got = {
+        (r.c, r.l): r
+        for r in recursive_cl_diversity_report(df, ["qi"], "s").collect()
+    }
+    v22 = got[(2, 2)]
+    assert v22.classes_violating == 1 and v22.records_exposed == 100
+    assert v22.n_classes == 2
+    # (2,3): tail_3 of A is 1 -> 98 >= 2 still violated; B's tail_3 = 2,
+    # r1 = 2 < 4 -> fine
+    assert got[(2, 3)].classes_violating == 1
+    # plain distinct-count l-diversity would pass class A at l = 3
+    distinct_l = {
+        r.qi: r.l
+        for r in df.groupBy("qi").agg(F.count_distinct("s").alias("l")).collect()
+    }
+    assert distinct_l["A"] == 3

@@ -82,6 +82,9 @@ HEAVY = [
     "cdc_extract_apply_orders",
     "dedup_index_probe_documents",
     "containment_pairs_documents",
+    "community_lpa_suppliers",
+    "calibration_audit_documents",
+    "cl_diversity_audit_customers",
 ]
 
 
