@@ -980,10 +980,13 @@ def label_propagation(
 
     Scale: each round is one co-keyed equi join (edge dst → label),
     one map-side-combined (node, label) count, and one per-node
-    top-1 window — all shuffles keyed on node id, linear in |E|, the
-    same per-round discipline as :func:`connected_components`; rounds
-    are a constant, not data-dependent. Celebrity-node vote counting
-    is groupBy-combined, so skew lands on the combiner, not a single
+    top-1 — expressed as a ``min_by`` HASH aggregation over the
+    ordering struct ``(−cnt, label)`` rather than a row_number sort
+    window, so no per-round sort and both aggs combine map-side; all
+    shuffles keyed on node id, linear in |E|, the same per-round
+    discipline as :func:`connected_components`; rounds are a
+    constant, not data-dependent. Celebrity-node vote counting is
+    groupBy-combined, so skew lands on the combiner, not a single
     reducer. Per-round ``localCheckpoint`` + release keeps lineage
     flat and executor storage bounded. The input is treated as
     UNDIRECTED: edges are symmetrized and self-loops dropped.
@@ -1003,18 +1006,24 @@ def label_propagation(
         .select("node", F.col("node").alias("label"))
         .localCheckpoint(eager=True)
     )
-    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
     for _ in range(rounds):
         nbr = e.join(
             labels.select(F.col("node").alias("b"), "label"), "b"
         ).select(F.col("a").alias("node"), "label")
         votes = nbr.unionByName(labels)
+        # min over (−cnt, label) = max count with min-label tie-break
+        # (cnt ≥ 1, so the negation can't overflow; labels are distinct
+        # per node group, so the struct order is total and the pick
+        # deterministic).
         new_labels = (
             votes.groupBy("node", "label")
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(
+                F.min_by(
+                    F.col("label"), F.struct((-F.col("cnt")), F.col("label"))
+                ).alias("label")
+            )
             .localCheckpoint(eager=True)
         )
         release_checkpoint(labels)
