@@ -257,6 +257,7 @@ BENCH_QUERIES = [
     "community_lpa_suppliers",
     "calibration_audit_documents",
     "cl_diversity_audit_customers",
+    "streaming_dedup_index_documents",
 ]
 
 

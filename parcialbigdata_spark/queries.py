@@ -11321,9 +11321,7 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(stats))
 
 
-@query(
-    "dedup_index_probe_documents",
-    """
+_DEDUP_INDEX_ORACLE = """
     WITH sh AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -11342,7 +11340,12 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       OR (a.doc_id % 10 IN (8, 9) AND b.doc_id % 10 <= 7)
     WHERE round(len(list_intersect(a.sh, b.sh)) /
                 greatest(len(list_distinct(list_concat(a.sh, b.sh))), 1), 6) >= 0.2
-    """.format(toks=_TOKS_SQL.format(c=_NORM_SQL.format(c="text"))),
+    """.format(toks=_TOKS_SQL.format(c=_NORM_SQL.format(c="text")))
+
+
+@query(
+    "dedup_index_probe_documents",
+    _DEDUP_INDEX_ORACLE,
 )
 def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cross-RUN dedup-index maintenance (operators/dedup.py
@@ -11395,6 +11398,66 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
         spark.sql(f"DROP TABLE IF EXISTS {sets_t}")
+
+
+@query(
+    "streaming_dedup_index_documents",
+    _DEDUP_INDEX_ORACLE,
+)
+def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming NEAR-dup dedup-at-arrival (streaming/dedup_store.py
+    ``run_streaming_minhash_index``): the ONLINE driver of the batch
+    twin ``dedup_index_probe_documents`` — documents arrive as a
+    3-file micro-batch stream (same modulo split: history %10 ≤ 5,
+    then %10 ∈ (6,7), then %10 ∈ (8,9)); each batch is shingled once,
+    probed against the persisted banded index (only the batch side
+    shuffles; history never re-shingled), emitted, and appended. The
+    oracle is SHARED VERBATIM with the batch twin: once the stream is
+    exhausted the online answer must equal the batch replay — the
+    E-family's stream/batch agreement contract applied to similarity
+    dedup. Exact-hash streaming sibling:
+    ``streaming_dedup_events`` (fingerprint store,
+    streaming/dedup_store.py); ingest-shape sibling:
+    ``streaming_late_audit_events`` (same mtime-ordered file-stream
+    fixture discipline)."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from parcialbigdata_spark.streaming.dedup_store import (
+        run_streaming_minhash_index,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    splits = [mod <= 5, mod.isin(6, 7), mod.isin(8, 9)]
+    base = tempfile.mkdtemp(prefix="streamidx-")
+    bands_t, sets_t = "r9_stream_idx_bands", "r9_stream_idx_sets"
+    try:
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+        now = _time.time()
+        for i, cond in enumerate(splits):
+            tmp = os.path.join(base, f"w{i}")
+            docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
+            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+        return run_streaming_minhash_index(
+            spark,
+            stream_dir,
+            bands_t,
+            sets_t,
+            threshold=0.2,
+            k_shingle=2,
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {sets_t}")
+        shutil.rmtree(base, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------
@@ -11743,7 +11806,15 @@ _DRIVER_WINDOW = [
     # streaming_left_outer_join_events (watermark-eviction LEFT OUTER
     # with sentinel-batch drain == batch LEFT JOIN), never
     # driver-checked; stays CI-green.)
-    "streaming_left_outer_join_events",
+    # (streaming_left_outer_join_events rotated out in r9 —
+    # driver-proven green in r8; E4 keeps streaming_mg_heavy_hitters +
+    # streaming_late_audit_events in-window — for the new r9
+    # streaming near-dup family streaming_dedup_index_documents
+    # (dedup-at-arrival: per-micro-batch probe + append against the
+    # persisted minhash index; oracle shared verbatim with the batch
+    # twin, so the hard signal here is the ONLINE path), never
+    # driver-checked; stays CI-green.)
+    "streaming_dedup_index_documents",
     # (streaming_dedup_events rotated out in r7b — driver-proven green
     # since r2; exactly-once dedup-at-arrival stays CI-green — for the
     # new r7 streaming-sampling family streaming_reservoir_events

@@ -90,3 +90,101 @@ def stream_dedup_to_corpus(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def run_streaming_minhash_index(
+    spark,
+    stream_dir: str,
+    bands_table: str,
+    sets_table: str,
+    threshold: float = 0.2,
+    num_hashes: int = 32,
+    bands: int = 8,
+    k_shingle: int = 2,
+    timeout: float = 240.0,
+) -> DataFrame:
+    """Streaming NEAR-dup dedup-at-arrival — the minhash sibling of
+    :func:`stream_dedup_to_corpus`'s exact-fingerprint store, and the
+    ONLINE driver of the batch index pair ``operators/dedup.py
+    minhash_index_ingest``/``minhash_index_probe``: documents arrive
+    as a file stream, each micro-batch is shingled ONCE, probed
+    against the persisted banded index (history never re-shingled —
+    only the batch side shuffles through the bucketed band join),
+    its verified (new_id, old_id, jaccard_sim) pairs emitted, and the
+    batch appended to the index. The first batch SEEDS the index and
+    probes nothing (there is no history to match).
+
+    Stream/batch agreement contract: on the same ordered batches this
+    returns exactly what the batch replay of ingest→probe→append
+    returns — the registered query shares its oracle with the batch
+    twin ``dedup_index_probe_documents``.
+
+    foreachBatch idempotence (same statement as the exact sibling): a
+    replayed batch can re-append band/set rows — harmless for probe
+    membership, and the periodic index re-compaction that re-applies
+    the ``max_bucket`` cap also collapses duplicates. The per-batch
+    ``collect`` is near-dup-PAIRS-sized (the operator's result, not
+    the corpus); the index tables carry the data-sized state."""
+    import os
+
+    from parcialbigdata_spark.operators.dedup import (
+        minhash_index_ingest,
+        minhash_index_probe,
+    )
+
+    first_file = sorted(
+        f for f in os.listdir(stream_dir) if f.endswith(".parquet")
+    )[0]
+    doc_schema = spark.read.parquet(os.path.join(stream_dir, first_file)).schema
+    pairs_rows: list = []
+    holder: dict = {}
+    state = {"first": True}
+
+    def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        if not state["first"]:
+            p = minhash_index_probe(
+                batch_df,
+                "doc_id",
+                "text",
+                bands_table,
+                sets_table,
+                threshold=threshold,
+                num_hashes=num_hashes,
+                bands=bands,
+                k_shingle=k_shingle,
+            )
+            holder["schema"] = p.schema
+            pairs_rows.extend(p.collect())  # near-dup pairs: bounded
+        minhash_index_ingest(
+            batch_df,
+            "doc_id",
+            "text",
+            bands_table,
+            sets_table,
+            num_hashes=num_hashes,
+            bands=bands,
+            k_shingle=k_shingle,
+            append=not state["first"],
+        )
+        state["first"] = False
+
+    q = (
+        spark.readStream.schema(doc_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(_probe_and_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError(
+            f"streaming minhash index drain did not finish within {timeout}s; "
+            "refusing to return a partial pair set"
+        )
+    if "schema" not in holder:  # single-batch stream: nothing probed
+        return spark.createDataFrame(
+            [], "new_id bigint, old_id bigint, jaccard_sim double"
+        )
+    return spark.createDataFrame(pairs_rows, holder["schema"])

@@ -551,3 +551,129 @@ def test_recursive_cl_diversity_catches_skew_min_l_misses(spark):
         for r in df.groupBy("qi").agg(F.count_distinct("s").alias("l")).collect()
     }
     assert distinct_l["A"] == 3
+
+
+# ------------------------------ r9: streaming minhash dedup-at-arrival
+
+
+def test_streaming_minhash_index_probes_history_only(spark, tmp_path):
+    # Three micro-batches; duplicates exist WITHIN batch 0 (a~b) and
+    # ACROSS batches (c in b1 ~ a in b0; d in b2 ~ c in b1). The online
+    # probe must emit only new-vs-history pairs: the first batch seeds
+    # silently, within-batch pairs never appear, and batch 2 sees
+    # batch 1's rows as history.
+    import os
+    import time as _time
+
+    from parcialbigdata_spark.streaming.dedup_store import (
+        run_streaming_minhash_index,
+    )
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    batches = [
+        [(1, text), (2, text)],                 # near-dup pair inside b0
+        [(3, text + " extra")],                 # ~ matches 1 and 2
+        [(4, text + " extra words here")],      # ~ matches 1, 2, 3
+    ]
+    stream_dir = tmp_path / "stream"
+    os.makedirs(stream_dir)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 60 + 10 * i, now - 60 + 10 * i))
+    bands_t, sets_t = "t_stream_idx_bands", "t_stream_idx_sets"
+    try:
+        pairs = run_streaming_minhash_index(
+            spark, str(stream_dir), bands_t, sets_t, threshold=0.3, k_shingle=2
+        )
+        got = {(r.new_id, r.old_id) for r in pairs.collect()}
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {sets_t}")
+    # no (1,2)/(2,1): within-batch; no (x, newer): probe is vs history
+    assert got == {(3, 1), (3, 2), (4, 1), (4, 2), (4, 3)}
+
+
+# ----------------------------------------------- r9: property tests
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(
+    old_rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5)), max_size=25
+    ),
+    new_rows=st.lists(
+        st.tuples(st.sampled_from("abc"), st.integers(0, 5)), max_size=25
+    ),
+)
+@settings(max_examples=10, deadline=None)
+def test_snapshot_to_changes_property(spark, old_rows, new_rows):
+    """For ANY pair of multisets: applying the extracted signed batch
+    to the old snapshot yields exactly the new multiset, and the batch
+    size equals the multiset symmetric difference (minimality)."""
+    from collections import Counter
+
+    from parcialbigdata_spark.operators.incremental import snapshot_to_changes
+
+    old = spark.createDataFrame(old_rows, "k string, v int") if old_rows else (
+        spark.createDataFrame([], "k string, v int")
+    )
+    new = spark.createDataFrame(new_rows, "k string, v int") if new_rows else (
+        spark.createDataFrame([], "k string, v int")
+    )
+    ch = snapshot_to_changes(old, new).collect()
+    co, cn = Counter(old_rows), Counter(new_rows)
+    applied = Counter(co)
+    for r in ch:
+        applied[(r.k, r.v)] += r.mult
+    applied = +applied  # drop zero/negative counts (none should exist)
+    assert applied == cn
+    sym_diff = sum((co - cn).values()) + sum((cn - co).values())
+    assert len(ch) == sym_diff
+
+
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)), min_size=1, max_size=16
+    ),
+    rounds=st.integers(1, 3),
+)
+@settings(max_examples=8, deadline=None)
+def test_lpa_matches_reference_simulation(spark, edges, rounds):
+    """For ANY small graph: the distributed LPA equals a literal
+    single-machine simulation of the same fixed-rounds rule (closed
+    neighborhood, max count, min-label tie-break)."""
+    from collections import Counter, defaultdict
+
+    from parcialbigdata_spark.operators.graph import label_propagation
+
+    e = {(a, b) for a, b in edges if a != b}
+    if not e:
+        return
+    adj = defaultdict(set)
+    for a, b in e:
+        adj[a].add(b)
+        adj[b].add(a)
+    labels = {n: n for n in adj}
+    for _ in range(rounds):
+        nxt = {}
+        for n in adj:
+            votes = Counter(labels[m] for m in adj[n])
+            votes[labels[n]] += 1
+            best = min(votes.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            nxt[n] = best
+        labels = nxt
+    df = spark.createDataFrame(sorted(e), "src bigint, dst bigint")
+    got = {r.node: r.community for r in label_propagation(df, rounds=rounds).collect()}
+    assert got == labels

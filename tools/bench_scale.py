@@ -85,6 +85,7 @@ HEAVY = [
     "community_lpa_suppliers",
     "calibration_audit_documents",
     "cl_diversity_audit_customers",
+    "streaming_dedup_index_documents",
 ]
 
 
