@@ -149,6 +149,21 @@ def _banded_rows(
     )
 
 
+def _cap_buckets(bb: DataFrame, max_bucket: int) -> DataFrame:
+    """Drop degenerate LSH band buckets: a COUNT window over the band
+    rows' own (band_idx, band_hash) partitioning — one shuffle the
+    downstream band join reuses — instead of a separate groupBy +
+    filter join. Shared by the within-corpus candidate stage, the
+    bucketed-table writer, and the persisted-index ingest (one cap
+    semantic, one place to change it)."""
+    if not max_bucket:
+        return bb
+    from pyspark.sql import Window
+
+    bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
+    return bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+
+
 def _candidate_pairs_from_sigs(
     sigs: DataFrame,
     id_col: str,
@@ -165,12 +180,7 @@ def _candidate_pairs_from_sigs(
     reuses — instead of a separate groupBy + filter join (which costs an
     extra shuffle and an extra join). The banded relation is persisted:
     both self-join sides would otherwise recompute the signatures."""
-    from pyspark.sql import Window
-
-    bb = _banded_rows(sigs, id_col, num_hashes, bands)
-    if max_bucket:
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    bb = _cap_buckets(_banded_rows(sigs, id_col, num_hashes, bands), max_bucket)
     bb = bb.persist()
     a = bb.alias("a")
     b = bb.alias("b")
@@ -302,12 +312,7 @@ def minhash_near_dups_bucketed(
     spark = df.sparkSession
     rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
-    bb = _banded_rows(sigs, id_col, num_hashes, bands)
-    if max_bucket:
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    bb = _cap_buckets(_banded_rows(sigs, id_col, num_hashes, bands), max_bucket)
     from parcialbigdata_spark.sources.warehouse import write_bucketed
 
     write_bucketed(bb, table, "band_hash", num_buckets=num_buckets)
@@ -1217,12 +1222,7 @@ def minhash_index_ingest(
     the index periodically, which re-applies the cap globally)."""
     rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
-    bb = _banded_rows(sigs, id_col, num_hashes, bands)
-    if max_bucket:
-        from pyspark.sql import Window
-
-        bucket_n = F.count(F.lit(1)).over(Window.partitionBy("band_idx", "band_hash"))
-        bb = bb.withColumn("__n", bucket_n).filter(F.col("__n") <= max_bucket).drop("__n")
+    bb = _cap_buckets(_banded_rows(sigs, id_col, num_hashes, bands), max_bucket)
     from parcialbigdata_spark.sources.warehouse import write_bucketed
 
     mode = "append" if append else "overwrite"
@@ -1242,6 +1242,7 @@ def minhash_index_probe(
     num_hashes: int = 32,
     bands: int = 8,
     k_shingle: int = 3,
+    unpersist_handle: list | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, jaccard_sim) between a NEW
     batch and the persisted index built by :func:`minhash_index_ingest`
@@ -1258,9 +1259,19 @@ def minhash_index_probe(
     surfaces (same recall contract and oracle shape as the
     within-corpus minhash family). ``num_hashes``/``bands``/
     ``k_shingle`` must match the ingest parameters — they define the
-    hash family the stored index was built with."""
+    hash family the stored index was built with.
+
+    The batch's shingle rows are PERSISTED (two consumers: the band
+    signatures and the exact-verify sets). A long-running caller —
+    e.g. the streaming dedup-at-arrival driver, one probe per
+    micro-batch — passes ``unpersist_handle`` (a list) and unpersists
+    the appended relation after materializing the result; otherwise
+    each call would leak one batch-sized cache entry for the session's
+    lifetime."""
     spark = batch.sparkSession
     rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
+    if unpersist_handle is not None:
+        unpersist_handle.append(rows)
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
     probe_bands = _banded_rows(sigs, id_col, num_hashes, bands).withColumnRenamed(
         id_col, "new_id"

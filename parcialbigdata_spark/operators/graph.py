@@ -159,6 +159,13 @@ def connected_components(
         if got["s_comp"] == got["s_prev"]:
             release_checkpoint(edges)
             return labels.select(F.col("node"), F.col("comp").alias("component"))
+    # Release the round state BEFORE raising: a caller that catches and
+    # retries with a larger max_iter must not accumulate orphaned
+    # checkpoint RDDs (unpersist cannot free these — that is the whole
+    # point of release_checkpoint).
+    release_checkpoint(edges)
+    if labels_checkpointed:
+        release_checkpoint(labels)
     raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
 
 
@@ -872,6 +879,7 @@ def kcore(
             break
         n_prev = n_now
     else:
+        release_checkpoint(e)  # same retry-leak hygiene as the CC loop
         raise RuntimeError(f"kcore did not converge in {max_iter} rounds")
     return (
         e.groupBy("a")

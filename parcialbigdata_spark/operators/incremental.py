@@ -237,7 +237,11 @@ def signed_minmax_refresh(
     keeps a BOUNDED per-group heap — the ``heap_k`` smallest and
     largest value instances — beside the count/sum state.
 
-    Refresh algebra, per group:
+    Refresh algebra, per group (after batch CANONICALIZATION — the
+    change batch is first netted per (group, value) so an insertion and
+    a retraction of the same value cancel; a compacted CDC feed emits
+    exactly such pairs for rows inserted-then-deleted between
+    snapshots):
 
     - retraction of a value INSIDE the heap removes one matching
       instance (multiset semantics — first occurrence, via an indexed
@@ -301,8 +305,10 @@ def signed_minmax_refresh(
         )
     )
 
+    # coalesce(False): a NULL mult must take the raise_error branch,
+    # not slip through a NULL condition into otherwise(True).
     bad_mult = F.when(
-        ~F.col(mult_col).isin(1, -1),
+        ~F.coalesce(F.col(mult_col).isin(1, -1), F.lit(False)),
         F.raise_error(
             F.lit("signed_minmax_refresh: mult_col must be +1 or -1")
         ).cast("boolean"),
@@ -314,6 +320,30 @@ def signed_minmax_refresh(
         F.col(mult_col).cast("bigint").alias("__m"),
     )
     dkeys = [f"__d_{c}" for c in keys]
+    # Canonicalize the batch: NET multiplicities per (group, value) and
+    # re-expand to unit rows. A compacted CDC feed can carry both an
+    # insertion and a retraction of the SAME value (row inserted then
+    # deleted between snapshots); the heap algebra below reconciles
+    # retractions against the BASE heap only, so such a pair must
+    # cancel HERE — otherwise the insertion would enter the merged heap
+    # while the retraction no-ops against the base, yielding a silently
+    # wrong extreme. After netting, each (group, value) is purely
+    # inserted or purely retracted; counts/sums are invariant, and the
+    # surviving retraction count is exactly the number of BASE rows
+    # that must disappear (what __remaining_base measures).
+    ch = (
+        ch.groupBy(*dkeys, "__v", "__c")
+        .agg(F.sum("__m").alias("__net"))
+        .filter(F.col("__net") != 0)
+        .select(
+            *dkeys,
+            "__v",
+            "__c",
+            F.explode(F.expr("sequence(1, abs(__net))")).alias("__i"),
+            F.signum("__net").cast("bigint").alias("__m"),
+        )
+        .drop("__i")
+    )
     w_m_asc = Window.partitionBy(*dkeys, "__m").orderBy(F.col("__v").asc())
     w_m_desc = Window.partitionBy(*dkeys, "__m").orderBy(F.col("__v").desc())
     w_d_all = Window.partitionBy(*dkeys)

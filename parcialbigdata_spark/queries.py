@@ -2052,6 +2052,26 @@ def binary_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 _drain_counter = [0]
 
 
+def _write_stream_file(base: str, stream_dir: str, df: DataFrame, name: str, mtime: float) -> None:
+    """One micro-batch file for a file-stream fixture: write the
+    relation as a single parquet part, copy it into the stream dir
+    under a stable name, and pin its mtime — FileStreamSource orders
+    batches by modification time, so the fixture's batch order is the
+    mtimes, not the write order. Shared by every streaming query that
+    replays the fixture as ordered micro-batches (outer join, late
+    audit, dedup-at-arrival)."""
+    import glob
+    import os
+    import shutil
+
+    tmp = os.path.join(base, f"w_{name}")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+    dst = os.path.join(stream_dir, f"{name}.parquet")
+    shutil.copy(part, dst)
+    os.utime(dst, (mtime, mtime))
+
+
 def _drain(sdf: DataFrame, output_mode: str = "complete", timeout: float = 180.0) -> DataFrame:
     """Run a streaming DataFrame to completion (availableNow) through a
     memory sink and return the materialized result table.
@@ -10511,7 +10531,6 @@ def streaming_left_outer_join_events(spark: SparkSession, sf_dir: str) -> DataFr
     dropped from the result by ``user_id >= 0``. Inner sibling:
     ``streaming_click_purchase_join`` (same horizon, same shuffle-on-
     user shape, no eviction dependence)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -10530,12 +10549,7 @@ def streaming_left_outer_join_events(spark: SparkSession, sf_dir: str) -> DataFr
         os.makedirs(stream_dir)
 
         def write_file(df: DataFrame, name: str, mtime: float) -> None:
-            tmp = os.path.join(base, f"w_{name}")
-            df.coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"{name}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (mtime, mtime))
+            _write_stream_file(base, stream_dir, df, name, mtime)
 
         import time as _time
 
@@ -10674,7 +10688,6 @@ def streaming_late_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the driver. Siblings: ``streaming_hourly_events`` (the agg whose
     drops this audits), ``streaming_left_outer_join_events`` (the
     eviction-driven emission trap)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -10690,14 +10703,13 @@ def streaming_late_audit_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         now = _time.time()
         for i in range(3):
-            tmp = os.path.join(base, f"w{i}")
-            ev.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+            _write_stream_file(
+                base,
+                stream_dir,
+                ev.filter(F.col("event_id") % 3 == i),
+                f"b{i}",
+                now - 300 + 100 * i,
+            )
         audit, _quarantine = run_late_data_audit(
             spark,
             stream_dir,
@@ -11380,8 +11392,10 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         dedup.minhash_index_ingest(
             history, "doc_id", "text", bands_t, sets_t, k_shingle=2
         )
+        handle: list = []
         p1 = dedup.minhash_index_probe(
-            batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2, k_shingle=2
+            batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
+            k_shingle=2, unpersist_handle=handle,
         )
         # Probe BEFORE appending the batch itself (a batch must not
         # match its own rows), then maintain the index with the delta.
@@ -11390,9 +11404,12 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2, append=True
         )
         p2 = dedup.minhash_index_probe(
-            batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2, k_shingle=2
+            batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,
+            k_shingle=2, unpersist_handle=handle,
         )
         rows2 = p2.collect()
+        for cached in handle:  # per-probe shingle caches — release
+            cached.unpersist()
         out = spark.createDataFrame(rows1 + rows2, p2.schema)
         return out
     finally:
@@ -11420,7 +11437,6 @@ def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFra
     streaming/dedup_store.py); ingest-shape sibling:
     ``streaming_late_audit_events`` (same mtime-ordered file-stream
     fixture discipline)."""
-    import glob
     import os
     import shutil
     import tempfile
@@ -11440,12 +11456,9 @@ def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFra
         os.makedirs(stream_dir)
         now = _time.time()
         for i, cond in enumerate(splits):
-            tmp = os.path.join(base, f"w{i}")
-            docs.filter(cond).coalesce(1).write.mode("overwrite").parquet(tmp)
-            part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
-            dst = os.path.join(stream_dir, f"b{i}.parquet")
-            shutil.copy(part, dst)
-            os.utime(dst, (now - 300 + 100 * i, now - 300 + 100 * i))
+            _write_stream_file(
+                base, stream_dir, docs.filter(cond), f"b{i}", now - 300 + 100 * i
+            )
         return run_streaming_minhash_index(
             spark,
             stream_dir,

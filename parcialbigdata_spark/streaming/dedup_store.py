@@ -142,6 +142,7 @@ def run_streaming_minhash_index(
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
         if not state["first"]:
+            handle: list = []
             p = minhash_index_probe(
                 batch_df,
                 "doc_id",
@@ -152,9 +153,12 @@ def run_streaming_minhash_index(
                 num_hashes=num_hashes,
                 bands=bands,
                 k_shingle=k_shingle,
+                unpersist_handle=handle,
             )
             holder["schema"] = p.schema
             pairs_rows.extend(p.collect())  # near-dup pairs: bounded
+            for cached in handle:  # one batch-sized shingle cache per
+                cached.unpersist()  # micro-batch — release, don't leak
         minhash_index_ingest(
             batch_df,
             "doc_id",
@@ -184,7 +188,17 @@ def run_streaming_minhash_index(
             "refusing to return a partial pair set"
         )
     if "schema" not in holder:  # single-batch stream: nothing probed
-        return spark.createDataFrame(
-            [], "new_id bigint, old_id bigint, jaccard_sim double"
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
+        id_type = doc_schema["doc_id"].dataType  # match the probe's
+        return spark.createDataFrame(  # id type, not a bigint guess
+            [],
+            StructType(
+                [
+                    StructField("new_id", id_type),
+                    StructField("old_id", id_type),
+                    StructField("jaccard_sim", DoubleType()),
+                ]
+            ),
         )
     return spark.createDataFrame(pairs_rows, holder["schema"])

@@ -677,3 +677,33 @@ def test_lpa_matches_reference_simulation(spark, edges, rounds):
     df = spark.createDataFrame(sorted(e), "src bigint, dst bigint")
     got = {r.node: r.community for r in label_propagation(df, rounds=rounds).collect()}
     assert got == labels
+
+
+def test_minmax_refresh_same_batch_insert_and_retract_cancel(spark):
+    # Compacted CDC: a row inserted then deleted between snapshots
+    # arrives as (+1, -1) of the SAME value. The pair must cancel —
+    # without batch netting the insertion enters the merged heap while
+    # the retraction no-ops against the base, yielding min 5 instead
+    # of 10.
+    base = spark.createDataFrame([("k", 10.0)], "k string, v double")
+    ch = spark.createDataFrame(
+        [("k", 5.0, 1), ("k", 5.0, -1)], "k string, v double, m int"
+    )
+    row = signed_minmax_refresh(base, ch, ["k"], "v", "m", heap_k=4).collect()[0]
+    assert (row.n, row.min_v, row.max_v) == (1, 10.0, 10.0)
+    assert row.min_heap == [10.0]
+    # asymmetric counts of the same value must net, not cancel outright
+    ch2 = spark.createDataFrame(
+        [("k", 5.0, 1), ("k", 5.0, 1), ("k", 5.0, -1)], "k string, v double, m int"
+    )
+    row2 = signed_minmax_refresh(base, ch2, ["k"], "v", "m", heap_k=4).collect()[0]
+    assert (row2.n, row2.min_v, row2.max_v) == (2, 5.0, 10.0)
+
+
+def test_minmax_refresh_null_mult_raises(spark):
+    base = spark.createDataFrame([("k", 10.0)], "k string, v double")
+    ch = spark.createDataFrame(
+        [("k", 5.0, None)], "k string, v double, m int"
+    )
+    with pytest.raises(Exception, match="must be \\+1 or -1"):
+        signed_minmax_refresh(base, ch, ["k"], "v", "m").collect()
