@@ -258,6 +258,7 @@ BENCH_QUERIES = [
     "calibration_audit_documents",
     "cl_diversity_audit_customers",
     "streaming_dedup_index_documents",
+    "theilsen_trend_orders",
 ]
 
 

@@ -123,3 +123,85 @@ def gap_fill_interp(
     return joined.withColumn(
         value_col, F.round(filled, decimals)
     ).drop("__es", "__obs_es")
+
+
+def theilsen_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    y_col: str,
+    max_group_rows: int = 20_000,
+) -> DataFrame:
+    """Grouped Theil–Sen robust regression (Theil 1950; Sen, JASA
+    1968): per group, the slope estimate is the MEDIAN of all pairwise
+    slopes (y_j − y_i)/(x_j − x_i) over point pairs with distinct x,
+    and the intercept is the median of (y_i − slope·x_i). Breakdown
+    point ≈ 29% — a third of the points can be arbitrary garbage
+    before the estimate moves, where one bad row can swing its
+    least-squares sibling ``grouped_ols_lineitem`` without bound.
+    Completes the robust-statistics family: ``mad_outliers_orders``
+    (location/scale), ``winsorize_orders_by_segment`` (clipping),
+    ``ks_2sample_order_values`` (distribution drift), robust TREND
+    here.
+
+    Scale contract: exact Theil–Sen is O(n²) PER GROUP by definition
+    — the pair join is co-keyed on the group (one shuffle, pairs never
+    leave their group's partitions), so total cost is Σ n_g², not
+    (Σ n_g)². The ``max_group_rows`` guard refuses groups whose pair
+    count would explode (the caller pre-samples — the production
+    pattern at 100 TB is deterministic hash-sampling each group to a
+    few thousand points, which the registered query demonstrates;
+    Matoušek's randomized O(n log n) needs data-dependent iteration
+    counts that break the fixed-plan/oracle discipline). Median via
+    ``percentile`` (linear interpolation — engine-identical to DuckDB
+    ``quantile_cont``); slopes are IEEE doubles built from exact
+    integer/decimal inputs, rounded once at the end.
+
+    Returns (group_cols…, slope, intercept, n_pairs, n_points)."""
+    cnt = (
+        df.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if cnt is not None and cnt > max_group_rows:
+        raise ValueError(
+            f"theilsen_by_group: largest group has {cnt} rows; pairwise "
+            f"slopes are O(n²) per group — pre-sample groups to ≤ "
+            f"{max_group_rows} rows (deterministic hash sample) or raise "
+            "max_group_rows explicitly."
+        )
+    pts = df.select(
+        *group_cols,
+        F.col(x_col).cast("double").alias("__x"),
+        F.col(y_col).cast("double").alias("__y"),
+    )
+    a, b = pts.alias("a"), pts.alias("b")
+    cond = None
+    for g in group_cols:
+        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
+        cond = eq if cond is None else (cond & eq)
+    pairs = a.join(b, cond & (F.col("a.__x") < F.col("b.__x"))).select(
+        *[F.col(f"a.{g}").alias(g) for g in group_cols],
+        (
+            (F.col("b.__y") - F.col("a.__y")) / (F.col("b.__x") - F.col("a.__x"))
+        ).alias("__slope"),
+    )
+    slopes = pairs.groupBy(*group_cols).agg(
+        F.expr("percentile(__slope, 0.5)").alias("__m"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    # Intercept pass: broadcast the group-grained slopes back onto the
+    # points (dim-sized by construction — one row per group).
+    resid = pts.join(F.broadcast(slopes), group_cols).select(
+        *group_cols,
+        (F.col("__y") - F.col("__m") * F.col("__x")).alias("__r"),
+        "__m",
+        "n_pairs",
+    )
+    return resid.groupBy(*group_cols).agg(
+        F.round(F.first("__m"), 6).alias("slope"),
+        F.round(F.expr("percentile(__r, 0.5)"), 6).alias("intercept"),
+        F.first("n_pairs").alias("n_pairs"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

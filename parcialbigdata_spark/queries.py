@@ -8182,6 +8182,64 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "theilsen_trend_orders",
+    """
+    WITH pts AS (
+      SELECT c_mktsegment,
+             CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
+               AS x,
+             CAST(o_totalprice AS DOUBLE) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey % 37 = 0
+    ),
+    slopes AS (
+      SELECT a.c_mktsegment AS c_mktsegment,
+             quantile_cont((b.y - a.y) / (b.x - a.x), 0.5) AS m,
+             CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pts a JOIN pts b
+        ON a.c_mktsegment = b.c_mktsegment AND a.x < b.x
+      GROUP BY 1
+    )
+    SELECT c_mktsegment,
+           ROUND(MIN(m), 6) AS slope,
+           ROUND(quantile_cont(y - m * x, 0.5), 6) AS intercept,
+           CAST(MIN(n_pairs) AS BIGINT) AS n_pairs,
+           COUNT(*) AS n_points
+    FROM pts JOIN slopes USING (c_mktsegment)
+    GROUP BY 1
+    """,
+)
+def theilsen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped THEIL–SEN robust trend (operators/timeseries.py
+    ``theilsen_by_group``): per market segment, the median of all
+    pairwise (Δprice/Δday) slopes over a deterministic hash sample of
+    orders (o_orderkey % 37 — the production pattern the operator's
+    O(n² per group) guard enforces: sample each group to a few
+    thousand points, pairs stay group-local). Where its least-squares
+    sibling ``grouped_ols_lineitem`` moves without bound under one
+    corrupted row, Theil–Sen's breakdown point is ≈ 29% — the trend
+    estimate a data-quality pipeline can trust BEFORE cleaning.
+    Robust-stats family: ``mad_outliers_orders`` (location/scale),
+    ``winsorize_orders_by_segment`` (clipping), ``ks_2sample`` (drift).
+    Plan: one co-keyed pair self-join (pairs never leave their group's
+    partitions), exact-interpolation ``percentile`` (== DuckDB
+    ``quantile_cont``, the cookbook-proven pairing), and a broadcast
+    of the group-grained slopes for the intercept pass."""
+    from parcialbigdata_spark.operators.timeseries import theilsen_by_group
+
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderkey") % 37 == 0
+    )
+    cust = load_table(spark, sf_dir, "customer")
+    pts = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+        "c_mktsegment",
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("x"),
+        F.col("o_totalprice").alias("y"),
+    )
+    return theilsen_by_group(pts, ["c_mktsegment"], "x", "y")
+
+
+@query(
     "stratified_sample_orders",
     """
     SELECT o_orderpriority,
@@ -11559,7 +11617,14 @@ _DRIVER_WINDOW = [
     # green in r6 — for its A4 quantile-family sibling
     # weighted_median_lineitem (weight-cumulative exact median, r6f,
     # never driver-checked); stays CI-green.)
-    "weighted_median_lineitem",
+    # (weighted_median_lineitem rotated out in r9 — driver-proven
+    # green r7-r8; the A4 quantile surface stays in-window via
+    # quantile_normalize_documents' grouped ranks — for the new
+    # robust-statistics family theilsen_trend_orders (median-of-
+    # pairwise-slopes robust regression, the trend complement of the
+    # driver-proven MAD/winsorize members), never driver-checked;
+    # stays CI-green.)
+    "theilsen_trend_orders",
     # (collect_nations_per_region rotated out in r7 — driver-proven
     # green since r2; the A5 collect surface stays in-window inside
     # association_rules_parts' basket collect_list + HOF pair

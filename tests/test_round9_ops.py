@@ -707,3 +707,40 @@ def test_minmax_refresh_null_mult_raises(spark):
     )
     with pytest.raises(Exception, match="must be \\+1 or -1"):
         signed_minmax_refresh(base, ch, ["k"], "v", "m").collect()
+
+
+# --------------------------------------------- r9: Theil-Sen robust trend
+
+
+def test_theilsen_robust_to_outlier_ols_is_not(spark):
+    # y = 2x + 1 exactly, except one wild outlier. Theil-Sen recovers
+    # the true slope/intercept exactly; OLS on the same points does not.
+    from parcialbigdata_spark.operators.timeseries import theilsen_by_group
+
+    pts = [("g", float(x), 2.0 * x + 1.0) for x in range(1, 12)] + [
+        ("g", 12.0, 500.0)
+    ]
+    df = spark.createDataFrame(pts, "g string, x double, y double")
+    row = theilsen_by_group(df, ["g"], "x", "y").collect()[0]
+    assert row.slope == 2.0 and row.intercept == 1.0
+    assert row.n_points == 12 and row.n_pairs == 12 * 11 // 2
+    # least squares on the same data is dragged far off the truth
+    from pyspark.sql import functions as SF
+
+    m = df.agg(
+        SF.avg("x").alias("mx"), SF.avg("y").alias("my"),
+        SF.avg(SF.col("x") * SF.col("y")).alias("mxy"),
+        SF.avg(SF.col("x") * SF.col("x")).alias("mxx"),
+    ).first()
+    ols_slope = (m.mxy - m.mx * m.my) / (m.mxx - m.mx * m.mx)
+    assert abs(ols_slope - 2.0) > 5
+
+
+def test_theilsen_group_size_guard(spark):
+    from parcialbigdata_spark.operators.timeseries import theilsen_by_group
+
+    df = spark.createDataFrame(
+        [("g", float(i), float(i)) for i in range(30)], "g string, x double, y double"
+    )
+    with pytest.raises(ValueError, match="pre-sample"):
+        theilsen_by_group(df, ["g"], "x", "y", max_group_rows=10)

@@ -86,6 +86,7 @@ HEAVY = [
     "calibration_audit_documents",
     "cl_diversity_audit_customers",
     "streaming_dedup_index_documents",
+    "theilsen_trend_orders",
 ]
 
 
