@@ -11490,7 +11490,11 @@ def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFra
     oracle is SHARED VERBATIM with the batch twin: once the stream is
     exhausted the online answer must equal the batch replay — the
     E-family's stream/batch agreement contract applied to similarity
-    dedup. Exact-hash streaming sibling:
+    dedup. r10: each epoch's pairs land DISTRIBUTED in a per-epoch
+    overwrite parquet sink (no driver-side accumulation — pairs are
+    output-sized, not constant-sized) and the returned DataFrame is a
+    read of that sink; seed-vs-append keys on ``epoch_id == 0`` so
+    checkpoint-recovered replays are idempotent for index AND output. Exact-hash streaming sibling:
     ``streaming_dedup_events`` (fingerprint store,
     streaming/dedup_store.py); ingest-shape sibling:
     ``streaming_late_audit_events`` (same mtime-ordered file-stream

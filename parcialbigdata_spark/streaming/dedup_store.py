@@ -102,6 +102,7 @@ def run_streaming_minhash_index(
     bands: int = 8,
     k_shingle: int = 2,
     timeout: float = 240.0,
+    pairs_dir: str | None = None,
 ) -> DataFrame:
     """Streaming NEAR-dup dedup-at-arrival — the minhash sibling of
     :func:`stream_dedup_to_corpus`'s exact-fingerprint store, and the
@@ -119,13 +120,22 @@ def run_streaming_minhash_index(
     returns — the registered query shares its oracle with the batch
     twin ``dedup_index_probe_documents``.
 
-    foreachBatch idempotence (same statement as the exact sibling): a
-    replayed batch can re-append band/set rows — harmless for probe
-    membership, and the periodic index re-compaction that re-applies
-    the ``max_bucket`` cap also collapses duplicates. The per-batch
-    ``collect`` is near-dup-PAIRS-sized (the operator's result, not
-    the corpus); the index tables carry the data-sized state."""
+    foreachBatch idempotence, OUTPUT INCLUDED (r10): seed-vs-append is
+    keyed on ``epoch_id == 0`` (not a driver-side flag, so a
+    checkpoint-recovered replay of batch 0 re-runs in overwrite mode
+    instead of clobbering an already-appended index), and each epoch's
+    verified pairs are written — DISTRIBUTED, never collected — to
+    ``pairs_dir/epoch_<id>/`` in overwrite mode, so a replayed batch
+    overwrites exactly its own output directory. The returned
+    DataFrame is a parquet READ of the pairs sink: pairs stay
+    output-sized and executor-resident end to end (the r9 version
+    accumulated every batch's pairs in a driver-side list — a driver
+    OOM at production dup rates). The index tables carry the
+    data-sized state; the pairs sink carries the result."""
     import os
+    import tempfile
+
+    from pyspark.sql.types import DoubleType, StructField, StructType
 
     from parcialbigdata_spark.operators.dedup import (
         minhash_index_ingest,
@@ -136,13 +146,23 @@ def run_streaming_minhash_index(
         f for f in os.listdir(stream_dir) if f.endswith(".parquet")
     )[0]
     doc_schema = spark.read.parquet(os.path.join(stream_dir, first_file)).schema
-    pairs_rows: list = []
-    holder: dict = {}
-    state = {"first": True}
+    if pairs_dir is None:
+        pairs_dir = tempfile.mkdtemp(prefix="minhash-pairs-")
+    pair_schema = StructType(
+        [
+            StructField("new_id", doc_schema["doc_id"].dataType),
+            StructField("old_id", doc_schema["doc_id"].dataType),
+            StructField("jaccard_sim", DoubleType()),
+        ]
+    )
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        if not state["first"]:
-            handle: list = []
+        seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
+        if seed:  # nothing to probe; write the empty frame so the
+            p = batch_df.sparkSession.createDataFrame([], pair_schema)
+            handle: list = []  # pairs read always has files + schema
+        else:
+            handle = []
             p = minhash_index_probe(
                 batch_df,
                 "doc_id",
@@ -155,10 +175,13 @@ def run_streaming_minhash_index(
                 k_shingle=k_shingle,
                 unpersist_handle=handle,
             )
-            holder["schema"] = p.schema
-            pairs_rows.extend(p.collect())  # near-dup pairs: bounded
-            for cached in handle:  # one batch-sized shingle cache per
-                cached.unpersist()  # micro-batch — release, don't leak
+        # Per-epoch overwrite directory == output idempotence: a
+        # foreachBatch retry rewrites its own epoch dir, no dupes.
+        p.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch_{int(epoch_id)}")
+        )
+        for cached in handle:  # one batch-sized shingle cache per
+            cached.unpersist()  # micro-batch — release, don't leak
         minhash_index_ingest(
             batch_df,
             "doc_id",
@@ -168,9 +191,8 @@ def run_streaming_minhash_index(
             num_hashes=num_hashes,
             bands=bands,
             k_shingle=k_shingle,
-            append=not state["first"],
+            append=not seed,
         )
-        state["first"] = False
 
     q = (
         spark.readStream.schema(doc_schema)
@@ -187,18 +209,6 @@ def run_streaming_minhash_index(
             f"streaming minhash index drain did not finish within {timeout}s; "
             "refusing to return a partial pair set"
         )
-    if "schema" not in holder:  # single-batch stream: nothing probed
-        from pyspark.sql.types import DoubleType, StructField, StructType
-
-        id_type = doc_schema["doc_id"].dataType  # match the probe's
-        return spark.createDataFrame(  # id type, not a bigint guess
-            [],
-            StructType(
-                [
-                    StructField("new_id", id_type),
-                    StructField("old_id", id_type),
-                    StructField("jaccard_sim", DoubleType()),
-                ]
-            ),
-        )
-    return spark.createDataFrame(pairs_rows, holder["schema"])
+    return spark.read.schema(pair_schema).parquet(
+        os.path.join(pairs_dir, "epoch_*")
+    )

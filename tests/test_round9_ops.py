@@ -590,16 +590,40 @@ def test_streaming_minhash_index_probes_history_only(spark, tmp_path):
         shutil.copy(part, dst)
         os.utime(dst, (now - 60 + 10 * i, now - 60 + 10 * i))
     bands_t, sets_t = "t_stream_idx_bands", "t_stream_idx_sets"
-    try:
-        pairs = run_streaming_minhash_index(
-            spark, str(stream_dir), bands_t, sets_t, threshold=0.3, k_shingle=2
+    pairs_dir = str(tmp_path / "pairs")
+    # Pin the r10 scale contract: the pair path never collects to the
+    # driver — pairs go batch → distributed parquet sink → read. Any
+    # DataFrame.collect() during the run is the r9 anti-pattern
+    # regressing.
+    from pyspark.sql import DataFrame as _DF
+
+    real_collect = _DF.collect
+
+    def _no_collect(self):
+        raise AssertionError(
+            "DataFrame.collect() inside run_streaming_minhash_index — "
+            "the pair path must stay distributed"
         )
+
+    try:
+        _DF.collect = _no_collect
+        try:
+            pairs = run_streaming_minhash_index(
+                spark, str(stream_dir), bands_t, sets_t, threshold=0.3,
+                k_shingle=2, pairs_dir=pairs_dir,
+            )
+        finally:
+            _DF.collect = real_collect
         got = {(r.new_id, r.old_id) for r in pairs.collect()}
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
         spark.sql(f"DROP TABLE IF EXISTS {sets_t}")
     # no (1,2)/(2,1): within-batch; no (x, newer): probe is vs history
     assert got == {(3, 1), (3, 2), (4, 1), (4, 2), (4, 3)}
+    # Sink layout: one overwrite dir per epoch (replay idempotence —
+    # a retried batch rewrites exactly its own directory).
+    epochs = sorted(d for d in os.listdir(pairs_dir) if d.startswith("epoch_"))
+    assert epochs == ["epoch_0", "epoch_1", "epoch_2"]
 
 
 # ----------------------------------------------- r9: property tests
