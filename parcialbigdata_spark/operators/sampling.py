@@ -36,21 +36,29 @@ _MOD = 1000000007
 
 
 def stratified_sample(
-    df: DataFrame, stratum_col: str, id_col: str, k: int = 5
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    k: int = 5,
+    extra_cols: list[str] | None = None,
 ) -> DataFrame:
     """Exact, deterministic k-per-stratum sample: rows ranked by
     ``((id % 1000000007) * 2654435761) % 1000000007`` (ties broken by
     id) inside each stratum; rank <= k survive. Emits stratum,
-    ``sample_rank`` and the id column. ``id_col`` must be integral and
+    ``sample_rank``, the id column and any ``extra_cols`` payload
+    columns carried through (so downstream operators — e.g. the
+    Theil–Sen pre-sample — get their measure columns without a join
+    back to the fact table). ``id_col`` must be integral and
     unique per row for the rank to be a total order. Reducing the key
     mod the prime BEFORE the multiply keeps the product < 2.66e18
     (inside int64) for ANY bigint id — a bare ``id * MIX`` silently
     wraps in non-ANSI Spark around id ~3.5e9 while DuckDB promotes,
     which would break cross-engine rank agreement at scale."""
+    extra = list(extra_cols or [])
     h = ((F.col(id_col) % F.lit(_MOD)) * F.lit(_MIX)) % F.lit(_MOD)
     with_h = df.select(
-        F.col(stratum_col), F.col(id_col), h.alias("__h"),
-        F.spark_partition_id().alias("__pid"),
+        F.col(stratum_col), F.col(id_col), *[F.col(c) for c in extra],
+        h.alias("__h"), F.spark_partition_id().alias("__pid"),
     )
     local = Window.partitionBy(stratum_col, "__pid").orderBy("__h", id_col)
     pruned = (
@@ -61,5 +69,5 @@ def stratified_sample(
     return (
         pruned.withColumn("sample_rank", F.row_number().over(global_w))
         .filter(F.col("sample_rank") <= k)
-        .select(stratum_col, "sample_rank", id_col)
+        .select(stratum_col, "sample_rank", id_col, *extra)
     )

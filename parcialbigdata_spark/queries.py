@@ -8184,13 +8184,23 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "theilsen_trend_orders",
     """
-    WITH pts AS (
-      SELECT c_mktsegment,
+    WITH pts0 AS (
+      SELECT c_mktsegment, o_orderkey,
              CAST(date_diff('day', DATE '1992-01-01', o_orderdate) AS BIGINT)
                AS x,
              CAST(o_totalprice AS DOUBLE) AS y
       FROM orders JOIN customer ON o_custkey = c_custkey
-      WHERE o_orderkey % 37 = 0
+    ),
+    pts AS (
+      SELECT c_mktsegment, x, y FROM (
+        SELECT c_mktsegment, x, y,
+               row_number() OVER (
+                 PARTITION BY c_mktsegment
+                 ORDER BY ((o_orderkey % 1000000007) * 2654435761)
+                            % 1000000007, o_orderkey
+               ) AS rn
+        FROM pts0
+      ) WHERE rn <= 2000
     ),
     slopes AS (
       SELECT a.c_mktsegment AS c_mktsegment,
@@ -8212,10 +8222,16 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def theilsen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped THEIL–SEN robust trend (operators/timeseries.py
     ``theilsen_by_group``): per market segment, the median of all
-    pairwise (Δprice/Δday) slopes over a deterministic hash sample of
-    orders (o_orderkey % 37 — the production pattern the operator's
-    O(n² per group) guard enforces: sample each group to a few
-    thousand points, pairs stay group-local). Where its least-squares
+    pairwise (Δprice/Δday) slopes over a VOLUME-ADAPTIVE deterministic
+    sample — per group, the 2000 rows smallest under the
+    multiplicative-hash rank (``operators/sampling.stratified_sample``
+    with the x/y payload carried through), so the sampled group size —
+    and with it the by-definition-quadratic pair count — is CONSTANT
+    at any data volume: the operator's O(n² per group) guard can never
+    fire as SF grows, where the r9 fixed-modulus sample (% 37) grew
+    linearly with volume and would have tripped it at ~SF 2.5.
+    Partition-local pre-prune keeps the sample shuffle bounded at
+    k × n_partitions rows per group. Where its least-squares
     sibling ``grouped_ols_lineitem`` moves without bound under one
     corrupted row, Theil–Sen's breakdown point is ≈ 29% — the trend
     estimate a data-quality pipeline can trust BEFORE cleaning.
@@ -8225,17 +8241,20 @@ def theilsen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions), exact-interpolation ``percentile`` (== DuckDB
     ``quantile_cont``, the cookbook-proven pairing), and a broadcast
     of the group-grained slopes for the intercept pass."""
+    from parcialbigdata_spark.operators.sampling import stratified_sample
     from parcialbigdata_spark.operators.timeseries import theilsen_by_group
 
-    orders = load_table(spark, sf_dir, "orders").filter(
-        F.col("o_orderkey") % 37 == 0
-    )
+    orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
-    pts = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
+    pts_all = orders.join(cust, orders.o_custkey == cust.c_custkey).select(
         "c_mktsegment",
+        "o_orderkey",
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("x"),
         F.col("o_totalprice").alias("y"),
     )
+    pts = stratified_sample(
+        pts_all, "c_mktsegment", "o_orderkey", k=2000, extra_cols=["x", "y"]
+    ).select("c_mktsegment", "x", "y")
     return theilsen_by_group(pts, ["c_mktsegment"], "x", "y")
 
 
