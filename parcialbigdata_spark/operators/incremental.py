@@ -69,6 +69,18 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
     )
 
 
+def _mem_bytes(raw: str) -> int:
+    """Bytes from a Spark size-conf string: plain byte counts
+    ("10485760", "-1") or suffixed forms ("10MB", "1g", "512k")."""
+    s = str(raw).strip().lower()
+    units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
+    if len(s) >= 2 and s.endswith("b") and s[-2] in units:
+        s = s[:-1]
+    if s and s[-1] in units:
+        return int(float(s[:-1]) * units[s[-1]])
+    return int(s)
+
+
 def _broadcast_if_bounded(delta: DataFrame) -> DataFrame:
     """Broadcast-hint a delta batch only when its optimizer size
     estimate is plausibly broadcast-sized (r9; the r8 version hinted
@@ -85,14 +97,25 @@ def _broadcast_if_bounded(delta: DataFrame) -> DataFrame:
     CDC-sized batches the contract targets; 16× (~160 MB at the 10 MB
     default) still refuses anything that could threaten the driver,
     and an un-hinted delta is not a lost cause — AQE re-plans with
-    ACCURATE runtime sizes and still broadcasts it if it truly fits."""
+    ACCURATE runtime sizes and still broadcasts it if it truly fits.
+
+    Connect-safe (r10, ADVICE): the threshold comes from the public
+    ``spark.conf`` (handles "10MB"-style strings) and the ``_jdf``
+    stats probe — a classic-only private handle that also forces a
+    driver-side optimization pass of the delta plan — degrades to the
+    un-hinted path under Spark Connect, where AQE still picks up a
+    genuinely small delta at runtime."""
     spark = delta.sparkSession
-    threshold = int(
-        spark._jsparkSession.sessionState().conf().autoBroadcastJoinThreshold()
-    )
+    raw = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    threshold = _mem_bytes(raw)
     if threshold <= 0:
         return delta
-    est = int(str(delta._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()))
+    try:
+        est = int(
+            str(delta._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+        )
+    except Exception:  # Spark Connect: no _jdf — leave the hint to AQE
+        return delta
     return F.broadcast(delta) if est <= 16 * threshold else delta
 
 

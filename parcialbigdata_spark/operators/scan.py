@@ -82,7 +82,10 @@ def _bucket_column(
         # is a real runtime error and must propagate — silently routing
         # it into the double-shuffle fallback would mask data problems
         # and mislabel them as "non-numeric order column".
-        dtype = dict(df.dtypes).get(first, "")
+        # Resolve case-insensitively, like Spark's analyzer does — a
+        # caller passing "O_ORDERKEY" previously fell through the gate
+        # to the fallback path / carry raise (ADVICE r9).
+        dtype = {c.lower(): t for c, t in df.dtypes}.get(first.lower(), "")
         if not dtype.startswith(
             ("tinyint", "smallint", "int", "bigint", "float", "double", "decimal")
         ):

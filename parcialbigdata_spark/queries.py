@@ -11398,16 +11398,21 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(k % 10 == 0).select("o_orderpriority", "o_totalprice")
         )
     )
-    ch = snapshot_to_changes(old, new).persist()
+    # n_changes is audited EAGERLY (one count action) and baked as a
+    # literal — the r9 form persisted ch for two lazy consumers and
+    # never unpersisted, leaking one cached relation per invocation
+    # in a long-lived session (ADVICE r9).
+    ch = snapshot_to_changes(old, new)
+    n_changes = ch.count()
     refreshed = signed_agg_refresh(
         old, ch, ["o_orderpriority"], "o_totalprice", "mult"
     )
-    stats = ch.agg(F.count(F.lit(1)).alias("n_changes"))
     return refreshed.select(
         "o_orderpriority",
         F.col("n").alias("n_orders"),
         F.col("sum_cents").alias("revenue_cents"),
-    ).crossJoin(F.broadcast(stats))
+        F.lit(n_changes).cast("bigint").alias("n_changes"),
+    )
 
 
 _DEDUP_INDEX_ORACLE = """
