@@ -80,15 +80,16 @@ def connected_components(
         .repartition(F.col("v"))
         .localCheckpoint(eager=True)
     )
-    # Initial labels are DERIVED (distinct over the checkpointed
-    # edges, comp = node) — a shallow plan that needs no checkpoint or
-    # materialization job of its own (r9; r8 eagerly checkpointed it
-    # and ran a separate initial label-sum probe job).
-    labels = (
-        edges.select(F.col("u").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("comp"))
-    )
+    # Round 1's first hop is SPECIALIZED (r10): with identity labels
+    # the closed-neighborhood min is just least(u, min(v)) grouped by
+    # u — one hash agg over the checkpointed edges, replacing the r9
+    # chain of distinct-nodes (shuffle) + edges⋈labels join + agg +
+    # left join. Symmetrization guarantees every node appears as u,
+    # so the agg's key set IS the node set and no separate label
+    # base is needed.
+    labels = edges.groupBy("u").agg(
+        F.least(F.col("u"), F.min("v")).alias("comp")
+    ).select(F.col("u").alias("node"), "comp")
 
     def _hop(lab: DataFrame) -> DataFrame:
         # Min label over the closed neighborhood: own label ∪ neighbors'.
@@ -142,8 +143,11 @@ def connected_components(
         # for the clique-dominated near-dup graphs this loop serves,
         # that halves the rounds: hop 1 converges, hop 2 certifies).
         obs = Observation(f"cc_round_{i}")
+        # Round 0's hop 1 already happened in the specialized initial
+        # agg above — its round runs hop 2 only (still self-certifying:
+        # Σcomp == Σ__prev ⟺ the specialized hop was the fixpoint).
         new_labels = (
-            _hop_tracked(_hop(labels))
+            _hop_tracked(labels if i == 0 else _hop(labels))
             .observe(
                 obs,
                 F.sum(F.col("comp").cast("decimal(38,0)")).alias("s_comp"),

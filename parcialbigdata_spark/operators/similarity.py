@@ -349,6 +349,124 @@ def embedding_near_dup_pairs(
     )
 
 
+# ------------------------------------------- cross-run ANN index store (r10)
+
+
+def _probe_cells_udf(centroids: list[list[float]], nprobe: int):
+    """Arrow-batched per-row probe-cell selection: the ``nprobe``
+    nearest coarse centroids for every query vector, one matmul per
+    batch (stable argsort so ties always break toward the lower cell
+    id — deterministic across partitionings)."""
+    C = np.asarray(centroids, dtype=np.float64)
+    Cn = (C**2).sum(axis=1)
+
+    @pandas_udf(ArrayType(LongType()))
+    def probes(vec: pd.Series) -> pd.Series:
+        M = np.asarray(vec.tolist(), dtype=np.float64)
+        d = Cn[None, :] - 2.0 * (M @ C.T)
+        idx = np.argsort(d, axis=1, kind="stable")[:, :nprobe]
+        return pd.Series(list(idx.astype(np.int64)))
+
+    return probes
+
+
+def ivf_index_ingest(
+    df: DataFrame,
+    cells_table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_buckets: int = 8,
+    append: bool = False,
+) -> None:
+    """Assign a corpus batch to its IVF coarse cells ONCE and persist
+    (id, vector, ivf_cell) as a table bucketed on ``ivf_cell`` — the
+    embedding sibling of ``operators/dedup.minhash_index_ingest``:
+    the index is maintained by delta batches (``append=True``), so at
+    100 TB the nightly embedding batch is cell-assigned once (one
+    Arrow matmul pass), probed against the whole history through the
+    bucketed cell join, and appended — the historical corpus is NEVER
+    re-assigned or re-shuffled. The centroid matrix is the index
+    definition (fit once on the seed corpus via
+    :func:`ivf_fit_centroids`, a few KB) and travels as a UDF-closure
+    broadcast, exactly like the LSH hyperplanes; appended batches MUST
+    use the same centroids or probe cells stop matching stored cells
+    (same hash-family contract as the minhash index's
+    num_hashes/bands/k_shingle)."""
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    cells = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _centroid_assign_udf(centroids)(F.col(vec_col)).alias("ivf_cell"),
+    )
+    write_bucketed(
+        cells,
+        cells_table,
+        "ivf_cell",
+        num_buckets=num_buckets,
+        mode="append" if append else "overwrite",
+    )
+
+
+def ivf_index_probe(
+    batch: DataFrame,
+    cells_table: str,
+    centroids: list[list[float]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nprobe: int = 2,
+    exact: bool = True,
+) -> DataFrame:
+    """k-NN of every NEW batch vector against the persisted historical
+    index built by :func:`ivf_index_ingest` — without re-assigning or
+    re-shuffling the history. Returns (query_id, match_id, cosine_sim,
+    rank ≤ k) per query.
+
+    Plan shape (the minhash-index discipline applied to ANN): the
+    batch computes its ``nprobe`` nearest cells per row (one Arrow
+    matmul), explodes to (query, cell) rows — batch-sized × nprobe —
+    and joins the stored table ON its ``bucketBy(ivf_cell)`` layout,
+    so only the BATCH side shuffles; the multi-TB historical cell
+    relation is read in place and only the probed buckets' rows are
+    scored. Candidates per query ≈ nprobe/n_cells of history.
+    ``exact=True`` scores candidates with the sequential SQL fold
+    (DuckDB-bit-identical, the oracle path); ``exact=False`` uses the
+    Arrow einsum batch cosine for throughput. A stored row lives in
+    exactly one cell and a query's probe cells are distinct, so the
+    join can never duplicate a (query, match) pair — no distinct
+    needed before ranking."""
+    spark = batch.sparkSession
+    q = batch.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(_probe_cells_udf(centroids, nprobe)(F.col(vec_col))).alias(
+            "ivf_cell"
+        ),
+    )
+    stored = spark.table(cells_table).select(
+        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "ivf_cell"
+    )
+    cos = (
+        V.cosine(F.col("__cv"), F.col("__qv"))
+        if exact
+        else _pair_cosine_udf(F.col("__cv"), F.col("__qv"))
+    )
+    scored = q.join(stored, "ivf_cell").select(
+        "query_id", "match_id", F.round(cos, 6).alias("cosine_sim")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col("match_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 # ---------------------------------------------------- product quantization
 
 

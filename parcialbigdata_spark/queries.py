@@ -2413,6 +2413,79 @@ def ivfpq_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _attest_recall(emb, qv, ivfpq, floor_hits=8, flag_name="ivfpq_recall_ok")
 
 
+@query(
+    "ivf_index_probe_embeddings",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_CLUSTERED_PARQUET}')),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM t
+               WHERE vec_id % 256 = 1),
+         h AS (SELECT vec_id AS match_id, embedding FROM t
+               WHERE vec_id % 256 <> 1),
+         scored AS (
+           SELECT q.query_id, h.match_id,
+                  round({_COS_SQL.format(a="h.embedding", b="q.qv")}, 6)
+                    AS cosine_sim
+           FROM h CROSS JOIN q
+         )
+    SELECT query_id, match_id, cosine_sim, rank,
+           TRUE AS ivf_index_recall_ok
+    FROM (
+      SELECT query_id, match_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental embedding-ANN INDEX maintenance
+    (operators/similarity.py ``ivf_index_ingest``/``ivf_index_probe``)
+    — the embedding sibling of the r9 minhash dedup index: the
+    historical corpus's IVF cell assignments persist as a table
+    bucketed on ``ivf_cell`` (assigned ONCE, one Arrow matmul pass);
+    a new embedding batch computes its nprobe=2 nearest cells per
+    row, explodes to (query, cell), and joins the stored table on its
+    bucket layout — only the BATCH side shuffles, the centroid matrix
+    rides as a UDF-closure broadcast, and history is never
+    re-assigned or re-shuffled. On the planted-cluster fixture
+    (history = vec_id%256≠1, batch = the 16 %256=1 rows) the probe's
+    per-query top-5 vs history is attested against the exact k-NN
+    join: measured recall 80/80, floor 64/80. The oracle recomputes
+    the exact side bit-identically (DuckDB fold) and pins the flag
+    TRUE. Batch-twin discipline shared with
+    ``dedup_index_probe_documents`` (shuffle shape pinned by test);
+    one-shot siblings ``ivf_topk_embeddings``/``ivfpq_topk_embeddings``
+    (same coarse quantizer, no persisted index)."""
+    emb = spark.read.parquet(_CLUSTERED_PARQUET)
+    is_q = F.col("vec_id") % 256 == 1
+    history, batch = emb.filter(~is_q), emb.filter(is_q)
+    cells_t = "r10_ivf_idx_cells"
+    try:
+        centroids = similarity.ivf_fit_centroids(history, n_centroids=16)
+        similarity.ivf_index_ingest(history, cells_t, centroids)
+        approx = similarity.ivf_index_probe(
+            batch, cells_t, centroids, k=5, nprobe=2
+        )
+        qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = similarity.knn_join(
+            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+        ).withColumnRenamed("vec_id", "match_id")
+        # Attestation count is bounded (≤ 16 queries × 5) — materialize
+        # it BEFORE the finally drops the index table the approx plan
+        # reads; the returned exact side only reads the fixture.
+        n_hits = (
+            exact.select("query_id", "match_id")
+            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
+            .count()
+        )
+        return exact.select(
+            "query_id", "match_id", "cosine_sim", "rank",
+            F.lit(n_hits >= 64).alias("ivf_index_recall_ok"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with
@@ -11628,7 +11701,11 @@ _DRIVER_WINDOW = [
     # concentration_gini_customers (exact integer Gini/Lorenz, r6c,
     # never driver-checked); stays CI-green.)
     "grouping_sets_revenue",
-    "concentration_gini_customers",
+    # (concentration_gini_customers rotated out in r10 — driver-proven
+    # r8-r9; inequality stats remain CI-green — for embedding_centroids
+    # (distributed k-means assignment aggregation), never driver-checked;
+    # stays CI-green.)
+    "embedding_centroids",
     # (distinct_nations_per_segment rotated out in r7 — driver-proven
     # green since r1 — for its A2 distinct-family sibling
     # sliding_distinct_users_daily (windowed distinct over a sliding
@@ -11658,7 +11735,11 @@ _DRIVER_WINDOW = [
     # association_rules_parts' basket collect_list + HOF pair
     # expansion — for that market-basket family rep (r6c, never
     # driver-checked); stays CI-green.)
-    "association_rules_parts",
+    # (association_rules_parts rotated out in r10 — driver-proven r9; A5
+    # basket surface keeps golden_record_documents' collect-based
+    # survivorship in-window — for chi2_status_priority (chi-square
+    # independence test), never driver-checked; stays CI-green.)
+    "chi2_status_priority",
     # r4 new families: graph analytics beyond PageRank, time-series
     # densification, complete (prefix-filtered) set-similarity join
     # (triangle_stats_supplier_graph rotated out in r5 for its graph
@@ -11672,20 +11753,34 @@ _DRIVER_WINDOW = [
     # community_lpa_suppliers (deterministic synchronous label
     # propagation over the SAME supplier co-occurrence graph, unrolled
     # 4-sweep oracle), never driver-checked; stays CI-green.)
-    "community_lpa_suppliers",
+    # (community_lpa_suppliers rotated out in r10 — driver-proven r9;
+    # graph family keeps incremental_clusters_documents +
+    # golden_record_documents in-window — for bpe_merge_pairs_documents
+    # (iterative BPE merge discovery), never driver-checked; stays CI-
+    # green.)
+    "bpe_merge_pairs_documents",
     # (gap_fill_events_hourly rotated out in r7b — driver-proven green
     # since r4; the date/densification surface stays in-window via
     # streaming_hourly_events' bucketing — for the new r7
     # distribution-alignment family quantile_normalize_documents
     # (rank-based quantile normalization on the grouped scans), never
     # driver-checked; stays CI-green.)
-    "quantile_normalize_documents",
+    # (quantile_normalize_documents rotated out in r10 — driver-proven
+    # r8-r9; distribution machinery now represented by drift_psi_orders
+    # (population-stability-index drift), never driver-checked; stays CI-
+    # green.)
+    "drift_psi_orders",
     # (setsim_join_documents rotated out in r9 — driver-proven green
     # in r8; N2 keeps three reps in-window — for the new r9 asymmetric
     # containment family containment_pairs_documents (doc-in-doc
     # detector over the same sparse intersection stage, exhaustive
     # blocked oracle), never driver-checked; stays CI-green.)
-    "containment_pairs_documents",
+    # (containment_pairs_documents rotated out in r10 — driver-proven r9;
+    # near-dup family keeps canonical_dedup + dedup_index_probe +
+    # streaming_dedup_index in-window — for boilerplate_prune_documents
+    # (cross-doc boilerplate line removal), never driver-checked; stays
+    # CI-green.)
+    "boilerplate_prune_documents",
     # windows (collect_segments_per_nation / window_running_revenue
     # rotated out in r4 — family siblings of the two lines above — to
     # make room for the newly recall-attested ANN entries below; both
@@ -11697,7 +11792,11 @@ _DRIVER_WINDOW = [
     # schema_evolution_documents (mergeSchema union of versioned
     # snapshots + missing-rate audit), never driver-checked; stays
     # CI-green.)
-    "schema_evolution_documents",
+    # (schema_evolution_documents rotated out in r10 — driver-proven
+    # r8-r9; source-robustness surface now represented by
+    # corrupt_json_tolerance (PERMISSIVE parse + corrupt-record
+    # quarantine), never driver-checked; stays CI-green.)
+    "corrupt_json_tolerance",
     # (sessionization_events rotated out in r7 — driver-proven green
     # since r2 — for its event-sequencing W-family sibling
     # daily_streaks_users (gaps-and-islands consecutive-day streaks,
@@ -11708,7 +11807,11 @@ _DRIVER_WINDOW = [
     # driver-checked; its canonicalization rules were in-window via
     # sibling host_profile's oracle, now checked directly); both
     # stay CI-green.)
-    "url_canonical_documents",
+    # (url_canonical_documents rotated out in r10 — driver-proven r9;
+    # F1/url surface keeps host_profile_documents in-window — for
+    # bm25_top_documents (BM25 lexical ranking, the heaviest never-driver-
+    # checked retrieval entry), never driver-checked; stays CI-green.)
+    "bm25_top_documents",
     # (scd2_order_price_history rotated out in r4b — third W-family
     # sibling — for the new skyline family below; stays CI-green.)
     # (skyline_parts rotated out in r7b — driver-proven green since
@@ -11717,7 +11820,11 @@ _DRIVER_WINDOW = [
     # row-pattern-recognition family seqmatch_user_journeys
     # (MATCH_RECOGNIZE regex journeys), never driver-checked; stays
     # CI-green.)
-    "seqmatch_user_journeys",
+    # (seqmatch_user_journeys rotated out in r10 — driver-proven r9;
+    # window family keeps sliding_distinct_users_daily +
+    # keyset_pagination_orders in-window — for benford_first_digit_orders
+    # (first-digit fraud screen), never driver-checked; stays CI-green.)
+    "benford_first_digit_orders",
     # top-k / set ops / scalar functions
     # (topk_parts_by_price rotated out in r7 — driver-proven green
     # since r1 — for its O1 ordered-retrieval sibling
@@ -11766,7 +11873,11 @@ _DRIVER_WINDOW = [
     # green in r6 — for its time-decay family sibling
     # attribution_time_decay (exponential-decay credit attribution,
     # r6d, never driver-checked); stays CI-green.)
-    "attribution_time_decay",
+    # (attribution_time_decay rotated out in r10 — driver-proven r8-r9; F2
+    # date family keeps partition_pruned_events_daily in-window — for
+    # cohort_retention_events (signup-cohort retention triangle), never
+    # driver-checked; stays CI-green.)
+    "cohort_retention_events",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -11784,7 +11895,11 @@ _DRIVER_WINDOW = [
     # probability semantics: per-decile predicted-vs-observed gaps,
     # diagnostics.reliability_bins), never driver-checked; stays
     # CI-green.)
-    "calibration_audit_documents",
+    # (calibration_audit_documents rotated out in r10 — driver-proven r9;
+    # diagnostics surface now represented by data_quality_audit (multi-
+    # rule completeness/validity audit), never driver-checked; stays CI-
+    # green.)
+    "data_quality_audit",
     "variant_event_props",
     # subqueries + the heaviest TPC-H join shapes
     "scalar_subquery_parts_above_avg",
@@ -11879,7 +11994,12 @@ _DRIVER_WINDOW = [
     # never driver-checked; stays CI-green.)
     "golden_record_documents",
     "semantic_dedup_embeddings",
-    "ivfpq_topk_embeddings",
+    # (ivfpq_topk_embeddings rotated out in r10 — driver-proven r9; the
+    # ANN slot upgrades to its own r10 scale extension
+    # ivf_index_probe_embeddings (persisted bucketed IVF cell index probed
+    # per batch — only the batch side shuffles), new in r10; stays CI-
+    # green.)
+    "ivf_index_probe_embeddings",
     # (embedding_near_dup_clustered rotated out in r8 — driver-proven
     # green since r4; the embedding family keeps cosine_topk,
     # semantic_dedup and ivfpq in-window — for the new r7 streaming

@@ -87,6 +87,7 @@ HEAVY = [
     "cl_diversity_audit_customers",
     "streaming_dedup_index_documents",
     "theilsen_trend_orders",
+    "ivf_index_probe_embeddings",
 ]
 
 
