@@ -144,18 +144,27 @@ def theilsen_by_group(
     ``ks_2sample_order_values`` (distribution drift), robust TREND
     here.
 
-    Scale contract: exact Theil–Sen is O(n²) PER GROUP by definition
-    — the pair join is co-keyed on the group (one shuffle, pairs never
-    leave their group's partitions), so total cost is Σ n_g², not
-    (Σ n_g)². The ``max_group_rows`` guard refuses groups whose pair
-    count would explode (the caller pre-samples — the production
-    pattern at 100 TB is deterministic hash-sampling each group to a
-    few thousand points, which the registered query demonstrates;
-    Matoušek's randomized O(n log n) needs data-dependent iteration
-    counts that break the fixed-plan/oracle discipline). Median via
-    ``percentile`` (linear interpolation — engine-identical to DuckDB
-    ``quantile_cont``); slopes are IEEE doubles built from exact
-    integer/decimal inputs, rounded once at the end.
+    Scale contract: exact Theil–Sen is O(n²) PER GROUP by definition.
+    The ``max_group_rows`` guard refuses groups whose pair count would
+    explode (the caller pre-samples — the production pattern at 100 TB
+    is deterministic hash-sampling each group to a few thousand
+    points, which the registered query demonstrates; Matoušek's
+    randomized O(n log n) needs data-dependent iteration counts that
+    break the fixed-plan/oracle discipline).
+
+    Execution (r10): one ``applyInPandas`` kernel per group — the
+    documented drop-to-Arrow case. The r9 form materialized the
+    C(n,2) pair multiset through a co-keyed self-join and took the
+    median with the ``percentile`` UDAF; at 1.1M pairs/group that
+    spent ~6 s shuffling and hash-mapping rows a numpy kernel
+    produces and selects in ~20 ms — a bounded-group CPU kernel is
+    exactly what the built-in operators can't express efficiently.
+    Group rows cross as ONE Arrow batch (guard-bounded); slopes are
+    IEEE float64 — bit-identical to the SQL doubles of the r9 join —
+    and both medians interpolate exactly like DuckDB
+    ``quantile_cont``: lo + (hi − lo)·0.5 over the two middle order
+    statistics. Kernel memory is 8·C(n,2) bytes per group (plus the
+    pair-index temporaries) — size ``max_group_rows`` accordingly.
 
     Returns (group_cols…, slope, intercept, n_pairs, n_points)."""
     cnt = (
@@ -171,37 +180,69 @@ def theilsen_by_group(
             f"{max_group_rows} rows (deterministic hash sample) or raise "
             "max_group_rows explicitly."
         )
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StructField,
+        StructType,
+    )
+
     pts = df.select(
         *group_cols,
         F.col(x_col).cast("double").alias("__x"),
         F.col(y_col).cast("double").alias("__y"),
     )
-    a, b = pts.alias("a"), pts.alias("b")
-    cond = None
-    for g in group_cols:
-        eq = F.col(f"a.{g}").eqNullSafe(F.col(f"b.{g}"))
-        cond = eq if cond is None else (cond & eq)
-    pairs = a.join(b, cond & (F.col("a.__x") < F.col("b.__x"))).select(
-        *[F.col(f"a.{g}").alias(g) for g in group_cols],
-        (
-            (F.col("b.__y") - F.col("a.__y")) / (F.col("b.__x") - F.col("a.__x"))
-        ).alias("__slope"),
+    out_schema = StructType(
+        [pts.schema[g] for g in group_cols]
+        + [
+            StructField("slope", DoubleType()),
+            StructField("intercept", DoubleType()),
+            StructField("n_pairs", LongType()),
+            StructField("n_points", LongType()),
+        ]
     )
-    slopes = pairs.groupBy(*group_cols).agg(
-        F.expr("percentile(__slope, 0.5)").alias("__m"),
-        F.count(F.lit(1)).alias("n_pairs"),
-    )
-    # Intercept pass: broadcast the group-grained slopes back onto the
-    # points (dim-sized by construction — one row per group).
-    resid = pts.join(F.broadcast(slopes), group_cols).select(
+
+    def _median_cont(sorted_vals: "np.ndarray") -> float:
+        # DuckDB quantile_cont at 0.5, literally: lo + (hi-lo)*0.5
+        # over the two middle order statistics (equal when odd).
+        m = len(sorted_vals)
+        lo = float(sorted_vals[(m - 1) // 2])
+        hi = float(sorted_vals[m // 2])
+        return lo + (hi - lo) * 0.5
+
+    def _kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        x = pdf["__x"].to_numpy(dtype=np.float64)
+        y = pdf["__y"].to_numpy(dtype=np.float64)
+        n = len(x)
+        ia, ib = np.triu_indices(n, 1)
+        dx = x[ib] - x[ia]
+        nz = dx != 0  # pairs with equal x contribute no slope
+        slopes = (y[ib] - y[ia])[nz] / dx[nz]
+        if slopes.size == 0:
+            return pd.DataFrame(
+                columns=[f.name for f in out_schema.fields]
+            ).astype(
+                {"slope": "f8", "intercept": "f8", "n_pairs": "i8",
+                 "n_points": "i8"}
+            )
+        m = _median_cont(np.sort(slopes, kind="stable"))
+        b = _median_cont(np.sort(y - m * x, kind="stable"))
+        return pd.DataFrame(
+            [[*key, m, b, int(slopes.size), n]],
+            columns=[f.name for f in out_schema.fields],
+        )
+
+    raw = pts.groupBy(*group_cols).applyInPandas(_kernel, out_schema)
+    # Round in Spark, not the kernel: F.round is HALF_UP like DuckDB
+    # ROUND; Python's round() is banker's and would straddle exact
+    # .5-at-6dp values (slopes here are RATIONAL — integer cents over
+    # integer days — so that case is reachable, not measure-zero).
+    return raw.select(
         *group_cols,
-        (F.col("__y") - F.col("__m") * F.col("__x")).alias("__r"),
-        "__m",
+        F.round("slope", 6).alias("slope"),
+        F.round("intercept", 6).alias("intercept"),
         "n_pairs",
-    )
-    return resid.groupBy(*group_cols).agg(
-        F.round(F.first("__m"), 6).alias("slope"),
-        F.round(F.expr("percentile(__r, 0.5)"), 6).alias("intercept"),
-        F.first("n_pairs").alias("n_pairs"),
-        F.count(F.lit(1)).alias("n_points"),
+        "n_points",
     )

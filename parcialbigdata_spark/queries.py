@@ -8273,7 +8273,7 @@ def grouped_ols_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                             % 1000000007, o_orderkey
                ) AS rn
         FROM pts0
-      ) WHERE rn <= 2000
+      ) WHERE rn <= 1500
     ),
     slopes AS (
       SELECT a.c_mktsegment AS c_mktsegment,
@@ -8296,7 +8296,7 @@ def theilsen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped THEIL–SEN robust trend (operators/timeseries.py
     ``theilsen_by_group``): per market segment, the median of all
     pairwise (Δprice/Δday) slopes over a VOLUME-ADAPTIVE deterministic
-    sample — per group, the 2000 rows smallest under the
+    sample — per group, the 1500 rows smallest under the
     multiplicative-hash rank (``operators/sampling.stratified_sample``
     with the x/y payload carried through), so the sampled group size —
     and with it the by-definition-quadratic pair count — is CONSTANT
@@ -8325,9 +8325,16 @@ def theilsen_trend_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).alias("x"),
         F.col("o_totalprice").alias("y"),
     )
-    pts = stratified_sample(
-        pts_all, "c_mktsegment", "o_orderkey", k=2000, extra_cols=["x", "y"]
+    samp = stratified_sample(
+        pts_all, "c_mktsegment", "o_orderkey", k=1500, extra_cols=["x", "y"]
     ).select("c_mktsegment", "x", "y")
+    # The sample is CONSTANT-sized by construction (≤ k per segment at
+    # ANY volume) — materialize it as a local relation so the guard
+    # count, both pair-join sides, the rank pass and the intercept
+    # pass read 7.5k in-memory rows instead of re-running the
+    # fact-side join + sample windows once each (bounded driver
+    # transit, same class as ivf_fit_centroids' sample).
+    pts = spark.createDataFrame(samp.collect(), samp.schema)
     return theilsen_by_group(pts, ["c_mktsegment"], "x", "y")
 
 
