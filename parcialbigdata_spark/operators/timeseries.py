@@ -125,6 +125,245 @@ def gap_fill_interp(
     ).drop("__es", "__obs_es")
 
 
+def cusum_changepoints(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    k_sigma: float = 0.5,
+    h_sigma: float = 5.0,
+) -> DataFrame:
+    """Grouped CUSUM change-point detection (Page, Biometrika 1954):
+    per group, standardize each observation against the group's own
+    mean/σ, then track Page's one-sided cumulative sums
+    S⁺_t = max(0, S⁺_{t−1} + z_t − k) and S⁻_t = min(0, S⁻_{t−1} +
+    z_t + k); an alarm fires when either excursion passes ``h_sigma``.
+    The recurrences are NOT window folds — but both have closed
+    prefix forms: S⁺_t = P_t − min(0, min_{j≤t} P_j) with
+    P_t = Σ(z_i − k) (and dually for S⁻), so the whole detector is
+    ONE ordered window computing a running sum and a running min/max
+    — two passes over one sort, no recursion, no UDF. Completes the
+    monitoring family: ``rolling_zscore_orders`` (point anomalies),
+    ``drift_psi_orders``/``ks_2sample_order_values`` (distribution
+    shift), LEVEL-shift localization here.
+
+    Determinism contract: ``value_col`` must be EXACT integers
+    (counts, cents) — μ/σ come from exact BIGINT moments, and z is
+    quantized to INTEGER MICRO-SIGMA units (round(z·10⁶) as BIGINT)
+    before the running sums, so every window accumulation is exact
+    BIGINT arithmetic on both engines. NOT DECIMAL: DuckDB's windowed
+    SUM over DECIMAL accumulates in double (measured drift at the
+    13th digit, r10), the same trap as the cookbook's decimal-window
+    rule — integer units are the portable exact form. ``k_sigma``/
+    ``h_sigma`` are quantized the same way. Scale: one shuffle to the
+    group key; the series is an already-aggregated time grid (days ×
+    groups), orders of magnitude below fact volume.
+
+    Returns (group_cols…, order_col, value, z, s_pos, s_neg, alarm)."""
+    g = [F.col(c) for c in group_cols]
+    stats = df.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum(F.col(value_col)).alias("__s"),
+        F.sum(F.col(value_col) * F.col(value_col)).alias("__sq"),
+    )
+    mu = F.col("__s").cast("double") / F.col("__n")
+    var = (
+        F.col("__sq").cast("double")
+        - F.col("__s").cast("double") * F.col("__s").cast("double") / F.col("__n")
+    ) / F.col("__n")
+    zi = F.round(
+        (F.col(value_col).cast("double") - mu) / F.sqrt(var) * F.lit(1000000.0),
+        0,
+    ).cast("bigint")
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ki = int(round(k_sigma * 1_000_000))
+    hi = int(round(h_sigma * 1_000_000))
+    base = (
+        df.join(stats, group_cols)
+        .filter(var > 0)  # constant series has no standardized scale
+        .withColumn("__zi", zi)
+        .withColumn("__pp", F.sum(F.col("__zi") - F.lit(ki)).over(w))
+        .withColumn("__pn", F.sum(F.col("__zi") + F.lit(ki)).over(w))
+    )
+    s_pos = F.col("__pp") - F.least(F.lit(0).cast("bigint"), F.min("__pp").over(w))
+    s_neg = F.col("__pn") - F.greatest(F.lit(0).cast("bigint"), F.max("__pn").over(w))
+    out = base.select(
+        *g,
+        F.col(order_col),
+        F.col(value_col).alias("value"),
+        (F.col("__zi").cast("double") / 1e6).alias("z"),
+        s_pos.alias("__spi"),
+        s_neg.alias("__sni"),
+    )
+    return out.select(
+        *g,
+        F.col(order_col),
+        "value",
+        "z",
+        (F.col("__spi").cast("double") / 1e6).alias("s_pos"),
+        (F.col("__sni").cast("double") / 1e6).alias("s_neg"),
+        ((F.col("__spi") > F.lit(hi)) | (F.col("__sni") < F.lit(-hi))).alias(
+            "alarm"
+        ),
+    )
+
+
+def seasonal_decompose(
+    df: DataFrame,
+    group_cols: list[str],
+    date_col: str,
+    cents_col: str,
+    period: int = 7,
+) -> DataFrame:
+    """Grouped additive seasonal decomposition (classical
+    moving-average method; Cleveland's STL is its loess refinement):
+    value = trend + seasonal + residual, with the trend a CENTERED
+    ``period``-point moving average (odd period; edge rows without a
+    full window carry no trend and drop from the seasonal fit), the
+    seasonal component the per-phase mean of the detrended series
+    re-centered to sum to zero, and the residual what remains. Phase
+    is position-in-cycle (row_number mod period within the ordered
+    group) so the operator needs no calendar semantics.
+
+    Determinism: input is exact integer cents; the MA is an exact
+    BIGINT window sum divided by the literal period once (IEEE),
+    detrended values round to 6dp before the per-phase DECIMAL mean
+    (round-then-decimal-sum), and every output rounds once at the
+    end. Plan: one sort per group serves the MA window and the phase
+    numbering; the phase means are a ``period × groups``-row agg
+    broadcast back. The series is an aggregated grid (days × groups)
+    — fact volume never enters the windows.
+
+    Returns (group_cols…, date_col, value, trend, seasonal, resid)."""
+    half = period // 2
+    ord_w = Window.partitionBy(*group_cols).orderBy(date_col)
+    ma_w = ord_w.rowsBetween(-half, half)
+    n_w = F.count(F.lit(1)).over(ma_w)
+    trend = (
+        F.when(
+            n_w == period,
+            F.sum(F.col(cents_col)).over(ma_w).cast("double")
+            / F.lit(float(period))
+            / 100.0,
+        )
+    )
+    base = df.withColumn("__phase", (F.row_number().over(ord_w) - 1) % period)
+    base = base.withColumn("__trend", trend).withColumn(
+        "__detr",
+        F.round(F.col(cents_col).cast("double") / 100.0 - F.col("__trend"), 6),
+    )
+    ph = (
+        base.filter(F.col("__detr").isNotNull())
+        .groupBy(*group_cols, "__phase")
+        .agg(
+            (
+                F.sum(F.col("__detr").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("__ph_mean")
+        )
+    )
+    # Re-center phase means to sum to zero per group (the additive
+    # identifiability constraint) — a period-sized agg, broadcast back.
+    gw = Window.partitionBy(*group_cols)
+    ph = ph.withColumn(
+        "__season",
+        F.round(
+            F.col("__ph_mean")
+            - F.sum(F.round(F.col("__ph_mean"), 6).cast("decimal(18,6)")).over(gw)
+            .cast("double")
+            / F.count(F.lit(1)).over(gw),
+            6,
+        ),
+    ).select(*group_cols, "__phase", "__season")
+    return (
+        base.join(F.broadcast(ph), [*group_cols, "__phase"])
+        .select(
+            *[F.col(c) for c in group_cols],
+            F.col(date_col),
+            (F.col(cents_col).cast("double") / 100.0).alias("value"),
+            F.round(F.col("__trend"), 6).alias("trend"),
+            F.col("__season").alias("seasonal"),
+            F.round(
+                F.col(cents_col).cast("double") / 100.0
+                - F.col("__trend")
+                - F.col("__season"),
+                6,
+            ).alias("resid"),
+        )
+    )
+
+
+def acf_by_lag(
+    df: DataFrame,
+    group_cols: list[str],
+    order_col: str,
+    value_col: str,
+    max_lag: int = 7,
+) -> DataFrame:
+    """Grouped sample autocorrelation function for lags 1..max_lag:
+    r_k = Σ_{t>k}(y_t − ȳ)(y_{t−k} − ȳ) / Σ(y_t − ȳ)², ȳ the full
+    group mean. Expanded to raw-moment form so everything except the
+    final IEEE arithmetic is EXACT integer/decimal sums:
+    the numerator is Σ y_t·y_{t−k} − ȳ·(S_a + S_b) + (n−k)·ȳ² with
+    S_a = Σ_{t>k} y_t and S_b = Σ_{t≤n−k} y_t, the denominator
+    n·Var from the same moments — the closed-form-stats recipe
+    (``grouped_ols_lineitem``) applied to a lagged product. One
+    ordered window computes all ``max_lag`` lag columns in a single
+    sort; ``stack`` unpivots to (lag, y, y_lag) rows and one hash agg
+    per (group, lag) finishes — no self-join, no per-lag pass.
+    ``value_col`` must be exact integers (cents/counts); products
+    accumulate as DECIMAL(38,0).
+
+    Returns (group_cols…, lag, n_pairs, acf)."""
+    ow = Window.partitionBy(*group_cols).orderBy(order_col)
+    v = F.col(value_col).cast("bigint")
+    lagged = df.select(
+        *group_cols,
+        v.alias("__y"),
+        *[F.lag(v, k).over(ow).alias(f"__l{k}") for k in range(1, max_lag + 1)],
+    )
+    stats = lagged.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).alias("__n"),
+        F.sum("__y").alias("__s"),
+        F.sum(F.col("__y").cast("decimal(19,0)") * F.col("__y")).alias("__sq"),
+    )
+    stacked = lagged.select(
+        *group_cols,
+        F.expr(
+            "stack(%d, %s) as (lag, y, y_lag)"
+            % (
+                max_lag,
+                ", ".join(f"{k}, __y, __l{k}" for k in range(1, max_lag + 1)),
+            )
+        ),
+    ).filter(F.col("y_lag").isNotNull())
+    per_lag = stacked.groupBy(*group_cols, "lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y_lag")).alias("__sprod"),
+        F.sum("y").alias("__sa"),
+        F.sum("y_lag").alias("__sb"),
+    )
+    j = per_lag.join(F.broadcast(stats), group_cols)
+    nd = F.col("__n").cast("double")
+    mu = F.col("__s").cast("double") / nd
+    den = F.col("__sq").cast("double") - nd * mu * mu
+    num = (
+        F.col("__sprod").cast("double")
+        - mu * (F.col("__sa").cast("double") + F.col("__sb").cast("double"))
+        + F.col("n_pairs").cast("double") * mu * mu
+    )
+    return j.select(
+        *[F.col(c) for c in group_cols],
+        "lag",
+        "n_pairs",
+        F.round(num / den, 6).alias("acf"),
+    )
+
+
 def theilsen_by_group(
     df: DataFrame,
     group_cols: list[str],

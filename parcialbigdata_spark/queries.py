@@ -11495,6 +11495,230 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "cusum_changepoint_orders",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             COUNT(*) AS v
+      FROM orders GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS sq
+      FROM d GROUP BY 1
+    ),
+    z AS (
+      SELECT d.o_orderpriority, day, v,
+             CAST(round((v - CAST(s AS DOUBLE) / n)
+                        / sqrt((CAST(sq AS DOUBLE)
+                                - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n)
+                        * 1000000.0, 0) AS BIGINT) AS zi
+      FROM d JOIN st USING (o_orderpriority)
+      WHERE (CAST(sq AS DOUBLE)
+             - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / n > 0
+    ),
+    p AS (
+      SELECT o_orderpriority, day, v, zi,
+             CAST(SUM(zi - 500000) OVER w AS BIGINT) AS pp,
+             CAST(SUM(zi + 500000) OVER w AS BIGINT) AS pn
+      FROM z
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    s2 AS (
+      SELECT o_orderpriority, day, v, zi,
+             pp - least(CAST(0 AS BIGINT), MIN(pp) OVER w) AS sp,
+             pn - greatest(CAST(0 AS BIGINT), MAX(pn) OVER w) AS sn
+      FROM p
+      WINDOW w AS (PARTITION BY o_orderpriority ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT o_orderpriority, day, CAST(v AS BIGINT) AS value,
+           CAST(zi AS DOUBLE) / 1e6 AS z,
+           CAST(sp AS DOUBLE) / 1e6 AS s_pos,
+           CAST(sn AS DOUBLE) / 1e6 AS s_neg,
+           (sp > 5000000 OR sn < -5000000) AS alarm
+    FROM s2
+    """,
+)
+def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection (operators/timeseries.py
+    ``cusum_changepoints``; Page 1954): per order priority, the daily
+    order-count series standardizes against its own mean/σ and Page's
+    one-sided excursions S⁺/S⁻ localize LEVEL SHIFTS that pointwise
+    monitors miss — ``rolling_zscore_orders`` flags single outliers,
+    ``drift_psi_orders``/``ks_2sample`` compare two static windows,
+    CUSUM pinpoints WHEN a sustained shift began. The recurrence
+    max(0, S+z−k) is re-expressed as prefix_sum − running_min (its
+    closed prefix form), so the whole detector is one sorted window
+    per group — no recursion, no UDF, no driver loop; z-scores round
+    to 6dp and accumulate as DECIMAL(18,6) so both engines' running
+    sums are exact (cookbook round-then-decimal-sum). TPC-H order
+    arrivals are stationary by construction, so the attested output
+    is the full excursion trace with alarm=false everywhere — the
+    detector's value is the trace hashing identically, not a planted
+    alarm. Scale: the series is days × priorities (bounded grid),
+    reduced from the fact table by one map-side-combined agg."""
+    from parcialbigdata_spark.operators.timeseries import cusum_changepoints
+
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("v"))
+    return cusum_changepoints(
+        daily, ["o_orderpriority"], "day", "v", k_sigma=0.5, h_sigma=5.0
+    ).select(
+        "o_orderpriority", "day", "value", "z", "s_pos", "s_neg", "alarm"
+    )
+
+
+@query(
+    "seasonal_decompose_orders",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS cents
+      FROM orders GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT o_orderpriority, day, cents,
+             (row_number() OVER win - 1) % 7 AS phase,
+             CASE WHEN COUNT(*) OVER ma = 7
+                  THEN CAST(SUM(cents) OVER ma AS DOUBLE) / 7.0 / 100.0
+             END AS trend
+      FROM d
+      WINDOW win AS (PARTITION BY o_orderpriority ORDER BY day),
+             ma AS (PARTITION BY o_orderpriority ORDER BY day
+                    ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+    ),
+    detr AS (
+      SELECT *, round(CAST(cents AS DOUBLE) / 100.0 - trend, 6) AS dv
+      FROM w
+    ),
+    ph AS (
+      SELECT o_orderpriority, phase,
+             CAST(SUM(CAST(dv AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*)
+               AS ph_mean
+      FROM detr WHERE dv IS NOT NULL GROUP BY 1, 2
+    ),
+    se AS (
+      SELECT o_orderpriority, phase,
+             round(ph_mean
+                   - CAST(SUM(CAST(round(ph_mean, 6) AS DECIMAL(18,6)))
+                          OVER (PARTITION BY o_orderpriority) AS DOUBLE)
+                     / COUNT(*) OVER (PARTITION BY o_orderpriority),
+                   6) AS seasonal
+      FROM ph
+    )
+    SELECT w.o_orderpriority, w.day,
+           CAST(w.cents AS DOUBLE) / 100.0 AS value,
+           round(w.trend, 6) AS trend,
+           se.seasonal,
+           round(CAST(w.cents AS DOUBLE) / 100.0 - w.trend - se.seasonal, 6)
+             AS resid
+    FROM w JOIN se ON w.o_orderpriority = se.o_orderpriority
+                  AND w.phase = se.phase
+    """,
+)
+def seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition (operators/
+    timeseries.py ``seasonal_decompose``): per priority, daily revenue
+    splits into trend (centered 7-point moving average, exact BIGINT
+    cents window sum divided once), a period-7 seasonal profile
+    (per-phase DECIMAL mean of the detrended series, re-centered to
+    sum to zero — the additive identifiability constraint) and the
+    residual. Phase is position-in-cycle within the ordered group, so
+    no calendar semantics leak in; edge rows without a full MA window
+    carry NULL trend/resid on both engines. The monitoring siblings
+    look for change (``cusum_changepoint_orders``) or smooth level
+    (``ewma_daily_revenue_orders``); decomposition EXPLAINS structure
+    — detrended residuals are what anomaly scoring should consume.
+    One sort per group serves the MA, the numbering and the phase
+    join; the seasonal profile is a 7×groups-row broadcast."""
+    from parcialbigdata_spark.operators.timeseries import seasonal_decompose
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(cents).alias("cents"))
+    return seasonal_decompose(
+        daily, ["o_orderpriority"], "day", "cents", period=7
+    )
+
+
+@query(
+    "acf_daily_orders",
+    """
+    WITH d AS (
+      SELECT o_orderpriority,
+             strftime(o_orderdate, '%Y-%m-%d') AS day,
+             CAST(SUM(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS v,
+             row_number() OVER (PARTITION BY o_orderpriority
+                                ORDER BY strftime(o_orderdate, '%Y-%m-%d'))
+               AS rn
+      FROM orders GROUP BY 1, 2
+    ),
+    st AS (
+      SELECT o_orderpriority, COUNT(*) AS n, SUM(v) AS s,
+             SUM(CAST(v AS HUGEINT) * v) AS sq
+      FROM d GROUP BY 1
+    ),
+    pr AS (
+      SELECT a.o_orderpriority, r.k AS lag, COUNT(*) AS n_pairs,
+             SUM(CAST(a.v AS HUGEINT) * b.v) AS sprod,
+             SUM(a.v) AS sa, SUM(b.v) AS sb
+      FROM d a
+      JOIN range(1, 8) r(k) ON TRUE
+      JOIN d b ON b.o_orderpriority = a.o_orderpriority
+              AND b.rn = a.rn - r.k
+      GROUP BY 1, 2
+    )
+    SELECT pr.o_orderpriority, CAST(lag AS INT) AS lag,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           round((CAST(sprod AS DOUBLE)
+                  - (CAST(s AS DOUBLE) / n)
+                    * (CAST(sa AS DOUBLE) + CAST(sb AS DOUBLE))
+                  + CAST(n_pairs AS DOUBLE)
+                    * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+                 / (CAST(sq AS DOUBLE)
+                    - CAST(n AS DOUBLE)
+                      * (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n)),
+                 6) AS acf
+    FROM pr JOIN st USING (o_orderpriority)
+    """,
+)
+def acf_daily_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation function (operators/timeseries.py
+    ``acf_by_lag``): per priority, ACF of daily revenue at lags 1-7 —
+    the diagnostic that justifies (or refutes) the weekly period the
+    decomposition sibling ``seasonal_decompose_orders`` assumes, and
+    the whiteness check for its residuals. r_k expands to RAW-moment
+    form (the ``grouped_ols_lineitem`` closed-form recipe applied to
+    a lagged product): lagged cents products accumulate exactly as
+    DECIMAL(38)/HUGEINT, the group moments as BIGINT, and the only
+    float arithmetic is the final identical-on-both-engines
+    mul/sub/div chain, rounded once. Plan: ONE ordered window
+    computes all 7 lag columns in a single sort, ``stack`` unpivots,
+    one hash agg per (group, lag) — no per-lag pass, no self-join on
+    the Spark side (the oracle brute-forces via rn self-join)."""
+    from parcialbigdata_spark.operators.timeseries import acf_by_lag
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    daily = orders.groupBy(
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("day"),
+    ).agg(F.sum(cents).alias("v"))
+    return acf_by_lag(daily, ["o_orderpriority"], "day", "v", max_lag=7)
+
+
 _DEDUP_INDEX_ORACLE = """
     WITH sh AS (
       SELECT doc_id,

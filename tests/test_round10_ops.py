@@ -79,6 +79,91 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+# ------------------------------------- r10: time-series analysis family
+
+
+def test_cusum_matches_page_recurrence_and_alarms_on_shift(spark):
+    # 30 flat days then 30 days shifted +3 units: the closed prefix
+    # form (running sum minus running min) must equal a literal
+    # simulation of Page's recurrence, and the alarm must fire after
+    # the shift, never before it.
+    from parcialbigdata_spark.operators.timeseries import cusum_changepoints
+
+    vals = [10, 11, 10, 9, 10] * 6 + [13, 14, 13, 12, 13] * 6
+    rows = [("g", f"d{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t string, v bigint")
+    out = {
+        r.t: r
+        for r in cusum_changepoints(
+            df, ["g"], "t", "v", k_sigma=0.5, h_sigma=3.0
+        ).collect()
+    }
+    # Literal Page recurrence on the same quantized z-scores.
+    import math
+
+    n = len(vals)
+    mu = sum(vals) / n
+    var = (sum(v * v for v in vals) - sum(vals) * sum(vals) / n) / n
+    zis = [round((v - mu) / math.sqrt(var) * 1e6) for v in vals]
+    sp = sn = 0
+    for i, zi in enumerate(zis):
+        sp = max(0, sp + zi - 500_000)
+        sn = min(0, sn + zi + 500_000)
+        r = out[f"d{i:03d}"]
+        assert abs(r.s_pos - sp / 1e6) < 1e-9, (i, r.s_pos, sp)
+        assert abs(r.s_neg - sn / 1e6) < 1e-9, (i, r.s_neg, sn)
+    # The reference mean spans BOTH regimes, so the low first half
+    # legitimately drives the NEGATIVE excursion; the level shift
+    # itself must surface as the POSITIVE excursion, and only after
+    # the shift point.
+    pos_alarms = [t for t, r in out.items() if r.s_pos > 3.0]
+    assert pos_alarms and min(pos_alarms) >= "d030"
+    assert any(r.alarm for r in out.values())
+
+
+def test_seasonal_decompose_recovers_planted_pattern(spark):
+    # Flat level + exact period-7 additive pattern, in cents. The
+    # seasonal estimate must equal the planted pattern (re-centered)
+    # and residuals must vanish on every full-window row.
+    from parcialbigdata_spark.operators.timeseries import seasonal_decompose
+
+    pattern = [500, -300, 200, 0, -400, 100, -100]  # sums to 0, cents
+    rows = [
+        ("g", f"d{i:03d}", 100_000 + pattern[i % 7]) for i in range(49)
+    ]
+    df = spark.createDataFrame(rows, "g string, t string, cents bigint")
+    out = seasonal_decompose(df, ["g"], "t", "cents", period=7).collect()
+    by_day = {r.t: r for r in out}
+    for i in range(3, 46):  # rows with a full centered window
+        r = by_day[f"d{i:03d}"]
+        assert abs(r.trend - 1000.0) < 1e-6, (i, r.trend)
+        assert abs(r.seasonal - pattern[i % 7] / 100.0) < 1e-6, (i, r.seasonal)
+        assert abs(r.resid) < 1e-6, (i, r.resid)
+    # Edge rows: no trend, no resid, but value always present.
+    assert by_day["d000"].trend is None and by_day["d000"].resid is None
+
+
+def test_acf_matches_numpy_and_detects_period(spark):
+    # Exact period-4 series: acf(4) must be maximal; every lag must
+    # match the textbook estimator computed directly in numpy.
+    import numpy as np
+
+    from parcialbigdata_spark.operators.timeseries import acf_by_lag
+
+    vals = [100, 250, 180, 90] * 12
+    rows = [("g", f"d{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t string, v bigint")
+    out = {r.lag: r for r in acf_by_lag(df, ["g"], "t", "v", max_lag=5).collect()}
+    y = np.asarray(vals, dtype=np.float64)
+    mu = y.mean()
+    den = ((y - mu) ** 2).sum()
+    for k in range(1, 6):
+        ref = (((y[k:] - mu) * (y[:-k] - mu)).sum()) / den
+        assert abs(out[k].acf - round(ref, 6)) < 2e-6, (k, out[k].acf, ref)
+        assert out[k].n_pairs == len(vals) - k
+    assert out[4].acf > max(out[k].acf for k in (1, 2, 3, 5))
+
+
 def test_ivf_index_probe_shuffles_only_batch_side(spark, _cells_table):
     # The stored cell table is bucketed on ivf_cell: the probe join's
     # executed plan must read it as a bucketed scan (no exchange above
