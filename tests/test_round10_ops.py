@@ -79,6 +79,73 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+def test_streaming_ivf_index_matches_batch_replay(spark, tmp_path):
+    # Stream/batch agreement + the r10 output discipline: on the same
+    # ordered batches the streaming driver must emit exactly what the
+    # batch replay of ingest->probe->append emits, never collect to
+    # the driver, and leave one overwrite dir per epoch.
+    import os
+    import time as _time
+
+    from parcialbigdata_spark.streaming.ann_store import run_streaming_ivf_index
+
+    centers = [[10.0, 0.0], [0.0, 10.0]]
+    batches = [
+        [(0, [10.0, 0.1]), (1, [0.1, 10.0]), (2, [9.8, 0.0])],  # seed
+        [(10, [10.1, 0.0])],  # ~ matches 0, 2
+        [(20, [0.0, 10.1]), (21, [10.0, 0.05])],  # vs seed + batch 1
+    ]
+    stream_dir = tmp_path / "stream"
+    os.makedirs(stream_dir)
+    now = _time.time()
+    for i, rows in enumerate(batches):
+        df = _vecs(spark, rows)
+        tmp = str(tmp_path / f"w{i}")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        import glob
+        import shutil
+
+        part = glob.glob(os.path.join(tmp, "part-*.parquet"))[0]
+        dst = str(stream_dir / f"b{i}.parquet")
+        shutil.copy(part, dst)
+        os.utime(dst, (now - 60 + 10 * i, now - 60 + 10 * i))
+    matches_dir = str(tmp_path / "matches")
+    stream_t, batch_t = "t10_sivf_stream", "t10_sivf_batch"
+    from pyspark.sql import DataFrame as _DF
+
+    real_collect = _DF.collect
+
+    def _no_collect(self):
+        raise AssertionError("collect() inside run_streaming_ivf_index")
+
+    try:
+        _DF.collect = _no_collect
+        try:
+            got_df = run_streaming_ivf_index(
+                spark, str(stream_dir), stream_t, centers, k=2, nprobe=2,
+                matches_dir=matches_dir,
+            )
+        finally:
+            _DF.collect = real_collect
+        got = {(r.query_id, r.match_id, r.rank) for r in got_df.collect()}
+        # batch replay with the same centroids
+        want = set()
+        similarity.ivf_index_ingest(_vecs(spark, batches[0]), batch_t, centers)
+        for rows in batches[1:]:
+            bdf = _vecs(spark, rows)
+            p = similarity.ivf_index_probe(bdf, batch_t, centers, k=2, nprobe=2)
+            want |= {(r.query_id, r.match_id, r.rank) for r in p.collect()}
+            similarity.ivf_index_ingest(bdf, batch_t, centers, append=True)
+        assert got == want and got
+        epochs = sorted(
+            d for d in os.listdir(matches_dir) if d.startswith("epoch_")
+        )
+        assert epochs == ["epoch_0", "epoch_1", "epoch_2"]
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {stream_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {batch_t}")
+
+
 # ------------------------------------- r10: time-series analysis family
 
 
