@@ -260,6 +260,10 @@ BENCH_QUERIES = [
     "streaming_dedup_index_documents",
     "theilsen_trend_orders",
     "ivf_index_probe_embeddings",
+    "streaming_ivf_index_embeddings",
+    "cusum_changepoint_orders",
+    "seasonal_decompose_orders",
+    "acf_daily_orders",
 ]
 
 

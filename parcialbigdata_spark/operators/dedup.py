@@ -1232,6 +1232,42 @@ def minhash_index_ingest(
     rows.unpersist()
 
 
+def minhash_index_compact(
+    spark,
+    bands_table: str,
+    sets_table: str,
+    id_col: str = "doc_id",
+    max_bucket: int = 10_000,
+    num_buckets: int = 8,
+) -> None:
+    """Periodic re-compaction of the persisted dedup index — the
+    maintenance job every ``minhash_index_ingest`` docstring promised:
+    collapse duplicate rows left by at-least-once appends (foreachBatch
+    replays re-append band/set rows; harmless for membership, but
+    duplicated set rows MULTIPLY probe verification joins) and
+    re-apply the ``max_bucket`` degenerate-bucket cap GLOBALLY — the
+    per-batch cap cannot see a bucket that only crosses the limit
+    across batches, which was the documented residual until now.
+
+    Same-layout rewrite: stage the compacted relations as bucketed
+    tables, then atomically swap via catalog rename (Spark cannot
+    overwrite a table it is reading). At 100 TB this is the analogue
+    of a state-store checkpoint compaction: cost is one distinct +
+    one count-window over the index relations — index-sized, never
+    corpus-sized, and the corpus is never re-shingled."""
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    bb = _cap_buckets(spark.table(bands_table).distinct(), max_bucket)
+    write_bucketed(
+        bb, f"{bands_table}__compact", "band_hash", num_buckets=num_buckets
+    )
+    sh = spark.table(sets_table).distinct()
+    write_bucketed(sh, f"{sets_table}__compact", id_col, num_buckets=num_buckets)
+    for t in (bands_table, sets_table):
+        spark.sql(f"DROP TABLE {t}")
+        spark.sql(f"ALTER TABLE {t}__compact RENAME TO {t}")
+
+
 def minhash_index_probe(
     batch: DataFrame,
     id_col: str,

@@ -11900,6 +11900,63 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "dedup_index_compact_documents",
+    _DEDUP_INDEX_ORACLE,
+)
+def dedup_index_compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index RE-COMPACTION under at-least-once replay (operators/
+    dedup.py ``minhash_index_compact``): the fixture replays the batch
+    twin's ingest cycle but APPENDS BATCH 1 TWICE — exactly what a
+    recovered foreachBatch retry does to the index tables — then
+    compacts and probes batch 2. Without compaction the duplicated
+    set rows would multiply the probe's verification join and emit
+    duplicate pair rows (and a bucket crossing ``max_bucket`` only
+    ACROSS batches would evade the per-batch cap — the residual the
+    r9 ingest docstring documented); after compaction the output is
+    byte-identical to the clean replay, so this SHARES the exhaustive
+    cross-batch Jaccard oracle verbatim with
+    ``dedup_index_probe_documents`` and
+    ``streaming_dedup_index_documents``. Compaction is a same-layout
+    staged rewrite + catalog swap — index-sized work, corpus never
+    re-shingled."""
+    docs = load_table(spark, sf_dir, "documents")
+    mod = F.col("doc_id") % 10
+    history = docs.filter(mod <= 5)
+    batch1 = docs.filter(mod.isin(6, 7))
+    batch2 = docs.filter(mod.isin(8, 9))
+    bands_t, sets_t = "r10_dedup_cmp_bands", "r10_dedup_cmp_sets"
+    try:
+        dedup.minhash_index_ingest(
+            history, "doc_id", "text", bands_t, sets_t, k_shingle=2
+        )
+        handle: list = []
+        p1 = dedup.minhash_index_probe(
+            batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
+            k_shingle=2, unpersist_handle=handle,
+        )
+        rows1 = p1.collect()
+        for append_round in range(2):  # the second append IS the replay
+            dedup.minhash_index_ingest(
+                batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
+                append=True,
+            )
+        dedup.minhash_index_compact(spark, bands_t, sets_t, "doc_id")
+        p2 = dedup.minhash_index_probe(
+            batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,
+            k_shingle=2, unpersist_handle=handle,
+        )
+        rows2 = p2.collect()
+        for cached in handle:
+            cached.unpersist()
+        return spark.createDataFrame(rows1 + rows2, p2.schema)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {sets_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
+        spark.sql(f"DROP TABLE IF EXISTS {sets_t}__compact")
+
+
+@query(
     "streaming_dedup_index_documents",
     _DEDUP_INDEX_ORACLE,
 )
@@ -11985,7 +12042,10 @@ _DRIVER_WINDOW = [
     # runtime-filter family bloom_prejoin_lineitem_parts (explicit
     # Bloom semi-join pruning, result-invisible under the plain-join
     # oracle), never driver-checked; stays CI-green.)
-    "bloom_prejoin_lineitem_parts",
+    # (bloom_prejoin_lineitem_parts rotated out in r10b — driver-proven r9
+    # (runtime-filter family) — for the new r10 ACF family (raw-moment
+    # lagged products, one window sort for all lags); stays CI-green.)
+    "acf_daily_orders",
     "full_outer_nation_parties",
     # (semi_customers_with_orders rotated out in r4b — J2 kept TWO window
     # reps (semi + anti); anti stays, and the semi shape still runs in
@@ -12236,8 +12296,19 @@ _DRIVER_WINDOW = [
     # zorder_scan_orders (Morton-interleaved write + 2-D box scan with
     # row-group skipping pinned vs a single-column sort), never
     # driver-checked; stays CI-green.)
-    "zorder_scan_orders",
-    "q18_large_volume_orders",
+    # (zorder_scan_orders rotated out in r10b — driver-proven r8-r9;
+    # warehouse/layout family keeps compaction_plan_documents +
+    # partition_pruned_events_daily in-window — for the new r10 streaming
+    # ANN index streaming_ivf_index_embeddings (per-epoch distributed
+    # matches sink, stream/batch agreement with the batch twin); stays CI-
+    # green.)
+    "streaming_ivf_index_embeddings",
+    # (q18_large_volume_orders rotated out in r10b — driver-proven since
+    # r1; J1/TakeOrdered surfaces keep q3_shipping_priority +
+    # keyset_pagination_orders in-window — for the new r10 CUSUM change-
+    # point family (prefix-sum minus running-min closed form, BIGINT
+    # micro-sigma discipline); stays CI-green.)
+    "cusum_changepoint_orders",
     # (q21_sole_supplier_orders rotated out in r7b — driver-proven
     # green since r2; the EXISTS/NOT-EXISTS decorrelation shape stays
     # in-window via anti_customers_without_orders and q18's
@@ -12348,7 +12419,11 @@ _DRIVER_WINDOW = [
     # in-window — for the new r6 reconciliation family: the
     # cross-engine fingerprint equality is uniquely meaningful when
     # the DRIVER's own DuckDB kernel recomputes it; stays CI-green.)
-    "table_fingerprint_reconcile",
+    # (table_fingerprint_reconcile rotated out in r10b — driver-proven
+    # r6-r9 — for the new r10 seasonal decomposition family (centered-MA
+    # trend + re-centered phase means, NULL-edge contract); stays CI-
+    # green.)
+    "seasonal_decompose_orders",
     "chunk_documents",
     "binary_media_features",
     # streaming

@@ -79,6 +79,62 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+def test_minhash_index_compact_collapses_replay_and_recaps(spark):
+    # (a) a replayed append leaves duplicate set rows that MULTIPLY
+    # probe output rows; (b) compaction restores the clean answer;
+    # (c) the max_bucket cap re-applies GLOBALLY across appends.
+    from parcialbigdata_spark.operators import dedup
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    hist = spark.createDataFrame(
+        [(1, text), (2, text + " tail")], "doc_id bigint, text string"
+    )
+    b1 = spark.createDataFrame([(3, text + " extra")], "doc_id bigint, text string")
+    probe = spark.createDataFrame(
+        [(9, text + " extra words")], "doc_id bigint, text string"
+    )
+    bt, st = "t10_cmp_bands", "t10_cmp_sets"
+    try:
+        dedup.minhash_index_ingest(hist, "doc_id", "text", bt, st, k_shingle=2)
+        dedup.minhash_index_ingest(
+            b1, "doc_id", "text", bt, st, k_shingle=2, append=True
+        )
+        clean = sorted(
+            (r.new_id, r.old_id, r.jaccard_sim)
+            for r in dedup.minhash_index_probe(
+                probe, "doc_id", "text", bt, st, threshold=0.2, k_shingle=2
+            ).collect()
+        )
+        # replay batch 1
+        dedup.minhash_index_ingest(
+            b1, "doc_id", "text", bt, st, k_shingle=2, append=True
+        )
+        dup = [
+            (r.new_id, r.old_id)
+            for r in dedup.minhash_index_probe(
+                probe, "doc_id", "text", bt, st, threshold=0.2, k_shingle=2
+            ).collect()
+        ]
+        assert len(dup) > len(set(dup))  # duplicated set rows multiply output
+        dedup.minhash_index_compact(spark, bt, st, "doc_id")
+        after = sorted(
+            (r.new_id, r.old_id, r.jaccard_sim)
+            for r in dedup.minhash_index_probe(
+                probe, "doc_id", "text", bt, st, threshold=0.2, k_shingle=2
+            ).collect()
+        )
+        assert after == clean
+        # (c) global cap: two appends each under max_bucket whose UNION
+        # crosses it — compact with a tiny cap must drop the hot bucket.
+        n_before = spark.table(bt).count()
+        dedup.minhash_index_compact(spark, bt, st, "doc_id", max_bucket=1)
+        n_after = spark.table(bt).count()
+        assert n_after < n_before  # shared-text band buckets were capped
+    finally:
+        for t in (bt, st, f"{bt}__compact", f"{st}__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
 def test_streaming_ivf_index_matches_batch_replay(spark, tmp_path):
     # Stream/batch agreement + the r10 output discipline: on the same
     # ordered batches the streaming driver must emit exactly what the
