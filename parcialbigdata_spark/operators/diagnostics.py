@@ -162,6 +162,51 @@ def join_size_estimate(
     )
 
 
+def hashed_bigram_logit_udf():
+    """Arrow-batched hashed-bigram logit — the scoring kernel of the
+    calibration/quality pair, moved out of the interpreted ``aggregate``
+    HOF (r10): evaluating md5+conv+mod inside a higher-order-function
+    lambda runs interpreted per ELEMENT (the r9 bloom lesson), and the
+    sf10 datapoint showed the scoring pass crossing linear
+    (115 s at 100×, 13.8× for the last 10×). Here each Arrow batch
+    loops its bigrams once in Python with C md5 — ~180M digests at
+    sf10 spread over the worker pool — while tokenization stays
+    Spark-side (the Java-regex tokens are the cross-engine-verified
+    contract; Python ``re`` unicode classes are not). Weight formula
+    is bit-for-bit the oracle's:
+    ``((md5_hex4 % 64) * 37 + 11) % 201 − 100`` summed as exact ints.
+
+    Returns a pandas UDF mapping ``array<string>`` token arrays to
+    the BIGINT logit sum over adjacent-pair bigrams."""
+    import hashlib
+
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # NOTE: no type hints — this module uses postponed annotations and
+    # pandas is function-local, so get_type_hints() could not resolve
+    # the stringified 'pd.Series' (UNSUPPORTED_SIGNATURE); the explicit
+    # returnType + hint-less function selects the scalar path directly.
+    @pandas_udf("bigint")
+    def logit(toks):
+        out = []
+        for arr in toks:
+            s = 0
+            if arr is not None and len(arr) >= 2:
+                prev = arr[0]
+                for cur in arr[1:]:
+                    h = int(
+                        hashlib.md5(f"{prev}_{cur}".encode()).hexdigest()[:4],
+                        16,
+                    )
+                    s += ((h % 64) * 37 + 11) % 201 - 100
+                    prev = cur
+            out.append(s)
+        return pd.Series(out, dtype="int64")
+
+    return logit
+
+
 def reliability_bins(
     df: DataFrame,
     conf_col: str,

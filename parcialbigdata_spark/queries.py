@@ -4992,36 +4992,32 @@ def calibration_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     training-mix threshold hangs on. Model-ops family: input drift
     ``drift_psi_orders``, intervention lift ``ab_lift_events``,
     probability semantics here. Plan: the scoring pass is one narrow
-    map (``aggregate`` HOF over the bigram array — no explode, no
-    per-doc shuffle), then ONE map-side-combined hash agg to ≤ 10
-    bin rows; the oracle replays the binning literally."""
-    from parcialbigdata_spark.operators.diagnostics import reliability_bins
+    map — tokenization stays Spark-side (the cross-engine-verified
+    Java regex), the bigram weights come from the Arrow-batched
+    kernel ``diagnostics.hashed_bigram_logit_udf`` (r10: the previous
+    ``aggregate`` HOF ran md5 interpreted per element and crossed
+    linear at the sf10 datapoint, 115 s → 9 s) — then ONE
+    map-side-combined hash agg to ≤ 10 bin rows; the oracle replays
+    the binning literally."""
+    from parcialbigdata_spark.operators.diagnostics import (
+        hashed_bigram_logit_udf,
+        reliability_bins,
+    )
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.col("toks")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.zip_with(
-            F.slice(toks, 1, F.size(toks) - 1),
-            F.slice(toks, 2, F.size(toks) - 1),
-            lambda a, b: F.concat(a, F.lit("_"), b),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-
-    def _w(b):
-        bucket = F.conv(F.substring(F.md5(b), 1, 4), 16, 10).cast("bigint") % 64
-        return (bucket * 37 + 11) % 201 - 100
-
+    logit = hashed_bigram_logit_udf()
     perdoc = (
         docs.select(
             "doc_id", T.tokens(F.lower(F.col("text"))).alias("toks")
         )
         .select(
             "doc_id",
-            F.aggregate(
-                bigrams, F.lit(0).cast("bigint"), lambda acc, b: acc + _w(b)
-            ).alias("sum_w"),
-            F.size(bigrams).cast("bigint").alias("n"),
+            logit(toks).alias("sum_w"),
+            F.when(F.size(toks) >= 2, F.size(toks) - 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n"),
             (
                 F.lit(100) * F.size(F.array_distinct(toks))
                 >= F.lit(55) * F.size(toks)
@@ -11935,7 +11931,7 @@ def dedup_index_compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             k_shingle=2, unpersist_handle=handle,
         )
         rows1 = p1.collect()
-        for append_round in range(2):  # the second append IS the replay
+        for _ in range(2):  # the second append IS the replay
             dedup.minhash_index_ingest(
                 batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
                 append=True,
