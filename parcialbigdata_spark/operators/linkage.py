@@ -75,3 +75,65 @@ def score_pairs(
         .when(F.col("score") >= possible_threshold, F.lit("possible"))
         .otherwise(F.lit("non_match")),
     )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    key_col: str,
+    window: int = 3,
+    partition_col: str | None = None,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo, SIGMOD'95):
+    sort records by a fuzzy blocking key and emit every pair within
+    ``window`` positions — the classic complement of equality blocking
+    (``blocked_candidates``) and similarity blocking (the LSH/prefix
+    families): typo'd keys that share NO exact block or token still
+    sort adjacently, so the candidate set is linear (n × window) by
+    construction instead of an unbounded bucket product.
+
+    Plan: ONE sort serves everything — the ``window`` trailing
+    neighbors come from ``lag`` columns over the sorted order (no
+    self-join, no rn materialization), then one ``stack`` unpivot.
+    With ``partition_col`` the sort parallelizes per partition (the
+    production shape — at 100 TB an unpartitioned ORDER BY is a
+    single reducer); pairs straddling a partition boundary are the
+    documented miss, remedied exactly as the original paper does:
+    run a SECOND pass with an independent key/partition choice and
+    union — multi-pass SN, each pass linear. Ties sort by id so the
+    pair set is deterministic under any physical partitioning.
+
+    Returns (partition_col?, id_a, id_b, key_a, key_b, pos_gap) with
+    id_a from the earlier sort position, pos_gap in [1, window]."""
+    from pyspark.sql import Window as W
+
+    part = [partition_col] if partition_col else []
+    w = W.partitionBy(*part).orderBy(key_col, id_col)
+    lags = df.select(
+        *part,
+        F.col(id_col).alias("__id"),
+        F.col(key_col).alias("__key"),
+        *[
+            c
+            for k in range(1, window + 1)
+            for c in (
+                F.lag(F.col(id_col), k).over(w).alias(f"__id{k}"),
+                F.lag(F.col(key_col), k).over(w).alias(f"__key{k}"),
+            )
+        ],
+    )
+    stacked = lags.select(
+        *part,
+        F.expr(
+            "stack(%d, %s) as (pos_gap, id_a, key_a)"
+            % (
+                window,
+                ", ".join(f"{k}, __id{k}, __key{k}" for k in range(1, window + 1)),
+            )
+        ),
+        F.col("__id").alias("id_b"),
+        F.col("__key").alias("key_b"),
+    )
+    return stacked.filter(F.col("id_a").isNotNull()).select(
+        *part, "id_a", "id_b", "key_a", "key_b", "pos_gap"
+    )

@@ -79,6 +79,25 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+def test_sorted_neighborhood_pairs_window_and_partitions(spark):
+    # Pairs are exactly the rn-difference-<=w pairs of the per-partition
+    # sorted order; nothing crosses a partition; pos_gap is the rank gap.
+    from parcialbigdata_spark.operators.linkage import sorted_neighborhood_pairs
+
+    rows = [
+        ("P", 1, "aaa"), ("P", 2, "aab"), ("P", 3, "abc"), ("P", 4, "zzz"),
+        ("Q", 9, "aaa"),  # same key as P/1 but different partition
+    ]
+    df = spark.createDataFrame(rows, "part string, id bigint, k string")
+    out = sorted_neighborhood_pairs(df, "id", "k", window=2, partition_col="part")
+    got = {(r.part, r.id_a, r.id_b, r.pos_gap) for r in out.collect()}
+    want = {
+        ("P", 1, 2, 1), ("P", 2, 3, 1), ("P", 3, 4, 1),
+        ("P", 1, 3, 2), ("P", 2, 4, 2),
+    }
+    assert got == want  # 9 never pairs across the partition boundary
+
+
 def test_minhash_index_compact_collapses_replay_and_recaps(spark):
     # (a) a replayed append leaves duplicate set rows that MULTIPLY
     # probe output rows; (b) compaction restores the clean answer;
