@@ -92,6 +92,8 @@ HEAVY = [
     "cusum_changepoint_orders",
     "seasonal_decompose_orders",
     "acf_daily_orders",
+    "sorted_neighborhood_customers",
+    "dedup_index_compact_documents",
 ]
 
 
