@@ -274,3 +274,48 @@ def snapshot_diff(
         .otherwise(F.lit("changed"))
     )
     return joined.select(F.col(key_col), status.alias("status"))
+
+
+def phrase_search(
+    docs: DataFrame,
+    phrase: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact phrase search over a POSITIONAL inverted index — the
+    adjacency-aware sibling of the bag-of-words retrieval family
+    (``inverted_index_terms`` counts, ``bm25_top_documents`` ranks;
+    neither can distinguish "hash join" from "join ... hash"). The
+    postings relation is (doc, term, pos) via ``posexplode``,
+    FILTERED to the phrase's own terms before anything joins — at
+    100 TB that filter is the whole game: the join inputs shrink from
+    corpus-token volume to the phrase terms' posting lists, exactly
+    what a serving-side index lookup touches. A k-token phrase then
+    needs k−1 co-keyed equi-joins on (doc, pos + i) — positions are
+    data, adjacency is a join predicate, no UDF, no regex rescan of
+    the text.
+
+    Returns (id_col, n_matches) for documents with ≥ 1 occurrence;
+    overlapping occurrences count separately (the standard positional
+    semantics: "a a a" matches "a a" twice)."""
+    if len(phrase) < 2:
+        raise ValueError("phrase_search needs ≥ 2 tokens (use a filter for 1)")
+    terms = [t.lower() for t in phrase]
+    postings = (
+        docs.select(
+            F.col(id_col),
+            F.posexplode(T.tokens(F.lower(F.col(text_col)))).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.col("term").isin(list(set(terms))))
+    )
+    out = postings.filter(F.col("term") == terms[0]).select(
+        id_col, F.col("pos").alias("__p0")
+    )
+    for i, t in enumerate(terms[1:], start=1):
+        nxt = postings.filter(F.col("term") == t).select(
+            F.col(id_col), (F.col("pos") - i).alias("__p0")
+        )
+        out = out.join(nxt, [id_col, "__p0"])
+    return out.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_matches"))

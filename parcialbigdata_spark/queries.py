@@ -11588,6 +11588,44 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "phrase_search_documents",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS arr
+      FROM documents
+    ),
+    toks AS (
+      SELECT doc_id, unnest(arr) AS term, generate_subscripts(arr, 1) AS pos
+      FROM d
+    )
+    SELECT a.doc_id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM toks a
+    JOIN toks b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'hash' AND b.term = 'join'
+    GROUP BY 1
+    """,
+)
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search (operators/corpus.py ``phrase_search``):
+    exact occurrences of the phrase "hash join" per document —
+    adjacency the bag-of-words siblings cannot express
+    (``inverted_index_terms`` builds unordered postings,
+    ``bm25_top_documents`` ranks unordered term weights). The plan
+    filters the positional postings to the phrase's OWN terms before
+    the adjacency join, so the join inputs are posting-list-sized, not
+    corpus-token-sized — the serving-index access pattern; adjacency
+    itself is a co-keyed (doc, pos+i) equi-join per extra token, no
+    regex rescan. The oracle brute-forces the same positions with
+    generate_subscripts (relative offsets cancel the 0-vs-1-based
+    difference)."""
+    from parcialbigdata_spark.operators.corpus import phrase_search
+
+    docs = load_table(spark, sf_dir, "documents")
+    return phrase_search(docs, ["hash", "join"])
+
+
+@query(
     "sorted_neighborhood_customers",
     """
     WITH s AS (

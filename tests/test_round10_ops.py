@@ -79,6 +79,26 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+def test_phrase_search_adjacency_and_overlap(spark):
+    # Adjacency is positional, overlapping matches count separately,
+    # and reversed-order or gapped occurrences never match.
+    from parcialbigdata_spark.operators.corpus import phrase_search
+
+    rows = [
+        (1, "a a a b"),        # "a a" twice (overlap), "a b" once
+        (2, "b a x a b"),      # no adjacent "a a"; "a b" once
+        (3, "b b a"),          # reversed only — no "a b"
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    aa = {r.doc_id: r.n_matches for r in phrase_search(df, ["a", "a"]).collect()}
+    ab = {r.doc_id: r.n_matches for r in phrase_search(df, ["a", "b"]).collect()}
+    assert aa == {1: 2}
+    assert ab == {1: 1, 2: 1}
+    # 3-token phrase chains the extra join
+    tri = {r.doc_id: r.n_matches for r in phrase_search(df, ["a", "a", "b"]).collect()}
+    assert tri == {1: 1}
+
+
 def test_sorted_neighborhood_pairs_window_and_partitions(spark):
     # Pairs are exactly the rn-difference-<=w pairs of the per-partition
     # sorted order; nothing crosses a partition; pos_gap is the rank gap.
