@@ -266,6 +266,7 @@ BENCH_QUERIES = [
     "acf_daily_orders",
     "sorted_neighborhood_customers",
     "dedup_index_compact_documents",
+    "phrase_search_documents",
 ]
 
 

@@ -79,6 +79,73 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+# ----------------------------------------------- r10: property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@given(vals=st.lists(st.integers(0, 50), min_size=3, max_size=40))
+@settings(max_examples=6, deadline=None)
+def test_cusum_closed_form_equals_recurrence_property(spark, vals):
+    """For ANY integer series: the prefix-sum − running-min closed form
+    must equal a literal simulation of Page's recurrence on the same
+    quantized z-scores (both excursions, every position)."""
+    import math
+
+    from parcialbigdata_spark.operators.timeseries import cusum_changepoints
+
+    n = len(vals)
+    var = (sum(v * v for v in vals) - sum(vals) ** 2 / n) / n
+    if var <= 0:
+        return  # constant series is filtered by the operator contract
+    rows = [("g", f"d{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t string, v bigint")
+    out = {
+        r.t: r
+        for r in cusum_changepoints(
+            df, ["g"], "t", "v", k_sigma=0.5, h_sigma=4.0
+        ).collect()
+    }
+    mu = sum(vals) / n
+    sp = sn = 0
+    for i, v in enumerate(vals):
+        zi = round((v - mu) / math.sqrt(var) * 1e6)
+        sp = max(0, sp + zi - 500_000)
+        sn = min(0, sn + zi + 500_000)
+        r = out[f"d{i:03d}"]
+        assert abs(r.s_pos - sp / 1e6) < 1e-9
+        assert abs(r.s_neg - sn / 1e6) < 1e-9
+
+
+@given(
+    vals=st.lists(st.integers(0, 1000), min_size=6, max_size=30),
+    max_lag=st.integers(1, 4),
+)
+@settings(max_examples=6, deadline=None)
+def test_acf_matches_numpy_property(spark, vals, max_lag):
+    """For ANY integer series with nonzero variance: every lag's ACF
+    equals the textbook estimator computed directly in numpy."""
+    import numpy as np
+
+    from parcialbigdata_spark.operators.timeseries import acf_by_lag
+
+    y = np.asarray(vals, dtype=np.float64)
+    if y.var() == 0 or max_lag >= len(vals):
+        return
+    rows = [("g", f"d{i:03d}", v) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "g string, t string, v bigint")
+    out = {
+        r.lag: r.acf
+        for r in acf_by_lag(df, ["g"], "t", "v", max_lag=max_lag).collect()
+    }
+    mu = y.mean()
+    den = ((y - mu) ** 2).sum()
+    for k in range(1, max_lag + 1):
+        ref = ((y[k:] - mu) * (y[:-k] - mu)).sum() / den
+        assert abs(out[k] - round(ref, 6)) < 2e-6, (k, out[k], ref)
+
+
 def test_phrase_search_adjacency_and_overlap(spark):
     # Adjacency is positional, overlapping matches count separately,
     # and reversed-order or gapped occurrences never match.

@@ -94,6 +94,7 @@ HEAVY = [
     "acf_daily_orders",
     "sorted_neighborhood_customers",
     "dedup_index_compact_documents",
+    "phrase_search_documents",
 ]
 
 
