@@ -267,6 +267,7 @@ BENCH_QUERIES = [
     "sorted_neighborhood_customers",
     "dedup_index_compact_documents",
     "phrase_search_documents",
+    "ivf_index_compact_embeddings",
 ]
 
 

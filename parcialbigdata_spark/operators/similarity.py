@@ -409,6 +409,31 @@ def ivf_index_ingest(
     )
 
 
+def ivf_index_compact(
+    spark,
+    cells_table: str,
+    num_buckets: int = 8,
+) -> None:
+    """Periodic re-compaction of the persisted IVF cell index — the
+    embedding twin of ``dedup.minhash_index_compact``: an
+    at-least-once replayed ``ivf_index_ingest(append=True)`` leaves
+    duplicate (id, vector, cell) rows, and every duplicate row
+    MULTIPLIES the probe's candidate join output (duplicate match
+    rows with identical ranks). Compaction is a plain ``distinct``
+    over the cell relation (rows are byte-identical under replay —
+    the cell assignment is deterministic given the centroids) staged
+    into the same bucketed layout and swapped via catalog rename.
+    Index-sized work; embeddings never re-assigned."""
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    cells = spark.table(cells_table).distinct()
+    write_bucketed(
+        cells, f"{cells_table}__compact", "ivf_cell", num_buckets=num_buckets
+    )
+    spark.sql(f"DROP TABLE {cells_table}")
+    spark.sql(f"ALTER TABLE {cells_table}__compact RENAME TO {cells_table}")
+
+
 def ivf_index_probe(
     batch: DataFrame,
     cells_table: str,

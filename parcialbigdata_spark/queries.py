@@ -2487,6 +2487,79 @@ def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ivf_index_compact_embeddings",
+    f"""
+    WITH t AS (SELECT * FROM read_parquet('{_CLUSTERED_PARQUET}')),
+         q AS (SELECT vec_id AS query_id, embedding AS qv FROM t
+               WHERE vec_id % 256 = 1),
+         h AS (SELECT vec_id AS match_id, embedding FROM t
+               WHERE vec_id % 256 <> 1),
+         scored AS (
+           SELECT q.query_id, h.match_id,
+                  round({_COS_SQL.format(a="h.embedding", b="q.qv")}, 6)
+                    AS cosine_sim
+           FROM h CROSS JOIN q
+         )
+    SELECT query_id, match_id, cosine_sim, rank,
+           TRUE AS ivf_compact_recall_ok
+    FROM (
+      SELECT query_id, match_id, cosine_sim,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY cosine_sim DESC, match_id ASC) AS rank
+      FROM scored
+    ) WHERE rank <= 5
+    """,
+)
+def ivf_index_compact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-index RE-COMPACTION under at-least-once replay
+    (operators/similarity.py ``ivf_index_compact``) — the embedding
+    twin of ``dedup_index_compact_documents``: the fixture seeds the
+    index, appends a delta slice TWICE (a recovered foreachBatch
+    retry), compacts (distinct over the cell relation staged into the
+    same bucketed layout + catalog swap — replayed rows are
+    byte-identical because cell assignment is deterministic given the
+    centroids), then probes. Without compaction the duplicated rows
+    would multiply the probe's candidate join into duplicate match
+    rows; after it, the answer equals the clean replay, attested
+    against the exact k-NN (same oracle shape as the probe twin,
+    measured 80/80, floor 64)."""
+    emb = spark.read.parquet(_CLUSTERED_PARQUET).select("vec_id", "embedding")
+    m = F.col("vec_id") % 256
+    seed = emb.filter(~m.isin(1, 77))
+    delta = emb.filter(m == 77)
+    batch = emb.filter(m == 1)
+    history = emb.filter(m != 1)
+    cells_t = "r10_ivf_cmp_cells"
+    try:
+        centroids = similarity.ivf_fit_centroids(seed, n_centroids=16)
+        similarity.ivf_index_ingest(seed, cells_t, centroids)
+        for _ in range(2):  # the second append IS the replay
+            similarity.ivf_index_ingest(
+                delta, cells_t, centroids, append=True
+            )
+        similarity.ivf_index_compact(spark, cells_t)
+        approx = similarity.ivf_index_probe(
+            batch, cells_t, centroids, k=5, nprobe=2
+        )
+        qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
+        exact = similarity.knn_join(
+            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+        ).withColumnRenamed("vec_id", "match_id")
+        n_hits = (
+            exact.select("query_id", "match_id")
+            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
+            .count()
+        )
+        return exact.select(
+            "query_id", "match_id", "cosine_sim", "rank",
+            F.lit(n_hits >= 64).alias("ivf_compact_recall_ok"),
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}__compact")
+
+
+@query(
     "streaming_ivf_index_embeddings",
     f"""
     WITH t AS (SELECT * FROM read_parquet('{_CLUSTERED_PARQUET}')),

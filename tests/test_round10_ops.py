@@ -79,6 +79,40 @@ def test_ivf_index_append_probes_full_history(spark, _cells_table):
     assert matched == {0, 2}
 
 
+def test_ivf_index_compact_collapses_replayed_appends(spark, _cells_table):
+    # A replayed append duplicates cell rows and multiplies probe
+    # match rows; compaction restores the clean answer in the same
+    # bucketed layout.
+    centroids = [[10.0, 0.0], [0.0, 10.0]]
+    seed = _vecs(spark, [(0, [10.0, 0.0]), (1, [0.0, 10.0])])
+    delta = _vecs(spark, [(2, [10.2, 0.0])])
+    similarity.ivf_index_ingest(seed, _cells_table, centroids)
+    for _ in range(2):  # replayed append
+        similarity.ivf_index_ingest(delta, _cells_table, centroids, append=True)
+    batch = _vecs(spark, [(9, [10.1, 0.0])])
+    dup = similarity.ivf_index_probe(
+        batch, _cells_table, centroids, k=5, nprobe=1
+    ).collect()
+    assert len(dup) > len({(r.query_id, r.match_id) for r in dup})
+    try:
+        similarity.ivf_index_compact(spark, _cells_table)
+        clean = similarity.ivf_index_probe(
+            batch, _cells_table, centroids, k=5, nprobe=1
+        ).collect()
+        got = {(r.query_id, r.match_id, r.rank) for r in clean}
+        assert got == {(9, 0, 1), (9, 2, 2)} or got == {(9, 2, 1), (9, 0, 2)}
+        assert len(clean) == len(got)
+        # layout preserved: the compacted table still plans a bucketed scan
+        out = similarity.ivf_index_probe(
+            batch, _cells_table, centroids, k=5, nprobe=1
+        )
+        out.collect()
+        plan = out._jdf.queryExecution().executedPlan().toString()
+        assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {_cells_table}__compact")
+
+
 # ----------------------------------------------- r10: property tests
 
 from hypothesis import given, settings

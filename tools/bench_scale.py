@@ -95,6 +95,7 @@ HEAVY = [
     "sorted_neighborhood_customers",
     "dedup_index_compact_documents",
     "phrase_search_documents",
+    "ivf_index_compact_embeddings",
 ]
 
 
