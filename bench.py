@@ -268,6 +268,7 @@ BENCH_QUERIES = [
     "dedup_index_compact_documents",
     "phrase_search_documents",
     "ivf_index_compact_embeddings",
+    "isotonic_calibration_documents",
 ]
 
 

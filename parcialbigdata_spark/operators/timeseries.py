@@ -364,6 +364,104 @@ def acf_by_lag(
     )
 
 
+def isotonic_fit_by_group(
+    df: DataFrame,
+    group_cols: list[str],
+    x_col: str,
+    cents_col: str,
+    max_group_rows: int = 100_000,
+) -> DataFrame:
+    """Grouped ISOTONIC REGRESSION by pool-adjacent-violators (PAVA;
+    Barlow–Bartholomew–Bremner–Brunk 1972): per group, the
+    monotone-nondecreasing step function minimizing squared error to
+    the (x, value) points — the shape-constrained fit behind monotone
+    calibration (Zadrozny & Elkan KDD'02: map raw classifier scores
+    to probabilities WITHOUT assuming a parametric curve; the
+    diagnostic sibling ``diagnostics.reliability_bins`` shows THAT
+    scores are miscalibrated, isotonic is the standard repair).
+
+    Execution: ties on x pre-average in Spark (one hash agg), then
+    one ``applyInPandas`` PAVA kernel per group — PAVA is a
+    SEQUENTIAL stack algorithm (each merge depends on the previous),
+    precisely the bounded-group kernel case of its neighbor
+    ``theilsen_by_group``. Determinism discipline: values are exact
+    integer cents; blocks carry (Σcents, n) and every violator
+    comparison is the exact cross-multiplication s₁·n₂ > s₂·n₁ — no
+    float enters until the ONE final division per block, so the
+    fitted means are identical rationals on any engine. The oracle
+    cross-checks via the closed-form minimax characterization
+    ŷᵢ = max_{j≤i} min_{k≥i} mean(y[j..k]) — a brute force PAVA
+    cannot disagree with unless the pooling logic is wrong.
+
+    Returns (group_cols…, x_col, n_points, fitted) — one row per
+    distinct x, fitted nondecreasing in x within each group."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pre = df.groupBy(*group_cols, x_col).agg(
+        F.sum(F.col(cents_col)).alias("__sc"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    cnt = (
+        pre.groupBy(*group_cols)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if cnt is not None and cnt > max_group_rows:
+        raise ValueError(
+            f"isotonic_fit_by_group: largest group has {cnt} distinct x; "
+            "the kernel is one Arrow batch per group — pre-sample or raise "
+            "max_group_rows explicitly."
+        )
+    out_schema = StructType(
+        [pre.schema[g] for g in group_cols]
+        + [
+            pre.schema[x_col],
+            StructField("n_points", LongType()),
+            StructField("fitted", DoubleType()),
+        ]
+    )
+
+    def _kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(x_col)
+        sc = pdf["__sc"].to_numpy(dtype=object)  # exact Python ints
+        n = pdf["__n"].to_numpy(dtype=object)
+        # PAVA stack: blocks of (sum, count, width); merge while the
+        # new block's mean is BELOW the previous block's mean —
+        # compared exactly via cross-multiplication.
+        blocks: list[list] = []  # [sum, count, width]
+        for s_i, n_i in zip(sc, n):
+            cur = [int(s_i), int(n_i), 1]
+            while blocks and cur[0] * blocks[-1][1] < blocks[-1][0] * cur[1]:
+                prev = blocks.pop()
+                cur = [cur[0] + prev[0], cur[1] + prev[1], cur[2] + prev[2]]
+            blocks.append(cur)
+        fitted = np.empty(len(pdf), dtype=np.float64)
+        counts = np.empty(len(pdf), dtype=np.int64)
+        pos = 0
+        for s_b, n_b, w in blocks:
+            fitted[pos : pos + w] = (float(s_b) / n_b) / 100.0
+            counts[pos : pos + w] = pdf["__n"].to_numpy()[pos : pos + w]
+            pos += w
+        out = pd.DataFrame(
+            {
+                x_col: pdf[x_col].to_numpy(),
+                "n_points": counts,
+                "fitted": fitted,
+            }
+        )
+        for g, v in zip(group_cols, key):
+            out.insert(0, g, v)
+        return out[[*group_cols, x_col, "n_points", "fitted"]]
+
+    raw = pre.groupBy(*group_cols).applyInPandas(_kernel, out_schema)
+    return raw.select(
+        *group_cols, x_col, "n_points", F.round("fitted", 6).alias("fitted")
+    )
+
+
 def theilsen_by_group(
     df: DataFrame,
     group_cols: list[str],

@@ -5110,6 +5110,124 @@ def calibration_audit_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "isotonic_calibration_documents",
+    f"""
+    WITH t AS (
+      SELECT doc_id, source, {_TOKS_SQL.format(c="lower(text)")} AS toks
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id, toks[i] || '_' || toks[i + 1] AS b
+      FROM t, LATERAL unnest(generate_series(1, len(toks) - 1)) AS g(i)
+    ),
+    perdoc AS (
+      SELECT doc_id,
+             SUM(((('0x' || substr(md5(b), 1, 4))::BIGINT % 64) * 37 + 11) % 201
+                 - 100) AS sum_w,
+             COUNT(*) AS n
+      FROM bg GROUP BY doc_id
+    ),
+    scored AS (
+      SELECT t.source,
+             round((CAST(sum_w AS DOUBLE) / (100 * n) + 1) / 2, 9) AS conf,
+             CASE WHEN 100 * len(list_distinct(toks)) >= 55 * len(toks)
+                  THEN 1 ELSE 0 END AS y
+      FROM perdoc JOIN t USING (doc_id)
+    ),
+    pre AS (
+      SELECT source, CAST(FLOOR(conf * 100) AS INT) AS conf_pct,
+             SUM(100 * y) AS sc, COUNT(*) AS n
+      FROM scored GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY conf_pct)
+               AS rn
+      FROM pre
+    ),
+    ps AS (
+      SELECT *, SUM(sc) OVER w AS cum_sc, SUM(n) OVER w AS cum_n
+      FROM r
+      WINDOW w AS (PARTITION BY source ORDER BY rn)
+    ),
+    pairs AS (
+      SELECT a.source, a.rn AS j, b.rn AS k,
+             CAST(b.cum_sc - a.cum_sc + a.sc AS DOUBLE)
+               / (b.cum_n - a.cum_n + a.n) AS m
+      FROM ps a JOIN ps b ON b.source = a.source AND b.rn >= a.rn
+    ),
+    tri AS (
+      SELECT i.source, i.rn AS irn, p.j, MIN(p.m) AS mn
+      FROM ps i JOIN pairs p
+        ON p.source = i.source AND p.j <= i.rn AND p.k >= i.rn
+      GROUP BY 1, 2, 3
+    ),
+    fit AS (SELECT source, irn, MAX(mn) AS f FROM tri GROUP BY 1, 2)
+    SELECT r.source, r.conf_pct, CAST(r.n AS BIGINT) AS n_points,
+           round(f / 100.0, 6) AS fitted
+    FROM fit JOIN r ON r.source = fit.source AND r.rn = fit.irn
+    """,
+)
+def isotonic_calibration_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC CALIBRATION REPAIR (operators/timeseries.py
+    ``isotonic_fit_by_group``; PAVA, Barlow et al. 1972; Zadrozny &
+    Elkan KDD'02): per source, the monotone-nondecreasing map from
+    the hashed-bigram classifier's confidence percentile to observed
+    positive rate — where the diagnostic sibling
+    ``calibration_audit_documents`` REPORTS miscalibration per
+    decile, this FITS the standard nonparametric repair downstream
+    thresholds would apply. PAVA runs as one exact-integer Arrow
+    kernel per group (blocks carry (Σ, n), violator comparisons are
+    cross-multiplications — no float until the one division per
+    block); the oracle cross-checks through the minimax closed form
+    ŷᵢ = max_{j≤i} min_{k≥i} mean(y[j..k]) over prefix sums — an
+    O(n³) brute force PAVA cannot agree with by accident. Output is
+    nondecreasing in conf_pct within each source by construction."""
+    from parcialbigdata_spark.operators.diagnostics import (
+        hashed_bigram_logit_udf,
+    )
+    from parcialbigdata_spark.operators.timeseries import isotonic_fit_by_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    logit = hashed_bigram_logit_udf()
+    scored = (
+        docs.select(
+            "source", T.tokens(F.lower(F.col("text"))).alias("toks")
+        )
+        .select(
+            "source",
+            logit(toks).alias("sum_w"),
+            F.when(F.size(toks) >= 2, F.size(toks) - 1)
+            .otherwise(0)
+            .cast("bigint")
+            .alias("n"),
+            (
+                F.lit(100) * F.size(F.array_distinct(toks))
+                >= F.lit(55) * F.size(toks)
+            )
+            .cast("int")
+            .alias("y"),
+        )
+        .filter(F.col("n") >= 1)
+        .select(
+            "source",
+            F.round(
+                (F.col("sum_w").cast("double") / (F.lit(100) * F.col("n")) + 1)
+                / 2,
+                9,
+            ).alias("conf"),
+            "y",
+        )
+    )
+    pts = scored.select(
+        "source",
+        F.floor(F.col("conf") * 100).cast("int").alias("conf_pct"),
+        (F.col("y") * 100).cast("bigint").alias("cents"),
+    )
+    return isotonic_fit_by_group(pts, ["source"], "conf_pct", "cents")
+
+
+@query(
     "boilerplate_prune_documents",
     f"""
     WITH t AS (

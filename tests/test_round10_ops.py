@@ -4,6 +4,8 @@ append-maintenance semantics, and the batch-side-only shuffle pin."""
 
 import numpy as np
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 from pyspark.sql import functions as F
 
 from parcialbigdata_spark.operators import similarity
@@ -113,10 +115,56 @@ def test_ivf_index_compact_collapses_replayed_appends(spark, _cells_table):
         spark.sql(f"DROP TABLE IF EXISTS {_cells_table}__compact")
 
 
-# ----------------------------------------------- r10: property tests
+@given(
+    ys=st.lists(st.integers(0, 100), min_size=2, max_size=14),
+)
+@settings(max_examples=6, deadline=None)
+def test_isotonic_pava_equals_minimax_property(spark, ys):
+    """For ANY integer sequence: the PAVA kernel equals the minimax
+    closed form max_{j<=i} min_{k>=i} mean(y[j..k]) and the output is
+    nondecreasing."""
+    from fractions import Fraction
 
-from hypothesis import given, settings
-from hypothesis import strategies as st
+    from parcialbigdata_spark.operators.timeseries import isotonic_fit_by_group
+
+    rows = [("g", i, v * 100) for i, v in enumerate(ys)]  # cents
+    df = spark.createDataFrame(rows, "g string, x int, cents bigint")
+    out = {
+        r.x: r.fitted
+        for r in isotonic_fit_by_group(df, ["g"], "x", "cents").collect()
+    }
+    n = len(ys)
+    ref = []
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, n):
+                m = Fraction(sum(ys[j : k + 1]), k + 1 - j)
+                worst = m if worst is None or m < worst else worst
+            best = worst if best is None or worst > best else best
+        ref.append(best)
+    for i in range(n):
+        assert abs(out[i] - round(float(ref[i]), 6)) < 2e-6, (i, out[i], ref[i])
+    fits = [out[i] for i in range(n)]
+    assert all(a <= b + 1e-9 for a, b in zip(fits, fits[1:]))
+
+
+def test_isotonic_ties_preaverage_and_pool(spark):
+    # Duplicate x values pre-average; a decreasing pair pools to the
+    # weighted mean.
+    from parcialbigdata_spark.operators.timeseries import isotonic_fit_by_group
+
+    rows = [("g", 1, 10_000), ("g", 1, 0), ("g", 2, 2_000)]
+    df = spark.createDataFrame(rows, "g string, x int, cents bigint")
+    out = {r.x: (r.n_points, r.fitted) for r in
+           isotonic_fit_by_group(df, ["g"], "x", "cents").collect()}
+    # x=1 pre-averages to 50.00; the (50, 20) violation pools to
+    # weighted mean (10000+0+2000)/3 = 40.00
+    assert out[1] == (2, 40.0) and out[2] == (1, 40.0)
+
+
+# ----------------------------------------------- r10: property tests
 
 
 @given(vals=st.lists(st.integers(0, 50), min_size=3, max_size=40))

@@ -96,6 +96,7 @@ HEAVY = [
     "dedup_index_compact_documents",
     "phrase_search_documents",
     "ivf_index_compact_embeddings",
+    "isotonic_calibration_documents",
 ]
 
 
