@@ -362,14 +362,19 @@ def ngram_jaccard_pairs(
       element per pair, so ``count(*)`` per (id_a, id_b) IS the exact
       intersection size — no verify pass, no array materialization —
       and ``J = inter / (|a| + |b| − inter)`` closes the formula with
-      the two set sizes joined onto the pair-grained relation;
+      the two set sizes riding along every exploded row (r11 — the r10
+      form re-aggregated them and joined them back, two extra joins);
     - complete by construction at any threshold > 0: a qualifying
       pair shares ≥1 element, so it appears in the join; pairs sharing
       nothing never materialize (the brute-force plan compared even
       disjoint pairs).
 
     Scale shape: NOTHING is broadcast (tests/test_round8_ops.py pins
-    the plan free of broadcast hints); the candidate shuffle keys on
+    the executed intersection join to a co-partitioned zero-exchange
+    ShuffledHashJoin — r11 replaced the "no hints" pin with an explicit
+    ``shuffle_hash`` hint after the checkpointed layout's stale size
+    estimate let the planner broadcast the exploded relation at sf10);
+    the candidate shuffle keys on
     (block, element) — vocabulary-cardinality, not the #blocks key
     that capped the r7 shuffled plan at #blocks tasks — and the
     count-agg is map-side combined, so the post-shuffle relation is
@@ -421,6 +426,42 @@ def ngram_jaccard_pairs(
     )
 
 
+_SPARSE_MATERIALIZE_KEY = "spark.parcialbigdata.sparse.materialize"
+
+
+def _materialize_sparse(rows: DataFrame) -> DataFrame:
+    """Materialization strategy for the exploded-shingle relation (r11,
+    verdict #1). The r10 same-session A/B suggested ``persist()`` wins
+    at sf10; a COLD replication this round reversed it decisively and
+    explains why: a DataFrame ``persist`` wraps the relation in an
+    AQE-planned InMemoryRelation whose output partitioning is opaque to
+    consumers, so every join side re-shuffles the largest intermediate
+    in the pipeline from scratch — executed-plan exchange count 44 vs
+    the checkpoint's 12 at sf0.1, and 452.9 s vs 77.9 s cold at sf10
+    (``spark.sql.optimizer.canChangeCachedPlanOutputPartitioning=true``
+    did not recover it). A ``DISK_ONLY`` localCheckpoint was also
+    measured (120.2 s): worse than MEMORY_AND_DISK at a heap that
+    fits. ``localCheckpoint(eager=True)`` — LogicalRDD retains the
+    hash partitioning, exact stats feed AQE — is therefore the right
+    strategy at EVERY measured size, and size-based switching is
+    falsified, not implemented.
+
+    The conf knob stays for the one environment where the checkpoint
+    is genuinely wrong: ``localCheckpoint`` blocks are
+    non-recomputable, so on a cluster with dynamic allocation /
+    spot executors a lost executor kills the query. Set
+    ``spark.parcialbigdata.sparse.materialize=persist`` there to trade
+    the extra exchanges for fault tolerance (blocks recompute from
+    lineage)."""
+    spark = rows.sparkSession
+    mode = spark.conf.get(_SPARSE_MATERIALIZE_KEY, "checkpoint").strip().lower()
+    if mode == "persist":
+        from pyspark import StorageLevel
+
+        return rows.persist(StorageLevel.MEMORY_AND_DISK)
+    return rows.localCheckpoint(eager=True)
+
+
 def _sparse_pair_overlap(
     df: DataFrame,
     id_col: str,
@@ -437,36 +478,61 @@ def _sparse_pair_overlap(
     from parcialbigdata_spark.sources.tables import spread
 
     keys = [block_col] if block_col else []
-    rows = (
+    hs = T.shingle_hashes(T.tokens(T.normalize(F.col(text_col))), k_shingle)
+    rows = _materialize_sparse(
         spread(df)
+        # Two-step select so the CPU-heavy shingle pipeline is computed
+        # ONCE per row — size() and explode() in a single projection
+        # would each embed the full expression (Generate inlines its
+        # generator input rather than reading the child's column).
+        .select(F.col(id_col), *[F.col(c) for c in keys], hs.alias("__hs"))
         .select(
             F.col(id_col),
             *[F.col(c) for c in keys],
-            F.explode(
-                T.shingle_hashes(T.tokens(T.normalize(F.col(text_col))), k_shingle)
-            ).alias("__h"),
+            # The set size rides along every exploded row (r11): the
+            # r10 form re-derived it as groupBy(id).count() over the
+            # exploded relation and joined it back TWICE (sz_a, sz_b).
+            # That partial-agg emits one row per (partition, doc) —
+            # up to n_docs × n_partitions rows of shuffle — and the
+            # two joins inherited the checkpoint's stale pre-explode
+            # size estimate, so Catalyst broadcast them regardless of
+            # true size. 8 extra bytes per exploded row delete the
+            # aggregation and both joins at every scale.
+            F.size(F.col("__hs")).alias("__sz"),
+            F.explode(F.col("__hs")).alias("__h"),
         )
-        # Hash-partitioned on the join key BEFORE the checkpoint
-        # (LogicalRDD retains the partitioning): the a/b sides of the
-        # self-join below then both read the checkpointed layout with
-        # NO exchange — the r8 version shuffled the exploded relation
-        # (the largest intermediate in the pipeline) twice, once per
-        # join side. 3 consumers: join sides a/b, sizes.
+        # Hash-partitioned on the join key BEFORE the materialization
+        # (LogicalRDD / InMemoryRelation both retain the partitioning):
+        # the a/b sides of the self-join below then both read the
+        # materialized layout with NO exchange — the r8 version shuffled
+        # the exploded relation (the largest intermediate in the
+        # pipeline) twice, once per join side.
         .repartition(*[F.col(c) for c in [*keys, "__h"]])
-        .localCheckpoint(eager=True)
     )
-    sizes = rows.groupBy(id_col).agg(F.count(F.lit(1)).alias("sz"))
-    a = rows.select(F.col(id_col).alias("id_a"), *keys, "__h")
-    b = rows.select(F.col(id_col).alias("id_b"), *keys, "__h")
-    inter = (
+    a = rows.select(
+        F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"), *keys, "__h"
+    )
+    # shuffle_hash hint (r11): the checkpointed LogicalRDD carries the
+    # PRE-materialization Catalyst estimate (measured 254 KB at sf0.1
+    # for a relation that explodes to ~180 M rows at sf10), so the
+    # planner saw a "25 MB" build side at sf10 and BROADCAST the
+    # largest intermediate in the pipeline — the true cause of the r10
+    # 16.5× superlinear residual. Both sides are already hash-
+    # partitioned on the join key, so the hinted ShuffledHashJoin is
+    # zero-exchange and sort-free: per-partition builds that scale
+    # with the partition count knob, never with total data on one node.
+    b = rows.select(
+        F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b"), *keys, "__h"
+    ).hint("shuffle_hash")
+    return (
         a.join(b, [*keys, "__h"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
+        # __sz_a/__sz_b are functionally dependent on id_a/id_b —
+        # adding them to the grouping keys changes nothing about the
+        # group cardinality and keeps the agg a single pass.
+        .groupBy("id_a", "id_b", "__sz_a", "__sz_b")
         .agg(F.count(F.lit(1)).alias("__inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("sz").alias("__sz_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("sz").alias("__sz_b"))
-    return inter.join(sa, "id_a").join(sb, "id_b")
 
 
 def ngram_containment_pairs(
@@ -510,21 +576,37 @@ def ngram_containment_pairs(
                 f"{max_unblocked_rows}. Pass a block_col."
             )
     overlap = _sparse_pair_overlap(df, id_col, text_col, k_shingle, block_col)
-    fwd = overlap.select(
-        F.col("id_a").alias("id_inner"),
-        F.col("id_b").alias("id_outer"),
-        F.round(F.col("__inter") / F.greatest(F.col("__sz_a"), F.lit(1)), 6).alias(
-            "containment"
-        ),
+    # Both directions from ONE overlap row via inline — the r10 form
+    # unioned two projections of `overlap`, which duplicated the entire
+    # sparse-intersection subtree in the plan (the heaviest join in the
+    # pipeline ran twice; ReuseExchange does not collapse it because
+    # the duplicated aggregations re-plan independently). Measured at
+    # sf10 cold: 77.9 s → see R11_NOTES.md for the single-pass number.
+    return (
+        overlap.select(
+            F.inline(
+                F.array(
+                    F.struct(
+                        F.col("id_a").alias("id_inner"),
+                        F.col("id_b").alias("id_outer"),
+                        F.round(
+                            F.col("__inter") / F.greatest(F.col("__sz_a"), F.lit(1)),
+                            6,
+                        ).alias("containment"),
+                    ),
+                    F.struct(
+                        F.col("id_b").alias("id_inner"),
+                        F.col("id_a").alias("id_outer"),
+                        F.round(
+                            F.col("__inter") / F.greatest(F.col("__sz_b"), F.lit(1)),
+                            6,
+                        ).alias("containment"),
+                    ),
+                )
+            )
+        )
+        .filter(F.col("containment") >= threshold)
     )
-    rev = overlap.select(
-        F.col("id_b").alias("id_inner"),
-        F.col("id_a").alias("id_outer"),
-        F.round(F.col("__inter") / F.greatest(F.col("__sz_b"), F.lit(1)), 6).alias(
-            "containment"
-        ),
-    )
-    return fwd.unionByName(rev).filter(F.col("containment") >= threshold)
 
 
 # ---------------------------------------------------- winnowing (rolling hash)

@@ -71,10 +71,13 @@ def merge_agg_states(a: DataFrame, b: DataFrame, keys: list[str]) -> DataFrame:
 
 def _mem_bytes(raw: str) -> int:
     """Bytes from a Spark size-conf string: plain byte counts
-    ("10485760", "-1") or suffixed forms ("10MB", "1g", "512k")."""
+    ("10485760", "-1"), suffixed forms ("10MB", "1g", "512k"), and
+    Spark's plain-bytes-with-suffix form ("10485760b" — r11, ADVICE:
+    the trailing 'b' was only stripped after a unit letter, so the
+    accepted "...b" spelling raised instead of parsing)."""
     s = str(raw).strip().lower()
     units = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}
-    if len(s) >= 2 and s.endswith("b") and s[-2] in units:
+    if len(s) >= 2 and s.endswith("b") and (s[-2] in units or s[-2].isdigit()):
         s = s[:-1]
     if s and s[-1] in units:
         return int(float(s[:-1]) * units[s[-1]])

@@ -171,11 +171,16 @@ def test_ngram_jaccard_pairs_blocked_matches_within_block_brute(spark):
     assert got == {(1, 3), (2, 4)}
 
 
-def test_ngram_jaccard_pairs_plan_has_no_broadcast_hint(spark):
+def test_ngram_jaccard_pairs_plan_never_broadcasts_corpus(spark):
     # VERDICT r7: the old candidate stage force-broadcast the entire
-    # shingled corpus. The new plan must contain no broadcast hint at
-    # all — AQE stays free to broadcast tiny RESULT-sized sides, but
-    # nothing corpus-wide is pinned.
+    # shingled corpus — nothing corpus-wide may be broadcast. r11
+    # strengthened this from "no hint" to an explicit shuffle_hash pin:
+    # the checkpointed layout carries the stale PRE-explode size
+    # estimate, so without the pin the planner broadcast the exploded
+    # relation at sf10 (the r10 superlinear residual). The executed
+    # intersection join must be a ShuffledHashJoin (co-partitioned,
+    # zero-exchange) — never a BroadcastHashJoin, and never a
+    # broadcast hint.
     df = spark.createDataFrame(
         [(i, f"token{i} alpha beta gamma", "b") for i in range(30)],
         "doc_id int, text string, blk string",
@@ -184,7 +189,11 @@ def test_ngram_jaccard_pairs_plan_has_no_broadcast_hint(spark):
         df, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="blk"
     )
     logical = out._jdf.queryExecution().logical().toString()
-    assert "ResolvedHint" not in logical and "UnresolvedHint" not in logical
+    assert "broadcast" not in logical.lower()
+    out.count()
+    executed = out._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in executed
+    assert "BroadcastHashJoin" not in executed
 
 
 def test_ngram_jaccard_pairs_rejects_nonpositive_threshold(spark):
