@@ -12327,6 +12327,12 @@ _DRIVER_WINDOW = [
     # (runtime-filter family) — for the new r10 ACF family (raw-moment
     # lagged products, one window sort for all lags); stays CI-green.)
     "acf_daily_orders",
+    # (theilsen_trend_orders rotated out in r11 — driver-proven r10 on
+    # the volume-adaptive rewrite; A4 robust-stats keeps chi2 +
+    # isotonic in-window — for streaming_running_counts (stateful
+    # running aggregation, oldest never-checked streaming entry);
+    # stays CI-green.)
+    "streaming_running_counts",
     "full_outer_nation_parties",
     # (semi_customers_with_orders rotated out in r4b — J2 kept TWO window
     # reps (semi + anti); anti stays, and the semi shape still runs in
@@ -12339,7 +12345,11 @@ _DRIVER_WINDOW = [
     # new r7 hybrid-retrieval family rrf_hybrid_ranking_documents
     # (reciprocal-rank fusion of the BM25 and cosine legs), never
     # driver-checked; stays CI-green.)
-    "rrf_hybrid_ranking_documents",
+    # (rrf_hybrid_ranking_documents rotated out in r11 — driver-proven
+    # r7b-r10; retrieval keeps bm25_top_documents in-window — for
+    # phrase_search_documents (positional phrase retrieval, r10-new,
+    # CI-green and judge-verified out-of-window); stays CI-green.)
+    "phrase_search_documents",
     # (range_join_price_bands rotated out in r8b — driver-proven green
     # since r2; J4 is now represented by its own scale upgrade
     # interval_overlap_clicks_errors (bucketized band join: row-local
@@ -12397,7 +12407,8 @@ _DRIVER_WINDOW = [
     # pairwise-slopes robust regression, the trend complement of the
     # driver-proven MAD/winsorize members), never driver-checked;
     # stays CI-green.)
-    "theilsen_trend_orders",
+    # (theilsen_trend_orders: see streaming_running_counts note above —
+    # rotated out in r11, slot moved up the list.)
     # (collect_nations_per_region rotated out in r7 — driver-proven
     # green since r2; the A5 collect surface stays in-window inside
     # association_rules_parts' basket collect_list + HOF pair
@@ -12498,7 +12509,12 @@ _DRIVER_WINDOW = [
     # since r1 — for its O1 ordered-retrieval sibling
     # keyset_pagination_orders (seek-predicate pagination, r6e, never
     # driver-checked); stays CI-green.)
-    "keyset_pagination_orders",
+    # (keyset_pagination_orders rotated out in r11 — driver-proven
+    # r7-r10; the ordered-retrieval surface stays in-window via
+    # bm25_top_documents' TakeOrderedAndProject — for
+    # streaming_spend_totals (stateful per-key totals, oldest
+    # never-checked streaming family member); stays CI-green.)
+    "streaming_spend_totals",
     # (setops_customer_segments rotated out in r7b — driver-proven
     # green since r1; union/intersect/except shapes run throughout the
     # window (every UNION-blocked oracle, setsim's union sides) — for
@@ -12567,10 +12583,24 @@ _DRIVER_WINDOW = [
     # diagnostics surface now represented by data_quality_audit (multi-
     # rule completeness/validity audit), never driver-checked; stays CI-
     # green.)
-    "data_quality_audit",
-    "variant_event_props",
+    # (data_quality_audit rotated out in r11 — driver-proven r10;
+    # diagnostics surface now represented by
+    # isotonic_calibration_documents (PAVA calibration repair with the
+    # minimax closed-form oracle, r10-new and judge-verified
+    # out-of-window); stays CI-green.)
+    "isotonic_calibration_documents",
+    # (variant_event_props rotated out in r11 — driver-proven r3-r10;
+    # F4 keeps corrupt_json_tolerance in-window — for
+    # streaming_new_vs_returning_daily (stateful user-first-seen
+    # classification, never driver-checked); stays CI-green.)
+    "streaming_new_vs_returning_daily",
     # subqueries + the heaviest TPC-H join shapes
-    "scalar_subquery_parts_above_avg",
+    # (scalar_subquery_parts_above_avg rotated out in r11 —
+    # driver-proven since r2; the decorrelation shape stays in-window
+    # via cl_diversity_audit_customers and
+    # anti_customers_without_orders — for streaming_click_purchase_join
+    # (stream-stream join, never driver-checked); stays CI-green.)
+    "streaming_click_purchase_join",
     # (q9_profit_by_nation_year rotated out in r8b — driver-proven
     # green since r2; the multi-way star-join + conditional-agg shape
     # stays in-window via q3/q18/q1 — for the new r8 layout family
@@ -12616,7 +12646,11 @@ _DRIVER_WINDOW = [
     # Jaccard oracle in-window — for the new r8b corpus-quality family
     # ngram_lm_quality_documents (CCNet-style bigram-LM filter in
     # exact integer ppm), never driver-checked; stays CI-green.)
-    "ngram_lm_quality_documents",
+    # (ngram_lm_quality_documents rotated out in r11 — driver-proven
+    # r8b-r10; text-quality keeps boilerplate_prune + lang_id
+    # in-window — for streaming_enriched_purchases (stream-static
+    # enrichment join, never driver-checked); stays CI-green.)
+    "streaming_enriched_purchases",
     # (simhash_near_dups_documents rotated out in r7b — driver-proven
     # green since r2; the Hamming-LSH family stays CI-green — for the
     # new r7 storage-layout family minhash_bucketed_near_dups_documents
@@ -12628,7 +12662,12 @@ _DRIVER_WINDOW = [
     # probe-then-append delta maintenance over two batch cycles,
     # exhaustive cross-batch Jaccard oracle), never driver-checked;
     # stays CI-green.)
-    "dedup_index_probe_documents",
+    # (dedup_index_probe_documents rotated out in r11 — driver-proven
+    # r9-r10; the cross-run index surface keeps
+    # streaming_dedup_index_documents + ivf_index_compact in-window —
+    # for simhash_long_documents (Hamming-LSH on long docs, oldest
+    # never-checked dedup entry); stays CI-green.)
+    "simhash_long_documents",
     # (ngram_jaccard_blocked rotated out in r6 — driver-proven green
     # since r4 — for its N2 string-similarity sibling
     # editdist_join_customers, the r5 Ed-Join entry re-blocked on
@@ -12640,7 +12679,12 @@ _DRIVER_WINDOW = [
     # record_linkage_customers (Fellegi–Sunter blocking-union +
     # comparison-vector scoring), never driver-checked; stays
     # CI-green.)
-    "record_linkage_customers",
+    # (record_linkage_customers rotated out in r11 — driver-proven
+    # r8-r10; linkage keeps golden_record_documents in-window — for
+    # sorted_neighborhood_customers (the third blocking discipline,
+    # window-over-sorted-key, r10-new and judge-verified
+    # out-of-window); stays CI-green.)
+    "sorted_neighborhood_customers",
     # (dedup_clusters_documents rotated out in r8c — driver-proven
     # green since r2; the CC surface stays in-window via
     # incremental_clusters_documents (same recursive-CTE oracle
@@ -12672,20 +12716,32 @@ _DRIVER_WINDOW = [
     # (rule-based consolidation over the dedup_clusters clustering),
     # never driver-checked; stays CI-green.)
     "golden_record_documents",
-    "semantic_dedup_embeddings",
+    # (semantic_dedup_embeddings rotated out in r11 — driver-proven
+    # r3-r10; embedding near-dup keeps embedding_centroids in-window —
+    # for ivf_topk_embeddings (one-shot IVF ANN, oldest never-checked
+    # ANN entry; recall-attested in CI); stays CI-green.)
+    "ivf_topk_embeddings",
     # (ivfpq_topk_embeddings rotated out in r10 — driver-proven r9; the
     # ANN slot upgrades to its own r10 scale extension
     # ivf_index_probe_embeddings (persisted bucketed IVF cell index probed
     # per batch — only the batch side shuffles), new in r10; stays CI-
     # green.)
-    "ivf_index_probe_embeddings",
+    # (ivf_index_probe_embeddings rotated out in r11 — driver-proven
+    # r10 (recall-attested 80/80); the incremental-ANN slot upgrades to
+    # ivf_index_compact_embeddings (staged bucketed re-compaction of
+    # the same index, r10-new and judge-verified out-of-window); stays
+    # CI-green.)
+    "ivf_index_compact_embeddings",
     # (embedding_near_dup_clustered rotated out in r8 — driver-proven
     # green since r4; the embedding family keeps cosine_topk,
     # semantic_dedup and ivfpq in-window — for the new r7 streaming
     # mergeable-sketch family streaming_mg_heavy_hitters (Misra–Gries
     # store whose counter addition IS the merge), never
     # driver-checked; stays CI-green.)
-    "streaming_mg_heavy_hitters",
+    # (streaming_mg_heavy_hitters rotated out in r11 — driver-proven
+    # r7-r10; the E4 stateful surface keeps streaming_dedup_index +
+    # streaming_ivf_index + the five incoming stateful entries
+    # in-window; stays CI-green.)
     # LLM pipeline: text + corpus + multimodal
     # (text_metrics_by_lang rotated out in r8b — driver-proven green
     # since r2; N4 keeps lang_id_documents in-window — for the new r8
@@ -12706,7 +12762,14 @@ _DRIVER_WINDOW = [
     # green.)
     "seasonal_decompose_orders",
     "chunk_documents",
-    "binary_media_features",
+    # (binary_media_features rotated out in r11 — driver-proven
+    # r5-r10; the N5 multimodal family is now represented by its three
+    # per-format members, each never driver-checked: real byte-level
+    # PNG chunk walk, WAV RIFF header parse, ISO-BMFF box walk — all
+    # with recursive-CTE oracles; stays CI-green.)
+    "png_header_media",
+    "wav_header_media",
+    "mp4_box_media",
     # streaming
     # (streaming_hourly_events rotated out in r8b — driver-proven
     # green since r2; E4's watermark+window surface stays in-window
@@ -12735,7 +12798,10 @@ _DRIVER_WINDOW = [
     # rows; replica of the engine's lagged watermark application,
     # pinned against the engine's own agg by test), never
     # driver-checked; stays CI-green.)
-    "streaming_late_audit_events",
+    # (streaming_late_audit_events rotated out in r11 — driver-proven
+    # r9-r10; the watermark surface stays CI-green and the E4 family
+    # is represented by the index twins and the incoming stateful
+    # five; stays CI-green.)
 ]
 
 
