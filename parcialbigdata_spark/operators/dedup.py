@@ -1332,12 +1332,27 @@ def minhash_index_compact(
     across batches, which was the documented residual until now.
 
     Same-layout rewrite: stage the compacted relations as bucketed
-    tables, then atomically swap via catalog rename (Spark cannot
-    overwrite a table it is reading). At 100 TB this is the analogue
-    of a state-store checkpoint compaction: cost is one distinct +
-    one count-window over the index relations — index-sized, never
-    corpus-sized, and the corpus is never re-shingled."""
-    from parcialbigdata_spark.sources.warehouse import write_bucketed
+    tables, then swap via the crash-recoverable rename protocol
+    (``warehouse.swap_staged_table`` — r11; the r10 DROP-then-RENAME
+    left a window where the live index did not exist, and a crash
+    there needed manual repair; any interrupted state is now resolved
+    by ``warehouse.recover_staged_swap``, which the probe runs at
+    startup). Requires an exclusive maintenance window — appends
+    landing between the distinct snapshot and the swap are lost, so
+    stop the streaming ingest first (see swap_staged_table's
+    concurrency contract). Both stages are written BEFORE either swap:
+    a crash between the two swaps leaves bands compacted and sets
+    still duplicated, which is correctness-benign (duplicate set rows
+    only multiply probe verification joins; membership is identical)
+    and is completed by re-running compaction. At 100 TB this is the
+    analogue of a state-store checkpoint compaction: cost is one
+    distinct + one count-window over the index relations —
+    index-sized, never corpus-sized, and the corpus is never
+    re-shingled."""
+    from parcialbigdata_spark.sources.warehouse import (
+        swap_staged_table,
+        write_bucketed,
+    )
 
     bb = _cap_buckets(spark.table(bands_table).distinct(), max_bucket)
     write_bucketed(
@@ -1346,8 +1361,7 @@ def minhash_index_compact(
     sh = spark.table(sets_table).distinct()
     write_bucketed(sh, f"{sets_table}__compact", id_col, num_buckets=num_buckets)
     for t in (bands_table, sets_table):
-        spark.sql(f"DROP TABLE {t}")
-        spark.sql(f"ALTER TABLE {t}__compact RENAME TO {t}")
+        swap_staged_table(spark, t)
 
 
 def minhash_index_probe(
@@ -1385,8 +1399,18 @@ def minhash_index_probe(
     micro-batch — passes ``unpersist_handle`` (a list) and unpersists
     the appended relation after materializing the result; otherwise
     each call would leak one batch-sized cache entry for the session's
-    lifetime."""
+    lifetime.
+
+    Startup recovery (r11): any state an interrupted
+    :func:`minhash_index_compact` swap left behind is resolved first
+    (``warehouse.recover_staged_swap`` — catalog lookups only, no-op
+    in the steady state), so a probe after a crashed compaction still
+    answers."""
+    from parcialbigdata_spark.sources.warehouse import recover_staged_swap
+
     spark = batch.sparkSession
+    recover_staged_swap(spark, bands_table)
+    recover_staged_swap(spark, sets_table)
     rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
     if unpersist_handle is not None:
         unpersist_handle.append(rows)

@@ -422,16 +422,23 @@ def ivf_index_compact(
     rows with identical ranks). Compaction is a plain ``distinct``
     over the cell relation (rows are byte-identical under replay —
     the cell assignment is deterministic given the centroids) staged
-    into the same bucketed layout and swapped via catalog rename.
+    into the same bucketed layout and swapped via the
+    crash-recoverable rename protocol
+    (``warehouse.swap_staged_table`` — r11; shared with the minhash
+    twin, interrupted states resolved by
+    ``warehouse.recover_staged_swap``; requires the same exclusive
+    maintenance window — stop the streaming ingest first).
     Index-sized work; embeddings never re-assigned."""
-    from parcialbigdata_spark.sources.warehouse import write_bucketed
+    from parcialbigdata_spark.sources.warehouse import (
+        swap_staged_table,
+        write_bucketed,
+    )
 
     cells = spark.table(cells_table).distinct()
     write_bucketed(
         cells, f"{cells_table}__compact", "ivf_cell", num_buckets=num_buckets
     )
-    spark.sql(f"DROP TABLE {cells_table}")
-    spark.sql(f"ALTER TABLE {cells_table}__compact RENAME TO {cells_table}")
+    swap_staged_table(spark, cells_table)
 
 
 def ivf_index_probe(
@@ -461,8 +468,16 @@ def ivf_index_probe(
     Arrow einsum batch cosine for throughput. A stored row lives in
     exactly one cell and a query's probe cells are distinct, so the
     join can never duplicate a (query, match) pair — no distinct
-    needed before ranking."""
+    needed before ranking.
+
+    Startup recovery (r11): any state an interrupted
+    :func:`ivf_index_compact` swap left behind is resolved first
+    (``warehouse.recover_staged_swap`` — catalog lookups only, no-op
+    in the steady state)."""
+    from parcialbigdata_spark.sources.warehouse import recover_staged_swap
+
     spark = batch.sparkSession
+    recover_staged_swap(spark, cells_table)
     q = batch.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

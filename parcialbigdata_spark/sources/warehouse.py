@@ -56,6 +56,83 @@ def write_partitioned(
     df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
 
 
+def swap_staged_table(spark: SparkSession, table: str) -> None:
+    """Crash-recoverable catalog swap of a staged ``<table>__compact``
+    into ``<table>`` (r11, VERDICT #3: the r10 compactors ran
+    ``DROP TABLE`` then ``RENAME`` — between the two statements the
+    live index did not exist, and a crash there left only the staged
+    table, failing every probe until manual repair).
+
+    Protocol (every step is a single catalog statement):
+
+    1. ``RENAME <table> TO <table>__old``   (live table parked aside)
+    2. ``RENAME <table>__compact TO <table>``  (staged table goes live)
+    3. ``DROP <table>__old``                (cleanup)
+
+    A crash between any two steps leaves a state
+    :func:`recover_staged_swap` can resolve unambiguously, because the
+    stage is only parked aside (step 1) AFTER its write completed — so
+    whenever ``__old`` exists, ``__compact`` is known-complete and
+    recovery can roll FORWARD. Call recovery before probing (or at
+    compactor startup); it is a no-op in the steady state.
+
+    Concurrency contract: compaction snapshots the table, so appends
+    landing between the snapshot and the swap are LOST with any
+    swap mechanism at this catalog's isolation level — run compaction
+    in an exclusive maintenance window (streams stopped), exactly like
+    a state-store checkpoint compaction."""
+    spark.sql(f"ALTER TABLE {table} RENAME TO {table}__old")
+    spark.sql(f"ALTER TABLE {table}__compact RENAME TO {table}")
+    spark.sql(f"DROP TABLE {table}__old")
+
+
+def recover_staged_swap(spark: SparkSession, table: str) -> str:
+    """Resolve any state an interrupted :func:`swap_staged_table` (or
+    the staging write before it) can leave, returning what was done.
+
+    Decision table (t = live, c = ``__old`` / ``__compact``):
+
+    - t exists, ``__old`` exists      → swap finished, cleanup missed:
+      drop ``__old``                                  ("dropped_old")
+    - t exists, only ``__compact``    → stage completed (or partially
+      wrote) but the swap never started: drop the stage and let the
+      next compaction re-run — a partial stage is indistinguishable
+      from a complete one here, so re-staging is the safe branch
+                                                    ("dropped_stage")
+    - t missing, ``__old`` + ``__compact`` → crashed between the two
+      renames; ``__old``'s existence proves the stage write completed,
+      so roll FORWARD: rename ``__compact`` to t, drop ``__old``
+                                                  ("rolled_forward")
+    - t missing, only ``__old``       → forward recovery itself was
+      interrupted after its rename (t would exist) cannot reach here;
+      defensively roll BACK: rename ``__old`` to t ("rolled_back")
+    - t exists, nothing else          → steady state     ("noop")
+    """
+    cat = spark.catalog
+
+    def has(name: str) -> bool:
+        return cat.tableExists(name)
+
+    live, old, stage = has(table), has(f"{table}__old"), has(f"{table}__compact")
+    if live and old:
+        # __compact, if also present, was already renamed to t by a
+        # finished swap — any remaining __compact is a NEWER stage;
+        # leave it for its own swap.
+        spark.sql(f"DROP TABLE {table}__old")
+        return "dropped_old"
+    if live and stage:
+        spark.sql(f"DROP TABLE {table}__compact")
+        return "dropped_stage"
+    if not live and old and stage:
+        spark.sql(f"ALTER TABLE {table}__compact RENAME TO {table}")
+        spark.sql(f"DROP TABLE {table}__old")
+        return "rolled_forward"
+    if not live and old:
+        spark.sql(f"ALTER TABLE {table}__old RENAME TO {table}")
+        return "rolled_back"
+    return "noop"
+
+
 def write_sorted(
     df: DataFrame,
     path: str,

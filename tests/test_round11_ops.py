@@ -148,3 +148,135 @@ def test_containment_directional_semantics(spark, tmp_path):
     }
     assert got[(1, 2)] == 1.0
     assert got[(2, 1)] < 0.5
+
+
+# ----------------------------- crash-recoverable compaction swap (r11)
+
+
+from parcialbigdata_spark.operators import similarity
+from parcialbigdata_spark.sources.warehouse import (
+    recover_staged_swap,
+    swap_staged_table,
+)
+
+
+def _vecs(spark, rows):
+    return spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<double>",
+    )
+
+
+@pytest.fixture()
+def _swap_table(spark):
+    name = "t11_ivf_cells"
+    yield name
+    for suffix in ("", "__old", "__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")
+
+
+_CENTROIDS = [[10.0, 0.0], [0.0, 10.0]]
+
+
+def _seed_index_with_replay(spark, table):
+    seed = _vecs(spark, [(0, [10.0, 0.0]), (1, [0.0, 10.0])])
+    delta = _vecs(spark, [(2, [10.2, 0.0])])
+    similarity.ivf_index_ingest(seed, table, _CENTROIDS)
+    for _ in range(2):  # replayed append → duplicate rows
+        similarity.ivf_index_ingest(delta, table, _CENTROIDS, append=True)
+
+
+def _probe_matches(spark, table):
+    batch = _vecs(spark, [(9, [10.1, 0.0])])
+    out = similarity.ivf_index_probe(
+        batch, table, _CENTROIDS, k=5, nprobe=1
+    ).collect()
+    return {(r.query_id, r.match_id) for r in out}
+
+
+def test_probe_answers_after_crash_between_stage_and_swap(spark, _swap_table):
+    """Simulate a compaction that crashed after writing the stage but
+    before starting the swap: the live index must still answer, and the
+    probe's startup recovery clears the stale stage so the next
+    compaction can re-run."""
+    _seed_index_with_replay(spark, _swap_table)
+    # stage written, swap never started
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    cells = spark.table(_swap_table).distinct()
+    write_bucketed(cells, f"{_swap_table}__compact", "ivf_cell")
+    assert _probe_matches(spark, _swap_table) == {(9, 0), (9, 2)}
+    # probe's recovery dropped the stale stage
+    assert not spark.catalog.tableExists(f"{_swap_table}__compact")
+    # and a full compaction still completes afterwards
+    similarity.ivf_index_compact(spark, _swap_table)
+    assert _probe_matches(spark, _swap_table) == {(9, 0), (9, 2)}
+
+
+def test_probe_recovers_after_crash_between_renames(spark, _swap_table):
+    """Simulate the crash in the middle of the swap itself (live table
+    parked aside, staged table not yet renamed in): the probe's startup
+    recovery rolls FORWARD to the compacted table and answers without
+    duplicates."""
+    _seed_index_with_replay(spark, _swap_table)
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    cells = spark.table(_swap_table).distinct()
+    write_bucketed(cells, f"{_swap_table}__compact", "ivf_cell")
+    spark.sql(f"ALTER TABLE {_swap_table} RENAME TO {_swap_table}__old")
+    # live table missing — the r10 DROP-then-RENAME failure mode
+    assert not spark.catalog.tableExists(_swap_table)
+    assert _probe_matches(spark, _swap_table) == {(9, 0), (9, 2)}
+    # rolled forward: compacted table live, no leftovers, no dup rows
+    batch = _vecs(spark, [(9, [10.1, 0.0])])
+    rows = similarity.ivf_index_probe(
+        batch, _swap_table, _CENTROIDS, k=5, nprobe=1
+    ).collect()
+    assert len(rows) == 2
+    assert not spark.catalog.tableExists(f"{_swap_table}__old")
+    assert not spark.catalog.tableExists(f"{_swap_table}__compact")
+
+
+def test_recover_staged_swap_decision_table(spark, _swap_table):
+    """Every reachable interrupted state resolves to a live table."""
+    t = _swap_table
+
+    def fresh():
+        for suffix in ("", "__old", "__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        spark.createDataFrame([(1,)], "x bigint").write.saveAsTable(t)
+
+    # steady state
+    fresh()
+    assert recover_staged_swap(spark, t) == "noop"
+    # swap finished, cleanup missed
+    fresh()
+    spark.createDataFrame([(2,)], "x bigint").write.saveAsTable(f"{t}__old")
+    assert recover_staged_swap(spark, t) == "dropped_old"
+    assert spark.table(t).collect()[0].x == 1
+    # stage present, swap never started
+    fresh()
+    spark.createDataFrame([(3,)], "x bigint").write.saveAsTable(f"{t}__compact")
+    assert recover_staged_swap(spark, t) == "dropped_stage"
+    assert spark.table(t).collect()[0].x == 1
+    # crashed between the renames → forward
+    fresh()
+    spark.createDataFrame([(4,)], "x bigint").write.saveAsTable(f"{t}__compact")
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+    assert recover_staged_swap(spark, t) == "rolled_forward"
+    assert spark.table(t).collect()[0].x == 4
+    # defensive rollback state
+    fresh()
+    spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")
+    assert recover_staged_swap(spark, t) == "rolled_back"
+    assert spark.table(t).collect()[0].x == 1
+
+
+def test_swap_staged_table_happy_path(spark, _swap_table):
+    t = _swap_table
+    spark.createDataFrame([(1,)], "x bigint").write.saveAsTable(t)
+    spark.createDataFrame([(2,)], "x bigint").write.saveAsTable(f"{t}__compact")
+    swap_staged_table(spark, t)
+    assert spark.table(t).collect()[0].x == 2
+    assert not spark.catalog.tableExists(f"{t}__old")
+    assert not spark.catalog.tableExists(f"{t}__compact")
