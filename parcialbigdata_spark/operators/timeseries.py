@@ -223,11 +223,19 @@ def seasonal_decompose(
     moving-average method; Cleveland's STL is its loess refinement):
     value = trend + seasonal + residual, with the trend a CENTERED
     ``period``-point moving average (odd period; edge rows without a
-    full window carry no trend and drop from the seasonal fit), the
-    seasonal component the per-phase mean of the detrended series
-    re-centered to sum to zero, and the residual what remains. Phase
-    is position-in-cycle (row_number mod period within the ordered
-    group) so the operator needs no calendar semantics.
+    full window carry NULL trend and drop from the seasonal FIT — but
+    never from the output), the seasonal component the per-phase mean
+    of the detrended series re-centered to sum to zero, and the
+    residual what remains. Phase is position-in-cycle (row_number mod
+    period within the ordered group) so the operator needs no calendar
+    semantics.
+
+    Row contract (r11, ADVICE): every input row appears in the output
+    exactly once. The phase-profile join is a LEFT join — a phase that
+    only ever occurs on edge rows (groups shorter than ~2×period) has
+    no fitted mean and surfaces with NULL seasonal/resid; the r10
+    inner join silently dropped such rows, contradicting the
+    documented NULL-edge contract for short groups.
 
     Determinism: input is exact integer cents; the MA is an exact
     BIGINT window sum divided by the literal period once (IEEE),
@@ -280,7 +288,7 @@ def seasonal_decompose(
         ),
     ).select(*group_cols, "__phase", "__season")
     return (
-        base.join(F.broadcast(ph), [*group_cols, "__phase"])
+        base.join(F.broadcast(ph), [*group_cols, "__phase"], "left")
         .select(
             *[F.col(c) for c in group_cols],
             F.col(date_col),
@@ -467,7 +475,7 @@ def theilsen_by_group(
     group_cols: list[str],
     x_col: str,
     y_col: str,
-    max_group_rows: int = 20_000,
+    max_group_rows: int = 8_000,
 ) -> DataFrame:
     """Grouped Theil–Sen robust regression (Theil 1950; Sen, JASA
     1968): per group, the slope estimate is the MEDIAN of all pairwise
@@ -500,8 +508,14 @@ def theilsen_by_group(
     IEEE float64 — bit-identical to the SQL doubles of the r9 join —
     and both medians interpolate exactly like DuckDB
     ``quantile_cont``: lo + (hi − lo)·0.5 over the two middle order
-    statistics. Kernel memory is 8·C(n,2) bytes per group (plus the
-    pair-index temporaries) — size ``max_group_rows`` accordingly.
+    statistics. Kernel memory (r11, ADVICE): the slope multiset itself
+    is 8·C(n,2) bytes per group — irreducible for an exact median —
+    but the pair machinery is CHUNKED over row blocks, so the
+    temporaries are block-bounded instead of the r10
+    ``np.triu_indices`` form whose five pair-length arrays could reach
+    ~8 GB inside one Arrow task at the old 20,000-row guard. The
+    default guard is now 8,000 (slope array ≈ 256 MB); raise it only
+    with executor memory to match.
 
     Returns (group_cols…, slope, intercept, n_pairs, n_points)."""
     cnt = (
@@ -549,14 +563,32 @@ def theilsen_by_group(
         hi = float(sorted_vals[m // 2])
         return lo + (hi - lo) * 0.5
 
+    def _pairwise_slopes(
+        x: "np.ndarray", y: "np.ndarray", block: int = 512
+    ) -> "np.ndarray":
+        # All C(n,2) slopes, computed block-of-rows at a time so the
+        # temporaries stay ≤ block×n instead of C(n,2) (r11 — the
+        # triu_indices form allocated five pair-length arrays at once).
+        # Same float64 subtract/divide per pair, so the multiset is
+        # bit-identical to the one-shot form.
+        n = len(x)
+        j_idx = np.arange(n)
+        chunks = []
+        for i0 in range(0, n - 1, block):
+            i1 = min(i0 + block, n - 1)
+            dx = x[None, i0 + 1:] - x[i0:i1, None]
+            dy = y[None, i0 + 1:] - y[i0:i1, None]
+            keep = (j_idx[None, i0 + 1:] > j_idx[i0:i1, None]) & (dx != 0)
+            chunks.append(dy[keep] / dx[keep])
+        if not chunks:
+            return np.empty(0, dtype=np.float64)
+        return np.concatenate(chunks)
+
     def _kernel(key: tuple, pdf: "pd.DataFrame") -> "pd.DataFrame":
         x = pdf["__x"].to_numpy(dtype=np.float64)
         y = pdf["__y"].to_numpy(dtype=np.float64)
         n = len(x)
-        ia, ib = np.triu_indices(n, 1)
-        dx = x[ib] - x[ia]
-        nz = dx != 0  # pairs with equal x contribute no slope
-        slopes = (y[ib] - y[ia])[nz] / dx[nz]
+        slopes = _pairwise_slopes(x, y)
         if slopes.size == 0:
             return pd.DataFrame(
                 columns=[f.name for f in out_schema.fields]

@@ -11929,9 +11929,12 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     CUSUM pinpoints WHEN a sustained shift began. The recurrence
     max(0, S+z−k) is re-expressed as prefix_sum − running_min (its
     closed prefix form), so the whole detector is one sorted window
-    per group — no recursion, no UDF, no driver loop; z-scores round
-    to 6dp and accumulate as DECIMAL(18,6) so both engines' running
-    sums are exact (cookbook round-then-decimal-sum). TPC-H order
+    per group — no recursion, no UDF, no driver loop; z-scores are
+    quantized to BIGINT micro-sigma units (round(z·1e6)) so both
+    engines' window sums are exact integer arithmetic — the DECIMAL
+    route was measured to drift at the 13th digit in DuckDB's windowed
+    decimal SUM (it accumulates in double; see the operator docstring).
+    TPC-H order
     arrivals are stationary by construction, so the attested output
     is the full excursion trace with alarm=false everywhere — the
     detector's value is the trace hashing identically, not a planted
@@ -11997,8 +12000,8 @@ def cusum_changepoint_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            se.seasonal,
            round(CAST(w.cents AS DOUBLE) / 100.0 - w.trend - se.seasonal, 6)
              AS resid
-    FROM w JOIN se ON w.o_orderpriority = se.o_orderpriority
-                  AND w.phase = se.phase
+    FROM w LEFT JOIN se ON w.o_orderpriority = se.o_orderpriority
+                       AND w.phase = se.phase
     """,
 )
 def seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -12010,7 +12013,10 @@ def seasonal_decompose_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     sum to zero — the additive identifiability constraint) and the
     residual. Phase is position-in-cycle within the ordered group, so
     no calendar semantics leak in; edge rows without a full MA window
-    carry NULL trend/resid on both engines. The monitoring siblings
+    carry NULL trend/resid on both engines, and the phase join is LEFT
+    on both engines (r11) so a phase fitted by no interior row still
+    surfaces its rows with NULL seasonal/resid instead of dropping
+    them. The monitoring siblings
     look for change (``cusum_changepoint_orders``) or smooth level
     (``ewma_daily_revenue_orders``); decomposition EXPLAINS structure
     — detrended residuals are what anomaly scoring should consume.

@@ -280,3 +280,62 @@ def test_swap_staged_table_happy_path(spark, _swap_table):
     assert spark.table(t).collect()[0].x == 2
     assert not spark.catalog.tableExists(f"{t}__old")
     assert not spark.catalog.tableExists(f"{t}__compact")
+
+
+# --------------------------------------- r11 ADVICE fixes (timeseries)
+
+
+import numpy as np
+
+from parcialbigdata_spark.operators import timeseries
+
+
+def test_theilsen_group_answer_unchanged_after_chunking(spark):
+    """Operator-level check: slope/intercept/n_pairs equal the direct
+    numpy computation on the same points."""
+    rng = np.random.default_rng(3)
+    n = 601
+    x = np.arange(n, dtype=np.float64)
+    y = 2.5 * x + rng.standard_normal(n) * 10
+    df = spark.createDataFrame(
+        [("g", float(a), float(b)) for a, b in zip(x, y)], ["g", "x", "y"]
+    )
+    out = timeseries.theilsen_by_group(df, ["g"], "x", "y").collect()[0]
+    ia, ib = np.triu_indices(n, 1)
+    slopes = np.sort((y[ib] - y[ia]) / (x[ib] - x[ia]), kind="stable")
+    m = len(slopes)
+    want_slope = float(slopes[(m - 1) // 2]) + (
+        float(slopes[m // 2]) - float(slopes[(m - 1) // 2])
+    ) * 0.5
+    assert out.n_pairs == m
+    assert abs(out.slope - round(want_slope, 6)) < 1e-12
+
+
+def test_theilsen_guard_default_is_memory_safe(spark):
+    """ADVICE r10: the 20k default admitted ~2e8-pair kernels; the new
+    default refuses anything above 8,000 rows per group."""
+    df = spark.range(8_001).select(
+        F.lit("g").alias("g"),
+        F.col("id").cast("double").alias("x"),
+        F.col("id").cast("double").alias("y"),
+    )
+    with pytest.raises(ValueError, match="pre-sample"):
+        timeseries.theilsen_by_group(df, ["g"], "x", "y")
+
+
+def test_seasonal_decompose_short_group_keeps_all_rows(spark):
+    """ADVICE r10: a group shorter than ~2×period has phases that only
+    occur on edge rows; those rows must SURFACE with NULL seasonal and
+    resid (left join), not silently drop."""
+    rows = [("g", f"2024-01-{d:02d}", (100 + d) * 100) for d in range(1, 9)]
+    df = spark.createDataFrame(rows, ["g", "day", "cents"])
+    out = timeseries.seasonal_decompose(df, ["g"], "day", "cents", period=7)
+    got = out.orderBy("day").collect()
+    assert len(got) == 8  # every input row present
+    # interior rows (4th and 5th of 8) have a full MA window → their
+    # phases (3, 4) are the only fitted ones
+    fitted = {r.day for r in got if r.seasonal is not None}
+    assert fitted == {"2024-01-04", "2024-01-05"}
+    for r in got:
+        if r.seasonal is None:
+            assert r.resid is None
