@@ -11761,20 +11761,24 @@ def cdc_extract_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             orders.filter(k % 10 == 0).select("o_orderpriority", "o_totalprice")
         )
     )
-    # n_changes is audited EAGERLY (one count action) and baked as a
-    # literal — the r9 form persisted ch for two lazy consumers and
-    # never unpersisted, leaking one cached relation per invocation
-    # in a long-lived session (ADVICE r9).
+    # n_changes rides as a LAZY one-row aggregate broadcast-crossed
+    # onto the key-grained result (r11, verdict #6 — mirrors the
+    # oracle's CROSS JOIN stats). History: the r9 form persisted ch
+    # for two lazy consumers and leaked the cache (ADVICE r9); the r10
+    # fix ran an EAGER count action per call, costing a separate job
+    # (1.58 → 2.34 s). This form is one job, no cache, no extra
+    # action — the diff subtree appears twice in the plan but its
+    # exchanges are identical, so the shuffle is reused.
     ch = snapshot_to_changes(old, new)
-    n_changes = ch.count()
+    stats = ch.agg(F.count(F.lit(1)).cast("bigint").alias("n_changes"))
     refreshed = signed_agg_refresh(
         old, ch, ["o_orderpriority"], "o_totalprice", "mult"
     )
-    return refreshed.select(
+    return refreshed.crossJoin(F.broadcast(stats)).select(
         "o_orderpriority",
         F.col("n").alias("n_orders"),
         F.col("sum_cents").alias("revenue_cents"),
-        F.lit(n_changes).cast("bigint").alias("n_changes"),
+        "n_changes",
     )
 
 
