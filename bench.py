@@ -269,6 +269,9 @@ BENCH_QUERIES = [
     "phrase_search_documents",
     "ivf_index_compact_embeddings",
     "isotonic_calibration_documents",
+    # r11: image perceptual-hash near-dup (fixture-sized — tracks the
+    # decode-kernel + banded-join overhead, not data volume)
+    "png_near_dup_media",
 ]
 
 

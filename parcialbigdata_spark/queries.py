@@ -1962,6 +1962,153 @@ def frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PHASH_DIR = "/root/repo/tests/fixtures/phash"
+
+# Shared oracle CTE chain: replay the ENTIRE dHash pipeline in SQL on
+# the stored-block, filter-0 fixtures — locate the raw scanlines inside
+# the IDAT chunk (single stored deflate block: 2-byte zlib header +
+# 5-byte block header, so raw bytes start 22 hex chars after the 'IDAT'
+# type field), extract every pixel byte, integer luma, (x*9)//W ×
+# (y*8)//H cell averages (sum // count), adjacent-cell comparison bits,
+# four 16-bit band ints. Identical integer arithmetic to
+# operators/phash.py dhash_bands.
+_PHASH_HASHES_SQL = f"""
+    b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             hex(content) AS h
+      FROM read_blob('{_PHASH_DIR}/*.png')
+      WHERE substr(hex(content), 1, 16) = '89504E470D0A1A0A'
+    ),
+    hdr AS (
+      SELECT file_name, h,
+             CAST(('0x' || substr(h, 33, 8))::BIGINT AS INT) AS w,
+             CAST(('0x' || substr(h, 41, 8))::BIGINT AS INT) AS ht,
+             CAST(('0x' || substr(h, 51, 2))::BIGINT AS INT) AS ct,
+             instr(h, '49444154') + 22 AS raw0
+      FROM b
+    ),
+    ok AS (
+      SELECT *,
+             CASE ct WHEN 0 THEN 1 WHEN 2 THEN 3 WHEN 4 THEN 2 ELSE 4 END
+               AS nch
+      FROM hdr WHERE w >= 9 AND ht >= 8
+    ),
+    px AS (
+      SELECT o.file_name, o.w, o.ht, y.y, x.x,
+             CASE WHEN o.ct IN (0, 4)
+                  THEN ('0x' || substr(o.h,
+                        o.raw0 + 2*(y.y*(1 + o.w*o.nch) + 1 + x.x*o.nch),
+                        2))::INT
+                  ELSE (299 * ('0x' || substr(o.h,
+                          o.raw0 + 2*(y.y*(1 + o.w*o.nch) + 1 + x.x*o.nch),
+                          2))::INT
+                      + 587 * ('0x' || substr(o.h,
+                          o.raw0 + 2*(y.y*(1 + o.w*o.nch) + 1 + x.x*o.nch + 1),
+                          2))::INT
+                      + 114 * ('0x' || substr(o.h,
+                          o.raw0 + 2*(y.y*(1 + o.w*o.nch) + 1 + x.x*o.nch + 2),
+                          2))::INT) // 1000
+             END AS gray
+      FROM ok o, range(256) y(y), range(256) x(x)
+      WHERE y.y < o.ht AND x.x < o.w
+    ),
+    cells AS (
+      SELECT file_name, MIN(w) AS w, MIN(ht) AS ht,
+             (y*8) // ht AS cy, (x*9) // w AS cx,
+             SUM(gray) // COUNT(*) AS cell
+      FROM px GROUP BY file_name, (y*8) // ht, (x*9) // w
+    ),
+    bits AS (
+      SELECT c1.file_name, MIN(c1.w) AS w, MIN(c1.ht) AS ht,
+             c1.cy * 8 + c1.cx AS m,
+             CASE WHEN MIN(c1.cell) < MIN(c2.cell) THEN 1 ELSE 0 END AS bit
+      FROM cells c1 JOIN cells c2
+        ON c1.file_name = c2.file_name AND c1.cy = c2.cy
+       AND c2.cx = c1.cx + 1
+      GROUP BY c1.file_name, c1.cy * 8 + c1.cx
+    ),
+    bands AS (
+      SELECT file_name, MIN(w) AS w, MIN(ht) AS ht, m // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (15 - (m % 16)))) AS INT) AS band_val
+      FROM bits GROUP BY file_name, m // 16
+    ),
+    hashes AS (
+      SELECT file_name, MIN(w) AS w, MIN(ht) AS ht,
+             CAST(MAX(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS b0,
+             CAST(MAX(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS b1,
+             CAST(MAX(CASE WHEN band_idx = 2 THEN band_val END) AS INT) AS b2,
+             CAST(MAX(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS b3
+      FROM bands GROUP BY file_name
+    )
+"""
+
+
+@query(
+    "png_dhash_media",
+    f"""
+    WITH {_PHASH_HASHES_SQL}
+    SELECT file_name, w AS width, ht AS height,
+           printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS dhash_hex
+    FROM hashes
+    """,
+)
+def png_dhash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual dHash per committed PNG fixture (operators/phash.py
+    ``png_dhash``) — REAL pixel decoding end to end: zlib inflate, all
+    five PNG filter reconstructions, integer luma, 9×8 cell averaging,
+    64 adjacent-cell comparison bits as four 16-bit bands. The DuckDB
+    oracle replays the WHOLE pipeline in SQL — the fixtures are
+    stored-block (zlib level 0), filter-0 PNGs, so the raw scanlines
+    sit at a computable offset in the blob hex and every downstream
+    step is integer arithmetic (tools/gen_phash_fixtures.py documents
+    the encoding contract; the encoding-invariance pytest pins the
+    kernel's general path — compressed + Sub/Up/Average/Paeth — to the
+    same hashes). The sub-grid guard (tiny_e.png, 6×6) drops on both
+    engines. Multimodal sibling of ``simhash_near_dups``' text hash;
+    byte-exact sibling ``binary_media_inventory`` (md5)."""
+    from parcialbigdata_spark.operators.phash import png_dhash
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _PHASH_DIR, glob="*.png")
+    return png_dhash(raw).select(
+        "file_name", "width", "height", "dhash_hex"
+    ).orderBy("file_name")
+
+
+@query(
+    "png_near_dup_media",
+    f"""
+    WITH {_PHASH_HASHES_SQL}
+    SELECT a.file_name AS file_a, b.file_name AS file_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INT) AS hamming
+    FROM hashes a JOIN hashes b ON a.file_name < b.file_name
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate pairs by banded perceptual-hash join
+    (operators/phash.py ``dhash_near_dups``): the fixtures plant two
+    byte-DIFFERENT but perceptually-near pairs (grad_a/grad_a_dup at
+    Hamming 1; checker_b/checker_b_dup at Hamming 0 — md5-exact dedup
+    sees four unrelated files). Candidates come from 16-bit band
+    equality — pigeonhole-COMPLETE at Hamming ≤ 3 over four bands, so
+    the exhaustive all-pairs oracle must agree exactly — and exact
+    Hamming verifies as the sum of per-band bit_count XORs. Never an
+    all-pairs product: at 100 TB the banding is the same
+    shuffle-on-(band_idx, band_val) discipline as
+    ``simhash_near_dups``/the minhash family."""
+    from parcialbigdata_spark.operators.phash import dhash_near_dups, png_dhash
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _PHASH_DIR, glob="*.png")
+    return dhash_near_dups(png_dhash(raw), max_hamming=3).select(
+        "file_a", "file_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query(
     "binary_media_inventory",
     f"""
@@ -12571,7 +12718,12 @@ _DRIVER_WINDOW = [
     # date family keeps partition_pruned_events_daily in-window — for
     # cohort_retention_events (signup-cohort retention triangle), never
     # driver-checked; stays CI-green.)
-    "cohort_retention_events",
+    # (cohort_retention_events rotated out in r11b — driver-proven
+    # r10; F2 keeps partition_pruned_events_daily + acf + cusum +
+    # seasonal in-window — for png_near_dup_media (banded perceptual-
+    # hash near-dup pairs, r11-new, exhaustive all-pairs oracle);
+    # stays CI-green.)
+    "png_near_dup_media",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -12760,7 +12912,12 @@ _DRIVER_WINDOW = [
     # _CANON_SQL rules as sibling url_canonical_documents), never
     # driver-checked; stays CI-green.)
     "host_profile_documents",
-    "lang_id_documents",
+    # (lang_id_documents rotated out in r11b — driver-proven r2-r10;
+    # N4 text analysis keeps bm25 + boilerplate_prune + phrase_search +
+    # bpe in-window — for png_dhash_media (REAL PNG pixel decode +
+    # perceptual dHash, r11-new; the oracle replays the whole pixel
+    # pipeline in SQL on the stored-block fixtures); stays CI-green.)
+    "png_dhash_media",
     # (decontaminate_documents rotated out in r6b — driver-proven
     # green since r3; the corpus family keeps chunk_documents
     # in-window — for the new r6 reconciliation family: the

@@ -339,3 +339,149 @@ def test_seasonal_decompose_short_group_keeps_all_rows(spark):
     for r in got:
         if r.seasonal is None:
             assert r.resid is None
+
+
+# --------------------------- PNG perceptual-hash near-dup family (r11)
+
+
+import pathlib
+import struct
+import zlib
+
+from parcialbigdata_spark.operators import phash
+
+_PHASH_DIR = pathlib.Path(__file__).resolve().parent / "fixtures" / "phash"
+
+
+def _png_encode(width, height, color_type, pix, level=0, filter_fn=None):
+    """Test-side PNG writer with arbitrary zlib level and per-row
+    filter type — used to re-encode the SAME pixels many ways."""
+    sig = b"\x89PNG\r\n\x1a\n"
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    nch = {0: 1, 2: 3, 4: 2, 6: 4}[color_type]
+    rows = [
+        bytes(b for x in range(width) for b in pix(x, y)) for y in range(height)
+    ]
+    raw = bytearray()
+    prev = bytes(width * nch)
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    for y, line in enumerate(rows):
+        ft = filter_fn(y) if filter_fn else 0
+        raw.append(ft)
+        for i, v in enumerate(line):
+            left = line[i - nch] if i >= nch else 0
+            up = prev[i]
+            ul = prev[i - nch] if i >= nch else 0
+            if ft == 0:
+                raw.append(v)
+            elif ft == 1:
+                raw.append((v - left) & 0xFF)
+            elif ft == 2:
+                raw.append((v - up) & 0xFF)
+            elif ft == 3:
+                raw.append((v - ((left + up) >> 1)) & 0xFF)
+            elif ft == 4:
+                raw.append((v - paeth(left, up, ul)) & 0xFF)
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    idat = zlib.compress(bytes(raw), level)
+    return sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def test_dhash_invariant_under_reencoding():
+    """The general decode path (compressed stream, every nontrivial
+    PNG filter) must hash identically to the stored filter-0 fixture
+    encoding — this is what licenses the SQL oracle to replay only the
+    stored-block form."""
+    def pix(x, y):
+        return ((x * 7) % 256, (x * 5 + y * 3) % 256, (y * 9) % 256)
+
+    base = phash.dhash_bands(_png_encode(36, 24, 2, pix, level=0))
+    assert base is not None
+    for ft in (1, 2, 3, 4):
+        variant = _png_encode(36, 24, 2, pix, level=9, filter_fn=lambda y: ft)
+        assert phash.dhash_bands(variant) == base, f"filter {ft}"
+    mixed = _png_encode(36, 24, 2, pix, level=6, filter_fn=lambda y: y % 5)
+    assert phash.dhash_bands(mixed) == base
+
+
+def test_dhash_guards():
+    # sub-grid image → None; garbage bytes → None
+    tiny = _png_encode(6, 6, 0, lambda x, y: ((x * y) % 256,))
+    assert phash.dhash_bands(tiny) is None
+    assert phash.dhash_bands(b"not a png at all") is None
+
+
+def test_dhash_near_dups_matches_bruteforce(spark):
+    """Recall attestation: banded candidates + Hamming verify must
+    equal the exhaustive all-pairs scan over the committed fixtures
+    (pigeonhole-complete at Hamming ≤ 3 with four 16-bit bands)."""
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, str(_PHASH_DIR), glob="*.png")
+    hashes = phash.png_dhash(raw)
+    rows = hashes.collect()
+    brute = set()
+    for i in range(len(rows)):
+        for j in range(len(rows)):
+            a, b = rows[i], rows[j]
+            if a.file_name >= b.file_name:
+                continue
+            ham = sum(
+                bin(getattr(a, f"b{k}") ^ getattr(b, f"b{k}")).count("1")
+                for k in range(4)
+            )
+            if ham <= 3:
+                brute.add((a.file_name, b.file_name, ham))
+    got = {
+        (r.file_a, r.file_b, r.hamming)
+        for r in phash.dhash_near_dups(hashes, max_hamming=3).collect()
+    }
+    assert got == brute
+    # the planted pairs are found, and nothing else
+    assert {(a, b) for a, b, _ in got} == {
+        ("checker_b.png", "checker_b_dup.png"),
+        ("grad_a.png", "grad_a_dup.png"),
+    }
+
+
+def test_dhash_near_dups_plan_is_banded_not_allpairs(spark):
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, str(_PHASH_DIR), glob="*.png")
+    out = phash.dhash_near_dups(phash.png_dhash(raw))
+    out.count()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dhash_near_dups_rejects_incomplete_threshold(spark):
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, str(_PHASH_DIR), glob="*.png")
+    hashes = phash.png_dhash(raw)
+    with pytest.raises(ValueError, match="pigeonhole"):
+        phash.dhash_near_dups(hashes, max_hamming=5)
+
+
+def test_png_dhash_drops_subgrid_fixture(spark):
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, str(_PHASH_DIR), glob="*.png")
+    names = {r.file_name for r in phash.png_dhash(raw).collect()}
+    assert "tiny_e.png" not in names
+    assert len(names) == 6
