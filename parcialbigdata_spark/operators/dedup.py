@@ -479,25 +479,35 @@ def _sparse_pair_overlap(
 
     keys = [block_col] if block_col else []
     hs = T.shingle_hashes(T.tokens(T.normalize(F.col(text_col))), k_shingle)
-    rows = _materialize_sparse(
+    # The set size rides along every exploded row (r11): the r10 form
+    # re-derived it as groupBy(id).count() over the exploded relation
+    # and joined it back TWICE (sz_a, sz_b) — a partial-agg emitting up
+    # to one row per (partition, doc) of shuffle, with both join-backs
+    # inheriting the checkpoint's stale pre-explode size estimate (so
+    # Catalyst broadcast them regardless of true size). 8 extra bytes
+    # per exploded row delete the aggregation and both joins.
+    #
+    # The array-form base is PERSISTED for the duration of the eager
+    # materialization because size() and explode() cannot share one
+    # computation through projections alone: CollapseProject inlines
+    # the alias into BOTH consumers (Generate embeds its generator
+    # input), so the CPU-heaviest expression in the pipeline —
+    # tokenize+shingle+hash — ran once per consumer (verified: 3×
+    # zip_with/array_distinct in the optimized plan; interleaved
+    # min-of-3 at sf1: 33.3 s duplicated vs 16.8 s persisted vs 25.9 s
+    # for the r10 sizes-join shape). The cache lives only until the
+    # checkpoint materializes (unpersist below); under
+    # materialize=persist (lazy) the early unpersist merely forfeits
+    # this optimization, never correctness.
+    base = (
         spread(df)
-        # Two-step select so the CPU-heavy shingle pipeline is computed
-        # ONCE per row — size() and explode() in a single projection
-        # would each embed the full expression (Generate inlines its
-        # generator input rather than reading the child's column).
         .select(F.col(id_col), *[F.col(c) for c in keys], hs.alias("__hs"))
-        .select(
+        .persist()
+    )
+    rows = _materialize_sparse(
+        base.select(
             F.col(id_col),
             *[F.col(c) for c in keys],
-            # The set size rides along every exploded row (r11): the
-            # r10 form re-derived it as groupBy(id).count() over the
-            # exploded relation and joined it back TWICE (sz_a, sz_b).
-            # That partial-agg emits one row per (partition, doc) —
-            # up to n_docs × n_partitions rows of shuffle — and the
-            # two joins inherited the checkpoint's stale pre-explode
-            # size estimate, so Catalyst broadcast them regardless of
-            # true size. 8 extra bytes per exploded row delete the
-            # aggregation and both joins at every scale.
             F.size(F.col("__hs")).alias("__sz"),
             F.explode(F.col("__hs")).alias("__h"),
         )
@@ -509,6 +519,7 @@ def _sparse_pair_overlap(
         # pipeline) twice, once per join side.
         .repartition(*[F.col(c) for c in [*keys, "__h"]])
     )
+    base.unpersist()
     a = rows.select(
         F.col(id_col).alias("id_a"), F.col("__sz").alias("__sz_a"), *keys, "__h"
     )
@@ -527,11 +538,19 @@ def _sparse_pair_overlap(
     return (
         a.join(b, [*keys, "__h"])
         .filter(F.col("id_a") < F.col("id_b"))
-        # __sz_a/__sz_b are functionally dependent on id_a/id_b —
-        # adding them to the grouping keys changes nothing about the
-        # group cardinality and keeps the agg a single pass.
-        .groupBy("id_a", "id_b", "__sz_a", "__sz_b")
-        .agg(F.count(F.lit(1)).alias("__inter"))
+        # __sz_a/__sz_b are functionally dependent on id_a/id_b, so
+        # they ride as max() aggregates (deterministic: every row of a
+        # group carries the identical value) rather than extra grouping
+        # keys — measured at sf10 (interleaved min-of-3): the 4-key
+        # grouping ran 2× slower with wild GC-shaped variance (21.8 to
+        # 134 s) vs the 2-key form's stable 11.3 s, the narrow keys
+        # keeping the partial-agg hash maps small.
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.count(F.lit(1)).alias("__inter"),
+            F.max("__sz_a").alias("__sz_a"),
+            F.max("__sz_b").alias("__sz_b"),
+        )
     )
 
 
