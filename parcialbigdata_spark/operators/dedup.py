@@ -427,6 +427,10 @@ def ngram_jaccard_pairs(
 
 
 _SPARSE_MATERIALIZE_KEY = "spark.parcialbigdata.sparse.materialize"
+# "shuffle_hash" (default) pins the zero-exchange hash join the
+# checkpointed stats would otherwise mis-plan (r11 verdict); "auto"
+# drops the hint for skewed corpora (see _sparse_pair_overlap).
+_SPARSE_JOIN_KEY = "spark.parcialbigdata.sparse.join"
 
 
 def _materialize_sparse(rows: DataFrame) -> DataFrame:
@@ -474,7 +478,28 @@ def _sparse_pair_overlap(
     (id_a < id_b, __inter, __sz_a, __sz_b) with exact intersection
     sizes over distinct hashed shingles — complete for any pair
     sharing ≥ 1 element, nothing broadcast (see the callers for the
-    plan-shape contract)."""
+    plan-shape contract).
+
+    Precondition (ADVICE r11): ``id_col`` must be unique per input row
+    (per (block, row) when ``block_col`` is set). ``__sz`` is the
+    per-ROW distinct-shingle count riding each exploded row and is
+    collapsed per pair as ``max()``; an id spanning multiple rows
+    would take the LARGEST row's size as its set size instead of the
+    union's (the r10 form counted exploded rows per id across all
+    rows, a different — also wrong — denominator). The callers feed
+    one document per row, where the two definitions coincide.
+
+    Skew caveat (ADVICE r11): the ``shuffle_hash`` hint below pins a
+    non-spilling hash build per partition; a pathologically hot
+    (block, __h) key concentrates one partition's build side far
+    beyond the average and can OOM where sort-merge would spill
+    through. Distinct-per-document shingle hashes make a single hash
+    value's rows at most one per document, so "hot key" here means a
+    boilerplate shingle shared by a large fraction of the corpus —
+    exactly what the callers' stopword-like guidance says to strip
+    first. For corpora where that isn't possible, set
+    ``spark.parcialbigdata.sparse.join=auto`` to drop the hint and
+    let AQE pick (and skew-split) the join."""
     from parcialbigdata_spark.sources.tables import spread
 
     keys = [block_col] if block_col else []
@@ -534,7 +559,14 @@ def _sparse_pair_overlap(
     # with the partition count knob, never with total data on one node.
     b = rows.select(
         F.col(id_col).alias("id_b"), F.col("__sz").alias("__sz_b"), *keys, "__h"
-    ).hint("shuffle_hash")
+    )
+    # Escape hatch for hot-shingle skew (docstring above): "auto"
+    # drops the hint so AQE may fall back to a spilling sort-merge.
+    if (
+        df.sparkSession.conf.get(_SPARSE_JOIN_KEY, "shuffle_hash").strip().lower()
+        == "shuffle_hash"
+    ):
+        b = b.hint("shuffle_hash")
     return (
         a.join(b, [*keys, "__h"])
         .filter(F.col("id_a") < F.col("id_b"))
@@ -1420,16 +1452,19 @@ def minhash_index_probe(
     each call would leak one batch-sized cache entry for the session's
     lifetime.
 
-    Startup recovery (r11): any state an interrupted
-    :func:`minhash_index_compact` swap left behind is resolved first
-    (``warehouse.recover_staged_swap`` — catalog lookups only, no-op
-    in the steady state), so a probe after a crashed compaction still
-    answers."""
+    Startup recovery (r11, r12): any state an interrupted
+    :func:`minhash_index_compact` swap left behind is resolved on the
+    FIRST probe of the session only (``warehouse.recover_staged_swap``
+    with ``once=True`` — one catalog listing per table per session,
+    then memoized), so a probe after a crashed compaction still
+    answers, and a steady-state micro-batch probe pays zero catalog
+    round-trips. Per-batch recovery also raced a concurrently staging
+    compactor (ADVICE r11) — startup-only recovery cannot."""
     from parcialbigdata_spark.sources.warehouse import recover_staged_swap
 
     spark = batch.sparkSession
-    recover_staged_swap(spark, bands_table)
-    recover_staged_swap(spark, sets_table)
+    recover_staged_swap(spark, bands_table, once=True)
+    recover_staged_swap(spark, sets_table, once=True)
     rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
     if unpersist_handle is not None:
         unpersist_handle.append(rows)

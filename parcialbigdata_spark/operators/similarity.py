@@ -470,14 +470,17 @@ def ivf_index_probe(
     join can never duplicate a (query, match) pair — no distinct
     needed before ranking.
 
-    Startup recovery (r11): any state an interrupted
-    :func:`ivf_index_compact` swap left behind is resolved first
-    (``warehouse.recover_staged_swap`` — catalog lookups only, no-op
-    in the steady state)."""
+    Startup recovery (r11, r12): any state an interrupted
+    :func:`ivf_index_compact` swap left behind is resolved on the
+    FIRST probe of the session only (``warehouse.recover_staged_swap``
+    with ``once=True`` — one catalog listing per table per session,
+    then memoized). Running it per batch was both measurable bench
+    cost and a race against a legitimately-staging live compactor
+    (ADVICE r11)."""
     from parcialbigdata_spark.sources.warehouse import recover_staged_swap
 
     spark = batch.sparkSession
-    recover_staged_swap(spark, cells_table)
+    recover_staged_swap(spark, cells_table, once=True)
     q = batch.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -529,7 +529,10 @@ def theilsen_by_group(
             f"theilsen_by_group: largest group has {cnt} rows; pairwise "
             f"slopes are O(n²) per group — pre-sample groups to ≤ "
             f"{max_group_rows} rows (deterministic hash sample) or raise "
-            "max_group_rows explicitly."
+            "max_group_rows explicitly (the default dropped from 20,000 "
+            "to 8,000 in r11 for kernel-memory safety — callers with "
+            "groups of 8,001-20,000 rows that fit their executors can "
+            "restore the old behavior with max_group_rows=20_000)."
         )
     import numpy as np
     import pandas as pd

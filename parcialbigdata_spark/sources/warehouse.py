@@ -86,9 +86,41 @@ def swap_staged_table(spark: SparkSession, table: str) -> None:
     spark.sql(f"DROP TABLE {table}__old")
 
 
-def recover_staged_swap(spark: SparkSession, table: str) -> str:
+# recover_staged_swap(once=True) memo: (applicationId, table) pairs whose
+# recovery already ran this session. Probes pass once=True so recovery is a
+# STARTUP action, not a per-micro-batch one — per-batch recovery would race
+# a concurrently running compactor (its staged ``__compact`` table looks
+# exactly like a crashed stage and the 'dropped_stage' branch would delete
+# it mid-write). With once=True the probe only ever repairs state left from
+# BEFORE this session, which cannot belong to a live compactor.
+_RECOVERED: set = set()
+
+
+def reset_swap_recovery_memo(table: str | None = None) -> None:
+    """Forget that recovery ran for ``table`` (or for everything) —
+    equivalent to a session restart for the ``once=True`` contract.
+    Tests that simulate a crash mid-session call this so the next
+    probe behaves like the first probe of a new session."""
+    if table is None:
+        _RECOVERED.clear()
+    else:
+        for key in [k for k in _RECOVERED if k[1] == table]:
+            _RECOVERED.discard(key)
+
+
+def recover_staged_swap(spark: SparkSession, table: str, once: bool = False) -> str:
     """Resolve any state an interrupted :func:`swap_staged_table` (or
     the staging write before it) can leave, returning what was done.
+
+    ``once=True`` memoizes per (application, table): after the first
+    call this session the function returns ``"cached_noop"`` without
+    touching the catalog. Long-running probes use this so recovery is
+    a startup check (one catalog listing per table per session), not a
+    per-batch cost — and so it can never race a compactor that is
+    legitimately staging ``__compact`` concurrently (ADVICE r11).
+    A compactor that itself crashed mid-swap is repaired by the NEXT
+    session's first probe, or by calling this directly at compactor
+    startup.
 
     Decision table (t = live, c = ``__old`` / ``__compact``):
 
@@ -108,29 +140,39 @@ def recover_staged_swap(spark: SparkSession, table: str) -> str:
       defensively roll BACK: rename ``__old`` to t ("rolled_back")
     - t exists, nothing else          → steady state     ("noop")
     """
+    key = (spark.sparkContext.applicationId, table)
+    if once and key in _RECOVERED:
+        return "cached_noop"
+
+    # Direct catalog lookups (a single `SHOW TABLES LIKE` listing was
+    # A/B-measured SLOWER than three tableExists calls — it runs a full
+    # SQL parse/execute/collect; see tools/ab_swap_r12.py). The memo
+    # above is what removes the per-batch cost, not the lookup shape.
     cat = spark.catalog
-
-    def has(name: str) -> bool:
-        return cat.tableExists(name)
-
-    live, old, stage = has(table), has(f"{table}__old"), has(f"{table}__compact")
+    live = cat.tableExists(table)
+    old = cat.tableExists(f"{table}__old")
+    stage = cat.tableExists(f"{table}__compact")
     if live and old:
         # __compact, if also present, was already renamed to t by a
         # finished swap — any remaining __compact is a NEWER stage;
         # leave it for its own swap.
         spark.sql(f"DROP TABLE {table}__old")
-        return "dropped_old"
-    if live and stage:
+        action = "dropped_old"
+    elif live and stage:
         spark.sql(f"DROP TABLE {table}__compact")
-        return "dropped_stage"
-    if not live and old and stage:
+        action = "dropped_stage"
+    elif not live and old and stage:
         spark.sql(f"ALTER TABLE {table}__compact RENAME TO {table}")
         spark.sql(f"DROP TABLE {table}__old")
-        return "rolled_forward"
-    if not live and old:
+        action = "rolled_forward"
+    elif not live and old:
         spark.sql(f"ALTER TABLE {table}__old RENAME TO {table}")
-        return "rolled_back"
-    return "noop"
+        action = "rolled_back"
+    else:
+        action = "noop"
+    if once:  # memoize only after the repair completed
+        _RECOVERED.add(key)
+    return action
 
 
 def write_sorted(

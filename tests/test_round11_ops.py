@@ -169,7 +169,13 @@ def _vecs(spark, rows):
 
 @pytest.fixture()
 def _swap_table(spark):
+    from parcialbigdata_spark.sources.warehouse import reset_swap_recovery_memo
+
     name = "t11_ivf_cells"
+    # Each test simulates a crash + NEW session probing the index; the
+    # probe's once-per-session recovery memo must behave like a fresh
+    # session (r12: recovery is startup-only, memoized per table).
+    reset_swap_recovery_memo(name)
     yield name
     for suffix in ("", "__old", "__compact"):
         spark.sql(f"DROP TABLE IF EXISTS {name}{suffix}")

@@ -1,0 +1,187 @@
+"""Round-12 operator tests.
+
+1. ``sorted_neighborhood_pairs_global`` — VERDICT r11 #4: the exact
+   boundary-pass remedy for partitioned sorted-neighborhood blocking.
+   The completeness contract is byte-for-byte equality with the
+   single-partition (global ORDER BY) run on fixtures whose near-pairs
+   straddle bucket boundaries — including the tiny-bucket corner where
+   a pair straddles TWO boundaries.
+2. ``recover_staged_swap(once=True)`` memo semantics (r12: probe
+   recovery is startup-only).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from parcialbigdata_spark.operators.linkage import (
+    sorted_neighborhood_pairs,
+    sorted_neighborhood_pairs_global,
+)
+
+
+def _pairset(df):
+    return {
+        (r.id_a, r.id_b, r.key_a, r.key_b, r.pos_gap) for r in df.collect()
+    }
+
+
+def _global_reference(spark, df, window):
+    # Single-partition global run: the existing operator with no
+    # partition column — one reducer, the semantics ground truth.
+    return sorted_neighborhood_pairs(df, "id", "k", window=window)
+
+
+def test_sn_global_equals_single_partition_numeric(spark):
+    # 120 rows with duplicate and clustered numeric keys; window 3,
+    # 6 buckets → 5 boundaries, each guaranteed to have pairs within
+    # `window` positions straddling it (keys are near-consecutive).
+    rows = [(i, float((i * 7) % 60)) for i in range(120)]
+    df = spark.createDataFrame(rows, "id bigint, k double").repartition(8)
+    ref = _pairset(_global_reference(spark, df, 3))
+    got = _pairset(
+        sorted_neighborhood_pairs_global(df, "id", "k", window=3, num_buckets=6)
+    )
+    assert got == ref
+    assert len(ref) > 0
+
+
+def test_sn_global_equals_single_partition_string_keys(spark):
+    # String blocking keys (the production SN case): fuzzy name-like
+    # keys with shared prefixes so the order-preserving 7-byte-prefix
+    # proxy must keep equal/adjacent keys together.
+    names = [
+        f"{p}{i:03d}"
+        for i in range(40)
+        for p in ("smith", "smyth", "smithe", "jones")
+    ]
+    rows = [(i, n) for i, n in enumerate(sorted(names) + ["", "zz", "zz"])]
+    df = spark.createDataFrame(rows, "id bigint, k string").repartition(5)
+    ref = _pairset(_global_reference(spark, df, 2))
+    got = _pairset(
+        sorted_neighborhood_pairs_global(df, "id", "k", window=2, num_buckets=4)
+    )
+    assert got == ref
+
+
+def test_sn_global_recovers_cross_bucket_pairs(spark):
+    # The point of the boundary pass: with buckets but WITHOUT the
+    # boundary pass, pairs straddling a cut are lost. Prove the global
+    # variant emits pairs whose members land in different buckets.
+    rows = [(i, float(i)) for i in range(40)]
+    df = spark.createDataFrame(rows, "id bigint, k double")
+    got = sorted_neighborhood_pairs_global(df, "id", "k", window=3, num_buckets=4)
+    ref = _global_reference(spark, df, 3)
+    assert _pairset(got) == _pairset(ref)
+    # consecutive keys ⇒ every gap-1..3 pair exists; 4 buckets of ~10
+    # rows each ⇒ boundary pairs like (9,10),(8,10) must be present
+    ids = {(r.id_a, r.id_b) for r in got.collect()}
+    assert (9, 10) in ids and (8, 10) in ids and (9, 12) in ids
+
+
+def test_sn_global_tiny_bucket_two_boundary_pairs(spark):
+    # Tiny-bucket corner: num_buckets large relative to n makes some
+    # buckets smaller than `window`, so a pair can straddle TWO
+    # boundaries; the global-position construction must still emit it.
+    rows = [(i, float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows, "id bigint, k double")
+    ref = _pairset(_global_reference(spark, df, 4))
+    got = _pairset(
+        sorted_neighborhood_pairs_global(df, "id", "k", window=4, num_buckets=8)
+    )
+    assert got == ref
+
+
+def test_sn_global_null_keys_sort_first(spark):
+    rows = [(0, None), (1, None), (2, "a"), (3, "b"), (4, "c")]
+    df = spark.createDataFrame(rows, "id bigint, k string")
+    ref = _pairset(_global_reference(spark, df, 2))
+    got = _pairset(
+        sorted_neighborhood_pairs_global(df, "id", "k", window=2, num_buckets=3)
+    )
+    assert got == ref
+
+
+# -------------------- phash corpus generator (bench-only fixture, r12)
+
+
+def test_phash_corpus_png_bytes_deterministic_and_decodable():
+    """The 10k-image bench corpus must be deterministic (same bytes
+    every run — the bench compares rounds across sessions) and every
+    image decodable by the real phash kernel. Spot-check a base image
+    and its planted near-dup: identical across calls, Hamming ≤ 3
+    between the pair (the 4-band pigeonhole recall contract)."""
+    from parcialbigdata_spark.operators.phash import dhash_bands
+    from parcialbigdata_spark.sources.phash_corpus import _png_bytes
+
+    base = _png_bytes(8, None)
+    assert base == _png_bytes(8, None)
+    dup = _png_bytes(9, 8)
+    assert dup == _png_bytes(9, 8) and dup != base
+    rb = dhash_bands(base)
+    rd = dhash_bands(dup)
+    assert rb is not None and rd is not None
+    (_, _, bb), (_, _, bd) = rb, rd
+    # ≤ 3 keeps the pair inside the 4-band pigeonhole recall contract;
+    # 0 is legal (a smooth-gradient region can darken without flipping
+    # any adjacent-cell comparison — the bytes still differ, which is
+    # exactly the case md5-exact dedup misses and dHash catches).
+    hamming = sum(bin(a ^ b).count("1") for a, b in zip(bb, bd))
+    assert hamming <= 3
+
+
+# -------------------- recover_staged_swap once=True memo (r12)
+
+
+def test_recover_once_memoizes_and_reset_restores(spark):
+    from parcialbigdata_spark.sources.warehouse import (
+        recover_staged_swap,
+        reset_swap_recovery_memo,
+    )
+
+    t = "t12_memo_tbl"
+    reset_swap_recovery_memo(t)
+    try:
+        spark.createDataFrame([(1,)], "x bigint").write.mode(
+            "overwrite"
+        ).saveAsTable(t)
+        assert recover_staged_swap(spark, t, once=True) == "noop"
+        # a stale stage appearing later is NOT touched by a memoized call
+        spark.createDataFrame([(2,)], "x bigint").write.saveAsTable(
+            f"{t}__compact"
+        )
+        assert recover_staged_swap(spark, t, once=True) == "cached_noop"
+        assert spark.catalog.tableExists(f"{t}__compact")
+        # un-memoized call (compactor startup / new session) repairs it
+        reset_swap_recovery_memo(t)
+        assert recover_staged_swap(spark, t, once=True) == "dropped_stage"
+        assert not spark.catalog.tableExists(f"{t}__compact")
+    finally:
+        for suffix in ("", "__old", "__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+        reset_swap_recovery_memo(t)
+
+
+def test_recover_once_memo_is_per_table(spark):
+    from parcialbigdata_spark.sources.warehouse import (
+        recover_staged_swap,
+        reset_swap_recovery_memo,
+    )
+
+    t1, t2 = "t12_memo_a", "t12_memo_b"
+    reset_swap_recovery_memo()
+    try:
+        for t in (t1, t2):
+            spark.createDataFrame([(1,)], "x bigint").write.mode(
+                "overwrite"
+            ).saveAsTable(t)
+        assert recover_staged_swap(spark, t1, once=True) == "noop"
+        # t2 was never recovered — its first once=True call still runs
+        assert recover_staged_swap(spark, t2, once=True) == "noop"
+        assert recover_staged_swap(spark, t2, once=True) == "cached_noop"
+    finally:
+        for t in (t1, t2):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+        reset_swap_recovery_memo()

@@ -1,0 +1,115 @@
+"""sf1 → sf10 scale datapoints for the index-maintenance family
+(VERDICT r11 #5): the heaviest bench entries — the cross-run
+minhash/IVF index stores and their compactions — had sf1 numbers but
+no sf10 slope, and they are the 100 TB-critical ops.
+
+Two kinds of runs:
+
+- **Dedup (minhash) family** — the registry bodies scale with
+  ``sf_dir`` directly (`documents` modulo split), so
+  `dedup_index_probe_documents`, `dedup_index_compact_documents` and
+  `streaming_dedup_index_documents` run as-is at each sf.
+- **IVF family** — the registry bodies pin the planted-cluster
+  FIXTURE (recall attestation), so their wall time never scales; the
+  scale datapoint here runs the OPERATORS over the sf `embeddings`
+  table (20k rows at sf1, 200k at sf10, dim 64): history =
+  vec_id%10 ≤ 7 ingested once, delta %10 == 8 appended twice (replay),
+  compact, probe batch %10 == 9 with k=5, nprobe=2 — the exact shape
+  of `ivf_index_compact_embeddings` at corpus size. The probe also
+  runs standalone (no compaction) as the `ivf_index_probe` datapoint.
+
+Min-of-N (default 2) per (op, sf). Usage:
+
+    python tools/bench_index_scale.py [sf1_dir sf10_dir [n]]
+
+defaults /tmp/sf1 /tmp/sf10 2 (fixtures from tools/gen_scaled_fixture
+at factors 10 / 100 over /root/testdata/sf0.1). Prints one JSON line;
+numbers land in R12_NOTES.md / SCALE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from parcialbigdata_spark.operators import dedup, similarity  # noqa: E402
+from parcialbigdata_spark.queries import QUERIES  # noqa: E402
+from parcialbigdata_spark.session import get_spark  # noqa: E402
+from parcialbigdata_spark.sources.tables import load_table  # noqa: E402
+
+
+def _ivf_run(spark, sf_dir: str, compact: bool) -> int:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    mod = F.col("vec_id") % 10
+    history = emb.filter(mod <= 7)
+    delta = emb.filter(mod == 8)
+    batch = emb.filter(mod == 9)
+    cells_t = "r12_scale_ivf_cells"
+    try:
+        centroids = similarity.ivf_fit_centroids(history, n_centroids=16)
+        similarity.ivf_index_ingest(history, cells_t, centroids)
+        if compact:
+            for _ in range(2):  # replayed append
+                similarity.ivf_index_ingest(delta, cells_t, centroids, append=True)
+            similarity.ivf_index_compact(spark, cells_t)
+        out = similarity.ivf_index_probe(batch, cells_t, centroids, k=5, nprobe=2)
+        return out.count()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {cells_t}__compact")
+
+
+OPS = {
+    "dedup_index_probe": lambda s, d: QUERIES["dedup_index_probe_documents"](s, d).count(),
+    "dedup_index_compact": lambda s, d: QUERIES["dedup_index_compact_documents"](s, d).count(),
+    "streaming_dedup_index": lambda s, d: QUERIES["streaming_dedup_index_documents"](s, d).count(),
+    "ivf_index_probe": lambda s, d: _ivf_run(s, d, compact=False),
+    "ivf_index_compact": lambda s, d: _ivf_run(s, d, compact=True),
+    "streaming_ivf_index": lambda s, d: QUERIES["streaming_ivf_index_embeddings"](s, d).count(),
+}
+# streaming_ivf_index stays fixture-pinned (its harness writes stream
+# files from the clustered fixture) — included as the fixed-cost
+# reference row so the table says so explicitly rather than omitting it.
+
+SFS = {"sf0.1": "/root/testdata/sf0.1"}
+
+
+def main() -> int:
+    sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
+    sf10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
+    n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    SFS["sf1"] = sf1
+    SFS["sf10"] = sf10
+    spark = get_spark("bench-index-scale")
+    from parcialbigdata_spark.sources.warehouse import reset_swap_recovery_memo
+
+    out: dict[str, dict] = {}
+    for op, fn in OPS.items():
+        rec: dict = {}
+        for sf, d in SFS.items():
+            best, rows = float("inf"), None
+            for _ in range(n):
+                reset_swap_recovery_memo()
+                t0 = time.monotonic()
+                rows = fn(spark, d)
+                best = min(best, time.monotonic() - t0)
+                spark.catalog.clearCache()
+            rec[sf] = {"sec": round(best, 2), "rows": rows}
+            print(f"{op} @ {sf}: {rec[sf]}", file=sys.stderr)
+        rec["slope_sf1_sf10"] = round(
+            rec["sf10"]["sec"] / max(rec["sf1"]["sec"], 1e-9), 2
+        )
+        out[op] = rec
+    print(json.dumps(out))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
