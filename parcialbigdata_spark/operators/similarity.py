@@ -186,13 +186,21 @@ def ivf_fit_centroids(
     rng = np.random.default_rng(seed)
     C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
     for _ in range(n_iter):
-        # Assign to nearest centroid by L2; recompute means.
-        d = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # argmin ||x−c||² = argmin (||c||² − 2 x·c) — one GEMM instead
+        # of an n×k×dim broadcast temporary (r12: the explicit
+        # (X−C)² form allocated ~650 MB and cost ~9 s/iter at
+        # n_centroids=126, 45 s of a 50 s "probe" measurement; this is
+        # the same rewrite pq_fit carries, and the SAME metric
+        # expression _centroid_assign_udf scores with, so fit and
+        # serving assignment agree bit-for-bit). Empty clusters keep
+        # their previous centroid, as before.
+        d = (C**2).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         assign = d.argmin(axis=1)
-        for c in range(len(C)):
-            members = X[assign == c]
-            if len(members):
-                C[c] = members.mean(axis=0)
+        counts = np.bincount(assign, minlength=len(C)).astype(np.float64)
+        sums = np.zeros_like(C)
+        np.add.at(sums, assign, X)
+        nonempty = counts > 0
+        C[nonempty] = sums[nonempty] / counts[nonempty, None]
     return C.tolist()
 
 

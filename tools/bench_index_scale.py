@@ -15,16 +15,24 @@ Two kinds of runs:
   table (20k rows at sf1, 200k at sf10, dim 64): history =
   vec_id%10 ≤ 7 ingested once, delta %10 == 8 appended twice (replay),
   compact, probe batch %10 == 9 with k=5, nprobe=2 — the exact shape
-  of `ivf_index_compact_embeddings` at corpus size. The probe also
-  runs standalone (no compaction) as the `ivf_index_probe` datapoint.
+  of `ivf_index_compact_embeddings` at corpus size.
+  **n_centroids scales as √N** (nlist ≈ √N, the standard IVF sizing:
+  per-query candidates ≈ nprobe·N/nlist ≈ nprobe·√N). The first run
+  of this harness kept nlist=16 fixed and measured 72.6 s at sf1 —
+  a 35× slope that is the MISCONFIGURATION signature (linear
+  candidate growth per query × linear queries = quadratic), not the
+  operator's: the index stores any nlist; sizing it is the index
+  definition, exactly like choosing LSH band counts.
 
 Min-of-N (default 2) per (op, sf). Usage:
 
-    python tools/bench_index_scale.py [sf1_dir sf10_dir [n]]
+    python tools/bench_index_scale.py [sf1_dir sf10_dir [n [ops]]]
 
-defaults /tmp/sf1 /tmp/sf10 2 (fixtures from tools/gen_scaled_fixture
-at factors 10 / 100 over /root/testdata/sf0.1). Prints one JSON line;
-numbers land in R12_NOTES.md / SCALE.md.
+defaults /tmp/sf1 /tmp/sf10 2 all-ops (fixtures from
+tools/gen_scaled_fixture at factors 10 / 100 over
+/root/testdata/sf0.1); ``ops`` is a comma-separated OPS-key filter for
+re-running one family. Prints one JSON line; numbers land in
+R12_NOTES.md / SCALE.md.
 """
 
 from __future__ import annotations
@@ -51,8 +59,21 @@ def _ivf_run(spark, sf_dir: str, compact: bool) -> int:
     delta = emb.filter(mod == 8)
     batch = emb.filter(mod == 9)
     cells_t = "r12_scale_ivf_cells"
+    # A killed previous run can leave the warehouse DIRECTORY behind
+    # with no catalog entry (the in-memory catalog died with the
+    # session) — saveAsTable then fails with LOCATION_ALREADY_EXISTS.
+    import shutil
+
+    warehouse_dir = spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).removeprefix("file:")
+    for t in (cells_t, f"{cells_t}__compact"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+        shutil.rmtree(os.path.join(warehouse_dir, t), ignore_errors=True)
     try:
-        centroids = similarity.ivf_fit_centroids(history, n_centroids=16)
+        n_hist = history.count()
+        nlist = max(16, int(n_hist ** 0.5))
+        centroids = similarity.ivf_fit_centroids(history, n_centroids=nlist)
         similarity.ivf_index_ingest(history, cells_t, centroids)
         if compact:
             for _ in range(2):  # replayed append
@@ -84,6 +105,7 @@ def main() -> int:
     sf1 = sys.argv[1] if len(sys.argv) > 1 else "/tmp/sf1"
     sf10 = sys.argv[2] if len(sys.argv) > 2 else "/tmp/sf10"
     n = int(sys.argv[3]) if len(sys.argv) > 3 else 2
+    only = set(sys.argv[4].split(",")) if len(sys.argv) > 4 else set(OPS)
     SFS["sf1"] = sf1
     SFS["sf10"] = sf10
     spark = get_spark("bench-index-scale")
@@ -91,6 +113,8 @@ def main() -> int:
 
     out: dict[str, dict] = {}
     for op, fn in OPS.items():
+        if op not in only:
+            continue
         rec: dict = {}
         for sf, d in SFS.items():
             best, rows = float("inf"), None
