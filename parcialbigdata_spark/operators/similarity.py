@@ -492,15 +492,27 @@ def ivf_index_probe(
     q = batch.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("__qv"),
+        # Norms once per ROW, not per candidate pair (r12): cosine =
+        # dot/(‖a‖·‖b‖) evaluated as three interpreted HOF folds per
+        # pair made the exact path O(3·pairs) lambda folds — at sf10
+        # (16M candidates) the norms alone were two thirds of a
+        # 12-minute probe. Precomputing each side's norm leaves ONE
+        # fold (the dot) per pair; the quotient is the identical
+        # expression tree value, so results — and the DuckDB oracle
+        # parity — are bit-unchanged.
+        V.norm2(F.col(vec_col)).alias("__qn"),
         F.explode(_probe_cells_udf(centroids, nprobe)(F.col(vec_col))).alias(
             "ivf_cell"
         ),
     )
     stored = spark.table(cells_table).select(
-        F.col(id_col).alias("match_id"), F.col(vec_col).alias("__cv"), "ivf_cell"
+        F.col(id_col).alias("match_id"),
+        F.col(vec_col).alias("__cv"),
+        V.norm2(F.col(vec_col)).alias("__cn"),
+        "ivf_cell",
     )
     cos = (
-        V.cosine(F.col("__cv"), F.col("__qv"))
+        V.dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
         if exact
         else _pair_cosine_udf(F.col("__cv"), F.col("__qv"))
     )
