@@ -274,6 +274,8 @@ BENCH_QUERIES = [
     # r11: image perceptual-hash near-dup (fixture-sized — tracks the
     # decode-kernel + banded-join overhead, not data volume)
     "png_near_dup_media",
+    # r12: the audio twin (fixture-sized, same banded-join layer)
+    "wav_near_dup_media",
 ]
 
 

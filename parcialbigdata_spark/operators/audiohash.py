@@ -1,0 +1,145 @@
+"""Audio perceptual-hash (energy-contour aHash) near-duplicate
+detection — the AUDIO member of the multimodal dedup family (r12;
+SURVEY.md §2.10 N5×N2, the WAV twin of ``operators/phash.py``'s image
+dHash). PCM inside a canonical WAV is genuinely decodable with stdlib
+``struct`` — unlike the deliberately-stubbed lossy codecs — so this
+path is REAL end to end, like the PNG pixel pipeline.
+
+The hash: 16-bit PCM samples map onto 65 equal time frames
+(sample i → frame ``(i*65)//n`` — the 1-D analog of the dHash cell
+grid), each frame's energy is the integer sum of absolute sample
+values, and the 64 adjacent-frame comparisons ``energy[m] <
+energy[m+1]`` pack into four 16-bit bands (bit m → band ``m//16``,
+position ``15 − m%16`` — the exact packing the image hash uses, so the
+banded join layer is SHARED). Properties that make it a *perceptual*
+hash: invariant under uniform gain change (scaling every sample scales
+every energy, preserving all comparisons — pinned by test), and stable
+under local edits that move less than a frame's energy ordering, while
+md5-exact dedup sees completely different bytes.
+
+Determinism/oracle discipline: every step is integer-exact and
+SQL-replayable — the committed fixtures (tools/gen_audiohash_fixtures
+.py) are canonical 44-byte-header mono 16-bit WAVs whose samples a
+DuckDB oracle reads straight out of the blob hex (little-endian
+two's-complement reassembly) and replays through identical arithmetic.
+
+Scale design: 8 bytes of hash state per clip; decode is
+embarrassingly parallel ``mapInPandas`` (payload bytes never leave the
+executor). Candidate generation REUSES :func:`phash.dhash_near_dups`
+verbatim — band equality join, pigeonhole-complete at Hamming ≤ 3,
+per-band ``bit_count`` verification, never an all-pairs product.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from parcialbigdata_spark.operators.phash import dhash_near_dups
+
+N_FRAMES = 65  # 64 adjacent-energy comparisons = 4 × 16-bit bands
+N_BANDS = 4
+
+AHASH_SCHEMA = (
+    "file_name string, n_samples bigint, "
+    "b0 int, b1 int, b2 int, b3 int, ahash_hex string"
+)
+
+
+def _decode_wav_pcm16(b: bytes):
+    """bytes -> list of channel-0 16-bit samples, or None when not an
+    uncompressed 16-bit PCM WAV (the guard: wrong magic, non-PCM
+    format tag, non-16-bit width, or fewer samples than frames)."""
+    import struct
+
+    if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        ctype = b[pos:pos + 4]
+        (ln,) = struct.unpack("<I", b[pos + 4:pos + 8])
+        body = b[pos + 8:pos + 8 + ln]
+        if ctype == b"fmt " and ln >= 16:
+            fmt = struct.unpack("<HHIIHH", body[:16])
+        elif ctype == b"data":
+            data = body
+        pos += 8 + ln + (ln & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        return None
+    audio_format, channels, _, _, _, bits = fmt
+    if audio_format != 1 or bits != 16 or channels < 1:
+        return None
+    stride = 2 * channels
+    n = len(data) // stride
+    if n < N_FRAMES:
+        return None
+    return [
+        struct.unpack_from("<h", data, i * stride)[0] for i in range(n)
+    ]
+
+
+def wav_ahash_bands(b: bytes):
+    """bytes -> (n_samples, [b0..b3]) or None. The exact integer
+    pipeline the DuckDB oracle replays: frame f = (i*65)//n, energy =
+    sum(abs(sample)), bit m = energy[m] < energy[m+1], band m//16
+    collects bit << (15 − m%16)."""
+    samples = _decode_wav_pcm16(b)
+    if samples is None:
+        return None
+    n = len(samples)
+    energy = [0] * N_FRAMES
+    for i, s in enumerate(samples):
+        energy[(i * N_FRAMES) // n] += s if s >= 0 else -s
+    bands = [0] * N_BANDS
+    for m in range(N_FRAMES - 1):
+        if energy[m] < energy[m + 1]:
+            bands[m // 16] |= 1 << (15 - (m % 16))
+    return n, bands
+
+
+def _ahash_batches(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    def one(name: str, content: bytes) -> dict:
+        r = wav_ahash_bands(bytes(content))
+        if r is None:
+            return {
+                "file_name": name, "n_samples": None,
+                "b0": None, "b1": None, "b2": None, "b3": None,
+                "ahash_hex": None,
+            }
+        n, bands = r
+        return {
+            "file_name": name, "n_samples": n,
+            "b0": bands[0], "b1": bands[1], "b2": bands[2], "b3": bands[3],
+            "ahash_hex": "".join(f"{v:04x}" for v in bands),
+        }
+
+    for pdf in batches:
+        yield pd.DataFrame(
+            [one(n, c) for n, c in zip(pdf["file_name"], pdf["content"])]
+        )
+
+
+def wav_ahash(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) -> one aHash row per DECODABLE 16-bit
+    PCM WAV (non-PCM, non-16-bit, or clips shorter than 65 samples
+    return NULL bands and are filtered — a clip with no 65-frame
+    contour has no hash, like the sub-grid image guard).
+    Arrow-batched ``mapInPandas``; payloads never leave the
+    executor."""
+    out = df.select("file_name", "content").mapInPandas(
+        _ahash_batches, AHASH_SCHEMA
+    )
+    return out.filter(F.col("b0").isNotNull())
+
+
+def ahash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming near-dup pairs over :func:`wav_ahash` output —
+    literally :func:`phash.dhash_near_dups` (the hash layer differs;
+    the candidate/verify layer is shared): band equality candidates,
+    pigeonhole-complete at Hamming ≤ 3 over four bands, exact Hamming
+    as the sum of per-band bit_count XORs."""
+    return dhash_near_dups(hashes, max_hamming=max_hamming)

@@ -2118,6 +2118,148 @@ def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_AHASH_DIR = "/root/repo/tests/fixtures/audiohash"
+
+# Shared oracle CTE chain: replay the ENTIRE audio aHash pipeline in
+# SQL on the canonical-layout WAV fixtures — anchor the 44-byte header
+# (RIFF + 16-byte fmt + data; every anchor is a WHERE guard, so a blob
+# with any other layout is DROPPED and the row-count compare fails
+# loudly — the phash-IDAT discipline), reassemble little-endian
+# two's-complement 16-bit samples from the blob hex, frame energies
+# (sample i → frame (i*65)//n, energy = Σ|s|), 64 adjacent-frame
+# comparison bits, four 16-bit band ints. Identical integer arithmetic
+# to operators/audiohash.py wav_ahash_bands.
+_AHASH_HASHES_SQL = f"""
+    b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             hex(content) AS h
+      FROM read_blob('{_AHASH_DIR}/*.wav')
+      WHERE substr(hex(content), 1, 8) = '52494646'
+        AND substr(hex(content), 17, 8) = '57415645'
+        AND substr(hex(content), 25, 8) = '666D7420'
+        AND substr(hex(content), 33, 8) = '10000000'
+        AND substr(hex(content), 41, 4) = '0100'
+        AND substr(hex(content), 45, 4) = '0100'
+        AND substr(hex(content), 69, 4) = '1000'
+        AND substr(hex(content), 73, 8) = '64617461'
+    ),
+    hdr AS (
+      SELECT file_name, h,
+             (('0x' || substr(h, 81, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 83, 2))::BIGINT
+              + 65536 * ('0x' || substr(h, 85, 2))::BIGINT
+              + 16777216 * ('0x' || substr(h, 87, 2))::BIGINT) // 2 AS n
+      FROM b
+    ),
+    ok AS (SELECT * FROM hdr WHERE n >= 65),
+    raw AS (
+      SELECT o.file_name, o.n, i.i,
+             ('0x' || substr(o.h, 89 + 4 * i.i, 2))::BIGINT
+             + 256 * ('0x' || substr(o.h, 91 + 4 * i.i, 2))::BIGINT AS u
+      FROM ok o, range(16384) i(i)
+      WHERE i.i < o.n
+    ),
+    smp AS (
+      SELECT file_name, n, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM raw
+    ),
+    frames AS (
+      SELECT file_name, MIN(n) AS n, (i * 65) // n AS f,
+             SUM(ABS(s)) AS e
+      FROM smp GROUP BY file_name, (i * 65) // n
+    ),
+    abits AS (
+      SELECT f1.file_name, MIN(f1.n) AS n, f1.f AS m,
+             CASE WHEN MIN(f1.e) < MIN(f2.e) THEN 1 ELSE 0 END AS bit
+      FROM frames f1 JOIN frames f2
+        ON f1.file_name = f2.file_name AND f2.f = f1.f + 1
+      GROUP BY f1.file_name, f1.f
+    ),
+    abands AS (
+      SELECT file_name, MIN(n) AS n, m // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (15 - (m % 16)))) AS INT) AS band_val
+      FROM abits GROUP BY file_name, m // 16
+    ),
+    ahashes AS (
+      SELECT file_name, MIN(n) AS n,
+             CAST(MAX(CASE WHEN band_idx = 0 THEN band_val END) AS INT) AS b0,
+             CAST(MAX(CASE WHEN band_idx = 1 THEN band_val END) AS INT) AS b1,
+             CAST(MAX(CASE WHEN band_idx = 2 THEN band_val END) AS INT) AS b2,
+             CAST(MAX(CASE WHEN band_idx = 3 THEN band_val END) AS INT) AS b3
+      FROM abands GROUP BY file_name
+    )
+"""
+
+
+@query(
+    "wav_ahash_media",
+    f"""
+    WITH {_AHASH_HASHES_SQL}
+    SELECT file_name, n AS n_samples,
+           printf('%04x%04x%04x%04x', b0, b1, b2, b3) AS ahash_hex
+    FROM ahashes
+    """,
+)
+def wav_ahash_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio perceptual hash per committed WAV fixture
+    (operators/audiohash.py ``wav_ahash``) — REAL PCM decoding end to
+    end (r12, the audio twin of ``png_dhash_media``): RIFF chunk walk,
+    16-bit little-endian two's-complement samples, 65-frame integer
+    energy contour, 64 adjacent-frame comparison bits as four 16-bit
+    bands. The DuckDB oracle replays the WHOLE pipeline in SQL from
+    the blob hex (tools/gen_audiohash_fixtures.py documents and
+    anchors the canonical 44-byte layout; the gain-invariance pytest
+    pins the perceptual property — a uniformly rescaled clip hashes
+    identically). The sub-contour guard (short_d.wav, 40 samples)
+    drops on both engines."""
+    from parcialbigdata_spark.operators.audiohash import wav_ahash
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _AHASH_DIR, glob="*.wav")
+    return wav_ahash(raw).select(
+        "file_name", "n_samples", "ahash_hex"
+    ).orderBy("file_name")
+
+
+@query(
+    "wav_near_dup_media",
+    f"""
+    WITH {_AHASH_HASHES_SQL}
+    SELECT a.file_name AS file_a, b.file_name AS file_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              AS INT) AS hamming
+    FROM ahashes a JOIN ahashes b ON a.file_name < b.file_name
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    """,
+)
+def wav_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-duplicate pairs by banded perceptual-hash join
+    (operators/audiohash.py ``ahash_near_dups`` — literally the image
+    family's ``dhash_near_dups``: the hash layer differs, the
+    candidate/verify layer is shared). The fixtures plant two
+    byte-DIFFERENT but perceptually-near pairs (a re-amplified tone
+    segment and an attenuated sweep segment, both at Hamming 1,
+    build-time verified) plus a noise clip > 50 bits from everything
+    — md5-exact dedup sees five unrelated files. Candidates from
+    16-bit band equality, pigeonhole-COMPLETE at Hamming ≤ 3, so the
+    exhaustive all-pairs oracle must agree exactly. Never an
+    all-pairs product at scale — same banding discipline as
+    simhash/minhash/phash."""
+    from parcialbigdata_spark.operators.audiohash import (
+        ahash_near_dups,
+        wav_ahash,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _AHASH_DIR, glob="*.wav")
+    return ahash_near_dups(wav_ahash(raw), max_hamming=3).select(
+        "file_a", "file_b", F.col("hamming").cast("int").alias("hamming")
+    )
+
+
 @query(
     "binary_media_inventory",
     f"""
@@ -12825,7 +12967,10 @@ _DRIVER_WINDOW = [
     # seasonal in-window — for png_near_dup_media (banded perceptual-
     # hash near-dup pairs, r11-new, exhaustive all-pairs oracle);
     # stays CI-green.)
-    "png_near_dup_media",
+    # (png_near_dup_media rotated out in r12b — driver-proven r11; the
+    # shared banded-Hamming layer stays in-window via the debuting
+    # audio twin wav_near_dup_media below; stays CI-green.)
+    "wav_near_dup_media",
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -12978,7 +13123,13 @@ _DRIVER_WINDOW = [
     # r8b lake-maintenance family compaction_plan_documents
     # (next-fit-decreasing bin packing over the file manifest), never
     # driver-checked; stays CI-green.)
-    "compaction_plan_documents",
+    # (compaction_plan_documents rotated out in r12b — driver-proven
+    # r8b-r11; the lake-maintenance surface keeps the index-compaction
+    # entries in-window — for wav_ahash_media (REAL PCM decode +
+    # 65-frame energy-contour perceptual hash, r12-new, full SQL
+    # sample-replay oracle — the debut-round precedent); stays
+    # CI-green.)
+    "wav_ahash_media",
     # (knn_join_embeddings rotated out in r7b — driver-proven green
     # since r3; the embedding family keeps FOUR reps in-window — for
     # the new r7 MDM-survivorship family golden_record_documents

@@ -132,6 +132,93 @@ def test_phash_corpus_png_bytes_deterministic_and_decodable():
     assert hamming <= 3
 
 
+# -------------------- audio perceptual hash (aHash, r12)
+
+
+def _wav_bytes(samples, channels=1, rate=8000):
+    import io
+    import struct
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in samples))
+    return buf.getvalue()
+
+
+def test_wav_ahash_gain_invariance_and_guards():
+    """The perceptual property: a uniformly rescaled clip (volume
+    change — every energy scales by the same factor, preserving all
+    adjacent-frame comparisons) hashes IDENTICALLY even though every
+    byte of PCM differs; clips below 65 samples, 8-bit, and non-PCM
+    blobs are excluded."""
+    from parcialbigdata_spark.operators.audiohash import wav_ahash_bands
+
+    base = [((i * 37) % 200 - 100) * ((i // 126) % 5 + 1) for i in range(820)]
+    louder = [s * 2 for s in base]
+    rb, rl = wav_ahash_bands(_wav_bytes(base)), wav_ahash_bands(_wav_bytes(louder))
+    assert rb is not None and rl is not None
+    assert rb[1] == rl[1]  # same bands despite byte-different PCM
+    assert wav_ahash_bands(_wav_bytes([5] * 64)) is None  # < 65 samples
+    assert wav_ahash_bands(b"RIFFxxxxWAVE") is None
+    assert wav_ahash_bands(b"\x00" * 100) is None
+
+
+def test_wav_ahash_stereo_uses_channel_zero():
+    """Stereo clips hash by channel 0 — interleaving a silent right
+    channel must not change the hash."""
+    import struct
+
+    from parcialbigdata_spark.operators.audiohash import wav_ahash_bands
+
+    mono = [((i * 53) % 400 - 200) * ((i // 130) % 3 + 1) for i in range(780)]
+    stereo = []
+    for s in mono:
+        stereo.extend((s, 0))
+    # build the stereo file manually (wave module interleaves frames)
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(2)
+        w.setsampwidth(2)
+        w.setframerate(8000)
+        w.writeframes(b"".join(struct.pack("<h", s) for s in stereo))
+    rm = wav_ahash_bands(_wav_bytes(mono))
+    rs = wav_ahash_bands(buf.getvalue())
+    assert rm is not None and rs is not None
+    assert rm[1] == rs[1] and rm[0] == rs[0]
+
+
+def test_wav_near_dup_fixture_pairs(spark):
+    """The committed fixtures' planted pairs (tone, sweep) are found at
+    Hamming ≤ 3 by the banded join, nothing else pairs, and the
+    band-equality candidates are pigeonhole-complete (the exhaustive
+    check IS the registered oracle; here we pin the pair set)."""
+    from parcialbigdata_spark.operators.audiohash import (
+        ahash_near_dups,
+        wav_ahash,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/audiohash", glob="*.wav")
+    hashes = wav_ahash(raw)
+    assert hashes.count() == 5  # short_d guarded out
+    pairs = {
+        (r.file_a, r.file_b): r.hamming
+        for r in ahash_near_dups(hashes).collect()
+    }
+    assert set(pairs) == {
+        ("tone_a.wav", "tone_a_dup.wav"),
+        ("sweep_b.wav", "sweep_b_dup.wav"),
+    }
+    assert all(h <= 3 for h in pairs.values())
+
+
 # -------------------- recover_staged_swap once=True memo (r12)
 
 
