@@ -274,8 +274,11 @@ BENCH_QUERIES = [
     # r11: image perceptual-hash near-dup (fixture-sized — tracks the
     # decode-kernel + banded-join overhead, not data volume)
     "png_near_dup_media",
-    # r12: the audio twin (fixture-sized, same banded-join layer)
+    # r12: the audio twin (fixture-sized, same banded-join layer) and
+    # the cross-run perceptual-hash index lifecycle (ingest → probe →
+    # replayed append → crash-recoverable compact → probe)
     "wav_near_dup_media",
+    "phash_index_probe_media",
 ]
 
 

@@ -260,3 +260,125 @@ def dhash_near_dups(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+# -------------------------------- cross-run perceptual-hash index (r12)
+#
+# The media completion of the index-maintenance matrix (minhash bands /
+# IVF cells → now perceptual-hash bands): the historical corpus's
+# hashes persist as ONE table bucketed on a 64-bit band key — no
+# separate verification-sets table, because the verification state IS
+# the 8-byte hash riding every band row — and each arriving media
+# batch is decoded once, its band rows joined against the stored
+# layout (only the BATCH side shuffles), candidates verified by exact
+# per-band bit_count Hamming, then appended. Modality-agnostic: any
+# hash relation with (file_name, b0..b3) works, so the image dHash and
+# audio aHash share it.
+
+
+def _band_rows(hashes: DataFrame):
+    cols = ["file_name", "b0", "b1", "b2", "b3"]
+    return hashes.select(
+        *cols,
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.col(f"b{i}").alias("band_val"),
+                    )
+                    for i in range(N_BANDS)
+                ]
+            )
+        ).alias("c"),
+    ).select(
+        *cols,
+        # Single 64-bit join/bucket key (the minhash band_hash
+        # discipline): bucketBy one column, join one column; a hash
+        # collision can only ADD a candidate, which the exact Hamming
+        # verify below discards.
+        F.xxhash64("c.band_idx", "c.band_val").alias("band_hash"),
+    )
+
+
+def phash_index_ingest(
+    hashes: DataFrame,
+    bands_table: str,
+    num_buckets: int = 8,
+    append: bool = False,
+) -> None:
+    """Persist a media batch's perceptual hashes into the banded index
+    table (bucketed on ``band_hash``). Decode happens ONCE per file
+    ever — the index stores 4 band rows × ~50 bytes per file, so at
+    100 TB of media the index is GB-sized and only the arriving
+    batch's rows shuffle on append."""
+    from parcialbigdata_spark.sources.warehouse import write_bucketed
+
+    write_bucketed(
+        _band_rows(hashes),
+        bands_table,
+        "band_hash",
+        num_buckets=num_buckets,
+        mode="append" if append else "overwrite",
+    )
+
+
+def phash_index_probe(
+    batch_hashes: DataFrame,
+    bands_table: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs (new_file, old_file, hamming) between a NEW media
+    batch's hashes and the persisted index — without re-decoding any
+    historical media. Pigeonhole-complete at ``max_hamming ≤ 3``: a
+    pair within 3 bits shares at least one of four bands, hence one
+    band_hash. Startup recovery for an interrupted compaction swap is
+    memoized per session (``recover_staged_swap(once=True)``)."""
+    if max_hamming > N_BANDS - 1:
+        raise ValueError(
+            f"phash_index_probe: banded candidates are only complete for "
+            f"max_hamming <= {N_BANDS - 1}; got {max_hamming}."
+        )
+    from parcialbigdata_spark.sources.warehouse import recover_staged_swap
+
+    spark = batch_hashes.sparkSession
+    recover_staged_swap(spark, bands_table, once=True)
+    probe = _band_rows(batch_hashes).withColumnRenamed("file_name", "new_file")
+    stored = spark.table(bands_table).select(
+        F.col("file_name").alias("old_file"),
+        *[F.col(f"b{i}").alias(f"ob{i}") for i in range(N_BANDS)],
+        "band_hash",
+    )
+    ham = sum(
+        F.bit_count(F.col(f"b{i}").bitwiseXOR(F.col(f"ob{i}")).cast("int"))
+        for i in range(N_BANDS)
+    )
+    return (
+        probe.join(stored, "band_hash")
+        .filter(F.col("new_file") != F.col("old_file"))
+        .select("new_file", "old_file", ham.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def phash_index_compact(
+    spark,
+    bands_table: str,
+    num_buckets: int = 8,
+) -> None:
+    """Collapse duplicate band rows left by at-least-once replayed
+    appends (duplicates multiply probe candidate rows; the distinct
+    output is byte-identical because hashing is deterministic) into a
+    staged same-layout rewrite + the crash-recoverable catalog swap
+    shared with the minhash/IVF compactions."""
+    from parcialbigdata_spark.sources.warehouse import (
+        swap_staged_table,
+        write_bucketed,
+    )
+
+    rows = spark.table(bands_table).distinct()
+    write_bucketed(
+        rows, f"{bands_table}__compact", "band_hash", num_buckets=num_buckets
+    )
+    swap_staged_table(spark, bands_table)

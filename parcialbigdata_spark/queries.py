@@ -2118,6 +2118,74 @@ def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "phash_index_probe_media",
+    f"""
+    WITH {_PHASH_HASHES_SQL},
+    ham AS (
+      SELECT n.file_name AS new_file, o.file_name AS old_file,
+             CAST(bit_count(xor(n.b0, o.b0)) + bit_count(xor(n.b1, o.b1))
+                + bit_count(xor(n.b2, o.b2)) + bit_count(xor(n.b3, o.b3))
+                AS INT) AS hamming
+      FROM hashes n JOIN hashes o ON n.file_name <> o.file_name
+      WHERE n.file_name LIKE '%\\_dup.png' ESCAPE '\\'
+    )
+    SELECT 1 AS phase, new_file, old_file, hamming FROM ham
+    WHERE old_file NOT LIKE '%\\_dup.png' ESCAPE '\\' AND hamming <= 3
+    UNION ALL
+    SELECT 2 AS phase, new_file, old_file, hamming FROM ham
+    WHERE hamming <= 3
+    """,
+)
+def phash_index_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-RUN perceptual-hash index maintenance (operators/phash.py
+    ``phash_index_ingest``/``probe``/``compact`` — r12, the MEDIA
+    completion of the index-maintenance matrix beside the minhash and
+    IVF stores): historical media is decoded ONCE and its hashes
+    persist as one table bucketed on a 64-bit band key (no separate
+    verification table — the 8-byte hash rides every band row); an
+    arriving batch's band rows join the stored layout (batch side only
+    shuffles), candidates verify by exact per-band bit_count Hamming,
+    and the batch appends. The fixture replays the full lifecycle:
+    ingest the four original images, probe the two *_dup images
+    (phase 1 — each finds its original, Hamming ≤ 3,
+    pigeonhole-complete banding), append the batch TWICE (a recovered
+    foreachBatch retry), compact (distinct + the crash-recoverable
+    swap shared with the minhash/IVF compactors), and probe again
+    (phase 2 — now against history ∪ batch). The oracle recomputes
+    both phases from the full SQL pixel-replay hashes. The operator is
+    modality-agnostic — the audio aHash relation probes the same index
+    shape (tests/test_round12_ops.py)."""
+    from parcialbigdata_spark.operators.phash import (
+        phash_index_compact,
+        phash_index_ingest,
+        phash_index_probe,
+        png_dhash,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _PHASH_DIR, glob="*.png")
+    hashes = png_dhash(raw)
+    is_dup = F.col("file_name").endswith("_dup.png")
+    history, batch = hashes.filter(~is_dup), hashes.filter(is_dup)
+    bands_t = "r12_phash_idx_bands"
+    try:
+        phash_index_ingest(history, bands_t)
+        p1 = phash_index_probe(batch, bands_t).withColumn("phase", F.lit(1))
+        rows1 = p1.collect()
+        for _ in range(2):  # the second append IS the replay
+            phash_index_ingest(batch, bands_t, append=True)
+        phash_index_compact(spark, bands_t)
+        p2 = phash_index_probe(batch, bands_t).withColumn("phase", F.lit(2))
+        rows2 = p2.collect()
+        return spark.createDataFrame(rows1 + rows2, p2.schema).select(
+            "phase", "new_file", "old_file", F.col("hamming").cast("int").alias("hamming")
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
+
+
 _AHASH_DIR = "/root/repo/tests/fixtures/audiohash"
 
 # Shared oracle CTE chain: replay the ENTIRE audio aHash pipeline in
@@ -13135,7 +13203,12 @@ _DRIVER_WINDOW = [
     # the new r7 MDM-survivorship family golden_record_documents
     # (rule-based consolidation over the dedup_clusters clustering),
     # never driver-checked; stays CI-green.)
-    "golden_record_documents",
+    # (golden_record_documents rotated out in r12b — driver-proven
+    # r7b-r11 — for phash_index_probe_media (cross-run perceptual-hash
+    # index: ingest → probe → replayed append → crash-recoverable
+    # compact → probe, the media completion of the index-maintenance
+    # matrix, r12-new — debut-round precedent); stays CI-green.)
+    "phash_index_probe_media",
     # (semantic_dedup_embeddings rotated out in r11 — driver-proven
     # r3-r10; embedding near-dup keeps embedding_centroids in-window —
     # for ivf_topk_embeddings (one-shot IVF ANN, oldest never-checked

@@ -219,6 +219,85 @@ def test_wav_near_dup_fixture_pairs(spark):
     assert all(h <= 3 for h in pairs.values())
 
 
+# -------------------- cross-run perceptual-hash index (r12)
+
+
+def test_phash_index_is_modality_agnostic_audio(spark):
+    """The banded hash index stores any (file_name, b0..b3) relation:
+    ingest the audio fixtures' aHashes as history, probe the two dup
+    clips, find exactly their planted partners."""
+    from parcialbigdata_spark.operators.audiohash import wav_ahash
+    from parcialbigdata_spark.operators.phash import (
+        phash_index_ingest,
+        phash_index_probe,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+    from parcialbigdata_spark.sources.warehouse import reset_swap_recovery_memo
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/audiohash", glob="*.wav")
+    hashes = wav_ahash(raw)
+    is_dup = hashes.file_name.endswith("_dup.wav")
+    t = "t12_ahash_idx"
+    reset_swap_recovery_memo(t)
+    try:
+        phash_index_ingest(hashes.filter(~is_dup), t)
+        pairs = {
+            (r.new_file, r.old_file)
+            for r in phash_index_probe(hashes.filter(is_dup), t).collect()
+        }
+        assert pairs == {
+            ("tone_a_dup.wav", "tone_a.wav"),
+            ("sweep_b_dup.wav", "sweep_b.wav"),
+        }
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_phash_index_probe_recovers_crashed_compaction(spark):
+    """A compaction that crashed between the two swap renames leaves no
+    live table; the next session's first probe must roll forward to the
+    compacted stage and answer without duplicate candidates."""
+    from parcialbigdata_spark.operators.phash import (
+        _band_rows,
+        phash_index_ingest,
+        phash_index_probe,
+        png_dhash,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+    from parcialbigdata_spark.sources.warehouse import (
+        reset_swap_recovery_memo,
+        write_bucketed,
+    )
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/phash", glob="*.png")
+    hashes = png_dhash(raw)
+    is_dup = hashes.file_name.endswith("_dup.png")
+    t = "t12_phash_idx_crash"
+    reset_swap_recovery_memo(t)
+    try:
+        phash_index_ingest(hashes.filter(~is_dup), t)
+        phash_index_ingest(hashes.filter(~is_dup), t, append=True)  # replay
+        write_bucketed(spark.table(t).distinct(), f"{t}__compact", "band_hash")
+        spark.sql(f"ALTER TABLE {t} RENAME TO {t}__old")  # crash mid-swap
+        assert not spark.catalog.tableExists(t)
+        reset_swap_recovery_memo(t)  # fresh-session probe
+        pairs = [
+            (r.new_file, r.old_file)
+            for r in phash_index_probe(hashes.filter(is_dup), t).collect()
+        ]
+        assert sorted(pairs) == [
+            ("checker_b_dup.png", "checker_b.png"),
+            ("grad_a_dup.png", "grad_a.png"),
+        ]
+        assert not spark.catalog.tableExists(f"{t}__old")
+        assert spark.table(t).count() == _band_rows(
+            hashes.filter(~is_dup)
+        ).count()  # rolled forward to the DEDUPLICATED stage
+    finally:
+        for suffix in ("", "__old", "__compact"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}{suffix}")
+
+
 # -------------------- recover_staged_swap once=True memo (r12)
 
 
