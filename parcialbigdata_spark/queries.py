@@ -2118,6 +2118,95 @@ def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_JPEG_DIR = "/root/repo/tests/fixtures/jpeg"
+
+_JPEG_ORACLE = f"""
+    WITH RECURSIVE b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_JPEG_DIR}/*')
+      WHERE substr(hex(content), 1, 4) = 'FFD8'
+    ),
+    -- Marker-segment walk (ITU-T T.81 §B): pos = 0-indexed offset of
+    -- the next marker; each step consumes one length'd segment and
+    -- stops after SOS (code 218 = 0xDA), exactly like the kernel. The
+    -- committed fixtures carry no standalone RST/TEM markers between
+    -- header segments; one appearing (regenerated fixtures) stalls the
+    -- walk and the row-count compare fails loudly.
+    walk(file_name, length, h, pos, code, seg_pos, seg_len) AS (
+      SELECT file_name, length, h, 2, CAST(NULL AS INT), 0, 0 FROM b
+      UNION ALL
+      SELECT file_name, length, h,
+             CAST(pos + 2 + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT AS INT),
+             ('0x' || substr(h, (pos+1)*2 + 1, 2))::INT,
+             pos,
+             ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT
+      FROM walk
+      WHERE (code IS NULL OR code <> 218)
+        AND pos + 4 <= length
+        AND substr(h, pos*2 + 1, 2) = 'FF'
+        AND pos + 2 + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT <= length
+    ),
+    segs AS (SELECT * FROM walk WHERE code IS NOT NULL),
+    sof AS (
+      SELECT file_name,
+             CAST(('0x' || substr(h, (seg_pos+4)*2 + 1, 2))::INT AS INT)
+               AS precision,
+             CAST(('0x' || substr(h, (seg_pos+5)*2 + 1, 4))::INT AS INT)
+               AS height,
+             CAST(('0x' || substr(h, (seg_pos+7)*2 + 1, 4))::INT AS INT)
+               AS width,
+             CAST(('0x' || substr(h, (seg_pos+9)*2 + 1, 2))::INT AS INT)
+               AS n_components,
+             code = 194 AS progressive
+      FROM segs WHERE code IN (192, 194)
+    ),
+    agg AS (
+      SELECT file_name,
+             CAST(SUM(CASE WHEN code = 219 THEN 1 ELSE 0 END) AS INT)
+               AS n_quant_tables,
+             CAST(SUM(CASE WHEN code = 196 THEN 1 ELSE 0 END) AS INT)
+               AS n_huffman_tables,
+             coalesce(string_agg(
+               CASE WHEN code BETWEEN 224 AND 239
+                    THEN 'APP' || CAST(code - 224 AS VARCHAR) END,
+               ',' ORDER BY seg_pos), '') AS app_markers,
+             bool_or(code IN (192, 194)) AS saw_sof,
+             bool_or(code = 218) AS saw_sos
+      FROM segs GROUP BY file_name
+    )
+    SELECT b.file_name, b.length, s.width, s.height, s.precision,
+           s.n_components, a.n_quant_tables, a.n_huffman_tables,
+           a.app_markers, s.progressive,
+           (a.saw_sof AND a.saw_sos
+            AND substr(b.h, b.length*2 - 3, 4) = 'FFD9') AS structure_ok
+    FROM b
+    LEFT JOIN sof s ON b.file_name = s.file_name
+    LEFT JOIN agg a ON b.file_name = a.file_name
+"""
+
+
+@query("jpeg_header_media", _JPEG_ORACLE)
+def jpeg_header_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL JPEG container decoding (r12 — completing the per-format
+    N5 set beside PNG chunk walks, WAV RIFF walks, and ISO-BMFF box
+    walks): marker-segment walk per ITU-T T.81 §B — SOF0/SOF2 frame
+    header (dimensions, precision, component count, progressive flag),
+    DQT/DHT table counts, APPn inventory (JFIF/Exif), and a structural
+    check (clean walk + SOF + SOS + trailing EOI; the truncated
+    fixture fails it, the non-JPEG blob is excluded by magic on both
+    engines). Entropy-coded data after SOS is deliberately NOT decoded
+    — that is the gated ``real_decode`` stub's job — because the
+    header walk is what a 100 TB media-ingest pipeline runs on every
+    blob: schema extraction, corrupt-file quarantine, and dimension
+    filters, all without a codec. The oracle's recursive CTE replays
+    the walk from the blob hex."""
+    from parcialbigdata_spark.sources.binary import parse_jpeg, read_binary_dir
+
+    raw = read_binary_dir(spark, _JPEG_DIR)
+    return parse_jpeg(raw).orderBy("file_name")
+
+
 @query(
     "phash_index_probe_media",
     f"""
@@ -13267,7 +13356,12 @@ _DRIVER_WINDOW = [
     # with recursive-CTE oracles; stays CI-green.)
     # (png_header_media rotated out in r12 — first-time green r11; N5 keeps png_near_dup + mp4_box in-window; stays CI-green.)
     # (wav_header_media rotated out in r12 — first-time green r11; N5 keeps png_near_dup + mp4_box in-window; stays CI-green.)
-    "mp4_box_media",
+    # (mp4_box_media rotated out in r12b — driver-proven r11; the
+    # container-walk family is represented by the debuting JPEG
+    # marker-segment walk below (T.81 SOF/DQT/DHT/APPn parse,
+    # recursive-CTE oracle — completing PNG/WAV/MP4/JPEG); stays
+    # CI-green.)
+    "jpeg_header_media",
     # streaming
     # (streaming_hourly_events rotated out in r8b — driver-proven
     # green since r2; E4's watermark+window surface stays in-window

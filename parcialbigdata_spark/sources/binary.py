@@ -347,3 +347,94 @@ def parse_mp4(df: DataFrame) -> DataFrame:
     brands, top-level box walk (largesize/to-end forms included), mdat
     payload size, exact-tiling structural check."""
     return df.select("file_name", "content").mapInPandas(_parse_mp4_batches, MP4_SCHEMA)
+
+
+JPEG_SCHEMA = (
+    "file_name string, length bigint, width int, height int, "
+    "precision int, n_components int, n_quant_tables int, "
+    "n_huffman_tables int, app_markers string, progressive boolean, "
+    "structure_ok boolean"
+)
+
+# Standalone markers with no length field (ITU-T T.81 §B.1.1.3):
+# SOI/EOI, TEM, RST0-7.
+_JPEG_STANDALONE = {0xD8, 0xD9, 0x01} | set(range(0xD0, 0xD8))
+
+
+def _parse_jpeg_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: REAL JPEG marker-segment walk (ITU-T T.81
+    §B) — SOI, big-endian length'd segments up to SOS, SOF0/SOF2 frame
+    header fields, DQT/DHT counts, APPn inventory, trailing-EOI
+    structural check. Entropy-coded data after SOS is NOT decoded —
+    that is the honest ``real_decode`` stub's job; the header walk is
+    what a 100 TB media-ingest pipeline runs on every blob."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> dict:
+        row = {
+            "file_name": name, "length": len(b), "width": None,
+            "height": None, "precision": None, "n_components": None,
+            "n_quant_tables": 0, "n_huffman_tables": 0,
+            "app_markers": "", "progressive": False, "structure_ok": False,
+        }
+        if len(b) < 4 or b[:2] != b"\xff\xd8":
+            return None
+        pos, apps, saw_sof, saw_sos, ok = 2, [], False, False, True
+        while pos + 2 <= len(b):
+            if b[pos] != 0xFF:
+                ok = False
+                break
+            code = b[pos + 1]
+            if code in _JPEG_STANDALONE:
+                pos += 2
+                continue
+            if pos + 4 > len(b):
+                ok = False
+                break
+            (ln,) = struct.unpack(">H", b[pos + 2:pos + 4])
+            if ln < 2 or pos + 2 + ln > len(b):
+                ok = False
+                break
+            payload = b[pos + 4:pos + 2 + ln]
+            if code in (0xC0, 0xC2) and len(payload) >= 6:
+                saw_sof = True
+                row["progressive"] = code == 0xC2
+                row["precision"] = payload[0]
+                row["height"], row["width"] = struct.unpack(">HH", payload[1:5])
+                row["n_components"] = payload[5]
+            elif code == 0xDB:
+                row["n_quant_tables"] += 1
+            elif code == 0xC4:
+                row["n_huffman_tables"] += 1
+            elif 0xE0 <= code <= 0xEF:
+                apps.append(f"APP{code - 0xE0}")
+            pos += 2 + ln
+            if code == 0xDA:  # SOS: entropy data follows — stop walking
+                saw_sos = True
+                break
+        row["app_markers"] = ",".join(apps)
+        row["structure_ok"] = (
+            ok and saw_sof and saw_sos and len(b) >= 2 and b[-2:] == b"\xff\xd9"
+        )
+        return row
+
+    cols = [
+        "file_name", "length", "width", "height", "precision",
+        "n_components", "n_quant_tables", "n_huffman_tables",
+        "app_markers", "progressive", "structure_ok",
+    ]
+    for pdf in batches:
+        rows = [parse(n, bytes(c)) for n, c in zip(pdf["file_name"], pdf["content"])]
+        yield pd.DataFrame([r for r in rows if r is not None], columns=cols)
+
+
+def parse_jpeg(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one typed row per JPEG (non-JPEG
+    magic is excluded): SOF dimensions/precision/components,
+    DQT/DHT counts, APPn inventory, progressive flag, and a
+    structural check (clean walk + SOF + SOS + trailing EOI)."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_jpeg_batches, JPEG_SCHEMA
+    )
