@@ -2118,6 +2118,73 @@ def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "streaming_phash_index_media",
+    f"""
+    WITH {_PHASH_HASHES_SQL},
+    ham AS (
+      SELECT n.file_name AS new_file, o.file_name AS old_file,
+             CAST(bit_count(xor(n.b0, o.b0)) + bit_count(xor(n.b1, o.b1))
+                + bit_count(xor(n.b2, o.b2)) + bit_count(xor(n.b3, o.b3))
+                AS INT) AS hamming
+      FROM hashes n JOIN hashes o ON n.file_name <> o.file_name
+    )
+    SELECT new_file, old_file, hamming FROM ham
+    WHERE hamming <= 3 AND (
+      (new_file = 'grad_a_dup.png'
+       AND old_file NOT LIKE '%\\_dup.png' ESCAPE '\\')
+      OR (new_file = 'checker_b_dup.png'
+          AND (old_file NOT LIKE '%\\_dup.png' ESCAPE '\\'
+               OR old_file = 'grad_a_dup.png'))
+    )
+    """,
+)
+def streaming_phash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming MEDIA near-dup dedup-at-arrival (streaming/
+    media_store.py ``run_streaming_phash_index`` — r12, completing the
+    streaming index-store family: minhash for text, IVF for
+    embeddings, now the perceptual-hash store for media): blobs arrive
+    as a 3-file micro-batch stream (seed = the four original images,
+    then grad_a_dup, then checker_b_dup); each batch is DECODED ONCE,
+    probed against the persisted banded index (batch side only
+    shuffles, history never re-decoded), pairs land in a per-epoch
+    DISTRIBUTED overwrite sink (replay-idempotent for index AND
+    output), and the batch's hashes append — so batch 2 searches
+    seed ∪ batch 1. The oracle recomputes both arrival probes from
+    the full SQL pixel-replay hashes; stream/batch agreement with the
+    batch twin ``phash_index_probe_media``'s lifecycle."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+    from parcialbigdata_spark.streaming.media_store import (
+        run_streaming_phash_index,
+    )
+
+    raw = read_binary_dir(spark, _PHASH_DIR, glob="*.png").select(
+        "file_name", "content"
+    )
+    is_dup = F.col("file_name").endswith("_dup.png")
+    b0 = raw.filter(~is_dup)
+    b1 = raw.filter(F.col("file_name") == "grad_a_dup.png")
+    b2 = raw.filter(F.col("file_name") == "checker_b_dup.png")
+    bands_t = "r12_stream_phash_bands"
+    base = tempfile.mkdtemp(prefix="streamphash-")
+    try:
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+        now = _time.time()
+        for i, part in enumerate((b0, b1, b2)):
+            _write_stream_file(base, stream_dir, part, f"b{i}", now - 300 + 100 * i)
+        return run_streaming_phash_index(spark, stream_dir, bands_t)
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
+        shutil.rmtree(base, ignore_errors=True)
+
+
 _JPEG_DIR = "/root/repo/tests/fixtures/jpeg"
 
 _JPEG_ORACLE = f"""
@@ -13378,7 +13445,12 @@ _DRIVER_WINDOW = [
     # persisted minhash index; oracle shared verbatim with the batch
     # twin, so the hard signal here is the ONLINE path), never
     # driver-checked; stays CI-green.)
-    "streaming_dedup_index_documents",
+    # (streaming_dedup_index_documents rotated out in r12c —
+    # driver-proven r9-r11; the streaming index-store family is
+    # represented by streaming_ivf_index + streaming_hll_partials +
+    # the debuting media store below (decode-once probe/append over
+    # the banded perceptual-hash index, r12-new); stays CI-green.)
+    "streaming_phash_index_media",
     # (streaming_dedup_events rotated out in r7b — driver-proven green
     # since r2; exactly-once dedup-at-arrival stays CI-green — for the
     # new r7 streaming-sampling family streaming_reservoir_events

@@ -1,0 +1,107 @@
+"""Streaming media near-dup dedup-at-arrival — the MEDIA member of the
+streaming index-store family (r12), beside the minhash store
+(``dedup_store.run_streaming_minhash_index``) and the IVF store
+(``ann_store.run_streaming_ivf_index``): media blobs arrive as a file
+stream of (file_name, content) rows, each micro-batch is DECODED ONCE
+(image dHash — any (file_name, b0..b3) hash kernel plugs in), probed
+against the persisted banded perceptual-hash index
+(``operators/phash.phash_index_probe`` — only the batch side shuffles;
+historical media is never re-decoded), its verified (new_file,
+old_file, hamming) pairs emitted, and its hashes appended. The first
+batch SEEDS the index and probes nothing.
+
+Stream/batch agreement: on the same ordered batches this returns
+exactly what the batch replay of ingest→probe→append returns — the
+registered query shares its oracle shape with the batch twin
+``phash_index_probe_media``.
+
+foreachBatch idempotence, OUTPUT INCLUDED (the r10 discipline):
+seed-vs-append keys on ``epoch_id == 0`` and each epoch's pairs land
+DISTRIBUTED in ``pairs_dir/epoch_<id>/`` (overwrite mode — a replayed
+batch rewrites exactly its own directory; nothing is collected to the
+driver). At 100 TB the stream carries blobs, the index carries 4 band
+rows × ~50 bytes per file, and the decode runs once per blob ever.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def run_streaming_phash_index(
+    spark,
+    stream_dir: str,
+    bands_table: str,
+    max_hamming: int = 3,
+    timeout: float = 240.0,
+    pairs_dir: str | None = None,
+) -> DataFrame:
+    """Drain a (file_name, content) parquet file stream through
+    decode-once → probe → append against ``bands_table``; returns the
+    distributed pairs sink as a DataFrame."""
+    from pyspark.sql.types import (
+        IntegerType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    from parcialbigdata_spark.operators.phash import (
+        phash_index_ingest,
+        phash_index_probe,
+        png_dhash,
+    )
+
+    first_file = sorted(
+        f for f in os.listdir(stream_dir) if f.endswith(".parquet")
+    )[0]
+    blob_schema = spark.read.parquet(os.path.join(stream_dir, first_file)).schema
+    if pairs_dir is None:
+        pairs_dir = tempfile.mkdtemp(prefix="phash-pairs-")
+    pair_schema = StructType(
+        [
+            StructField("new_file", StringType()),
+            StructField("old_file", StringType()),
+            StructField("hamming", IntegerType()),
+        ]
+    )
+
+    def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        hashes = png_dhash(batch_df)
+        seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
+        if seed:
+            p = batch_df.sparkSession.createDataFrame([], pair_schema)
+        else:
+            p = phash_index_probe(
+                hashes, bands_table, max_hamming=max_hamming
+            ).select(
+                "new_file", "old_file",
+                F.col("hamming").cast("int").alias("hamming"),
+            )
+        p.write.mode("overwrite").parquet(
+            os.path.join(pairs_dir, f"epoch_{int(epoch_id)}")
+        )
+        phash_index_ingest(hashes, bands_table, append=not seed)
+
+    q = (
+        spark.readStream.schema(blob_schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stream_dir)
+        .writeStream.foreachBatch(_probe_and_ingest)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout)
+    if q.isActive:
+        q.stop()
+        raise RuntimeError(
+            f"streaming phash index drain did not finish within {timeout}s; "
+            "refusing to return a partial pair set"
+        )
+    return spark.read.schema(pair_schema).parquet(
+        os.path.join(pairs_dir, "epoch_*")
+    )
