@@ -2185,6 +2185,145 @@ def streaming_phash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+_MP4STBL_DIR = "/root/repo/tests/fixtures/mp4stbl"
+
+
+@query(
+    "mp4_frame_sample_media",
+    f"""
+    WITH RECURSIVE b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             size AS length, hex(content) AS h
+      FROM read_blob('{_MP4STBL_DIR}/*.mp4')
+    ),
+    two(which) AS (SELECT 1 UNION ALL SELECT 2),
+    -- Generic container descent: each state is a cursor (pos, endp);
+    -- consuming the box at pos yields a sibling cursor (which=1, box
+    -- metadata attached) and, for the stbl-path container types, a
+    -- child cursor into the payload (which=2, metadata NULL).
+    walk(file_name, h, pos, endp, btype, psta) AS (
+      SELECT file_name, h, CAST(0 AS BIGINT), CAST(length AS BIGINT),
+             CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)
+      FROM b
+      UNION ALL
+      SELECT w.file_name, w.h,
+             CASE t.which WHEN 1
+               THEN w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT
+               ELSE w.pos + 8 END,
+             CASE t.which WHEN 1 THEN w.endp
+               ELSE w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT END,
+             CASE t.which WHEN 1
+               THEN decode(from_hex(substr(w.h, (w.pos+4)*2 + 1, 8)))
+               ELSE NULL END,
+             CASE t.which WHEN 1 THEN w.pos + 8 ELSE 0 END
+      FROM walk w, two t
+      WHERE w.pos + 8 <= w.endp
+        AND ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT >= 8
+        AND w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT <= w.endp
+        AND (t.which = 1
+             OR decode(from_hex(substr(w.h, (w.pos+4)*2 + 1, 8)))
+                IN ('moov', 'trak', 'mdia', 'minf', 'stbl'))
+    ),
+    leaves AS (
+      SELECT file_name, h, btype, psta FROM walk
+      WHERE btype IN ('stsz', 'stsc', 'stco')
+    ),
+    stsz AS (
+      SELECT file_name, h, psta,
+             ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT AS uniform,
+             ('0x' || substr(h, (psta+8)*2 + 1, 8))::BIGINT AS n
+      FROM leaves WHERE btype = 'stsz'
+    ),
+    sizes AS (
+      SELECT z.file_name, i.i + 1 AS sample_idx,
+             CASE WHEN z.uniform > 0 THEN z.uniform
+                  ELSE ('0x' || substr(z.h, (z.psta + 12 + 4*i.i)*2 + 1, 8))::BIGINT
+             END AS sample_size
+      FROM stsz z, range(100000) i(i) WHERE i.i < z.n
+    ),
+    runs AS (
+      SELECT c.file_name, j.j + 1 AS run_idx,
+             ('0x' || substr(c.h, (c.psta + 8 + 12*j.j)*2 + 1, 8))::BIGINT
+               AS first_chunk,
+             ('0x' || substr(c.h, (c.psta + 12 + 12*j.j)*2 + 1, 8))::BIGINT
+               AS spc
+      FROM leaves c, range(1000) j(j)
+      WHERE c.btype = 'stsc'
+        AND j.j < ('0x' || substr(c.h, (c.psta+4)*2 + 1, 8))::BIGINT
+    ),
+    chunks AS (
+      SELECT o.file_name, k.k + 1 AS chunk_idx,
+             ('0x' || substr(o.h, (o.psta + 8 + 4*k.k)*2 + 1, 8))::BIGINT
+               AS chunk_offset
+      FROM leaves o, range(100000) k(k)
+      WHERE o.btype = 'stco'
+        AND k.k < ('0x' || substr(o.h, (o.psta+4)*2 + 1, 8))::BIGINT
+    ),
+    chunk_spc AS (
+      SELECT c.file_name, c.chunk_idx, c.chunk_offset,
+             (SELECT r.spc FROM runs r
+              WHERE r.file_name = c.file_name AND r.first_chunk <= c.chunk_idx
+              ORDER BY r.first_chunk DESC LIMIT 1) AS spc
+      FROM chunks c
+    ),
+    chunk_first AS (
+      SELECT *,
+             1 + coalesce(SUM(spc) OVER (PARTITION BY file_name
+                 ORDER BY chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS first_sample
+      FROM chunk_spc
+    ),
+    placed AS (
+      SELECT s.file_name, s.sample_idx, c.chunk_idx, s.sample_size,
+             c.chunk_offset
+             + coalesce(SUM(s.sample_size) OVER (PARTITION BY s.file_name,
+                 c.chunk_idx ORDER BY s.sample_idx ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS byte_offset
+      FROM sizes s JOIN chunk_first c
+        ON s.file_name = c.file_name
+       AND s.sample_idx >= c.first_sample
+       AND s.sample_idx < c.first_sample + c.spc
+    )
+    SELECT p.file_name, CAST(p.sample_idx AS INT) AS sample_idx,
+           CAST(p.chunk_idx AS INT) AS chunk_idx,
+           CAST(p.byte_offset AS BIGINT) AS byte_offset,
+           CAST(p.sample_size AS BIGINT) AS sample_size,
+           md5(substr(b.h, CAST(p.byte_offset*2 + 1 AS BIGINT),
+                      CAST(p.sample_size*2 AS BIGINT))) AS sample_md5
+    FROM placed p JOIN b ON p.file_name = b.file_name
+    WHERE p.sample_idx % 3 = 1
+    """,
+)
+def mp4_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISO-BMFF SAMPLE-TABLE resolution + k-th-frame sampling
+    (sources/binary.py ``parse_mp4_samples`` — r12): the per-sample
+    byte-range computation every video pipeline runs BEFORE any codec
+    — stsz (per-sample AND uniform-size forms) × stsc (run-length
+    sample-to-chunk map) × stco (chunk offsets) resolve each sample's
+    absolute byte range, then every 3rd sample is selected (the
+    frame-sampling shape: a training pipeline extracts every k-th
+    frame's bytes and hands them to the decode stub/UDF). The fixtures
+    carry real moov/trak/mdia/minf/stbl hierarchies (two-run stsc,
+    both stsz forms); the no-moov file contributes no rows on either
+    engine. The DuckDB oracle replays EVERYTHING from the blob hex: a
+    recursive container-descent walk finds the stbl leaves, window
+    sums place each sample inside its chunk, and the payload md5 is
+    recomputed over the hex substring. Container-walk sibling:
+    ``mp4_box_media``; decode remains behind the gated
+    ``real_decode`` stub."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
+    return (
+        parse_mp4_samples(raw)
+        .filter(F.col("sample_idx") % 3 == 1)
+        .orderBy("file_name", "sample_idx")
+    )
+
+
 _JPEG_DIR = "/root/repo/tests/fixtures/jpeg"
 
 _JPEG_ORACLE = f"""
@@ -13265,7 +13404,12 @@ _DRIVER_WINDOW = [
     # sensitive-value-skew test distinct-count min_l is blind to,
     # privacy.recursive_cl_diversity_report), never driver-checked;
     # stays CI-green.)
-    "cl_diversity_audit_customers",
+    # (cl_diversity_audit_customers rotated out in r12d —
+    # driver-proven r9-r11; the privacy family stays CI-green — for
+    # mp4_frame_sample_media (ISO-BMFF sample-table resolution +
+    # k-th-frame sampling, r12-new, full recursive-walk oracle —
+    # debut-round precedent); stays CI-green.)
+    "mp4_frame_sample_media",
     # Python UDF surface
     "udaf_weighted_value",
     "udtf_part_type_words",

@@ -349,6 +349,114 @@ def parse_mp4(df: DataFrame) -> DataFrame:
     return df.select("file_name", "content").mapInPandas(_parse_mp4_batches, MP4_SCHEMA)
 
 
+MP4_SAMPLES_SCHEMA = (
+    "file_name string, sample_idx int, chunk_idx int, "
+    "byte_offset bigint, sample_size bigint, sample_md5 string"
+)
+
+_MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
+
+
+def _walk_boxes(b: bytes, pos: int, end: int):
+    """Yield (type, payload_start, payload_end) for each box in
+    [pos, end), descending into the container types on the stbl path.
+    Plain 32-bit sizes only (the sample-table fixtures never need
+    largesize; a malformed size stops the walk)."""
+    import struct
+
+    while pos + 8 <= end:
+        (size,) = struct.unpack(">I", b[pos:pos + 4])
+        btype = b[pos + 4:pos + 8]
+        if size < 8 or pos + size > end:
+            return
+        yield btype, pos + 8, pos + size
+        if btype in _MP4_CONTAINERS:
+            yield from _walk_boxes(b, pos + 8, pos + size)
+        pos += size
+
+
+def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: ISO-BMFF SAMPLE TABLE resolution (ISO/IEC
+    14496-12 §8.5-8.7) — the per-sample byte-range computation every
+    video pipeline runs BEFORE any codec: stsz (per-sample or uniform
+    sizes) × stsc (run-length sample-to-chunk map) × stco (chunk
+    offsets) → one row per sample with its absolute byte range and an
+    hex-md5 of the payload (reproducible by a SQL oracle over the blob
+    hex). Frame decode stays behind the gated stub; k-th-frame
+    SAMPLING is a filter over these rows."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> "list[dict]":
+        stsz = stsc = stco = None
+        for btype, s, e in _walk_boxes(b, 0, len(b)):
+            if btype == b"stsz":
+                stsz = b[s:e]
+            elif btype == b"stsc":
+                stsc = b[s:e]
+            elif btype == b"stco":
+                stco = b[s:e]
+        if stsz is None or stsc is None or stco is None:
+            return []
+        uniform, n = struct.unpack(">II", stsz[4:12])
+        sizes = (
+            [uniform] * n
+            if uniform
+            else list(struct.unpack(f">{n}I", stsz[12:12 + 4 * n]))
+        )
+        (n_runs,) = struct.unpack(">I", stsc[4:8])
+        runs = [
+            struct.unpack(">III", stsc[8 + 12 * j:20 + 12 * j])
+            for j in range(n_runs)
+        ]
+        (n_chunks,) = struct.unpack(">I", stco[4:8])
+        offsets = struct.unpack(f">{n_chunks}I", stco[8:8 + 4 * n_chunks])
+        rows, s_idx = [], 0
+        for c in range(1, n_chunks + 1):
+            run = max((r for r in runs if r[0] <= c), key=lambda r: r[0])
+            spc = run[1]
+            off = offsets[c - 1]
+            for _ in range(spc):
+                if s_idx >= n:
+                    break
+                sz = sizes[s_idx]
+                payload = b[off:off + sz]
+                rows.append(
+                    {
+                        "file_name": name, "sample_idx": s_idx + 1,
+                        "chunk_idx": c, "byte_offset": off,
+                        "sample_size": sz,
+                        "sample_md5": hashlib.md5(
+                            payload.hex().upper().encode()
+                        ).hexdigest(),
+                    }
+                )
+                off += sz
+                s_idx += 1
+        return rows
+
+    cols = [
+        "file_name", "sample_idx", "chunk_idx", "byte_offset",
+        "sample_size", "sample_md5",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_mp4_samples(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per MEDIA SAMPLE with its
+    absolute byte range resolved from the stsz/stsc/stco tables (files
+    without a sample table contribute no rows)."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_mp4_samples_batches, MP4_SAMPLES_SCHEMA
+    )
+
+
 JPEG_SCHEMA = (
     "file_name string, length bigint, width int, height int, "
     "precision int, n_components int, n_quant_tables int, "

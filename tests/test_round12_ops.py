@@ -350,3 +350,39 @@ def test_recover_once_memo_is_per_table(spark):
         for t in (t1, t2):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
         reset_swap_recovery_memo()
+
+
+# -------------------- MP4 sample-table resolution (r12)
+
+
+def test_mp4_sample_table_offsets_and_md5(spark):
+    """The stsz × stsc × stco placement must reproduce the generator's
+    brute-forced byte ranges (tools/gen_mp4_stbl_fixtures.py prints
+    them): two-run stsc chunking (4,4,2), per-sample stsz in video_a;
+    single-run uniform-stsz fast path in video_b; the no-moov file
+    contributes no rows."""
+    import hashlib
+
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/mp4stbl", glob="*.mp4")
+    rows = {
+        (r.file_name, r.sample_idx): r
+        for r in parse_mp4_samples(raw).collect()
+    }
+    assert len(rows) == 17  # 10 + 7; nostbl_c contributes nothing
+    a1 = rows[("video_a.mp4", 1)]
+    assert (a1.chunk_idx, a1.byte_offset, a1.sample_size) == (1, 596, 20)
+    a5 = rows[("video_a.mp4", 5)]   # first sample of chunk 2
+    assert (a5.chunk_idx, a5.byte_offset, a5.sample_size) == (2, 694, 32)
+    a9 = rows[("video_a.mp4", 9)]   # two-run stsc: chunk 3 holds 2
+    assert (a9.chunk_idx, a9.sample_size) == (3, 44)
+    b7 = rows[("video_b.mp4", 7)]   # uniform stsz, single chunk
+    assert (b7.chunk_idx, b7.byte_offset, b7.sample_size) == (1, 728, 32)
+    # md5 convention: md5 of the UPPERCASE hex payload (SQL-replayable)
+    blob = open("/root/repo/tests/fixtures/mp4stbl/video_a.mp4", "rb").read()
+    want = hashlib.md5(blob[596:616].hex().upper().encode()).hexdigest()
+    assert a1.sample_md5 == want
