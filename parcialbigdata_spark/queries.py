@@ -12560,8 +12560,11 @@ def sorted_neighborhood_global_customers(spark: SparkSession, sf_dir: str) -> Da
     VERDICT r11 #4): the partitioned sibling above misses every pair
     straddling a partition boundary — the documented recall gap that
     GROWS with the partition count, i.e. with scale. This variant is
-    EXACT: customers range-bucket on an order-preserving 7-byte-prefix
-    integer of ``c_name`` (quantile cut points — the explicit form of
+    EXACT: customers range-bucket on an order-preserving 7-byte
+    integer window of ``c_name`` taken AFTER the domain's longest
+    common prefix (r13 — every ``c_name`` starts ``Customer#``, so the
+    un-stripped prefix proxy was constant and pass 1 silently ran as
+    ONE partition; quantile cut points are the explicit form of
     repartitionByRange's sampling), the lag+stack pass runs per bucket
     (a bucket is a contiguous slice of the global (name, custkey)
     order, so within-bucket gaps ARE global gaps), and a boundary pass
