@@ -2187,20 +2187,21 @@ def streaming_phash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MP4STBL_DIR = "/root/repo/tests/fixtures/mp4stbl"
 
-
-@query(
-    "mp4_frame_sample_media",
-    f"""
+# Shared hex-replay prelude for the ISO-BMFF oracles: generic
+# container descent (each state is a cursor (pos, endp); consuming the
+# box at pos yields a sibling cursor (which=1, box metadata attached)
+# and, for the stbl-path container types, a child cursor into the
+# payload (which=2, metadata NULL)), then per-TRAK leaf attribution
+# (r13): each stbl leaf joins to the trak whose byte range contains
+# it, so multi-track files resolve every track — matching the
+# kernel's per-trak walk instead of the r12 last-wins overwrite.
+_MP4_WALK_SQL = f"""
     WITH RECURSIVE b AS (
       SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
              size AS length, hex(content) AS h
       FROM read_blob('{_MP4STBL_DIR}/*.mp4')
     ),
     two(which) AS (SELECT 1 UNION ALL SELECT 2),
-    -- Generic container descent: each state is a cursor (pos, endp);
-    -- consuming the box at pos yields a sibling cursor (which=1, box
-    -- metadata attached) and, for the stbl-path container types, a
-    -- child cursor into the payload (which=2, metadata NULL).
     walk(file_name, h, pos, endp, btype, psta) AS (
       SELECT file_name, h, CAST(0 AS BIGINT), CAST(length AS BIGINT),
              CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)
@@ -2224,25 +2225,39 @@ _MP4STBL_DIR = "/root/repo/tests/fixtures/mp4stbl"
              OR decode(from_hex(substr(w.h, (w.pos+4)*2 + 1, 8)))
                 IN ('moov', 'trak', 'mdia', 'minf', 'stbl'))
     ),
-    leaves AS (
-      SELECT file_name, h, btype, psta FROM walk
-      WHERE btype IN ('stsz', 'stsc', 'stco')
+    traks AS (
+      SELECT file_name, psta,
+             psta - 8 + ('0x' || substr(h, (psta-8)*2 + 1, 8))::BIGINT AS tend,
+             ROW_NUMBER() OVER (PARTITION BY file_name ORDER BY psta)
+               AS track_idx
+      FROM walk WHERE btype = 'trak'
     ),
+    leaves AS (
+      SELECT w.file_name, w.h, w.btype, w.psta, t.track_idx
+      FROM walk w JOIN traks t
+        ON t.file_name = w.file_name
+       AND w.psta >= t.psta AND w.psta < t.tend
+      WHERE w.btype IN ('stsz', 'stsc', 'stco', 'stss', 'stsd')
+    )"""
+
+# Per-trak sample placement (stsz × stsc × stco window sums) + stss
+# keyframe flags — the shared middle of the sample-resolution oracles.
+_MP4_PLACED_SQL = """,
     stsz AS (
-      SELECT file_name, h, psta,
+      SELECT file_name, h, psta, track_idx,
              ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT AS uniform,
              ('0x' || substr(h, (psta+8)*2 + 1, 8))::BIGINT AS n
       FROM leaves WHERE btype = 'stsz'
     ),
     sizes AS (
-      SELECT z.file_name, i.i + 1 AS sample_idx,
+      SELECT z.file_name, z.track_idx, i.i + 1 AS sample_idx,
              CASE WHEN z.uniform > 0 THEN z.uniform
                   ELSE ('0x' || substr(z.h, (z.psta + 12 + 4*i.i)*2 + 1, 8))::BIGINT
              END AS sample_size
       FROM stsz z, range(100000) i(i) WHERE i.i < z.n
     ),
     runs AS (
-      SELECT c.file_name, j.j + 1 AS run_idx,
+      SELECT c.file_name, c.track_idx, j.j + 1 AS run_idx,
              ('0x' || substr(c.h, (c.psta + 8 + 12*j.j)*2 + 1, 8))::BIGINT
                AS first_chunk,
              ('0x' || substr(c.h, (c.psta + 12 + 12*j.j)*2 + 1, 8))::BIGINT
@@ -2252,45 +2267,74 @@ _MP4STBL_DIR = "/root/repo/tests/fixtures/mp4stbl"
         AND j.j < ('0x' || substr(c.h, (c.psta+4)*2 + 1, 8))::BIGINT
     ),
     chunks AS (
-      SELECT o.file_name, k.k + 1 AS chunk_idx,
+      SELECT o.file_name, o.track_idx, k.k + 1 AS chunk_idx,
              ('0x' || substr(o.h, (o.psta + 8 + 4*k.k)*2 + 1, 8))::BIGINT
                AS chunk_offset
       FROM leaves o, range(100000) k(k)
       WHERE o.btype = 'stco'
         AND k.k < ('0x' || substr(o.h, (o.psta+4)*2 + 1, 8))::BIGINT
     ),
+    sync AS (
+      SELECT s.file_name, s.track_idx,
+             ('0x' || substr(s.h, (s.psta + 8 + 4*m.m)*2 + 1, 8))::BIGINT
+               AS sync_sample
+      FROM leaves s, range(100000) m(m)
+      WHERE s.btype = 'stss'
+        AND m.m < ('0x' || substr(s.h, (s.psta+4)*2 + 1, 8))::BIGINT
+    ),
+    has_sync AS (SELECT DISTINCT file_name, track_idx FROM sync),
     chunk_spc AS (
-      SELECT c.file_name, c.chunk_idx, c.chunk_offset,
+      SELECT c.file_name, c.track_idx, c.chunk_idx, c.chunk_offset,
              (SELECT r.spc FROM runs r
-              WHERE r.file_name = c.file_name AND r.first_chunk <= c.chunk_idx
+              WHERE r.file_name = c.file_name AND r.track_idx = c.track_idx
+                AND r.first_chunk <= c.chunk_idx
               ORDER BY r.first_chunk DESC LIMIT 1) AS spc
       FROM chunks c
     ),
     chunk_first AS (
       SELECT *,
-             1 + coalesce(SUM(spc) OVER (PARTITION BY file_name
+             1 + coalesce(SUM(spc) OVER (PARTITION BY file_name, track_idx
                  ORDER BY chunk_idx ROWS BETWEEN UNBOUNDED PRECEDING
                  AND 1 PRECEDING), 0) AS first_sample
       FROM chunk_spc
     ),
     placed AS (
-      SELECT s.file_name, s.sample_idx, c.chunk_idx, s.sample_size,
+      SELECT s.file_name, s.track_idx, s.sample_idx, c.chunk_idx,
+             s.sample_size,
              c.chunk_offset
              + coalesce(SUM(s.sample_size) OVER (PARTITION BY s.file_name,
-                 c.chunk_idx ORDER BY s.sample_idx ROWS BETWEEN UNBOUNDED
-                 PRECEDING AND 1 PRECEDING), 0) AS byte_offset
+                 s.track_idx, c.chunk_idx ORDER BY s.sample_idx ROWS BETWEEN
+                 UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS byte_offset
       FROM sizes s JOIN chunk_first c
-        ON s.file_name = c.file_name
+        ON s.file_name = c.file_name AND s.track_idx = c.track_idx
        AND s.sample_idx >= c.first_sample
        AND s.sample_idx < c.first_sample + c.spc
-    )
-    SELECT p.file_name, CAST(p.sample_idx AS INT) AS sample_idx,
+    ),
+    flagged AS (
+      SELECT p.*,
+             (hs.file_name IS NULL OR sy.sync_sample IS NOT NULL)
+               AS is_keyframe
+      FROM placed p
+      LEFT JOIN has_sync hs
+        ON hs.file_name = p.file_name AND hs.track_idx = p.track_idx
+      LEFT JOIN sync sy
+        ON sy.file_name = p.file_name AND sy.track_idx = p.track_idx
+       AND sy.sync_sample = p.sample_idx
+    )"""
+
+
+@query(
+    "mp4_frame_sample_media",
+    _MP4_WALK_SQL + _MP4_PLACED_SQL + """
+    SELECT p.file_name, CAST(p.track_idx AS INT) AS track_idx,
+           CAST(p.sample_idx AS INT) AS sample_idx,
            CAST(p.chunk_idx AS INT) AS chunk_idx,
            CAST(p.byte_offset AS BIGINT) AS byte_offset,
            CAST(p.sample_size AS BIGINT) AS sample_size,
+           p.is_keyframe,
            md5(substr(b.h, CAST(p.byte_offset*2 + 1 AS BIGINT),
                       CAST(p.sample_size*2 AS BIGINT))) AS sample_md5
-    FROM placed p JOIN b ON p.file_name = b.file_name
+    FROM flagged p JOIN b ON p.file_name = b.file_name
     WHERE p.sample_idx % 3 = 1
     """,
 )
@@ -2302,11 +2346,16 @@ def mp4_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample-to-chunk map) × stco (chunk offsets) resolve each sample's
     absolute byte range, then every 3rd sample is selected (the
     frame-sampling shape: a training pipeline extracts every k-th
-    frame's bytes and hands them to the decode stub/UDF). The fixtures
+    frame's bytes and hands them to the decode stub/UDF). r13: rows
+    resolve PER TRAK (the multi-track audio+video fixture exercises
+    both tracks; r12's walk kept only the last trak's tables) and
+    carry the stss keyframe flag (§8.6.2 — no stss means every sample
+    is a sync sample). The fixtures
     carry real moov/trak/mdia/minf/stbl hierarchies (two-run stsc,
     both stsz forms); the no-moov file contributes no rows on either
     engine. The DuckDB oracle replays EVERYTHING from the blob hex: a
-    recursive container-descent walk finds the stbl leaves, window
+    recursive container-descent walk finds the stbl leaves, a
+    containment join attributes each leaf to its trak, window
     sums place each sample inside its chunk, and the payload md5 is
     recomputed over the hex substring. Container-walk sibling:
     ``mp4_box_media``; decode remains behind the gated
@@ -2320,8 +2369,161 @@ def mp4_frame_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         parse_mp4_samples(raw)
         .filter(F.col("sample_idx") % 3 == 1)
-        .orderBy("file_name", "sample_idx")
+        .orderBy("file_name", "track_idx", "sample_idx")
     )
+
+
+@query(
+    "mp4_keyframe_sample_media",
+    _MP4_WALK_SQL + _MP4_PLACED_SQL + """,
+    kf AS (
+      SELECT p.*,
+             ROW_NUMBER() OVER (PARTITION BY p.file_name, p.track_idx
+                                ORDER BY p.sample_idx) AS kf_rank
+      FROM flagged p WHERE p.is_keyframe
+    )
+    SELECT k.file_name, CAST(k.track_idx AS INT) AS track_idx,
+           CAST(k.sample_idx AS INT) AS sample_idx,
+           CAST(k.kf_rank AS INT) AS kf_rank,
+           CAST(k.byte_offset AS BIGINT) AS byte_offset,
+           CAST(k.sample_size AS BIGINT) AS sample_size,
+           md5(substr(b.h, CAST(k.byte_offset*2 + 1 AS BIGINT),
+                      CAST(k.sample_size*2 AS BIGINT))) AS sample_md5
+    FROM kf k JOIN b ON k.file_name = b.file_name
+    WHERE k.kf_rank % 2 = 1
+    """,
+)
+def mp4_keyframe_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEYFRAME-aware video sampling (sources/binary.py
+    ``parse_mp4_samples`` — r13, VERDICT r12 #4): the stss sync-sample
+    table (ISO/IEC 14496-12 §8.6.2) marks the samples a decoder can
+    start from; a training pipeline samples FRAMES at keyframes
+    because everything else needs the preceding GOP decoded first.
+    Per trak: resolve sample byte ranges, keep sync samples only
+    (tracks with NO stss treat every sample as sync — the spec
+    default, exercised by the multi-track fixture's audio trak), rank
+    them, and keep every 2nd keyframe — a filter + one per-trak
+    window over the sample-table rows, no decode, no shuffle beyond
+    the window's per-key sort. The DuckDB oracle replays the whole
+    resolution from the blob hex including the stss parse and the
+    keyframe ranking."""
+    from pyspark.sql import Window as W
+
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
+    w = W.partitionBy("file_name", "track_idx").orderBy("sample_idx")
+    return (
+        parse_mp4_samples(raw)
+        .filter(F.col("is_keyframe"))
+        .withColumn("kf_rank", F.row_number().over(w))
+        .filter(F.col("kf_rank") % 2 == 1)
+        .select(
+            "file_name", "track_idx", "sample_idx", "kf_rank",
+            "byte_offset", "sample_size", "sample_md5",
+        )
+        .orderBy("file_name", "track_idx", "sample_idx")
+    )
+
+
+@query(
+    "mp4_codec_config_media",
+    _MP4_WALK_SQL + """,
+    stsd AS (
+      SELECT l.file_name, l.h, l.track_idx, l.psta,
+             l.psta - 8 + ('0x' || substr(l.h, (l.psta-8)*2 + 1, 8))::BIGINT
+               AS pend,
+             ('0x' || substr(l.h, (l.psta+4)*2 + 1, 8))::BIGINT AS cnt
+      FROM leaves l WHERE l.btype = 'stsd'
+    ),
+    entries(file_name, h, track_idx, pos, pend, eidx, cnt) AS (
+      SELECT file_name, h, track_idx, psta + 8, pend, 1, cnt
+      FROM stsd WHERE cnt >= 1
+      UNION ALL
+      SELECT file_name, h, track_idx,
+             pos + ('0x' || substr(h, pos*2 + 1, 8))::BIGINT,
+             pend, eidx + 1, cnt
+      FROM entries
+      WHERE eidx < cnt
+        AND pos + 8 <= pend
+        AND ('0x' || substr(h, pos*2 + 1, 8))::BIGINT >= 8
+        AND pos + ('0x' || substr(h, pos*2 + 1, 8))::BIGINT <= pend
+    ),
+    parsed AS (
+      SELECT file_name, h, track_idx, eidx, pos,
+             ('0x' || substr(h, pos*2 + 1, 8))::BIGINT AS esz,
+             decode(from_hex(substr(h, (pos+4)*2 + 1, 8))) AS fmt
+      FROM entries
+      WHERE pos + 8 <= pend
+        AND ('0x' || substr(h, pos*2 + 1, 8))::BIGINT >= 8
+        AND pos + ('0x' || substr(h, pos*2 + 1, 8))::BIGINT <= pend
+    ),
+    children(file_name, track_idx, eidx, cpos, cend, h) AS (
+      SELECT file_name, track_idx, eidx, pos + 86, pos + esz, h
+      FROM parsed WHERE esz >= 94
+      UNION ALL
+      SELECT file_name, track_idx, eidx,
+             cpos + ('0x' || substr(h, cpos*2 + 1, 8))::BIGINT, cend, h
+      FROM children
+      WHERE cpos + 8 <= cend
+        AND ('0x' || substr(h, cpos*2 + 1, 8))::BIGINT >= 8
+        AND cpos + ('0x' || substr(h, cpos*2 + 1, 8))::BIGINT <= cend
+    ),
+    avcc AS (
+      SELECT file_name, track_idx, eidx,
+             ('0x' || substr(h, (cpos+9)*2 + 1, 2))::INT AS avc_profile,
+             ('0x' || substr(h, (cpos+11)*2 + 1, 2))::INT AS avc_level,
+             (('0x' || substr(h, (cpos+12)*2 + 1, 2))::INT % 4) + 1
+               AS nal_length_size,
+             ('0x' || substr(h, (cpos+13)*2 + 1, 2))::INT % 32 AS num_sps
+      FROM children
+      WHERE cpos + 8 <= cend
+        AND decode(from_hex(substr(h, (cpos+4)*2 + 1, 8))) = 'avcC'
+        AND ('0x' || substr(h, cpos*2 + 1, 8))::BIGINT >= 14
+        AND cpos + 14 <= cend
+    )
+    SELECT p.file_name, CAST(p.track_idx AS INT) AS track_idx,
+           p.fmt AS entry_format,
+           CASE WHEN p.esz >= 86
+                THEN ('0x' || substr(p.h, (p.pos+32)*2 + 1, 4))::INT END
+             AS width,
+           CASE WHEN p.esz >= 86
+                THEN ('0x' || substr(p.h, (p.pos+34)*2 + 1, 4))::INT END
+             AS height,
+           CAST(a.avc_profile AS INT) AS avc_profile,
+           CAST(a.avc_level AS INT) AS avc_level,
+           CAST(a.nal_length_size AS INT) AS nal_length_size,
+           CAST(a.num_sps AS INT) AS num_sps
+    FROM parsed p
+    LEFT JOIN avcc a
+      ON a.file_name = p.file_name AND a.track_idx = p.track_idx
+     AND a.eidx = p.eidx
+    """,
+)
+def mp4_codec_config_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stsd SAMPLE-DESCRIPTION + avcC decoder-config extraction
+    (sources/binary.py ``parse_mp4_codec`` — r13, VERDICT r12 #4): the
+    codec facts a video pipeline routes on before any decode — per
+    trak, each sample entry's fourcc, the VisualSampleEntry
+    width/height (fixed offsets 24/26 of the entry payload, ISO/IEC
+    14496-12 §12.1.3), and the avcC box's AVCProfileIndication /
+    AVCLevelIndication / NAL length-prefix size / SPS count (ISO/IEC
+    14496-15 §5.3.3). Audio entries (the multi-track fixture's mp4a
+    trak) report the fourcc with NULL visual fields on both engines.
+    The DuckDB oracle replays the entry walk from the blob hex with
+    TWO recursive cursors (variable-size sample entries, then
+    variable-size entry children) and re-reads every field at the
+    same byte offsets."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_codec,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
+    return parse_mp4_codec(raw).orderBy("file_name", "track_idx")
 
 
 _JPEG_DIR = "/root/repo/tests/fixtures/jpeg"
@@ -2334,24 +2536,37 @@ _JPEG_ORACLE = f"""
       WHERE substr(hex(content), 1, 4) = 'FFD8'
     ),
     -- Marker-segment walk (ITU-T T.81 §B): pos = 0-indexed offset of
-    -- the next marker; each step consumes one length'd segment and
-    -- stops after SOS (code 218 = 0xDA), exactly like the kernel. The
-    -- committed fixtures carry no standalone RST/TEM markers between
-    -- header segments; one appearing (regenerated fixtures) stalls the
-    -- walk and the row-count compare fails loudly.
+    -- the next marker; each step consumes one length'd segment — or
+    -- ONE 0xFF fill byte (§B.1.1.2 allows any number of fill bytes
+    -- before a marker code; r13, ADVICE r12 — the kernel skips them
+    -- too) — and stops after SOS (code 218 = 0xDA), exactly like the
+    -- kernel. The committed fixtures carry no standalone RST/TEM
+    -- markers between header segments; one appearing (regenerated
+    -- fixtures) stalls the walk and the row-count compare fails
+    -- loudly.
     walk(file_name, length, h, pos, code, seg_pos, seg_len) AS (
       SELECT file_name, length, h, 2, CAST(NULL AS INT), 0, 0 FROM b
       UNION ALL
       SELECT file_name, length, h,
-             CAST(pos + 2 + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT AS INT),
-             ('0x' || substr(h, (pos+1)*2 + 1, 2))::INT,
-             pos,
-             ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT
+             CASE WHEN substr(h, (pos+1)*2 + 1, 2) = 'FF'
+               THEN CAST(pos + 1 AS INT)
+               ELSE CAST(pos + 2
+                         + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT AS INT)
+             END,
+             CASE WHEN substr(h, (pos+1)*2 + 1, 2) = 'FF'
+               THEN CAST(NULL AS INT)
+               ELSE ('0x' || substr(h, (pos+1)*2 + 1, 2))::INT END,
+             CASE WHEN substr(h, (pos+1)*2 + 1, 2) = 'FF' THEN 0 ELSE pos END,
+             CASE WHEN substr(h, (pos+1)*2 + 1, 2) = 'FF' THEN 0
+               ELSE ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT END
       FROM walk
       WHERE (code IS NULL OR code <> 218)
-        AND pos + 4 <= length
+        AND pos + 2 <= length
         AND substr(h, pos*2 + 1, 2) = 'FF'
-        AND pos + 2 + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT <= length
+        AND (substr(h, (pos+1)*2 + 1, 2) = 'FF'
+             OR (pos + 4 <= length
+                 AND pos + 2
+                     + ('0x' || substr(h, (pos+2)*2 + 1, 4))::INT <= length))
     ),
     segs AS (SELECT * FROM walk WHERE code IS NOT NULL),
     sof AS (

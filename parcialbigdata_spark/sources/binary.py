@@ -350,8 +350,9 @@ def parse_mp4(df: DataFrame) -> DataFrame:
 
 
 MP4_SAMPLES_SCHEMA = (
-    "file_name string, sample_idx int, chunk_idx int, "
-    "byte_offset bigint, sample_size bigint, sample_md5 string"
+    "file_name string, track_idx int, sample_idx int, chunk_idx int, "
+    "byte_offset bigint, sample_size bigint, is_keyframe boolean, "
+    "sample_md5 string"
 )
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -375,48 +376,117 @@ def _walk_boxes(b: bytes, pos: int, end: int):
         pos += size
 
 
+_STBL_LEAVES = {b"stsz", b"stsc", b"stco", b"stss", b"stsd"}
+
+
+def _trak_stbl_leaves(b: bytes) -> "list[tuple[int, dict]]":
+    """[(track_idx, {leaf_type: (payload_start, payload_end)})] for
+    each trak under moov, in file order (track_idx is 1-based). Keying
+    leaves per trak (r13) replaces the r12 last-wins overwrite that
+    silently dropped every non-final track's samples in multi-track
+    files (the common audio+video case)."""
+    import struct
+
+    def children(pos: int, end: int):
+        while pos + 8 <= end:
+            (size,) = struct.unpack(">I", b[pos:pos + 4])
+            btype = b[pos + 4:pos + 8]
+            if size < 8 or pos + size > end:
+                return
+            yield btype, pos + 8, pos + size
+            pos += size
+
+    def collect(pos: int, end: int, leaves: dict) -> None:
+        for t, s, e in children(pos, end):
+            if t in (b"mdia", b"minf", b"stbl"):
+                collect(s, e, leaves)
+            elif t in _STBL_LEAVES and t not in leaves:
+                leaves[t] = (s, e)
+
+    out = []
+    for t, s, e in children(0, len(b)):
+        if t != b"moov":
+            continue
+        ti = 0
+        for t2, s2, e2 in children(s, e):
+            if t2 != b"trak":
+                continue
+            ti += 1
+            leaves: dict = {}
+            collect(s2, e2, leaves)
+            out.append((ti, leaves))
+    return out
+
+
 def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
     """mapInPandas kernel: ISO-BMFF SAMPLE TABLE resolution (ISO/IEC
     14496-12 §8.5-8.7) — the per-sample byte-range computation every
-    video pipeline runs BEFORE any codec: stsz (per-sample or uniform
-    sizes) × stsc (run-length sample-to-chunk map) × stco (chunk
-    offsets) → one row per sample with its absolute byte range and an
-    hex-md5 of the payload (reproducible by a SQL oracle over the blob
-    hex). Frame decode stays behind the gated stub; k-th-frame
-    SAMPLING is a filter over these rows."""
+    video pipeline runs BEFORE any codec: per TRAK, stsz (per-sample
+    or uniform sizes) × stsc (run-length sample-to-chunk map) × stco
+    (chunk offsets) → one row per sample with its absolute byte range,
+    its keyframe flag (stss sync-sample table, §8.6.2 — no stss means
+    EVERY sample is a sync sample), and an hex-md5 of the payload
+    (reproducible by a SQL oracle over the blob hex). Frame decode
+    stays behind the gated stub; k-th-frame SAMPLING is a filter over
+    these rows.
+
+    Robustness (r13, ADVICE r12): every count field is bounds-checked
+    against the actual leaf payload before unpacking, the stsc must
+    cover chunk 1 with strictly-increasing first_chunk runs (§8.7.4),
+    and a uniform-stsz sample count that cannot fit in the file is
+    rejected — a malformed trak contributes NO rows instead of
+    crashing the job, matching the module's convention."""
     import hashlib
     import struct
 
     import pandas as pd
 
-    def parse(name: str, b: bytes) -> "list[dict]":
-        stsz = stsc = stco = None
-        for btype, s, e in _walk_boxes(b, 0, len(b)):
-            if btype == b"stsz":
-                stsz = b[s:e]
-            elif btype == b"stsc":
-                stsc = b[s:e]
-            elif btype == b"stco":
-                stco = b[s:e]
-        if stsz is None or stsc is None or stco is None:
+    def parse_trak(name: str, b: bytes, ti: int, leaves: dict) -> "list[dict]":
+        if not all(k in leaves for k in (b"stsz", b"stsc", b"stco")):
+            return []
+        stsz = b[leaves[b"stsz"][0]:leaves[b"stsz"][1]]
+        stsc = b[leaves[b"stsc"][0]:leaves[b"stsc"][1]]
+        stco = b[leaves[b"stco"][0]:leaves[b"stco"][1]]
+        if len(stsz) < 12 or len(stsc) < 8 or len(stco) < 8:
             return []
         uniform, n = struct.unpack(">II", stsz[4:12])
-        sizes = (
-            [uniform] * n
-            if uniform
-            else list(struct.unpack(f">{n}I", stsz[12:12 + 4 * n]))
-        )
+        if uniform:
+            if n * uniform > len(b):  # cannot fit — hostile count
+                return []
+            sizes = [uniform] * n
+        else:
+            if 12 + 4 * n > len(stsz):
+                return []
+            sizes = list(struct.unpack(f">{n}I", stsz[12:12 + 4 * n]))
         (n_runs,) = struct.unpack(">I", stsc[4:8])
+        if n_runs < 1 or 8 + 12 * n_runs > len(stsc):
+            return []
         runs = [
             struct.unpack(">III", stsc[8 + 12 * j:20 + 12 * j])
             for j in range(n_runs)
         ]
+        if runs[0][0] != 1 or any(
+            runs[j][0] >= runs[j + 1][0] for j in range(n_runs - 1)
+        ):
+            return []
         (n_chunks,) = struct.unpack(">I", stco[4:8])
+        if 8 + 4 * n_chunks > len(stco):
+            return []
         offsets = struct.unpack(f">{n_chunks}I", stco[8:8 + 4 * n_chunks])
-        rows, s_idx = [], 0
+        sync = None
+        if b"stss" in leaves:
+            stss = b[leaves[b"stss"][0]:leaves[b"stss"][1]]
+            if len(stss) < 8:
+                return []
+            (n_sync,) = struct.unpack(">I", stss[4:8])
+            if 8 + 4 * n_sync > len(stss):
+                return []
+            sync = set(struct.unpack(f">{n_sync}I", stss[8:8 + 4 * n_sync]))
+        rows, s_idx, run_i = [], 0, 0
         for c in range(1, n_chunks + 1):
-            run = max((r for r in runs if r[0] <= c), key=lambda r: r[0])
-            spc = run[1]
+            while run_i + 1 < n_runs and runs[run_i + 1][0] <= c:
+                run_i += 1
+            spc = runs[run_i][1]
             off = offsets[c - 1]
             for _ in range(spc):
                 if s_idx >= n:
@@ -425,9 +495,11 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
                 payload = b[off:off + sz]
                 rows.append(
                     {
-                        "file_name": name, "sample_idx": s_idx + 1,
+                        "file_name": name, "track_idx": ti,
+                        "sample_idx": s_idx + 1,
                         "chunk_idx": c, "byte_offset": off,
                         "sample_size": sz,
+                        "is_keyframe": sync is None or (s_idx + 1) in sync,
                         "sample_md5": hashlib.md5(
                             payload.hex().upper().encode()
                         ).hexdigest(),
@@ -437,9 +509,15 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
                 s_idx += 1
         return rows
 
+    def parse(name: str, b: bytes) -> "list[dict]":
+        out = []
+        for ti, leaves in _trak_stbl_leaves(b):
+            out.extend(parse_trak(name, b, ti, leaves))
+        return out
+
     cols = [
-        "file_name", "sample_idx", "chunk_idx", "byte_offset",
-        "sample_size", "sample_md5",
+        "file_name", "track_idx", "sample_idx", "chunk_idx",
+        "byte_offset", "sample_size", "is_keyframe", "sample_md5",
     ]
     for pdf in batches:
         out = []
@@ -449,11 +527,99 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
 
 
 def parse_mp4_samples(df: DataFrame) -> DataFrame:
-    """(file_name, content, …) → one row per MEDIA SAMPLE with its
-    absolute byte range resolved from the stsz/stsc/stco tables (files
-    without a sample table contribute no rows)."""
+    """(file_name, content, …) → one row per MEDIA SAMPLE per TRACK
+    with its absolute byte range resolved from the stsz/stsc/stco
+    tables and its stss keyframe flag (files without a sample table —
+    and malformed tables — contribute no rows)."""
     return df.select("file_name", "content").mapInPandas(
         _parse_mp4_samples_batches, MP4_SAMPLES_SCHEMA
+    )
+
+
+MP4_CODEC_SCHEMA = (
+    "file_name string, track_idx int, entry_format string, "
+    "width int, height int, avc_profile int, avc_level int, "
+    "nal_length_size int, num_sps int"
+)
+
+
+def _parse_mp4_codec_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: stsd SAMPLE-DESCRIPTION parse (ISO/IEC
+    14496-12 §8.5.2 + 14496-15 §5.3.3) — per trak, walk the sample
+    entries; VisualSampleEntry yields width/height (fixed offsets 24
+    and 26 of the entry payload), and an avcC child box yields the
+    AVC decoder configuration: profile, level, NAL length-prefix size
+    (lengthSizeMinusOne + 1) and SPS count — the codec facts a video
+    pipeline routes on before any decode. Bounds-checked throughout;
+    malformed entries contribute no rows."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> "list[dict]":
+        rows = []
+        for ti, leaves in _trak_stbl_leaves(b):
+            if b"stsd" not in leaves:
+                continue
+            s, e = leaves[b"stsd"]
+            body = b[s:e]
+            if len(body) < 8:
+                continue
+            (cnt,) = struct.unpack(">I", body[4:8])
+            pos = 8
+            for _ in range(min(cnt, 64)):
+                if pos + 8 > len(body):
+                    break
+                (esz,) = struct.unpack(">I", body[pos:pos + 4])
+                if esz < 8 or pos + esz > len(body):
+                    break
+                entry = body[pos + 8:pos + esz]
+                row = {
+                    "file_name": name, "track_idx": ti,
+                    "entry_format": body[pos + 4:pos + 8].decode("latin1"),
+                    "width": None, "height": None, "avc_profile": None,
+                    "avc_level": None, "nal_length_size": None,
+                    "num_sps": None,
+                }
+                if len(entry) >= 78:  # VisualSampleEntry fixed part
+                    row["width"], row["height"] = struct.unpack(
+                        ">HH", entry[24:28]
+                    )
+                    cpos = 78
+                    while cpos + 8 <= len(entry):
+                        (csz,) = struct.unpack(">I", entry[cpos:cpos + 4])
+                        ctype = entry[cpos + 4:cpos + 8]
+                        if csz < 8 or cpos + csz > len(entry):
+                            break
+                        if ctype == b"avcC" and csz >= 14:
+                            cfg = entry[cpos + 8:cpos + csz]
+                            row["avc_profile"] = cfg[1]
+                            row["avc_level"] = cfg[3]
+                            row["nal_length_size"] = (cfg[4] & 0x03) + 1
+                            row["num_sps"] = cfg[5] & 0x1F
+                        cpos += csz
+                rows.append(row)
+                pos += esz
+        return rows
+
+    cols = [
+        "file_name", "track_idx", "entry_format", "width", "height",
+        "avc_profile", "avc_level", "nal_length_size", "num_sps",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_mp4_codec(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per stsd SAMPLE ENTRY per
+    track: entry format fourcc, visual width/height, and the avcC
+    decoder configuration (profile/level/NAL length size/SPS count)
+    when present."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_mp4_codec_batches, MP4_CODEC_SCHEMA
     )
 
 
@@ -492,6 +658,15 @@ def _parse_jpeg_batches(batches: "Iterator") -> "Iterator":
         pos, apps, saw_sof, saw_sos, ok = 2, [], False, False, True
         while pos + 2 <= len(b):
             if b[pos] != 0xFF:
+                ok = False
+                break
+            # ITU-T T.81 §B.1.1.2: any number of 0xFF fill bytes may
+            # pad before a marker code — skip them (r13, ADVICE r12;
+            # without this a spec-valid padded JPEG reads a bogus
+            # length and mis-walks).
+            while pos + 1 < len(b) and b[pos + 1] == 0xFF:
+                pos += 1
+            if pos + 2 > len(b):
                 ok = False
                 break
             code = b[pos + 1]

@@ -369,11 +369,15 @@ def test_mp4_sample_table_offsets_and_md5(spark):
     )
 
     raw = read_binary_dir(spark, "/root/repo/tests/fixtures/mp4stbl", glob="*.mp4")
+    all_rows = parse_mp4_samples(raw).collect()
     rows = {
         (r.file_name, r.sample_idx): r
-        for r in parse_mp4_samples(raw).collect()
+        for r in all_rows
+        if r.file_name in ("video_a.mp4", "video_b.mp4")
     }
     assert len(rows) == 17  # 10 + 7; nostbl_c contributes nothing
+    # r13 fixtures: 9 keyframe-trak samples + (6 video + 5 audio)
+    assert len(all_rows) == 17 + 9 + 11
     a1 = rows[("video_a.mp4", 1)]
     assert (a1.chunk_idx, a1.byte_offset, a1.sample_size) == (1, 596, 20)
     a5 = rows[("video_a.mp4", 5)]   # first sample of chunk 2

@@ -95,3 +95,129 @@ def test_sn_bucketize_all_equal_keys_single_bucket(spark):
         sorted_neighborhood_pairs_global(df, "id", "k", window=2, num_buckets=4)
     )
     assert got == ref
+
+
+# -------------------- MP4 ladder r13: keyframes, multi-trak, avcC,
+# malformed-table robustness (ADVICE r12)
+
+MP4STBL = "/root/repo/tests/fixtures/mp4stbl"
+
+
+def _mp4_rows(spark, blobs):
+    """Run the sample kernel over in-memory (name, bytes) blobs."""
+    from parcialbigdata_spark.sources.binary import parse_mp4_samples
+
+    df = spark.createDataFrame(
+        [(n, bytearray(b)) for n, b in blobs], "file_name string, content binary"
+    )
+    return parse_mp4_samples(df).collect()
+
+
+def test_mp4_keyframes_and_multitrak(spark):
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="*.mp4")
+    rows = parse_mp4_samples(raw).collect()
+    kf = {
+        (r.track_idx, r.sample_idx): r.is_keyframe
+        for r in rows
+        if r.file_name == "video_kf.mp4"
+    }
+    assert [s for (t, s), k in sorted(kf.items()) if k] == [1, 4, 7]
+    mt = [r for r in rows if r.file_name == "video_mt.mp4"]
+    assert {r.track_idx for r in mt} == {1, 2}
+    # video trak: stss {1,3}; audio trak: no stss → all keyframes
+    assert sorted(
+        r.sample_idx for r in mt if r.track_idx == 1 and r.is_keyframe
+    ) == [1, 3]
+    assert all(r.is_keyframe for r in mt if r.track_idx == 2)
+    # both traks' byte ranges resolve into the shared mdat with no overlap
+    spans = sorted((r.byte_offset, r.byte_offset + r.sample_size) for r in mt)
+    assert all(spans[i][1] <= spans[i + 1][0] for i in range(len(spans) - 1))
+
+
+def test_mp4_codec_config(spark):
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_codec,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="*.mp4")
+    rows = {
+        (r.file_name, r.track_idx): r for r in parse_mp4_codec(raw).collect()
+    }
+    v = rows[("video_kf.mp4", 1)]
+    assert (v.entry_format, v.width, v.height) == ("avc1", 640, 360)
+    assert (v.avc_profile, v.avc_level, v.nal_length_size, v.num_sps) == (
+        100, 31, 4, 1,
+    )
+    a = rows[("video_mt.mp4", 2)]
+    assert a.entry_format == "mp4a"
+    assert a.width is None and a.avc_profile is None
+
+
+def _mutate(blob: bytes, needle: bytes, patch: bytes, at: int = 0) -> bytes:
+    i = blob.index(needle)
+    start = i + 4 + at  # needle = 4cc; payload starts after version/flags
+    return blob[:start] + patch + blob[start + len(patch):]
+
+
+def test_mp4_malformed_tables_degrade_to_no_rows(spark):
+    """ADVICE r12: hostile count fields / non-covering stsc must not
+    crash the job — the malformed trak contributes no rows, like every
+    other kernel in the module."""
+    import struct
+
+    good = open(f"{MP4STBL}/video_a.mp4", "rb").read()
+
+    # stsz per-size count far beyond the table body
+    bad_stsz = _mutate(good, b"stsz", struct.pack(">II", 0, 0x7FFFFFFF), at=4)
+    # stsc whose single run starts at chunk 2 (chunk 1 uncovered —
+    # the empty-max() crash in the r12 kernel)
+    bad_stsc = _mutate(good, b"stsc", struct.pack(">III", 2, 4, 1), at=8)
+    # stsc run count larger than the box holds
+    bad_runs = _mutate(good, b"stsc", struct.pack(">I", 1000), at=4)
+    # stco chunk count larger than the box holds
+    bad_stco = _mutate(good, b"stco", struct.pack(">I", 0x00FFFFFF), at=4)
+    # uniform stsz whose n*uniform cannot fit in the file
+    bad_uniform = _mutate(good, b"stsz", struct.pack(">II", 1 << 20, 1 << 20), at=4)
+    # truncated-to-nothing stss appended case: malformed sync table
+    rows = _mp4_rows(
+        spark,
+        [
+            ("bad_stsz.mp4", bad_stsz),
+            ("bad_stsc.mp4", bad_stsc),
+            ("bad_runs.mp4", bad_runs),
+            ("bad_stco.mp4", bad_stco),
+            ("bad_uniform.mp4", bad_uniform),
+            ("good.mp4", good),
+        ],
+    )
+    by_file = {}
+    for r in rows:
+        by_file.setdefault(r.file_name, []).append(r)
+    assert set(by_file) == {"good.mp4"}
+    assert len(by_file["good.mp4"]) == 10
+
+
+def test_jpeg_fill_bytes_skipped(spark):
+    """ADVICE r12: 0xFF fill bytes before a marker code are legal
+    padding (ITU-T T.81 §B.1.1.2); the walk must skip them instead of
+    reading a bogus segment length."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_jpeg,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/jpeg", glob="*")
+    rows = {r.file_name: r for r in parse_jpeg(raw).collect()}
+    p = rows["padded_j.jpg"]
+    assert (p.width, p.height, p.n_components) == (24, 12, 1)
+    assert p.structure_ok and not p.progressive
+    assert p.n_quant_tables == 1 and p.n_huffman_tables == 1
+    # unpadded fixtures keep parsing as before
+    g = rows["gray_e.jpg"]
+    assert (g.width, g.height, g.structure_ok) == (16, 8, True)

@@ -16,6 +16,11 @@ Fixtures:
 - ``progressive_g.jpg`` — SOF2 (progressive), 3 components, 32×32
 - ``trunc_h.jpg``       — EOI missing (structure_ok = false)
 - ``notjpeg_i.bin``     — wrong magic: excluded by both engines
+- ``padded_j.jpg``      — r13 (ADVICE r12): 0xFF FILL BYTES before
+                          several marker codes (ITU-T T.81 §B.1.1.2
+                          allows any number) — spec-valid padding both
+                          engines must skip without misreading a
+                          length
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_jpeg_fixtures.py
@@ -77,9 +82,15 @@ def main() -> None:
     )
     prog = SOI + app0() + dqt(0) + sof(0xC2, 32, 32, 3) + dht(0) + sos(3) + entropy(90) + EOI
     trunc = gray[:-2]  # EOI missing
+    fill = b"\xff"  # T.81 B.1.1.2 fill byte: FF FF .. FF <code>
+    padded = (
+        SOI + fill + app0() + dqt(0) + fill * 3 + sof(0xC0, 24, 12, 1)
+        + dht(0) + fill * 2 + sos(1) + entropy(40) + EOI
+    )
     files = {
         "gray_e.jpg": gray, "rgb_f.jpg": rgb, "progressive_g.jpg": prog,
         "trunc_h.jpg": trunc, "notjpeg_i.bin": b"NOPE" + entropy(30),
+        "padded_j.jpg": padded,
     }
     for name, data in files.items():
         (OUT / name).write_bytes(data)

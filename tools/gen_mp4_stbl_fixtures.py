@@ -15,6 +15,15 @@ Fixtures:
   stsz (``sample_size != 0`` — the uniform-size fast path, no table).
 - ``nostbl_c.mp4`` — ftyp+mdat only (no moov): excluded by both
   engines.
+- ``video_kf.mp4`` (r13) — 9 samples, chunks of (3,3,3), stss sync
+  table marking samples {1,4,7} as keyframes, avc1 sample entry with
+  an avcC decoder-configuration child (profile 100 / level 31 /
+  4-byte NAL lengths / 1 SPS).
+- ``video_mt.mp4`` (r13) — TWO traks sharing one mdat (the common
+  audio+video shape): trak 1 video, 6 uniform-size samples in chunks
+  of (2,2,2) with stss {1,3}; trak 2 audio (mp4a entry), 5 per-size
+  samples in one chunk, NO stss (every sample is a sync sample per
+  §8.6.2).
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_mp4_stbl_fixtures.py
@@ -107,15 +116,148 @@ def build(name: str, sizes: "list[int]", chunking: "list[tuple[int, int]]",
     return blob
 
 
+def _expand_chunking(chunking: "list[tuple[int, int]]", n: int) -> "list[int]":
+    per_chunk: list[int] = []
+    total, run, chunk = 0, 0, 1
+    while total < n:
+        if run + 1 < len(chunking) and chunk >= chunking[run + 1][0]:
+            run += 1
+        spc = min(chunking[run][1], n - total)
+        per_chunk.append(spc)
+        total += spc
+        chunk += 1
+    return per_chunk
+
+
+def _avcc() -> bytes:
+    """avcC decoder configuration (ISO/IEC 14496-15 §5.3.3): version 1,
+    profile 100 (High), level 31, 4-byte NAL length prefixes, 1 SPS +
+    1 PPS with deterministic placeholder bodies."""
+    sps, pps = b"\x67\x64\x00\x1f", b"\x68\xee"
+    return box(
+        b"avcC",
+        bytes([1, 100, 0, 31, 0xFF, 0xE1])
+        + struct.pack(">H", len(sps)) + sps
+        + b"\x01" + struct.pack(">H", len(pps)) + pps,
+    )
+
+
+def _stsd_entry(codec: str) -> bytes:
+    if codec == "mp4v":
+        return box(b"mp4v", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70)
+    if codec == "avc1":
+        # VisualSampleEntry fixed part (78 bytes) + avcC child
+        fixed = (
+            b"\x00" * 6 + struct.pack(">H", 1)          # reserved + dri
+            + b"\x00" * 16                               # pre_defined/reserved
+            + struct.pack(">HH", 640, 360)               # width, height
+            + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+            + b"\x00" * 4 + struct.pack(">H", 1)          # reserved + frames
+            + b"\x00" * 32                               # compressorname
+            + struct.pack(">Hh", 24, -1)                 # depth, pre_defined
+        )
+        assert len(fixed) == 78
+        return box(b"avc1", fixed + _avcc())
+    if codec == "mp4a":
+        # AudioSampleEntry fixed part (28 bytes), no children needed
+        fixed = (
+            b"\x00" * 6 + struct.pack(">H", 1)
+            + b"\x00" * 8
+            + struct.pack(">HHHH", 2, 16, 0, 0)
+            + struct.pack(">I", 44100 << 16)
+        )
+        assert len(fixed) == 28
+        return box(b"mp4a", fixed)
+    raise ValueError(codec)
+
+
+def build_multi(traks: "list[dict]") -> bytes:
+    """Multi-trak builder (r13): each spec dict carries sizes,
+    chunking, and optional uniform / sync (stss sample numbers) /
+    codec / handler / base_i (payload-content seed). All traks share
+    one mdat; chunks are laid out trak-by-trak in file order."""
+    per_chunk = [_expand_chunking(t["chunking"], len(t["sizes"])) for t in traks]
+
+    def trak_box(t: dict, stco_offsets: "list[int]") -> bytes:
+        n = len(t["sizes"])
+        stsd = full(b"stsd", struct.pack(">I", 1)
+                    + _stsd_entry(t.get("codec", "mp4v")))
+        stts = full(b"stts", struct.pack(">III", 1, n, 1))
+        stsc = full(b"stsc", struct.pack(">I", len(t["chunking"]))
+                    + b"".join(struct.pack(">III", fc, spc, 1)
+                               for fc, spc in t["chunking"]))
+        uniform = t.get("uniform", 0)
+        if uniform:
+            stsz = full(b"stsz", struct.pack(">II", uniform, n))
+        else:
+            stsz = full(b"stsz", struct.pack(">II", 0, n)
+                        + b"".join(struct.pack(">I", s) for s in t["sizes"]))
+        stco = full(b"stco", struct.pack(">I", len(stco_offsets))
+                    + b"".join(struct.pack(">I", o) for o in stco_offsets))
+        extra = b""
+        if t.get("sync") is not None:
+            extra = full(b"stss", struct.pack(">I", len(t["sync"]))
+                         + b"".join(struct.pack(">I", s) for s in t["sync"]))
+        stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + extra)
+        minf = box(b"minf", stbl)
+        handler = t.get("handler", b"vide")
+        hname = b"video\x00" if handler == b"vide" else b"sound\x00"
+        hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 + hname)
+        mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, n, 0x55C4, 0))
+        mdia = box(b"mdia", mdhd + hdlr + minf)
+        tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 68)
+        return box(b"trak", tkhd + mdia)
+
+    def moov(all_offsets: "list[list[int]]") -> bytes:
+        total = sum(len(t["sizes"]) for t in traks)
+        mvhd = full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, total) + b"\x00" * 80)
+        return box(b"moov", mvhd + b"".join(
+            trak_box(t, offs) for t, offs in zip(traks, all_offsets)
+        ))
+
+    chunk_sizes: list[list[int]] = []
+    for t, pcs in zip(traks, per_chunk):
+        s, css = 0, []
+        for spc in pcs:
+            css.append(sum(t["sizes"][s:s + spc]))
+            s += spc
+        chunk_sizes.append(css)
+
+    head_len = len(ftyp()) + len(moov([[0] * len(c) for c in chunk_sizes])) + 8
+    acc, all_offsets = head_len, []
+    for css in chunk_sizes:
+        offs = []
+        for cs in css:
+            offs.append(acc)
+            acc += cs
+        all_offsets.append(offs)
+    mdat_payload = b"".join(
+        sample_bytes(t.get("base_i", 0) + i, sz)
+        for t in traks
+        for i, sz in enumerate(t["sizes"])
+    )
+    return ftyp() + moov(all_offsets) + box(b"mdat", mdat_payload)
+
+
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
     a_sizes = [20 + 3 * i for i in range(10)]
     b_sizes = [32] * 7
+    kf_sizes = [24 + 5 * i for i in range(9)]
+    mt_video = {"sizes": [40] * 6, "chunking": [(1, 2)], "uniform": 40,
+                "sync": [1, 3], "codec": "avc1", "handler": b"vide"}
+    mt_audio = {"sizes": [11 + 2 * i for i in range(5)], "chunking": [(1, 5)],
+                "codec": "mp4a", "handler": b"soun", "base_i": 100}
     files = {
         "video_a.mp4": build("a", a_sizes, [(1, 4), (3, 2)]),
         "video_b.mp4": build("b", b_sizes, [(1, 7)], uniform=32),
         "nostbl_c.mp4": box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
         + box(b"mdat", bytes(range(48))),
+        "video_kf.mp4": build_multi([
+            {"sizes": kf_sizes, "chunking": [(1, 3)], "sync": [1, 4, 7],
+             "codec": "avc1", "base_i": 50},
+        ]),
+        "video_mt.mp4": build_multi([mt_video, mt_audio]),
     }
     for name, data in files.items():
         (OUT / name).write_bytes(data)
