@@ -2136,6 +2136,12 @@ def png_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
       OR (new_file = 'checker_b_dup.png'
           AND (old_file NOT LIKE '%\\_dup.png' ESCAPE '\\'
                OR old_file = 'grad_a_dup.png'))
+      -- r13 intra-batch contract: pairs wholly inside one micro-batch
+      -- (here: among epoch 0's four originals) are detected by the
+      -- in-batch self-join, oriented later-name → new_file
+      OR (new_file NOT LIKE '%\\_dup.png' ESCAPE '\\'
+          AND old_file NOT LIKE '%\\_dup.png' ESCAPE '\\'
+          AND new_file > old_file)
     )
     """,
 )

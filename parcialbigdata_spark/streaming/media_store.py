@@ -21,6 +21,22 @@ DISTRIBUTED in ``pairs_dir/epoch_<id>/`` (overwrite mode — a replayed
 batch rewrites exactly its own directory; nothing is collected to the
 driver). At 100 TB the stream carries blobs, the index carries 4 band
 rows × ~50 bytes per file, and the decode runs once per blob ever.
+
+Intra-batch pairs (r13, ADVICE r12): two near-dup blobs landing in
+the SAME micro-batch never meet in the batch-vs-index probe (a
+batch's hashes append only after its probe), so every epoch —
+including the seeding epoch 0 — additionally runs the banded
+``dhash_near_dups`` self-join within the batch and unions those
+pairs in, oriented (lexicographically later name) → new_file to stay
+deterministic.
+
+Run scoping (r13, ADVICE r12): the drain uses no checkpointLocation,
+so epoch numbering restarts at 0 every run and the seed branch
+OVERWRITES any pre-existing ``bands_table`` — each call is a fresh
+index build by contract. For the same reason a caller-supplied
+``pairs_dir`` is cleared of ``epoch_*`` output before the stream
+starts: a previous longer run's stale epochs would otherwise survive
+the per-epoch overwrite and leak into the final glob.
 """
 
 from __future__ import annotations
@@ -51,6 +67,7 @@ def run_streaming_phash_index(
     )
 
     from parcialbigdata_spark.operators.phash import (
+        dhash_near_dups,
         phash_index_ingest,
         phash_index_probe,
         png_dhash,
@@ -62,6 +79,12 @@ def run_streaming_phash_index(
     blob_schema = spark.read.parquet(os.path.join(stream_dir, first_file)).schema
     if pairs_dir is None:
         pairs_dir = tempfile.mkdtemp(prefix="phash-pairs-")
+    else:
+        import glob as _glob
+        import shutil as _shutil
+
+        for stale in _glob.glob(os.path.join(pairs_dir, "epoch_*")):
+            _shutil.rmtree(stale, ignore_errors=True)
     pair_schema = StructType(
         [
             StructField("new_file", StringType()),
@@ -73,15 +96,22 @@ def run_streaming_phash_index(
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
         hashes = png_dhash(batch_df)
         seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
+        # intra-batch pairs: same-batch members never meet in the
+        # batch-vs-index probe, so the banded self-join finds them
+        intra = dhash_near_dups(hashes, max_hamming=max_hamming).select(
+            F.col("file_b").alias("new_file"),
+            F.col("file_a").alias("old_file"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
         if seed:
-            p = batch_df.sparkSession.createDataFrame([], pair_schema)
+            p = intra
         else:
             p = phash_index_probe(
                 hashes, bands_table, max_hamming=max_hamming
             ).select(
                 "new_file", "old_file",
                 F.col("hamming").cast("int").alias("hamming"),
-            )
+            ).unionByName(intra)
         p.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"epoch_{int(epoch_id)}")
         )

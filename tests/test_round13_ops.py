@@ -221,3 +221,74 @@ def test_jpeg_fill_bytes_skipped(spark):
     # unpadded fixtures keep parsing as before
     g = rows["gray_e.jpg"]
     assert (g.width, g.height, g.structure_ok) == (16, 8, True)
+
+
+# -------------------- streaming media store: intra-batch pairs +
+# reused-pairs_dir scoping (ADVICE r12)
+
+
+def _phash_stream(spark, base, batches):
+    """Write ordered micro-batch files from lists of fixture names."""
+    import os
+    import time as _time
+
+    from parcialbigdata_spark.queries import _write_stream_file
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/phash", glob="*.png")
+    stream_dir = os.path.join(base, "stream")
+    os.makedirs(stream_dir, exist_ok=True)
+    now = _time.time()
+    for i, names in enumerate(batches):
+        part = raw.filter(F.col("file_name").isin(list(names)))
+        _write_stream_file(base, stream_dir, part, f"b{i}", now - 600 + 60 * i)
+    return stream_dir
+
+
+def test_media_store_intra_batch_pairs_and_pairs_dir_scoping(spark):
+    import os
+    import shutil
+    import tempfile
+
+    from parcialbigdata_spark.streaming.media_store import (
+        run_streaming_phash_index,
+    )
+
+    bands_t = "r13_media_store_test"
+    base = tempfile.mkdtemp(prefix="r13-mediastore-")
+    pairs_dir = os.path.join(base, "pairs")
+    os.makedirs(pairs_dir)
+    try:
+        # Run 1: grad_a AND its dup land in the SAME seed batch —
+        # r12 reported them unique; r13 must emit the pair from the
+        # in-batch self-join, oriented later-name → new_file.
+        s1 = os.path.join(base, "run1")
+        os.makedirs(s1)
+        d1 = _phash_stream(
+            spark, s1,
+            [["grad_a.png", "grad_a_dup.png", "noise_c.png"],
+             ["checker_b.png"]],
+        )
+        got1 = {
+            (r.new_file, r.old_file)
+            for r in run_streaming_phash_index(
+                spark, d1, bands_t, pairs_dir=pairs_dir
+            ).collect()
+        }
+        assert ("grad_a_dup.png", "grad_a.png") in got1
+        # Run 2 reuses pairs_dir with FEWER epochs: run 1's stale
+        # epoch_1 output must not leak into the result.
+        s2 = os.path.join(base, "run2")
+        os.makedirs(s2)
+        d2 = _phash_stream(spark, s2, [["noise_c.png", "rgba_d.png"]])
+        got2 = {
+            (r.new_file, r.old_file)
+            for r in run_streaming_phash_index(
+                spark, d2, bands_t, pairs_dir=pairs_dir
+            ).collect()
+        }
+        assert got2 == set()  # noise/rgba are not near-dups; no stale pairs
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
+        shutil.rmtree(base, ignore_errors=True)
