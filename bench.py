@@ -297,10 +297,30 @@ def _bench_png_corpus_near_dup_10k(spark, sf_dir):
     return dhash_near_dups(png_dhash(corpus))
 
 
+def _bench_wav_corpus_near_dup_10k(spark, sf_dir):
+    """aHash at corpus scale (r13, VERDICT r12 #5): PCM decode + banded
+    Hamming near-dup join over the deterministic generated 10k-clip
+    WAV corpus (~1k planted near-dup pairs) — the audio mirror of
+    `png_corpus_near_dup_10k`; `wav_near_dup_media` runs the same
+    layers on 5 committed fixtures. Bench-only: operator correctness
+    stays pinned by the fixtures' full sample-replay oracles; the
+    corpus cache generates on the warm-up pass, so timed passes
+    measure decode+join, not generation."""
+    from parcialbigdata_spark.operators.audiohash import (
+        ahash_near_dups,
+        wav_ahash,
+    )
+    from parcialbigdata_spark.sources.audio_corpus import ensure_audio_corpus
+
+    corpus = ensure_audio_corpus(spark)
+    return ahash_near_dups(wav_ahash(corpus))
+
+
 # Non-registry bench entries: same harness (warm-up + min-of-2 +
 # clearCache), timed after the registry set.
 EXTRA_BENCHES = {
     "png_corpus_near_dup_10k": _bench_png_corpus_near_dup_10k,
+    "wav_corpus_near_dup_10k": _bench_wav_corpus_near_dup_10k,
 }
 
 
@@ -328,22 +348,36 @@ def main() -> None:
     for name, fn in runners.items():
         fn(spark, sf_dir).count()
         spark.catalog.clearCache()
-    timings: dict[str, float] = {}
+    all_runs: dict[str, list[float]] = {}
+
+    def _timed(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Execute the full plan; write nothing, pull back the count.
+        df.count()
+        elapsed = round(time.perf_counter() - t0, 3)
+        all_runs.setdefault(name, []).append(elapsed)
+        # Operator-internal persists (LSH band/shingle relations) are
+        # per-query state — clear so queries don't inherit cache from
+        # earlier ones and storage stays flat. Outside the timer:
+        # cache teardown and the GC nudge are harness overhead, not
+        # query cost.
+        spark.catalog.clearCache()
+        jvm_gc()
+
     for _pass in range(2):
         for name, fn in runners.items():
-            t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            # Execute the full plan; write nothing, pull back the count.
-            df.count()
-            elapsed = round(time.perf_counter() - t0, 3)
-            timings[name] = min(timings.get(name, elapsed), elapsed)
-            # Operator-internal persists (LSH band/shingle relations) are
-            # per-query state — clear so queries don't inherit cache from
-            # earlier ones and storage stays flat. Outside the timer:
-            # cache teardown and the GC nudge are harness overhead, not
-            # query cost.
-            spark.catalog.clearCache()
-            jvm_gc()
+            _timed(name, fn)
+    # r13 (VERDICT r12 #7): sub-3s entries get a THIRD pass — at ~1s
+    # absolute a single GC/scheduler pause on one pass reads as a 2×
+    # round-over-round mover (r11's false regression, r12's
+    # chunk_documents), and min-of-3 at ~2 min suite cost erases most
+    # of that adjudication. BENCH_DETAIL carries every run per query
+    # (queries_runs) so a noise claim is auditable, not argued.
+    for name, fn in runners.items():
+        if min(all_runs[name]) < 3.0:
+            _timed(name, fn)
+    timings: dict[str, float] = {n: min(v) for n, v in all_runs.items()}
 
     # Calibration AFTER the timed passes: the kernel itself is warm
     # (JIT'd codegen) only after its first run, so measure_calibration's
@@ -386,6 +420,10 @@ def main() -> None:
         # CPU-drift basis for history comparability.
         "value_normalized_multijob": round(total / drift_mj, 3),
         "queries_normalized": normalized,
+        # every individual pass per query (min-of-2, plus a 3rd pass
+        # for sub-3s entries — r13, VERDICT r12 #7); `queries` is the
+        # per-query min of these
+        "queries_runs": all_runs,
     }
     print(json.dumps(detail))
     # The driver records only a ~2 KB tail of this output, and the full

@@ -13282,29 +13282,47 @@ _DRIVER_WINDOW = [
     # CI-oracle green since r3 (tests/test_correctness_full.py) and
     # were spot re-verified by the r11 judge (q2, q17 in the 14-query
     # sample).
-    "q2_min_cost_supplier",
-    "q4_order_priority",
-    "q6_forecast_revenue",
-    "q7_nation_volume",
-    "q8_market_share",
-    "q10_returned_items",
-    "q11_important_suppliers",
-    "q12_priority_by_linestatus",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_cnt",
-    "q17_small_quantity_revenue",
-    "q19_bracket_revenue",
-    "q20_red_part_suppliers",
-    "q22_idle_customers",
-    # r12: the mergeable-sketch family's three never-checked members
-    # (VERDICT r11 #3's second priority): HLL register-merge rollup
-    # (re-aggregable distinct sketches), KLL/quantile partial merge,
-    # and the streaming HLL partial store (per-key mergeable state).
-    "hll_rollup_users",
-    "kll_quantile_merge_orders",
-    "streaming_hll_partials",
+    # (the 16-query TPC-H block q2,q4,q6,q7,q8,q10-q17,q19,q20,q22
+    # rotated out in r13 — all driver-proven on first contact in r12;
+    # the relational core keeps q1 + q3 in-window; stays CI-green.)
+    # (hll_rollup_users / kll_quantile_merge_orders /
+    # streaming_hll_partials rotated out in r13 — the sketch family
+    # went driver-green on first contact in r12; stays CI-green.)
+    # r13 rotation (VERDICT r12 #2: burn the never-checked backlog
+    # toward ≤58, prioritizing the retrieval/corpus-prep block and the
+    # graph family — "the ops a real pipeline user hits next"). 20
+    # backlog entries enter: the retrieval pair (positional inverted
+    # index, TF-IDF), the corpus-prep sweep (PII redaction, chunk
+    # packing, token-frequency quality, heavy hitters, vocab growth,
+    # split hashing, winnowing fingerprints, cross-doc substrings, hot
+    # n-grams, repetition metrics, length bounds, corpus profile,
+    # stratified/deterministic-shuffle/mixture sampling), and the
+    # graph trio (two PageRank formulations + recursive-CTE reach).
+    "inverted_index_terms",
+    "tfidf_top_terms",
+    "redact_pii_documents",
+    "pack_chunks_documents",
+    "token_freq_score_documents",
+    "heavy_hitter_terms",
+    "vocab_stats_by_source",
+    "hash_split_documents",
+    "winnow_overlap_documents",
+    "shared_substring_documents",
+    "hot_ngram_documents",
+    "repetition_metrics_by_lang",
+    "length_bounds_by_lang",
+    "profile_documents",
+    "stratified_sample_documents",
+    "shuffle_order_documents",
+    "mixture_resample_documents",
+    "pagerank_trade_graph",
+    "pagerank_conserving_purchases",
+    "recursive_cte_supplier_reach",
+    # r13 debuts (VERDICT r12 #4 — the MP4 ladder's next rungs, the
+    # debut-round window precedent): stss keyframe-aware sampling and
+    # stsd/avcC codec-config extraction.
+    "mp4_keyframe_sample_media",
+    "mp4_codec_config_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -13557,7 +13575,9 @@ _DRIVER_WINDOW = [
     # (png_near_dup_media rotated out in r12b — driver-proven r11; the
     # shared banded-Hamming layer stays in-window via the debuting
     # audio twin wav_near_dup_media below; stays CI-green.)
-    "wav_near_dup_media",
+    # (wav_near_dup_media rotated out in r13 — first-time green r12;
+    # the banded-Hamming layer stays in-window via
+    # streaming_phash_index_media's probe; stays CI-green.)
     # (json_event_props rotated out in r4b — F4 keeps
     # variant_event_props, whose r3 oracle-cast fix this window must
     # prove green — for the new rolling-anomaly family; stays CI-green.)
@@ -13721,7 +13741,9 @@ _DRIVER_WINDOW = [
     # 65-frame energy-contour perceptual hash, r12-new, full SQL
     # sample-replay oracle — the debut-round precedent); stays
     # CI-green.)
-    "wav_ahash_media",
+    # (wav_ahash_media rotated out in r13 — first-time green r12; the
+    # PCM decode kernel stays covered by CI + the r13 corpus bench;
+    # stays CI-green.)
     # (knn_join_embeddings rotated out in r7b — driver-proven green
     # since r3; the embedding family keeps FOUR reps in-window — for
     # the new r7 MDM-survivorship family golden_record_documents
@@ -13732,7 +13754,9 @@ _DRIVER_WINDOW = [
     # index: ingest → probe → replayed append → crash-recoverable
     # compact → probe, the media completion of the index-maintenance
     # matrix, r12-new — debut-round precedent); stays CI-green.)
-    "phash_index_probe_media",
+    # (phash_index_probe_media rotated out in r13 — first-time green
+    # r12; the index lifecycle stays in-window via its streaming twin
+    # streaming_phash_index_media; stays CI-green.)
     # (semantic_dedup_embeddings rotated out in r11 — driver-proven
     # r3-r10; embedding near-dup keeps embedding_centroids in-window —
     # for ivf_topk_embeddings (one-shot IVF ANN, oldest never-checked

@@ -292,3 +292,28 @@ def test_media_store_intra_batch_pairs_and_pairs_dir_scoping(spark):
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_audio_corpus_wav_bytes_deterministic_and_decodable():
+    """The 10k-clip bench corpus (r13, the audio mirror of the r12
+    phash corpus) must be deterministic and every clip decodable by
+    the real aHash kernel. Spot-check a base clip and its planted
+    near-dup: identical across calls, Hamming ≤ 3 between the pair
+    (the 4-band pigeonhole recall contract)."""
+    from parcialbigdata_spark.operators.audiohash import wav_ahash_bands
+    from parcialbigdata_spark.sources.audio_corpus import _wav_bytes
+
+    base = _wav_bytes(8, None)
+    assert base == _wav_bytes(8, None)
+    dup = _wav_bytes(9, 8)
+    assert dup == _wav_bytes(9, 8) and dup != base
+    rb = wav_ahash_bands(base)
+    rd = wav_ahash_bands(dup)
+    assert rb is not None and rd is not None
+    (_, bb), (_, bd) = rb, rd
+    hamming = sum(bin(a ^ b).count("1") for a, b in zip(bb, bd))
+    assert hamming <= 3
+    # hashes must scatter: two unrelated clips differ by far more
+    (_, bo) = wav_ahash_bands(_wav_bytes(30, None))
+    far = sum(bin(a ^ b).count("1") for a, b in zip(bb, bo))
+    assert far > 3

@@ -21,6 +21,73 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# r13 (VERDICT r12 #8): the PRE-COMMITTED rotation order — each
+# round's incoming window slots consume this queue's head, so the
+# plan is auditable before the round runs rather than reconstructed
+# after. Family-grouped: embeddings/index/streaming state first (the
+# ops an LLM-pipeline user hits next after retrieval/corpus-prep and
+# graph, which r13 consumed), then events/funnels/attribution, then
+# statistics/sampling/audit, then the remainder. Backlog names not
+# listed here (future additions) append in registry order.
+ROTATION_PRIORITY = [
+    # r14 block: embeddings + incremental/index + streaming state
+    "quantize_embeddings",
+    "pq_topk_embeddings",
+    "contrastive_pairs_embeddings",
+    "hard_negatives_embeddings",
+    "embedding_outliers",
+    "dim_stats_embeddings",
+    "source_similarity_matrix",
+    "incremental_dedup_documents",
+    "dedup_index_compact_documents",
+    "streaming_kll_partials",
+    "streaming_agg_state_store",
+    "quality_classifier_documents",
+    "snapshot_diff_documents",
+    "upsert_latest_events",
+    "fuzzy_join_part_names",
+    "copurchase_part_pairs",
+    # r15 block: events / funnels / attribution / sequences
+    "funnel_click_purchase",
+    "funnel_steps_events",
+    "event_paths_topk",
+    "event_transitions_markov",
+    "markov_transitions_events",
+    "attribution_last_touch",
+    "new_vs_returning_users_daily",
+    "takedown_cascade_users",
+    "gap_fill_interp_events",
+    "asof_order_within_90d",
+    "ppr_seed_customer_purchases",
+    "link_prediction_suppliers",
+    "pipe_syntax_revenue",
+    "right_outer_urgent_orders",
+    "range_window_order_density",
+    "ntile_customer_spend",
+    # r16 block: statistics / sampling / audit
+    "mad_outliers_orders",
+    "skew_diagnostics_orders",
+    "skew_profile_join_keys",
+    "ols_corr_lineitem",
+    "grouped_ols_lineitem",
+    "approx_quantiles_attested",
+    "histogram_order_totals",
+    "first_last_order_values",
+    "sample_k_per_group",
+    "stratified_sample_orders",
+    "priority_sample_documents",
+    "mixture_temperature_weights",
+    "sample_budget_apportionment",
+    "token_budget_by_source",
+    "dq_checks_orders",
+    "fk_integrity_audit",
+    # r17 block: remainder
+    "hll_grouping_sets_users",
+    "ptf_user_activity_stats",
+    "join_size_estimates",
+    "drift_report_orders",
+]
+
 
 def main() -> None:
     from parcialbigdata_spark.queries import QUERIES, _DRIVER_WINDOW
@@ -41,6 +108,17 @@ def main() -> None:
         # are listed separately, not in the backlog)
         "in_current_window": [n for n in _DRIVER_WINDOW[:50] if n in never],
         "backlog": [n for n in never if n not in set(_DRIVER_WINDOW[:50])],
+    }
+    backlog_set = set(out["backlog"])
+    queue = [n for n in ROTATION_PRIORITY if n in backlog_set] + [
+        n for n in out["backlog"] if n not in set(ROTATION_PRIORITY)
+    ]
+    out["rotation_queue"] = queue
+    # ~16 incoming slots per round (the r12/r13 cadence) → the queue
+    # drains in ceil(len/16) rounds; each round consumes the head.
+    out["rotation_plan"] = {
+        f"r{14 + i}": queue[i * 16:(i + 1) * 16]
+        for i in range((len(queue) + 15) // 16)
     }
     dst = os.path.join(REPO, "tools", "window_backlog.json")
     with open(dst, "w") as f:
