@@ -2243,7 +2243,8 @@ _MP4_WALK_SQL = f"""
       FROM walk w JOIN traks t
         ON t.file_name = w.file_name
        AND w.psta >= t.psta AND w.psta < t.tend
-      WHERE w.btype IN ('stsz', 'stsc', 'stco', 'stss', 'stsd')
+      WHERE w.btype IN ('stsz', 'stsc', 'stco', 'co64', 'stss', 'stsd',
+                        'stts', 'mdhd')
     )"""
 
 # Per-trak sample placement (stsz × stsc × stco window sums) + stss
@@ -2279,6 +2280,54 @@ _MP4_PLACED_SQL = """,
       FROM leaves o, range(100000) k(k)
       WHERE o.btype = 'stco'
         AND k.k < ('0x' || substr(o.h, (o.psta+4)*2 + 1, 8))::BIGINT
+      UNION ALL
+      -- co64: 64-bit chunk offsets (§8.7.5); stco wins when both exist
+      SELECT o.file_name, o.track_idx, k.k + 1,
+             ('0x' || substr(o.h, (o.psta + 8 + 8*k.k)*2 + 1, 16))::BIGINT
+      FROM leaves o, range(100000) k(k)
+      WHERE o.btype = 'co64'
+        AND k.k < ('0x' || substr(o.h, (o.psta+4)*2 + 1, 8))::BIGINT
+        AND NOT EXISTS (SELECT 1 FROM leaves s2
+                        WHERE s2.btype = 'stco'
+                          AND s2.file_name = o.file_name
+                          AND s2.track_idx = o.track_idx)
+    ),
+    tts AS (
+      SELECT c.file_name, c.track_idx, j.j AS run_idx,
+             ('0x' || substr(c.h, (c.psta + 8 + 8*j.j)*2 + 1, 8))::BIGINT
+               AS cnt,
+             ('0x' || substr(c.h, (c.psta + 12 + 8*j.j)*2 + 1, 8))::BIGINT
+               AS delta
+      FROM leaves c, range(1000) j(j)
+      WHERE c.btype = 'stts'
+        AND j.j < ('0x' || substr(c.h, (c.psta+4)*2 + 1, 8))::BIGINT
+    ),
+    tts_c AS (
+      SELECT *,
+             coalesce(SUM(cnt) OVER (PARTITION BY file_name, track_idx
+                 ORDER BY run_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cnt_before,
+             coalesce(SUM(cnt*delta) OVER (PARTITION BY file_name, track_idx
+                 ORDER BY run_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS time_before
+      FROM tts
+    ),
+    dtst AS (
+      SELECT s.file_name, s.track_idx, s.sample_idx,
+             t.time_before + (s.sample_idx - 1 - t.cnt_before) * t.delta
+               AS dts
+      FROM sizes s JOIN tts_c t
+        ON s.file_name = t.file_name AND s.track_idx = t.track_idx
+       AND s.sample_idx > t.cnt_before
+       AND s.sample_idx <= t.cnt_before + t.cnt
+    ),
+    tsc AS (
+      SELECT m.file_name, m.track_idx,
+             CASE WHEN ('0x' || substr(m.h, m.psta*2 + 1, 2))::INT = 1
+                  THEN ('0x' || substr(m.h, (m.psta+20)*2 + 1, 8))::BIGINT
+                  ELSE ('0x' || substr(m.h, (m.psta+12)*2 + 1, 8))::BIGINT
+             END AS timescale
+      FROM leaves m WHERE m.btype = 'mdhd'
     ),
     sync AS (
       SELECT s.file_name, s.track_idx,
@@ -2317,10 +2366,15 @@ _MP4_PLACED_SQL = """,
        AND s.sample_idx < c.first_sample + c.spc
     ),
     flagged AS (
-      SELECT p.*,
+      SELECT p.*, d.dts, tc.timescale,
              (hs.file_name IS NULL OR sy.sync_sample IS NOT NULL)
                AS is_keyframe
       FROM placed p
+      JOIN dtst d
+        ON d.file_name = p.file_name AND d.track_idx = p.track_idx
+       AND d.sample_idx = p.sample_idx
+      JOIN tsc tc
+        ON tc.file_name = p.file_name AND tc.track_idx = p.track_idx
       LEFT JOIN has_sync hs
         ON hs.file_name = p.file_name AND hs.track_idx = p.track_idx
       LEFT JOIN sync sy
@@ -2338,6 +2392,8 @@ _MP4_PLACED_SQL = """,
            CAST(p.byte_offset AS BIGINT) AS byte_offset,
            CAST(p.sample_size AS BIGINT) AS sample_size,
            p.is_keyframe,
+           CAST(p.dts AS BIGINT) AS dts,
+           CAST(p.timescale AS INT) AS timescale,
            md5(substr(b.h, CAST(p.byte_offset*2 + 1 AS BIGINT),
                       CAST(p.sample_size*2 AS BIGINT))) AS sample_md5
     FROM flagged p JOIN b ON p.file_name = b.file_name
@@ -2432,6 +2488,66 @@ def mp4_keyframe_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_offset", "sample_size", "sample_md5",
         )
         .orderBy("file_name", "track_idx", "sample_idx")
+    )
+
+
+@query(
+    "mp4_time_sample_media",
+    _MP4_WALK_SQL + _MP4_PLACED_SQL + """,
+    secs AS (
+      SELECT p.*, p.dts // p.timescale AS sec,
+             ROW_NUMBER() OVER (PARTITION BY p.file_name, p.track_idx,
+                                p.dts // p.timescale
+                                ORDER BY p.sample_idx) AS rn
+      FROM flagged p
+    )
+    SELECT s.file_name, CAST(s.track_idx AS INT) AS track_idx,
+           CAST(s.sec AS BIGINT) AS sec,
+           CAST(s.sample_idx AS INT) AS sample_idx,
+           CAST(s.byte_offset AS BIGINT) AS byte_offset,
+           CAST(s.sample_size AS BIGINT) AS sample_size,
+           s.is_keyframe,
+           md5(substr(b.h, CAST(s.byte_offset*2 + 1 AS BIGINT),
+                      CAST(s.sample_size*2 AS BIGINT))) AS sample_md5
+    FROM secs s JOIN b ON s.file_name = b.file_name
+    WHERE s.rn = 1
+    """,
+)
+def mp4_time_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-based frame sampling — "one frame per second" (sources/
+    binary.py ``parse_mp4_samples`` — r13): per trak, the stts
+    decoding-delta runs (ISO/IEC 14496-12 §8.6.1.2) resolve each
+    sample's decode timestamp as a running sum, the mdhd timescale
+    (§8.4.2 — the multi-track fixture's video trak uses 600, not
+    1000) converts ticks to whole seconds via integer division, and
+    the FIRST sample of each (trak, second) is selected — the shape a
+    training pipeline uses to sample frames at a fixed rate
+    regardless of variable frame durations. Also exercises the co64
+    64-bit chunk-offset form (§8.7.5, the audio trak's layout). One
+    per-trak window over the sample rows; no decode. The DuckDB
+    oracle replays stts run expansion (window-summed run prefixes →
+    per-sample dts), the version-aware mdhd timescale read, and the
+    per-second ranking from the blob hex."""
+    from pyspark.sql import Window as W
+
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
+    samples = parse_mp4_samples(raw).withColumn(
+        "sec", F.expr("dts DIV timescale")
+    )
+    w = W.partitionBy("file_name", "track_idx", "sec").orderBy("sample_idx")
+    return (
+        samples.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "file_name", "track_idx", "sec", "sample_idx",
+            "byte_offset", "sample_size", "is_keyframe", "sample_md5",
+        )
+        .orderBy("file_name", "track_idx", "sec")
     )
 
 
@@ -13319,10 +13435,12 @@ _DRIVER_WINDOW = [
     "pagerank_conserving_purchases",
     "recursive_cte_supplier_reach",
     # r13 debuts (VERDICT r12 #4 — the MP4 ladder's next rungs, the
-    # debut-round window precedent): stss keyframe-aware sampling and
-    # stsd/avcC codec-config extraction.
+    # debut-round window precedent): stss keyframe-aware sampling,
+    # stsd/avcC codec-config extraction, and stts/mdhd/co64 time-based
+    # sampling ("one frame per second" over variable frame durations).
     "mp4_keyframe_sample_media",
     "mp4_codec_config_media",
+    "mp4_time_sample_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -13725,7 +13843,9 @@ _DRIVER_WINDOW = [
     # batch from two table versions, composed through
     # signed_agg_refresh, recompute + minimality oracle), never
     # driver-checked; stays CI-green.)
-    "cdc_extract_apply_orders",
+    # (cdc_extract_apply_orders rotated out in r13 — driver-proven
+    # r9-r12; the IVM family keeps cdc_minmax_orders in-window; stays
+    # CI-green.)
     # LLM pipeline: embeddings (r4: ivfpq + clustered near-dup carry
     # the planted-cluster recall attestations into the hard signal)
     # (cosine_topk_embeddings rotated out in r8b — driver-proven green

@@ -352,7 +352,7 @@ def parse_mp4(df: DataFrame) -> DataFrame:
 MP4_SAMPLES_SCHEMA = (
     "file_name string, track_idx int, sample_idx int, chunk_idx int, "
     "byte_offset bigint, sample_size bigint, is_keyframe boolean, "
-    "sample_md5 string"
+    "dts bigint, timescale int, sample_md5 string"
 )
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -376,7 +376,9 @@ def _walk_boxes(b: bytes, pos: int, end: int):
         pos += size
 
 
-_STBL_LEAVES = {b"stsz", b"stsc", b"stco", b"stss", b"stsd"}
+_STBL_LEAVES = {
+    b"stsz", b"stsc", b"stco", b"co64", b"stss", b"stsd", b"stts", b"mdhd",
+}
 
 
 def _trak_stbl_leaves(b: bytes) -> "list[tuple[int, dict]]":
@@ -423,9 +425,11 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
     14496-12 §8.5-8.7) — the per-sample byte-range computation every
     video pipeline runs BEFORE any codec: per TRAK, stsz (per-sample
     or uniform sizes) × stsc (run-length sample-to-chunk map) × stco
-    (chunk offsets) → one row per sample with its absolute byte range,
-    its keyframe flag (stss sync-sample table, §8.6.2 — no stss means
-    EVERY sample is a sync sample), and an hex-md5 of the payload
+    or co64 (32/64-bit chunk offsets, §8.7.5) → one row per sample
+    with its absolute byte range, its keyframe flag (stss sync-sample
+    table, §8.6.2 — no stss means EVERY sample is a sync sample), its
+    decode timestamp (stts run-length deltas, §8.6.1.2 — the running
+    sum) with the mdhd timescale, and an hex-md5 of the payload
     (reproducible by a SQL oracle over the blob hex). Frame decode
     stays behind the gated stub; k-th-frame SAMPLING is a filter over
     these rows.
@@ -442,12 +446,35 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
     import pandas as pd
 
     def parse_trak(name: str, b: bytes, ti: int, leaves: dict) -> "list[dict]":
-        if not all(k in leaves for k in (b"stsz", b"stsc", b"stco")):
+        if not all(
+            k in leaves for k in (b"stsz", b"stsc", b"stts", b"mdhd")
+        ) or (b"stco" not in leaves and b"co64" not in leaves):
             return []
         stsz = b[leaves[b"stsz"][0]:leaves[b"stsz"][1]]
         stsc = b[leaves[b"stsc"][0]:leaves[b"stsc"][1]]
-        stco = b[leaves[b"stco"][0]:leaves[b"stco"][1]]
-        if len(stsz) < 12 or len(stsc) < 8 or len(stco) < 8:
+        # chunk offsets: 32-bit stco, or 64-bit co64 for >4 GiB files
+        # (ISO 14496-12 §8.7.5 — r13; stco wins when both exist)
+        use_co64 = b"stco" not in leaves
+        stco = (
+            b[leaves[b"co64"][0]:leaves[b"co64"][1]]
+            if use_co64
+            else b[leaves[b"stco"][0]:leaves[b"stco"][1]]
+        )
+        stts = b[leaves[b"stts"][0]:leaves[b"stts"][1]]
+        mdhd = b[leaves[b"mdhd"][0]:leaves[b"mdhd"][1]]
+        if (
+            len(stsz) < 12 or len(stsc) < 8 or len(stco) < 8
+            or len(stts) < 8 or len(mdhd) < 16
+        ):
+            return []
+        # mdhd timescale: version 0 puts it at payload offset 12
+        # (after version/flags + 32-bit ctime/mtime), version 1 at 20
+        # (64-bit ctime/mtime)
+        ts_off = 20 if mdhd[0] == 1 else 12
+        if len(mdhd) < ts_off + 4:
+            return []
+        (timescale,) = struct.unpack(">I", mdhd[ts_off:ts_off + 4])
+        if timescale == 0:
             return []
         uniform, n = struct.unpack(">II", stsz[4:12])
         if uniform:
@@ -470,9 +497,32 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
         ):
             return []
         (n_chunks,) = struct.unpack(">I", stco[4:8])
-        if 8 + 4 * n_chunks > len(stco):
+        osz = 8 if use_co64 else 4
+        if 8 + osz * n_chunks > len(stco):
             return []
-        offsets = struct.unpack(f">{n_chunks}I", stco[8:8 + 4 * n_chunks])
+        offsets = struct.unpack(
+            f">{n_chunks}{'Q' if use_co64 else 'I'}",
+            stco[8:8 + osz * n_chunks],
+        )
+        # stts (decoding deltas, §8.6.1.2): run-length (count, delta)
+        # pairs; per-sample dts is the running sum. Must cover every
+        # stsz sample or the trak is malformed.
+        (n_tts,) = struct.unpack(">I", stts[4:8])
+        if n_tts < 1 or 8 + 8 * n_tts > len(stts):
+            return []
+        dts_per_sample: "list[int]" = []
+        t_acc = 0
+        for j in range(n_tts):
+            cnt, delta = struct.unpack(">II", stts[8 + 8 * j:16 + 8 * j])
+            if len(dts_per_sample) + cnt > n:
+                cnt = n - len(dts_per_sample)
+            for _ in range(cnt):
+                dts_per_sample.append(t_acc)
+                t_acc += delta
+            if len(dts_per_sample) >= n:
+                break
+        if len(dts_per_sample) < n:
+            return []
         sync = None
         if b"stss" in leaves:
             stss = b[leaves[b"stss"][0]:leaves[b"stss"][1]]
@@ -500,6 +550,8 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
                         "chunk_idx": c, "byte_offset": off,
                         "sample_size": sz,
                         "is_keyframe": sync is None or (s_idx + 1) in sync,
+                        "dts": dts_per_sample[s_idx],
+                        "timescale": timescale,
                         "sample_md5": hashlib.md5(
                             payload.hex().upper().encode()
                         ).hexdigest(),
@@ -517,7 +569,8 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
 
     cols = [
         "file_name", "track_idx", "sample_idx", "chunk_idx",
-        "byte_offset", "sample_size", "is_keyframe", "sample_md5",
+        "byte_offset", "sample_size", "is_keyframe", "dts", "timescale",
+        "sample_md5",
     ]
     for pdf in batches:
         out = []
@@ -528,9 +581,10 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
 
 def parse_mp4_samples(df: DataFrame) -> DataFrame:
     """(file_name, content, …) → one row per MEDIA SAMPLE per TRACK
-    with its absolute byte range resolved from the stsz/stsc/stco
-    tables and its stss keyframe flag (files without a sample table —
-    and malformed tables — contribute no rows)."""
+    with its absolute byte range resolved from the stsz/stsc/stco-or-
+    co64 tables, its stss keyframe flag, and its stts decode timestamp
+    in mdhd timescale units (files without a sample table — and
+    malformed tables — contribute no rows)."""
     return df.select("file_name", "content").mapInPandas(
         _parse_mp4_samples_batches, MP4_SAMPLES_SCHEMA
     )

@@ -317,3 +317,51 @@ def test_audio_corpus_wav_bytes_deterministic_and_decodable():
     (_, bo) = wav_ahash_bands(_wav_bytes(30, None))
     far = sum(bin(a ^ b).count("1") for a, b in zip(bb, bo))
     assert far > 3
+
+
+def test_mp4_timing_dts_timescale_co64(spark):
+    """r13 timing rung: stts run expansion, version-aware mdhd
+    timescale, and co64 64-bit chunk offsets."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="*.mp4")
+    rows = parse_mp4_samples(raw).collect()
+    kf = sorted(
+        (r.sample_idx, r.dts) for r in rows if r.file_name == "video_kf.mp4"
+    )
+    # two-run ladder: 3 samples at delta 400, then 6 at delta 500
+    assert [d for _, d in kf] == [0, 400, 800, 1200, 1700, 2200, 2700, 3200, 3700]
+    mt = [r for r in rows if r.file_name == "video_mt.mp4"]
+    assert {r.timescale for r in mt if r.track_idx == 1} == {600}
+    assert {r.timescale for r in mt if r.track_idx == 2} == {1000}
+    # audio trak uses co64 — its offsets still land inside the file
+    blob_len = len(open(f"{MP4STBL}/video_mt.mp4", "rb").read())
+    for r in mt:
+        if r.track_idx == 2:
+            assert 0 < r.byte_offset < blob_len
+    # single-delta fixtures: dts == sample_idx - 1
+    a = [r for r in rows if r.file_name == "video_a.mp4"]
+    assert all(r.dts == r.sample_idx - 1 for r in a)
+
+
+def test_mp4_time_sample_first_per_second(spark):
+    from parcialbigdata_spark.queries import QUERIES
+
+    rows = QUERIES["mp4_time_sample_media"](spark, "unused").collect()
+    kf = {
+        (r.sec, r.sample_idx)
+        for r in rows
+        if r.file_name == "video_kf.mp4"
+    }
+    # seconds 0,0,0,1,1,2,2,3,3 → first of each second = samples 1,4,6,8
+    assert kf == {(0, 1), (1, 4), (2, 6), (3, 8)}
+    mtv = {
+        (r.sec, r.sample_idx)
+        for r in rows
+        if r.file_name == "video_mt.mp4" and r.track_idx == 1
+    }
+    # dts 0,512,1024,1536,2048,2560 at timescale 600 → secs 0,0,1,2,3,4
+    assert mtv == {(0, 1), (1, 3), (2, 4), (3, 5), (4, 6)}

@@ -18,12 +18,14 @@ Fixtures:
 - ``video_kf.mp4`` (r13) — 9 samples, chunks of (3,3,3), stss sync
   table marking samples {1,4,7} as keyframes, avc1 sample entry with
   an avcC decoder-configuration child (profile 100 / level 31 /
-  4-byte NAL lengths / 1 SPS).
+  4-byte NAL lengths / 1 SPS), two-run stts ladder (3×400 then 6×500
+  ticks at timescale 1000 — dts seconds 0,0,0,1,1,2,2,3,3).
 - ``video_mt.mp4`` (r13) — TWO traks sharing one mdat (the common
   audio+video shape): trak 1 video, 6 uniform-size samples in chunks
-  of (2,2,2) with stss {1,3}; trak 2 audio (mp4a entry), 5 per-size
-  samples in one chunk, NO stss (every sample is a sync sample per
-  §8.6.2).
+  of (2,2,2) with stss {1,3}, 512-tick stts at timescale 600 (the
+  non-1000 case); trak 2 audio (mp4a entry), 5 per-size samples in
+  one chunk via 64-bit co64 offsets, NO stss (every sample is a sync
+  sample per §8.6.2).
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_mp4_stbl_fixtures.py
@@ -182,7 +184,12 @@ def build_multi(traks: "list[dict]") -> bytes:
         n = len(t["sizes"])
         stsd = full(b"stsd", struct.pack(">I", 1)
                     + _stsd_entry(t.get("codec", "mp4v")))
-        stts = full(b"stts", struct.pack(">III", 1, n, 1))
+        # stts decoding deltas: explicit (count, delta) runs, or the
+        # single delta-1 run covering all samples
+        tts_runs = t.get("stts_runs", [(n, 1)])
+        assert sum(c for c, _ in tts_runs) == n
+        stts = full(b"stts", struct.pack(">I", len(tts_runs))
+                    + b"".join(struct.pack(">II", c, d) for c, d in tts_runs))
         stsc = full(b"stsc", struct.pack(">I", len(t["chunking"]))
                     + b"".join(struct.pack(">III", fc, spc, 1)
                                for fc, spc in t["chunking"]))
@@ -192,8 +199,12 @@ def build_multi(traks: "list[dict]") -> bytes:
         else:
             stsz = full(b"stsz", struct.pack(">II", 0, n)
                         + b"".join(struct.pack(">I", s) for s in t["sizes"]))
-        stco = full(b"stco", struct.pack(">I", len(stco_offsets))
-                    + b"".join(struct.pack(">I", o) for o in stco_offsets))
+        if t.get("co64"):
+            stco = full(b"co64", struct.pack(">I", len(stco_offsets))
+                        + b"".join(struct.pack(">Q", o) for o in stco_offsets))
+        else:
+            stco = full(b"stco", struct.pack(">I", len(stco_offsets))
+                        + b"".join(struct.pack(">I", o) for o in stco_offsets))
         extra = b""
         if t.get("sync") is not None:
             extra = full(b"stss", struct.pack(">I", len(t["sync"]))
@@ -203,7 +214,8 @@ def build_multi(traks: "list[dict]") -> bytes:
         handler = t.get("handler", b"vide")
         hname = b"video\x00" if handler == b"vide" else b"sound\x00"
         hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 + hname)
-        mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, 1000, n, 0x55C4, 0))
+        mdhd = full(b"mdhd", struct.pack(
+            ">IIIIHH", 0, 0, t.get("timescale", 1000), n, 0x55C4, 0))
         mdia = box(b"mdia", mdhd + hdlr + minf)
         tkhd = full(b"tkhd", struct.pack(">III", 0, 0, 1) + b"\x00" * 68)
         return box(b"trak", tkhd + mdia)
@@ -245,9 +257,14 @@ def main() -> None:
     b_sizes = [32] * 7
     kf_sizes = [24 + 5 * i for i in range(9)]
     mt_video = {"sizes": [40] * 6, "chunking": [(1, 2)], "uniform": 40,
-                "sync": [1, 3], "codec": "avc1", "handler": b"vide"}
+                "sync": [1, 3], "codec": "avc1", "handler": b"vide",
+                # 512-tick deltas at timescale 600: dts seconds
+                # 0,0,1,2,3,4 — exercises a non-1000 timescale
+                "stts_runs": [(6, 512)], "timescale": 600}
     mt_audio = {"sizes": [11 + 2 * i for i in range(5)], "chunking": [(1, 5)],
-                "codec": "mp4a", "handler": b"soun", "base_i": 100}
+                "codec": "mp4a", "handler": b"soun", "base_i": 100,
+                # 64-bit chunk offsets (co64, §8.7.5) on the audio trak
+                "co64": True}
     files = {
         "video_a.mp4": build("a", a_sizes, [(1, 4), (3, 2)]),
         "video_b.mp4": build("b", b_sizes, [(1, 7)], uniform=32),
@@ -255,7 +272,10 @@ def main() -> None:
         + box(b"mdat", bytes(range(48))),
         "video_kf.mp4": build_multi([
             {"sizes": kf_sizes, "chunking": [(1, 3)], "sync": [1, 4, 7],
-             "codec": "avc1", "base_i": 50},
+             "codec": "avc1", "base_i": 50,
+             # two-run stts ladder: dts 0,400,800 | 1200,1700,...,3700
+             # → seconds 0,0,0,1,1,2,2,3,3 at timescale 1000
+             "stts_runs": [(3, 400), (6, 500)]},
         ]),
         "video_mt.mp4": build_multi([mt_video, mt_audio]),
     }
