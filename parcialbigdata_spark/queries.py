@@ -2960,6 +2960,85 @@ def wav_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+@query(
+    "streaming_ahash_index_media",
+    f"""
+    WITH {_AHASH_HASHES_SQL},
+    ham AS (
+      SELECT n.file_name AS new_file, o.file_name AS old_file,
+             CAST(bit_count(xor(n.b0, o.b0)) + bit_count(xor(n.b1, o.b1))
+                + bit_count(xor(n.b2, o.b2)) + bit_count(xor(n.b3, o.b3))
+                AS INT) AS hamming
+      FROM ahashes n JOIN ahashes o ON n.file_name <> o.file_name
+    )
+    SELECT new_file, old_file, hamming FROM ham
+    WHERE hamming <= 3 AND (
+      (new_file = 'tone_a_dup.wav'
+       AND old_file NOT LIKE '%\\_dup.wav' ESCAPE '\\')
+      OR (new_file = 'sweep_b_dup.wav'
+          AND (old_file NOT LIKE '%\\_dup.wav' ESCAPE '\\'
+               OR old_file = 'tone_a_dup.wav'))
+      -- intra-batch contract: pairs wholly inside one micro-batch
+      -- (among epoch 0's three originals), oriented later → new_file
+      OR (new_file NOT LIKE '%\\_dup.wav' ESCAPE '\\'
+          AND old_file NOT LIKE '%\\_dup.wav' ESCAPE '\\'
+          AND new_file > old_file)
+    )
+    """,
+)
+def streaming_ahash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming AUDIO near-dup dedup-at-arrival (r13): the same
+    modality-agnostic store as ``streaming_phash_index_media`` —
+    streaming/media_store.py ``run_streaming_phash_index`` with the
+    audio aHash kernel plugged in (``hash_fn=wav_ahash``), completing
+    the streaming index-store matrix (minhash text, IVF embeddings,
+    image dHash, now audio aHash over ONE shared banded store). Clips
+    arrive as a 3-file micro-batch stream (seed = tone_a + sweep_b +
+    noise_c, then tone_a_dup, then sweep_b_dup); each batch is PCM-
+    decoded once, probed against the persisted banded index (batch
+    side only shuffles), intra-batch pairs come from the in-batch
+    self-join, and the batch's hashes append — so batch 2 searches
+    seed ∪ batch 1. The sub-65-frame ``short_d.wav`` fixture is
+    excluded by the decode guard on the Spark side and by the n ≥ 65
+    anchor in the oracle. The oracle recomputes both arrival probes
+    from the full SQL sample-replay hashes."""
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    from parcialbigdata_spark.operators.audiohash import wav_ahash
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+    from parcialbigdata_spark.streaming.media_store import (
+        run_streaming_phash_index,
+    )
+
+    raw = read_binary_dir(spark, _AHASH_DIR, glob="*.wav").select(
+        "file_name", "content"
+    )
+    is_dup = F.col("file_name").endswith("_dup.wav")
+    b0 = raw.filter(~is_dup)  # includes short_d: the guard drops it
+    b1 = raw.filter(F.col("file_name") == "tone_a_dup.wav")
+    b2 = raw.filter(F.col("file_name") == "sweep_b_dup.wav")
+    bands_t = "r13_stream_ahash_bands"
+    base = tempfile.mkdtemp(prefix="streamahash-")
+    try:
+        stream_dir = os.path.join(base, "stream")
+        os.makedirs(stream_dir)
+        now = _time.time()
+        for i, part in enumerate((b0, b1, b2)):
+            _write_stream_file(base, stream_dir, part, f"b{i}", now - 300 + 100 * i)
+        return run_streaming_phash_index(
+            spark, stream_dir, bands_t, hash_fn=wav_ahash
+        )
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
+        spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
+        shutil.rmtree(base, ignore_errors=True)
+
+
+
 @query(
     "binary_media_inventory",
     f"""

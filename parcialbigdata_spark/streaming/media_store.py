@@ -55,10 +55,17 @@ def run_streaming_phash_index(
     max_hamming: int = 3,
     timeout: float = 240.0,
     pairs_dir: str | None = None,
+    hash_fn=None,
 ) -> DataFrame:
     """Drain a (file_name, content) parquet file stream through
     decode-once → probe → append against ``bands_table``; returns the
-    distributed pairs sink as a DataFrame."""
+    distributed pairs sink as a DataFrame.
+
+    ``hash_fn`` is any (file_name, content)-DataFrame → (file_name,
+    b0..b3) kernel — image dHash by default; the audio aHash plugs in
+    unchanged (r13: the store is the modality-agnostic layer the
+    phash-index docstrings promised, now exercised by
+    ``streaming_ahash_index_media``)."""
     from pyspark.sql.types import (
         IntegerType,
         StringType,
@@ -72,6 +79,9 @@ def run_streaming_phash_index(
         phash_index_probe,
         png_dhash,
     )
+
+    if hash_fn is None:
+        hash_fn = png_dhash
 
     first_file = sorted(
         f for f in os.listdir(stream_dir) if f.endswith(".parquet")
@@ -94,7 +104,7 @@ def run_streaming_phash_index(
     )
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        hashes = png_dhash(batch_df)
+        hashes = hash_fn(batch_df)
         seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
         # intra-batch pairs: same-batch members never meet in the
         # batch-vs-index probe, so the banded self-join finds them

@@ -31,6 +31,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # listed here (future additions) append in registry order.
 ROTATION_PRIORITY = [
     # r14 block: embeddings + incremental/index + streaming state
+    "streaming_ahash_index_media",
     "quantize_embeddings",
     "pq_topk_embeddings",
     "contrastive_pairs_embeddings",
