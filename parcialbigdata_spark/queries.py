@@ -13447,6 +13447,126 @@ def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFra
 # The TPC-H query-shape sweep registers itself via the same decorator;
 # imported last so `query`/`_rev`/`_REV_SQL` exist when it runs.
 # ---------------------------------------------------------------------
+@query(
+    "orc_roundtrip_documents",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc,
+           CAST(SUM(length(text)) AS BIGINT) AS sum_text_len
+    FROM documents
+    WHERE doc_id % 3 = 0
+    GROUP BY lang
+    """,
+)
+def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC round-trip fidelity (r13 — the S-family's columnar-format
+    sibling beside parquet/CSV/JSON): a documents slice is WRITTEN as
+    ORC (Spark's built-in `orc` source: zlib-compressed stripes,
+    min/max stripe statistics — the other columnar format a warehouse
+    migration actually encounters) and read BACK before aggregating,
+    so the result proves byte-faithful string/bigint round-trip
+    through the whole ORC write/read path, not just the parquet one.
+    The oracle aggregates the SAME slice from the original parquet —
+    any ORC encode/decode corruption (string truncation, integer
+    overflow, row loss) breaks the rows+hash compare. Per-lang agg
+    keys keep the output small at any SF; the ORC write is
+    slice-sized, partitioned like the source scan. The ORC cache
+    lives at a stable per-SF path and is OVERWRITTEN each call (the
+    returned plan is lazy — a finally-rmtree would delete the files
+    before the caller collects)."""
+    import os
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 3 == 0
+    )
+    path = os.path.join(
+        "/tmp", "orc_roundtrip_cache",
+        os.path.basename(sf_dir.rstrip("/")) or "sf",
+    )
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").cast("bigint").alias("sum_chars"),
+            F.min("doc_id").alias("min_doc"),
+            F.max("doc_id").alias("max_doc"),
+            F.sum(F.length("text")).cast("bigint").alias("sum_text_len"),
+        )
+        .orderBy("lang")
+    )
+
+
+@query(
+    "twap_user_value_events",
+    """
+    WITH s AS (
+      SELECT user_id,
+             CAST(round(value * 100) AS BIGINT) AS cents,
+             epoch_us(ts) // 1000000 AS t,
+             LEAD(epoch_us(ts) // 1000000) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS nt
+      FROM events
+    ),
+    seg AS (
+      SELECT user_id, cents, nt - t AS dt_s
+      FROM s WHERE nt IS NOT NULL
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(SUM(dt_s) AS BIGINT) AS total_s,
+           round(CAST(SUM(cents * dt_s) AS DOUBLE) / SUM(dt_s) / 100.0, 6)
+             AS twap_value
+    FROM seg GROUP BY user_id HAVING SUM(dt_s) > 0
+    """,
+)
+def twap_user_value_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-WEIGHTED average over an irregular event series (r13): the
+    metric tick data and billing meters need — a plain AVG
+    overweights bursts; each event's `value` holds until the user's
+    NEXT event (LOCF step function) and is weighted by that duration.
+    Exact-integer discipline end to end: values in cents (×100
+    bigint), durations as whole-second epoch diffs (both engines
+    floor identically: Spark unix_timestamp, DuckDB epoch_us //
+    1e6 — keeps the cents×duration products ≲ 1e12, no bigint
+    overflow and no order-dependent double accumulation; the only
+    double is the final ratio, rounded to 6 dp). One window (lead
+    over (ts, event_id) per user — deterministic under ties) plus
+    one hash agg; both engines replay identical arithmetic."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_timestamp(F.col("ts"))
+    s = ev.select(
+        "user_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("cents"),
+        t.alias("t"),
+        F.lead(t).over(w).alias("nt"),
+    ).filter(F.col("nt").isNotNull())
+    seg = s.select(
+        "user_id", "cents", (F.col("nt") - F.col("t")).alias("dt_s")
+    )
+    return (
+        seg.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_segments"),
+            F.sum("dt_s").cast("bigint").alias("total_s"),
+            F.round(
+                F.sum(F.col("cents") * F.col("dt_s")).cast("double")
+                / F.sum("dt_s") / 100.0,
+                6,
+            ).alias("twap_value"),
+        )
+        .filter(F.col("total_s") > 0)
+        .orderBy("user_id")
+    )
+
+
 from parcialbigdata_spark import tpch  # noqa: E402,F401  (registration import)
 
 # ---------------------------------------------------------------------

@@ -48,6 +48,8 @@ ROTATION_PRIORITY = [
     "upsert_latest_events",
     "fuzzy_join_part_names",
     "copurchase_part_pairs",
+    "orc_roundtrip_documents",
+    "twap_user_value_events",
     # r15 block: events / funnels / attribution / sequences
     "funnel_click_purchase",
     "funnel_steps_events",
