@@ -2244,7 +2244,7 @@ _MP4_WALK_SQL = f"""
         ON t.file_name = w.file_name
        AND w.psta >= t.psta AND w.psta < t.tend
       WHERE w.btype IN ('stsz', 'stsc', 'stco', 'co64', 'stss', 'stsd',
-                        'stts', 'mdhd')
+                        'stts', 'ctts', 'mdhd')
     )"""
 
 # Per-trak sample placement (stsz × stsc × stco window sums) + stss
@@ -2329,6 +2329,35 @@ _MP4_PLACED_SQL = """,
              END AS timescale
       FROM leaves m WHERE m.btype = 'mdhd'
     ),
+    -- ctts composition offsets (§8.6.1.3): version-1 offsets are
+    -- SIGNED (two's complement over 32 bits); absent ctts → offset 0
+    ctsr AS (
+      SELECT c.file_name, c.track_idx, j.j AS run_idx,
+             ('0x' || substr(c.h, (c.psta + 8 + 8*j.j)*2 + 1, 8))::BIGINT
+               AS cnt,
+             CASE WHEN ('0x' || substr(c.h, c.psta*2 + 1, 2))::INT = 1
+                   AND ('0x' || substr(c.h, (c.psta + 12 + 8*j.j)*2 + 1, 8))::BIGINT >= 2147483648
+                  THEN ('0x' || substr(c.h, (c.psta + 12 + 8*j.j)*2 + 1, 8))::BIGINT - 4294967296
+                  ELSE ('0x' || substr(c.h, (c.psta + 12 + 8*j.j)*2 + 1, 8))::BIGINT
+             END AS coff
+      FROM leaves c, range(1000) j(j)
+      WHERE c.btype = 'ctts'
+        AND j.j < ('0x' || substr(c.h, (c.psta+4)*2 + 1, 8))::BIGINT
+    ),
+    ctsr_c AS (
+      SELECT *,
+             coalesce(SUM(cnt) OVER (PARTITION BY file_name, track_idx
+                 ORDER BY run_idx ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND 1 PRECEDING), 0) AS cnt_before
+      FROM ctsr
+    ),
+    cofft AS (
+      SELECT s.file_name, s.track_idx, s.sample_idx, t.coff
+      FROM sizes s JOIN ctsr_c t
+        ON s.file_name = t.file_name AND s.track_idx = t.track_idx
+       AND s.sample_idx > t.cnt_before
+       AND s.sample_idx <= t.cnt_before + t.cnt
+    ),
     sync AS (
       SELECT s.file_name, s.track_idx,
              ('0x' || substr(s.h, (s.psta + 8 + 4*m.m)*2 + 1, 8))::BIGINT
@@ -2366,7 +2395,7 @@ _MP4_PLACED_SQL = """,
        AND s.sample_idx < c.first_sample + c.spc
     ),
     flagged AS (
-      SELECT p.*, d.dts, tc.timescale,
+      SELECT p.*, d.dts, d.dts + coalesce(co.coff, 0) AS pts, tc.timescale,
              (hs.file_name IS NULL OR sy.sync_sample IS NOT NULL)
                AS is_keyframe
       FROM placed p
@@ -2375,6 +2404,9 @@ _MP4_PLACED_SQL = """,
        AND d.sample_idx = p.sample_idx
       JOIN tsc tc
         ON tc.file_name = p.file_name AND tc.track_idx = p.track_idx
+      LEFT JOIN cofft co
+        ON co.file_name = p.file_name AND co.track_idx = p.track_idx
+       AND co.sample_idx = p.sample_idx
       LEFT JOIN has_sync hs
         ON hs.file_name = p.file_name AND hs.track_idx = p.track_idx
       LEFT JOIN sync sy
@@ -2393,6 +2425,7 @@ _MP4_PLACED_SQL = """,
            CAST(p.sample_size AS BIGINT) AS sample_size,
            p.is_keyframe,
            CAST(p.dts AS BIGINT) AS dts,
+           CAST(p.pts AS BIGINT) AS pts,
            CAST(p.timescale AS INT) AS timescale,
            md5(substr(b.h, CAST(p.byte_offset*2 + 1 AS BIGINT),
                       CAST(p.sample_size*2 AS BIGINT))) AS sample_md5
@@ -2548,6 +2581,59 @@ def mp4_time_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "byte_offset", "sample_size", "is_keyframe", "sample_md5",
         )
         .orderBy("file_name", "track_idx", "sec")
+    )
+
+
+@query(
+    "mp4_pts_order_media",
+    _MP4_WALK_SQL + _MP4_PLACED_SQL + """,
+    ranked AS (
+      SELECT p.*,
+             ROW_NUMBER() OVER (PARTITION BY p.file_name, p.track_idx
+                                ORDER BY p.pts, p.sample_idx) AS pts_rank
+      FROM flagged p
+    )
+    SELECT file_name, CAST(track_idx AS INT) AS track_idx,
+           CAST(sample_idx AS INT) AS sample_idx,
+           CAST(dts AS BIGINT) AS dts,
+           CAST(pts AS BIGINT) AS pts,
+           CAST(pts_rank AS INT) AS pts_rank,
+           pts_rank <> sample_idx AS reordered
+    FROM ranked
+    """,
+)
+def mp4_pts_order_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRESENTATION-vs-DECODE order audit (sources/binary.py
+    ``parse_mp4_samples`` — r13): B-frame video presents samples in a
+    different order than it decodes them — ctts composition offsets
+    (ISO/IEC 14496-12 §8.6.1.3, version-1 offsets SIGNED) shift each
+    sample's pts off its dts, and any pipeline that cuts clips or
+    aligns frames to captions must rank by pts, not decode order. Per
+    trak: rank samples by (pts, sample_idx) and flag every sample
+    whose presentation rank differs from its decode index — the
+    keyframe fixture's ctts (offsets +800, −100, +100) makes samples
+    2-3 present BEFORE sample 1; traks without ctts rank identically
+    on both engines. One per-trak window, no decode. The DuckDB
+    oracle replays ctts run expansion (signed two's-complement
+    reconstruction from the hex) and the ranking."""
+    from pyspark.sql import Window as W
+
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
+    w = W.partitionBy("file_name", "track_idx").orderBy("pts", "sample_idx")
+    return (
+        parse_mp4_samples(raw)
+        .withColumn("pts_rank", F.row_number().over(w))
+        .select(
+            "file_name", "track_idx", "sample_idx", "dts", "pts",
+            "pts_rank",
+            (F.col("pts_rank") != F.col("sample_idx")).alias("reordered"),
+        )
+        .orderBy("file_name", "track_idx", "sample_idx")
     )
 
 
@@ -13640,6 +13726,7 @@ _DRIVER_WINDOW = [
     "mp4_keyframe_sample_media",
     "mp4_codec_config_media",
     "mp4_time_sample_media",
+    "mp4_pts_order_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -14080,7 +14167,9 @@ _DRIVER_WINDOW = [
     # r3-r10; embedding near-dup keeps embedding_centroids in-window —
     # for ivf_topk_embeddings (one-shot IVF ANN, oldest never-checked
     # ANN entry; recall-attested in CI); stays CI-green.)
-    "ivf_topk_embeddings",
+    # (ivf_topk_embeddings rotated out in r13 — first-time green r12;
+    # the ANN surface keeps ivf_index_compact + streaming_ivf
+    # in-window; stays CI-green.)
     # (ivfpq_topk_embeddings rotated out in r10 — driver-proven r9; the
     # ANN slot upgrades to its own r10 scale extension
     # ivf_index_probe_embeddings (persisted bucketed IVF cell index probed

@@ -352,7 +352,7 @@ def parse_mp4(df: DataFrame) -> DataFrame:
 MP4_SAMPLES_SCHEMA = (
     "file_name string, track_idx int, sample_idx int, chunk_idx int, "
     "byte_offset bigint, sample_size bigint, is_keyframe boolean, "
-    "dts bigint, timescale int, sample_md5 string"
+    "dts bigint, pts bigint, timescale int, sample_md5 string"
 )
 
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
@@ -377,7 +377,8 @@ def _walk_boxes(b: bytes, pos: int, end: int):
 
 
 _STBL_LEAVES = {
-    b"stsz", b"stsc", b"stco", b"co64", b"stss", b"stsd", b"stts", b"mdhd",
+    b"stsz", b"stsc", b"stco", b"co64", b"stss", b"stsd", b"stts",
+    b"ctts", b"mdhd",
 }
 
 
@@ -429,7 +430,9 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
     with its absolute byte range, its keyframe flag (stss sync-sample
     table, §8.6.2 — no stss means EVERY sample is a sync sample), its
     decode timestamp (stts run-length deltas, §8.6.1.2 — the running
-    sum) with the mdhd timescale, and an hex-md5 of the payload
+    sum) and presentation timestamp (optional ctts composition
+    offsets, §8.6.1.3 — version-1 offsets are signed) with the mdhd
+    timescale, and an hex-md5 of the payload
     (reproducible by a SQL oracle over the blob hex). Frame decode
     stays behind the gated stub; k-th-frame SAMPLING is a filter over
     these rows.
@@ -523,6 +526,34 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
                 break
         if len(dts_per_sample) < n:
             return []
+        # ctts (composition offsets, §8.6.1.3): optional run-length
+        # (count, offset) pairs — pts = dts + offset; offsets are
+        # unsigned in version 0, SIGNED in version 1 (B-frames shift
+        # presentation both ways). Absent ctts means pts == dts.
+        off_per_sample = [0] * n
+        if b"ctts" in leaves:
+            ctts = b[leaves[b"ctts"][0]:leaves[b"ctts"][1]]
+            if len(ctts) < 8:
+                return []
+            ver = ctts[0]
+            (n_ctts,) = struct.unpack(">I", ctts[4:8])
+            if n_ctts < 1 or 8 + 8 * n_ctts > len(ctts):
+                return []
+            covered = 0
+            for j in range(n_ctts):
+                cnt, off = struct.unpack(
+                    ">Ii" if ver == 1 else ">II",
+                    ctts[8 + 8 * j:16 + 8 * j],
+                )
+                if covered + cnt > n:
+                    cnt = n - covered
+                for k in range(covered, covered + cnt):
+                    off_per_sample[k] = off
+                covered += cnt
+                if covered >= n:
+                    break
+            if covered < n:
+                return []
         sync = None
         if b"stss" in leaves:
             stss = b[leaves[b"stss"][0]:leaves[b"stss"][1]]
@@ -551,6 +582,7 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
                         "sample_size": sz,
                         "is_keyframe": sync is None or (s_idx + 1) in sync,
                         "dts": dts_per_sample[s_idx],
+                        "pts": dts_per_sample[s_idx] + off_per_sample[s_idx],
                         "timescale": timescale,
                         "sample_md5": hashlib.md5(
                             payload.hex().upper().encode()
@@ -569,8 +601,8 @@ def _parse_mp4_samples_batches(batches: "Iterator") -> "Iterator":
 
     cols = [
         "file_name", "track_idx", "sample_idx", "chunk_idx",
-        "byte_offset", "sample_size", "is_keyframe", "dts", "timescale",
-        "sample_md5",
+        "byte_offset", "sample_size", "is_keyframe", "dts", "pts",
+        "timescale", "sample_md5",
     ]
     for pdf in batches:
         out = []

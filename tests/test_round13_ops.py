@@ -365,3 +365,36 @@ def test_mp4_time_sample_first_per_second(spark):
     }
     # dts 0,512,1024,1536,2048,2560 at timescale 600 → secs 0,0,1,2,3,4
     assert mtv == {(0, 1), (1, 3), (2, 4), (3, 5), (4, 6)}
+
+
+def test_mp4_ctts_pts_and_reorder(spark):
+    """r13 pts rung: ctts v1 signed composition offsets shift pts off
+    dts; samples without ctts keep pts == dts."""
+    from parcialbigdata_spark.queries import QUERIES
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="*.mp4")
+    rows = parse_mp4_samples(raw).collect()
+    kf = {r.sample_idx: r for r in rows if r.file_name == "video_kf.mp4"}
+    # offsets +800 (s1), -100 (s2-3), +100 (s4-9)
+    assert [kf[i].pts for i in range(1, 10)] == [
+        800, 300, 700, 1300, 1800, 2300, 2800, 3300, 3800,
+    ]
+    assert all(
+        r.pts == r.dts for r in rows if r.file_name != "video_kf.mp4"
+    )
+    ranked = QUERIES["mp4_pts_order_media"](spark, "unused").collect()
+    kfr = {
+        r.sample_idx: r for r in ranked if r.file_name == "video_kf.mp4"
+    }
+    # pts order: s2(300) s3(700) s1(800) s4.. → ranks 3,1,2,4,5,...
+    assert (kfr[1].pts_rank, kfr[2].pts_rank, kfr[3].pts_rank) == (3, 1, 2)
+    assert kfr[1].reordered and kfr[2].reordered and kfr[3].reordered
+    assert not kfr[4].reordered
+    # ctts-free traks are never flagged
+    assert not any(
+        r.reordered for r in ranked if r.file_name != "video_kf.mp4"
+    )

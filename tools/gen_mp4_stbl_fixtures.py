@@ -209,6 +209,14 @@ def build_multi(traks: "list[dict]") -> bytes:
         if t.get("sync") is not None:
             extra = full(b"stss", struct.pack(">I", len(t["sync"]))
                          + b"".join(struct.pack(">I", s) for s in t["sync"]))
+        if t.get("ctts_runs") is not None:
+            # composition offsets, version 1 (SIGNED offsets — the
+            # B-frame case where presentation precedes decode order)
+            runs = t["ctts_runs"]
+            assert sum(c for c, _ in runs) == n
+            extra += full(b"ctts", struct.pack(">I", len(runs))
+                          + b"".join(struct.pack(">Ii", c, o)
+                                     for c, o in runs), version=1)
         stbl = box(b"stbl", stsd + stts + stsc + stsz + stco + extra)
         minf = box(b"minf", stbl)
         handler = t.get("handler", b"vide")
@@ -275,7 +283,11 @@ def main() -> None:
              "codec": "avc1", "base_i": 50,
              # two-run stts ladder: dts 0,400,800 | 1200,1700,...,3700
              # → seconds 0,0,0,1,1,2,2,3,3 at timescale 1000
-             "stts_runs": [(3, 400), (6, 500)]},
+             "stts_runs": [(3, 400), (6, 500)],
+             # ctts v1 signed composition offsets: pts
+             # 800,300,700 | 1300,1800,2300,2800,3300,3800 — samples
+             # 2-3 PRESENT before sample 1 (the B-frame reorder)
+             "ctts_runs": [(1, 800), (2, -100), (6, 100)]},
         ]),
         "video_mt.mp4": build_multi([mt_video, mt_audio]),
     }
