@@ -398,3 +398,71 @@ def test_mp4_ctts_pts_and_reorder(spark):
     assert not any(
         r.reordered for r in ranked if r.file_name != "video_kf.mp4"
     )
+
+
+def test_wav_stereo_channel0_stride():
+    """_decode_wav_pcm16 takes channel 0 of multi-channel PCM; a
+    stereo file with distinct L/R content must hash like its
+    mono-left twin (stride logic, not interleaved garbage)."""
+    import struct
+
+    from parcialbigdata_spark.operators.audiohash import wav_ahash_bands
+    from parcialbigdata_spark.sources.audio_corpus import _wav_bytes
+
+    mono = _wav_bytes(3, None)
+    data = mono[44:]
+    left = [struct.unpack_from("<h", data, 2 * i)[0] for i in range(len(data) // 2)]
+    # interleave: right channel is a loud square wave (different hash
+    # if the stride were wrong)
+    inter = b"".join(
+        struct.pack("<hh", s, 30000 if i % 2 else -30000)
+        for i, s in enumerate(left)
+    )
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(inter)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 8000, 32000, 4, 16)
+        + b"data" + struct.pack("<I", len(inter))
+    )
+    r_mono = wav_ahash_bands(mono)
+    r_stereo = wav_ahash_bands(hdr + inter)
+    assert r_mono is not None and r_stereo is not None
+    assert r_mono[1] == r_stereo[1], "channel-0 extraction must ignore R"
+
+
+def test_mp4_mdhd_version1_timescale(spark):
+    """mdhd v1 stores 64-bit ctime/mtime, pushing timescale to payload
+    offset 20 — the kernel's version-aware read."""
+    import struct
+
+    good = open(f"{MP4STBL}/video_a.mp4", "rb").read()
+    i = good.index(b"mdhd")
+    # v0 box = 32 bytes: size(4) 4cc(4) ver/flags(4) ctime(4) mtime(4)
+    # timescale(4) duration(4) lang+pre(4)
+    old_box = good[i - 4:i + 28]
+    (ts0,) = struct.unpack(">I", good[i + 4 + 12:i + 4 + 16])
+    assert ts0 == 1000
+    v1_payload = (
+        b"\x01\x00\x00\x00"              # version 1
+        + b"\x00" * 16                    # 64-bit ctime + mtime
+        + struct.pack(">I", 2500)         # timescale
+        + struct.pack(">Q", 10)           # 64-bit duration
+        + good[i + 4 + 20:i + 4 + 24]     # lang/pre
+    )
+    new_box = struct.pack(">I", 8 + len(v1_payload)) + b"mdhd" + v1_payload
+    # same-size swap keeps every other offset valid? v1 box is 12
+    # bytes longer — so instead splice and accept that only mdhd-
+    # dependent fields change: the container walk tolerates the size
+    # change because every enclosing box size must grow too; patch
+    # them all (moov > trak > mdia enclose mdhd).
+    blob = good
+    grow = len(new_box) - len(old_box)
+    pos_mdhd = i - 4
+    blob = blob[:pos_mdhd] + new_box + blob[pos_mdhd + len(old_box):]
+    for btype in (b"mdia", b"trak", b"moov"):
+        j = blob.index(btype)
+        (sz,) = struct.unpack(">I", blob[j - 4:j])
+        blob = blob[:j - 4] + struct.pack(">I", sz + grow) + blob[j:]
+    rows = _mp4_rows(spark, [("v1.mp4", blob)])
+    # stco offsets now point `grow` bytes early — byte ranges shift,
+    # but the timescale read is what this test pins
+    assert rows and all(r.timescale == 2500 for r in rows)
