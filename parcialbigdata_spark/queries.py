@@ -2193,53 +2193,80 @@ def streaming_phash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MP4STBL_DIR = "/root/repo/tests/fixtures/mp4stbl"
 
-# Shared hex-replay prelude for the ISO-BMFF oracles: generic
-# container descent (each state is a cursor (pos, endp); consuming the
-# box at pos yields a sibling cursor (which=1, box metadata attached)
-# and, for the stbl-path container types, a child cursor into the
-# payload (which=2, metadata NULL)), then per-TRAK leaf attribution
-# (r13): each stbl leaf joins to the trak whose byte range contains
-# it, so multi-track files resolve every track — matching the
-# kernel's per-trak walk instead of the r12 last-wins overwrite.
-_MP4_WALK_SQL = f"""
+# §4.2-complete box-header replay (r14, ADVICE r13): a box size field
+# of 1 means a 64-bit largesize follows the type (the form every
+# >4 GiB mdat uses — a moov AFTER such an mdat must still be
+# reachable), and 0 means the box extends to the end of the enclosing
+# container. The three expressions below are inlined wherever the
+# recursive walk needs the effective size / header length.
+_BOX_RAW = "('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT"
+_BOX_ESIZE = (
+    f"CASE {_BOX_RAW} WHEN 1 THEN "
+    "('0x' || substr(w.h, (w.pos+8)*2 + 1, 16))::BIGINT "
+    "WHEN 0 THEN w.endp - w.pos "
+    f"ELSE {_BOX_RAW} END"
+)
+_BOX_HDR = f"CASE WHEN {_BOX_RAW} = 1 THEN 16 ELSE 8 END"
+
+
+def _mp4_walk_prelude(blob_glob: str, containers: str) -> str:
+    """Shared hex-replay prelude for the ISO-BMFF oracles: generic
+    container descent (each state is a cursor (pos, endp); consuming
+    the box at pos yields a sibling cursor (which=1, box metadata
+    attached — bsta/psta/pend are the box's start, payload start and
+    end) and, for the listed container types, a child cursor into the
+    payload (which=2, metadata NULL)). All three §4.2 header forms
+    are replayed (r14)."""
+    return f"""
     WITH RECURSIVE b AS (
       SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
              size AS length, hex(content) AS h
-      FROM read_blob('{_MP4STBL_DIR}/*.mp4')
+      FROM read_blob('{blob_glob}')
     ),
     two(which) AS (SELECT 1 UNION ALL SELECT 2),
-    walk(file_name, h, pos, endp, btype, psta) AS (
+    walk(file_name, h, pos, endp, btype, bsta, psta, pend) AS (
       SELECT file_name, h, CAST(0 AS BIGINT), CAST(length AS BIGINT),
-             CAST(NULL AS VARCHAR), CAST(0 AS BIGINT)
+             CAST(NULL AS VARCHAR), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+             CAST(0 AS BIGINT)
       FROM b
       UNION ALL
       SELECT w.file_name, w.h,
-             CASE t.which WHEN 1
-               THEN w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT
-               ELSE w.pos + 8 END,
+             CASE t.which WHEN 1 THEN w.pos + {_BOX_ESIZE}
+               ELSE w.pos + {_BOX_HDR} END,
              CASE t.which WHEN 1 THEN w.endp
-               ELSE w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT END,
+               ELSE w.pos + {_BOX_ESIZE} END,
              CASE t.which WHEN 1
                THEN decode(from_hex(substr(w.h, (w.pos+4)*2 + 1, 8)))
                ELSE NULL END,
-             CASE t.which WHEN 1 THEN w.pos + 8 ELSE 0 END
+             CASE t.which WHEN 1 THEN w.pos ELSE 0 END,
+             CASE t.which WHEN 1 THEN w.pos + {_BOX_HDR} ELSE 0 END,
+             CASE t.which WHEN 1 THEN w.pos + {_BOX_ESIZE} ELSE 0 END
       FROM walk w, two t
       WHERE w.pos + 8 <= w.endp
-        AND ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT >= 8
-        AND w.pos + ('0x' || substr(w.h, w.pos*2 + 1, 8))::BIGINT <= w.endp
+        AND ({_BOX_RAW} >= 8 OR {_BOX_RAW} IN (0, 1))
+        AND ({_BOX_RAW} <> 1 OR w.pos + 16 <= w.endp)
+        AND {_BOX_ESIZE} >= {_BOX_HDR}
+        AND w.pos + {_BOX_ESIZE} <= w.endp
         AND (t.which = 1
              OR decode(from_hex(substr(w.h, (w.pos+4)*2 + 1, 8)))
-                IN ('moov', 'trak', 'mdia', 'minf', 'stbl'))
-    ),
+                IN ({containers}))
+    )"""
+
+
+# Per-TRAK leaf attribution (r13): each stbl leaf joins to the trak
+# whose byte range contains it, so multi-track files resolve every
+# track — matching the kernel's per-trak walk.
+_MP4_WALK_SQL = _mp4_walk_prelude(
+    f"{_MP4STBL_DIR}/*.mp4", "'moov', 'trak', 'mdia', 'minf', 'stbl'"
+) + """,
     traks AS (
-      SELECT file_name, psta,
-             psta - 8 + ('0x' || substr(h, (psta-8)*2 + 1, 8))::BIGINT AS tend,
+      SELECT file_name, psta, pend AS tend,
              ROW_NUMBER() OVER (PARTITION BY file_name ORDER BY psta)
                AS track_idx
       FROM walk WHERE btype = 'trak'
     ),
     leaves AS (
-      SELECT w.file_name, w.h, w.btype, w.psta, t.track_idx
+      SELECT w.file_name, w.h, w.btype, w.psta, w.pend, t.track_idx
       FROM walk w JOIN traks t
         ON t.file_name = w.file_name
        AND w.psta >= t.psta AND w.psta < t.tend
@@ -2366,7 +2393,16 @@ _MP4_PLACED_SQL = """,
       WHERE s.btype = 'stss'
         AND m.m < ('0x' || substr(s.h, (s.psta+4)*2 + 1, 8))::BIGINT
     ),
-    has_sync AS (SELECT DISTINCT file_name, track_idx FROM sync),
+    -- stss PRESENCE from the leaf row itself, not the expanded sync
+    -- entries (ADVICE r13): a present-but-EMPTY stss (entry_count 0)
+    -- must mean "no sample is a sync sample" on both engines — the
+    -- kernel keeps sync = {} in that case, and deriving presence from
+    -- expanded rows would make an empty stss look like "no stss" and
+    -- flip every sample to keyframe.
+    has_sync AS (
+      SELECT DISTINCT file_name, track_idx FROM leaves
+      WHERE btype = 'stss'
+    ),
     chunk_spc AS (
       SELECT c.file_name, c.track_idx, c.chunk_idx, c.chunk_offset,
              (SELECT r.spc FROM runs r
@@ -2641,9 +2677,7 @@ def mp4_pts_order_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mp4_codec_config_media",
     _MP4_WALK_SQL + """,
     stsd AS (
-      SELECT l.file_name, l.h, l.track_idx, l.psta,
-             l.psta - 8 + ('0x' || substr(l.h, (l.psta-8)*2 + 1, 8))::BIGINT
-               AS pend,
+      SELECT l.file_name, l.h, l.track_idx, l.psta, l.pend,
              ('0x' || substr(l.h, (l.psta+4)*2 + 1, 8))::BIGINT AS cnt
       FROM leaves l WHERE l.btype = 'stsd'
     ),
@@ -2732,6 +2766,321 @@ def mp4_codec_config_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     raw = read_binary_dir(spark, _MP4STBL_DIR, glob="*.mp4")
     return parse_mp4_codec(raw).orderBy("file_name", "track_idx")
+
+
+_MP4FRAG_DIR = "/root/repo/tests/fixtures/mp4frag"
+
+# per-sample composition-offset field position inside a trun record
+# (after duration/size/flags as present) — used three times below
+_FRAG_CTO_POS = (
+    "(u.osmp + u.rec*i.i + 4*((u.tfl>>8)&1) + 4*((u.tfl>>9)&1)"
+    " + 4*((u.tfl>>10)&1))*2 + 1"
+)
+
+_MP4FRAG_ORACLE = _mp4_walk_prelude(
+    f"{_MP4FRAG_DIR}/*.mp4",
+    "'moov', 'trak', 'mdia', 'mvex', 'moof', 'traf'",
+) + f""",
+    moofs AS (
+      SELECT file_name, h, bsta AS mstart, psta AS mpsta, pend AS mpend,
+             ROW_NUMBER() OVER (PARTITION BY file_name ORDER BY bsta)
+               AS moof_idx
+      FROM walk WHERE btype = 'moof'
+    ),
+    mfhdp AS (
+      SELECT m.file_name, m.mstart,
+             ('0x' || substr(m.h, (w2.psta+4)*2 + 1, 8))::BIGINT AS seq
+      FROM moofs m JOIN walk w2
+        ON w2.file_name = m.file_name AND w2.btype = 'mfhd'
+       AND w2.bsta >= m.mpsta AND w2.bsta < m.mpend
+    ),
+    trafs AS (
+      SELECT w2.file_name, w2.h, m.mstart, m.moof_idx, f.seq,
+             w2.psta AS tpsta, w2.pend AS tpend,
+             ROW_NUMBER() OVER (PARTITION BY w2.file_name, m.mstart
+                                ORDER BY w2.bsta) AS traf_idx
+      FROM walk w2
+      JOIN moofs m ON m.file_name = w2.file_name
+       AND w2.bsta >= m.mpsta AND w2.bsta < m.mpend
+      JOIN mfhdp f ON f.file_name = m.file_name AND f.mstart = m.mstart
+      WHERE w2.btype = 'traf'
+    ),
+    -- tfhd (§8.8.7): version/flags word, track_ID, then OPTIONAL
+    -- fields in flag order: 64-bit base_data_offset (0x1), sample
+    -- description index (0x2), default duration/size/flags
+    -- (0x8/0x10/0x20) — offsets accumulate over the present flags
+    tfhd0 AS (
+      SELECT file_name, h, bsta, psta,
+             ('0x' || substr(h, psta*2 + 1, 8))::BIGINT % 16777216 AS fl,
+             ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT AS track_id
+      FROM walk WHERE btype = 'tfhd'
+    ),
+    tfhd1 AS (
+      SELECT *, psta + 8 + 8*(fl & 1) + 4*((fl >> 1) & 1) AS o2
+      FROM tfhd0
+    ),
+    tfhdp AS (
+      SELECT file_name, bsta, track_id, fl,
+             CASE WHEN fl & 1 = 1
+                  THEN ('0x' || substr(h, (psta+8)*2 + 1, 16))::BIGINT
+             END AS base_off,
+             CASE WHEN (fl >> 3) & 1 = 1
+                  THEN ('0x' || substr(h, o2*2 + 1, 8))::BIGINT
+             END AS th_dur,
+             CASE WHEN (fl >> 4) & 1 = 1
+                  THEN ('0x' || substr(h,
+                        (o2 + 4*((fl>>3)&1))*2 + 1, 8))::BIGINT
+             END AS th_size,
+             CASE WHEN (fl >> 5) & 1 = 1
+                  THEN ('0x' || substr(h,
+                        (o2 + 4*((fl>>3)&1) + 4*((fl>>4)&1))*2 + 1,
+                        8))::BIGINT
+             END AS th_flags
+      FROM tfhd1
+    ),
+    tfdtp AS (
+      SELECT file_name, bsta,
+             CASE WHEN ('0x' || substr(h, psta*2 + 1, 2))::INT = 1
+                  THEN ('0x' || substr(h, (psta+4)*2 + 1, 16))::BIGINT
+                  ELSE ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT
+             END AS base_dts
+      FROM walk WHERE btype = 'tfdt'
+    ),
+    trexp AS (
+      SELECT file_name,
+             ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT AS track_id,
+             ('0x' || substr(h, (psta+12)*2 + 1, 8))::BIGINT AS x_dur,
+             ('0x' || substr(h, (psta+16)*2 + 1, 8))::BIGINT AS x_size,
+             ('0x' || substr(h, (psta+20)*2 + 1, 8))::BIGINT AS x_flags
+      FROM walk WHERE btype = 'trex'
+    ),
+    -- trun (§8.8.8): sample_count, optional SIGNED data_offset (0x1)
+    -- and first_sample_flags (0x4), then per-sample records of the
+    -- present fields (duration 0x100, size 0x200, flags 0x400,
+    -- composition offset 0x800 — SIGNED under version 1)
+    trun0 AS (
+      SELECT file_name, h, bsta, psta,
+             ('0x' || substr(h, psta*2 + 1, 2))::INT AS ver,
+             ('0x' || substr(h, psta*2 + 1, 8))::BIGINT % 16777216 AS tfl,
+             ('0x' || substr(h, (psta+4)*2 + 1, 8))::BIGINT AS n
+      FROM walk WHERE btype = 'trun'
+    ),
+    trun1 AS (
+      SELECT *,
+             psta + 8 + 4*(tfl & 1) AS ofsf,
+             psta + 8 + 4*(tfl & 1) + 4*((tfl >> 2) & 1) AS osmp,
+             4*(((tfl>>8)&1) + ((tfl>>9)&1) + ((tfl>>10)&1)
+                + ((tfl>>11)&1)) AS rec,
+             CASE WHEN tfl & 1 = 1 THEN
+               CASE WHEN ('0x' || substr(h, (psta+8)*2 + 1, 8))::BIGINT
+                         >= 2147483648
+                    THEN ('0x' || substr(h, (psta+8)*2 + 1, 8))::BIGINT
+                         - 4294967296
+                    ELSE ('0x' || substr(h, (psta+8)*2 + 1, 8))::BIGINT
+               END
+             END AS data_off
+      FROM trun0
+    ),
+    trun2 AS (
+      SELECT *,
+             CASE WHEN (tfl >> 2) & 1 = 1
+                  THEN ('0x' || substr(h, ofsf*2 + 1, 8))::BIGINT
+             END AS first_flags
+      FROM trun1
+    ),
+    trafx AS (
+      SELECT t.file_name, t.h, t.mstart, t.moof_idx, t.seq, t.traf_idx,
+             t.tpsta, t.tpend,
+             hd.track_id, hd.th_dur, hd.th_size, hd.th_flags,
+             dt.base_dts, x.x_dur, x.x_size, x.x_flags,
+             coalesce(hd.base_off, t.mstart) AS base
+      FROM trafs t
+      JOIN tfhdp hd ON hd.file_name = t.file_name
+       AND hd.bsta >= t.tpsta AND hd.bsta < t.tpend
+      JOIN tfdtp dt ON dt.file_name = t.file_name
+       AND dt.bsta >= t.tpsta AND dt.bsta < t.tpend
+      LEFT JOIN trexp x ON x.file_name = t.file_name
+       AND x.track_id = hd.track_id
+    ),
+    trunx AS (
+      SELECT x.*, r.ver, r.tfl, r.n, r.osmp, r.rec, r.data_off,
+             r.first_flags,
+             ROW_NUMBER() OVER (PARTITION BY x.file_name, x.mstart,
+                                x.traf_idx ORDER BY r.bsta) AS trun_idx
+      FROM trafx x JOIN trun2 r
+        ON r.file_name = x.file_name
+       AND r.bsta >= x.tpsta AND r.bsta < x.tpend
+    ),
+    -- per-sample field resolution, the kernel's fall-through chain:
+    -- trun per-sample → tfhd default → trex default; flags add the
+    -- first-sample override between per-sample and defaults
+    smp AS (
+      SELECT u.file_name, u.h, u.track_id, u.mstart, u.moof_idx, u.seq,
+             u.traf_idx, u.trun_idx, u.base_dts, i.i,
+             coalesce(
+               CASE WHEN (u.tfl>>8)&1 = 1
+                    THEN ('0x' || substr(u.h,
+                          (u.osmp + u.rec*i.i)*2 + 1, 8))::BIGINT END,
+               u.th_dur, u.x_dur) AS dur,
+             coalesce(
+               CASE WHEN (u.tfl>>9)&1 = 1
+                    THEN ('0x' || substr(u.h,
+                          (u.osmp + u.rec*i.i + 4*((u.tfl>>8)&1))*2 + 1,
+                          8))::BIGINT END,
+               u.th_size, u.x_size) AS sz,
+             coalesce(
+               CASE WHEN (u.tfl>>10)&1 = 1
+                    THEN ('0x' || substr(u.h,
+                          (u.osmp + u.rec*i.i + 4*((u.tfl>>8)&1)
+                           + 4*((u.tfl>>9)&1))*2 + 1, 8))::BIGINT END,
+               CASE WHEN i.i = 0 THEN u.first_flags END,
+               u.th_flags, u.x_flags, 0) AS sflags,
+             CASE WHEN (u.tfl>>11)&1 = 1 THEN
+               CASE WHEN u.ver = 1
+                     AND ('0x' || substr(u.h, {_FRAG_CTO_POS},
+                          8))::BIGINT >= 2147483648
+                    THEN ('0x' || substr(u.h, {_FRAG_CTO_POS},
+                          8))::BIGINT - 4294967296
+                    ELSE ('0x' || substr(u.h, {_FRAG_CTO_POS},
+                          8))::BIGINT
+               END
+               ELSE 0 END AS cto
+      FROM trunx u, range(100000) i(i) WHERE i.i < u.n
+    ),
+    trun_tot AS (
+      SELECT file_name, mstart, traf_idx, trun_idx, SUM(sz) AS total
+      FROM smp GROUP BY file_name, mstart, traf_idx, trun_idx
+    ),
+    -- trun base resolution incl. the CONTINUE rule: a trun without
+    -- data_offset starts where the previous one ended — group truns
+    -- by their last explicit-offset anchor, then window-sum totals
+    trun_grp AS (
+      SELECT u.file_name, u.mstart, u.traf_idx, u.trun_idx,
+             CASE WHEN u.data_off IS NOT NULL
+                  THEN u.base + u.data_off END AS exp_start,
+             u.base, t.total,
+             COUNT(CASE WHEN u.data_off IS NOT NULL THEN 1 END)
+               OVER (PARTITION BY u.file_name, u.mstart, u.traf_idx
+                     ORDER BY u.trun_idx) AS grp
+      FROM trunx u JOIN trun_tot t
+        ON t.file_name = u.file_name AND t.mstart = u.mstart
+       AND t.traf_idx = u.traf_idx AND t.trun_idx = u.trun_idx
+    ),
+    trun_start AS (
+      SELECT file_name, mstart, traf_idx, trun_idx,
+             coalesce(MAX(exp_start) OVER (PARTITION BY file_name,
+                 mstart, traf_idx, grp),
+               MIN(base) OVER (PARTITION BY file_name, mstart,
+                 traf_idx, grp))
+             + coalesce(SUM(total) OVER (PARTITION BY file_name, mstart,
+                 traf_idx, grp ORDER BY trun_idx ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND 1 PRECEDING), 0) AS tstart
+      FROM trun_grp
+    ),
+    placed AS (
+      SELECT s.*, ts.tstart
+             + coalesce(SUM(s.sz) OVER (PARTITION BY s.file_name,
+                 s.mstart, s.traf_idx, s.trun_idx ORDER BY s.i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS byte_offset
+      FROM smp s JOIN trun_start ts
+        ON ts.file_name = s.file_name AND ts.mstart = s.mstart
+       AND ts.traf_idx = s.traf_idx AND ts.trun_idx = s.trun_idx
+    ),
+    timed AS (
+      SELECT p.*, p.base_dts
+             + coalesce(SUM(p.dur) OVER (PARTITION BY p.file_name,
+                 p.mstart, p.traf_idx ORDER BY p.trun_idx, p.i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS dts
+      FROM placed p
+    ),
+    mtraks AS (
+      SELECT file_name, psta AS trak_psta, pend AS trak_pend
+      FROM walk WHERE btype = 'trak'
+    ),
+    tkhdp AS (
+      SELECT w2.file_name, mt.trak_psta,
+             CASE WHEN ('0x' || substr(w2.h, w2.psta*2 + 1, 2))::INT = 1
+                  THEN ('0x' || substr(w2.h, (w2.psta+20)*2 + 1,
+                        8))::BIGINT
+                  ELSE ('0x' || substr(w2.h, (w2.psta+12)*2 + 1,
+                        8))::BIGINT
+             END AS track_id
+      FROM walk w2 JOIN mtraks mt ON mt.file_name = w2.file_name
+       AND w2.bsta >= mt.trak_psta AND w2.bsta < mt.trak_pend
+      WHERE w2.btype = 'tkhd'
+    ),
+    mdhdp AS (
+      SELECT w2.file_name, mt.trak_psta,
+             CASE WHEN ('0x' || substr(w2.h, w2.psta*2 + 1, 2))::INT = 1
+                  THEN ('0x' || substr(w2.h, (w2.psta+20)*2 + 1,
+                        8))::BIGINT
+                  ELSE ('0x' || substr(w2.h, (w2.psta+12)*2 + 1,
+                        8))::BIGINT
+             END AS timescale
+      FROM walk w2 JOIN mtraks mt ON mt.file_name = w2.file_name
+       AND w2.bsta >= mt.trak_psta AND w2.bsta < mt.trak_pend
+      WHERE w2.btype = 'mdhd'
+    ),
+    tscp AS (
+      SELECT k.file_name, k.track_id, m.timescale
+      FROM tkhdp k JOIN mdhdp m
+        ON m.file_name = k.file_name AND m.trak_psta = k.trak_psta
+    )
+    SELECT t.file_name, CAST(t.track_id AS INT) AS track_id,
+           CAST(t.seq AS INT) AS moof_seq,
+           CAST(ROW_NUMBER() OVER (PARTITION BY t.file_name, t.track_id
+                 ORDER BY t.moof_idx, t.traf_idx, t.trun_idx, t.i)
+                AS INT) AS sample_idx,
+           CAST(t.byte_offset AS BIGINT) AS byte_offset,
+           CAST(t.sz AS BIGINT) AS sample_size,
+           CAST(t.dur AS BIGINT) AS duration,
+           CAST(t.dts AS BIGINT) AS dts,
+           CAST(t.dts + t.cto AS BIGINT) AS pts,
+           (t.sflags & 65536) = 0 AS is_keyframe,
+           CAST(c.timescale AS INT) AS timescale,
+           md5(substr(b.h, CAST(t.byte_offset*2 + 1 AS BIGINT),
+                      CAST(t.sz*2 AS BIGINT))) AS sample_md5
+    FROM timed t
+    JOIN tscp c ON c.file_name = t.file_name AND c.track_id = t.track_id
+    JOIN b ON b.file_name = t.file_name
+    WHERE t.sz IS NOT NULL AND t.dur IS NOT NULL
+    """
+
+
+@query("mp4_fragment_sample_media", _MP4FRAG_ORACLE)
+def mp4_fragment_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FRAGMENTED-MP4 sample resolution (sources/binary.py
+    ``parse_mp4_fragments`` — r14, VERDICT r13 #3): CMAF/DASH
+    streaming-origin video carries its sample tables in MOVIE
+    FRAGMENTS (ISO/IEC 14496-12 §8.8) — the moov's stbl is empty and
+    each moof/traf/trun run resolves its samples against the
+    mvex/trex defaults — so a pipeline ingesting web video hits this
+    layout before it ever sees a ctts. Per traf: tfhd's track_ID +
+    base (explicit 64-bit base_data_offset, or the moof start — the
+    default-base-is-moof case CMAF mandates), tfdt's v0/v1
+    baseMediaDecodeTime, then one row per trun sample with the
+    duration/size/flags fall-through (trun per-sample → tfhd default
+    → trex default; first_sample_flags overriding sample 1 only),
+    the CONTINUE rule for truns without data_offset, v1-SIGNED
+    composition offsets for pts, and keyframes from sample_flags bit
+    16. Timescale joins from the moov's tkhd↔mdhd pair. The DuckDB
+    oracle replays the ENTIRE §8.8 walk from the blob hex — flag-
+    dependent field offsets, two's-complement reconstruction, anchor-
+    grouped window sums for the continue rule — and re-hashes every
+    payload from the hex substring. The malformed twin fixture
+    (no-traf / no-tfhd / unknown-track trafs) yields zero rows on
+    both engines. Moov-ladder sibling: ``mp4_frame_sample_media``."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_fragments,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4FRAG_DIR, glob="*.mp4")
+    return parse_mp4_fragments(raw).orderBy(
+        "file_name", "track_id", "sample_idx"
+    )
 
 
 _JPEG_DIR = "/root/repo/tests/fixtures/jpeg"
@@ -13559,10 +13908,13 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     any ORC encode/decode corruption (string truncation, integer
     overflow, row loss) breaks the rows+hash compare. Per-lang agg
     keys keep the output small at any SF; the ORC write is
-    slice-sized, partitioned like the source scan. The ORC cache
-    lives at a stable per-SF path and is OVERWRITTEN each call (the
-    returned plan is lazy — a finally-rmtree would delete the files
-    before the caller collects)."""
+    slice-sized, partitioned like the source scan. The ORC cache is
+    keyed by SF **and Spark application id** (ADVICE r13: a fixed
+    per-SF path races when two sessions — e.g. bench and pytest —
+    hit the same SF concurrently, one overwriting the directory the
+    other's lazy plan is still reading) and is OVERWRITTEN on re-run
+    within a session (the returned plan is lazy — a finally-rmtree
+    would delete the files before the caller collects)."""
     import os
 
     docs = load_table(spark, sf_dir, "documents").filter(
@@ -13570,6 +13922,7 @@ def orc_roundtrip_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     path = os.path.join(
         "/tmp", "orc_roundtrip_cache",
+        spark.sparkContext.applicationId,
         os.path.basename(sf_dir.rstrip("/")) or "sf",
     )
     docs.write.mode("overwrite").orc(path)

@@ -358,21 +358,32 @@ MP4_SAMPLES_SCHEMA = (
 _MP4_CONTAINERS = {b"moov", b"trak", b"mdia", b"minf", b"stbl"}
 
 
-def _walk_boxes(b: bytes, pos: int, end: int):
-    """Yield (type, payload_start, payload_end) for each box in
-    [pos, end), descending into the container types on the stbl path.
-    Plain 32-bit sizes only (the sample-table fixtures never need
-    largesize; a malformed size stops the walk)."""
+def _iter_boxes(b: bytes, pos: int, end: int):
+    """Yield (type, box_start, payload_start, box_end) for each box in
+    [pos, end) — ALL THREE header forms of ISO/IEC 14496-12 §4.2
+    (ADVICE r13): plain 32-bit size, ``size == 1`` with a 64-bit
+    largesize (the form every >4 GiB mdat actually uses, so a moov
+    AFTER such an mdat is still reachable), and ``size == 0`` meaning
+    the box extends to the end of the enclosing container (only legal
+    for the last box). A malformed size stops the walk."""
     import struct
 
     while pos + 8 <= end:
-        (size,) = struct.unpack(">I", b[pos:pos + 4])
+        (size32,) = struct.unpack(">I", b[pos:pos + 4])
         btype = b[pos + 4:pos + 8]
-        if size < 8 or pos + size > end:
+        hdr = 8
+        if size32 == 1:
+            if pos + 16 > end:
+                return
+            (size,) = struct.unpack(">Q", b[pos + 8:pos + 16])
+            hdr = 16
+        elif size32 == 0:
+            size = end - pos
+        else:
+            size = size32
+        if size < hdr or pos + size > end:
             return
-        yield btype, pos + 8, pos + size
-        if btype in _MP4_CONTAINERS:
-            yield from _walk_boxes(b, pos + 8, pos + size)
+        yield btype, pos, pos + hdr, pos + size
         pos += size
 
 
@@ -387,31 +398,23 @@ def _trak_stbl_leaves(b: bytes) -> "list[tuple[int, dict]]":
     each trak under moov, in file order (track_idx is 1-based). Keying
     leaves per trak (r13) replaces the r12 last-wins overwrite that
     silently dropped every non-final track's samples in multi-track
-    files (the common audio+video case)."""
-    import struct
-
-    def children(pos: int, end: int):
-        while pos + 8 <= end:
-            (size,) = struct.unpack(">I", b[pos:pos + 4])
-            btype = b[pos + 4:pos + 8]
-            if size < 8 or pos + size > end:
-                return
-            yield btype, pos + 8, pos + size
-            pos += size
+    files (the common audio+video case). Box headers go through
+    :func:`_iter_boxes`, so a largesize (64-bit) or to-end mdat before
+    the moov no longer hides the sample tables (ADVICE r13)."""
 
     def collect(pos: int, end: int, leaves: dict) -> None:
-        for t, s, e in children(pos, end):
+        for t, _, s, e in _iter_boxes(b, pos, end):
             if t in (b"mdia", b"minf", b"stbl"):
                 collect(s, e, leaves)
             elif t in _STBL_LEAVES and t not in leaves:
                 leaves[t] = (s, e)
 
     out = []
-    for t, s, e in children(0, len(b)):
+    for t, _, s, e in _iter_boxes(b, 0, len(b)):
         if t != b"moov":
             continue
         ti = 0
-        for t2, s2, e2 in children(s, e):
+        for t2, _, s2, e2 in _iter_boxes(b, s, e):
             if t2 != b"trak":
                 continue
             ti += 1
@@ -706,6 +709,274 @@ def parse_mp4_codec(df: DataFrame) -> DataFrame:
     when present."""
     return df.select("file_name", "content").mapInPandas(
         _parse_mp4_codec_batches, MP4_CODEC_SCHEMA
+    )
+
+
+MP4_FRAG_SCHEMA = (
+    "file_name string, track_id int, moof_seq int, sample_idx int, "
+    "byte_offset bigint, sample_size bigint, duration bigint, "
+    "dts bigint, pts bigint, is_keyframe boolean, timescale int, "
+    "sample_md5 string"
+)
+
+# tfhd / trun flag bits (ISO/IEC 14496-12 §8.8.7-8.8.8)
+_TFHD_BASE_DATA_OFFSET = 0x000001
+_TFHD_SAMPLE_DESC_IDX = 0x000002
+_TFHD_DEFAULT_DURATION = 0x000008
+_TFHD_DEFAULT_SIZE = 0x000010
+_TFHD_DEFAULT_FLAGS = 0x000020
+_TFHD_BASE_IS_MOOF = 0x020000
+_TRUN_DATA_OFFSET = 0x000001
+_TRUN_FIRST_FLAGS = 0x000004
+_TRUN_SAMPLE_DURATION = 0x000100
+_TRUN_SAMPLE_SIZE = 0x000200
+_TRUN_SAMPLE_FLAGS = 0x000400
+_TRUN_SAMPLE_CTO = 0x000800
+#: sample_flags bit 16: sample_is_non_sync_sample (§8.8.3)
+_SAMPLE_NON_SYNC = 0x010000
+
+
+def _parse_mp4_fragments_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: FRAGMENTED ISO-BMFF sample resolution
+    (fMP4 — ISO/IEC 14496-12 §8.8), the layout CMAF/DASH streaming-
+    origin video actually ships: the moov carries EMPTY sample tables
+    plus mvex/trex per-track defaults, and every fragment is a
+    moof/mdat pair whose traf boxes carry the real sample runs.
+
+    Per moof → traf → trun: tfhd resolves the track (track_ID), the
+    base data offset (explicit 64-bit base_data_offset, else the moof
+    start — which also covers the default-base-is-moof flag 0x020000
+    CMAF mandates) and the per-traf defaults; tfdt (v0 32-bit / v1
+    64-bit baseMediaDecodeTime) anchors the decode timeline, absent
+    tfdt continuing from the track's accumulated end; each trun run
+    yields one row per sample with its absolute byte range (explicit
+    signed data_offset, or the CONTINUE rule — a trun without
+    data_offset starts where the previous one ended), duration/size/
+    flags falling through trun per-sample → tfhd default → trex
+    default (first_sample_flags overriding the first sample's default
+    only, §8.8.8), v1-signed composition offsets for pts, and the
+    keyframe flag from sample_flags bit 16 (sample_is_non_sync).
+    Timescale joins from the moov's tkhd track_ID ↔ mdhd timescale.
+
+    Bounds-checked throughout — a malformed traf (missing tfhd, field
+    runs past the box, no resolvable size/duration, unknown track)
+    contributes NO rows, matching the module convention. Box headers
+    go through the §4.2-complete :func:`_iter_boxes`."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    def parse_moov(b: bytes) -> "tuple[dict, dict]":
+        timescale_by_tid: dict = {}
+        trex_by_tid: dict = {}
+        for t, _, s, e in _iter_boxes(b, 0, len(b)):
+            if t != b"moov":
+                continue
+            for t2, _, s2, e2 in _iter_boxes(b, s, e):
+                if t2 == b"trak":
+                    tid = tsc = None
+                    for t3, _, s3, e3 in _iter_boxes(b, s2, e2):
+                        if t3 == b"tkhd" and e3 - s3 >= 16:
+                            off = 20 if b[s3] == 1 else 12
+                            if e3 - s3 >= off + 4:
+                                (tid,) = struct.unpack(
+                                    ">I", b[s3 + off:s3 + off + 4])
+                        elif t3 == b"mdia":
+                            for t4, _, s4, e4 in _iter_boxes(b, s3, e3):
+                                if t4 == b"mdhd" and e4 - s4 >= 16:
+                                    toff = 20 if b[s4] == 1 else 12
+                                    if e4 - s4 >= toff + 4:
+                                        (tsc,) = struct.unpack(
+                                            ">I", b[s4 + toff:s4 + toff + 4])
+                    if tid is not None and tsc:
+                        timescale_by_tid[tid] = tsc
+                elif t2 == b"mvex":
+                    for t3, _, s3, e3 in _iter_boxes(b, s2, e2):
+                        if t3 == b"trex" and e3 - s3 >= 24:
+                            tid, _sdi, ddur, dsize, dflags = struct.unpack(
+                                ">IIIII", b[s3 + 4:s3 + 24])
+                            trex_by_tid[tid] = (ddur, dsize, dflags)
+        return timescale_by_tid, trex_by_tid
+
+    def parse_traf(name: str, b: bytes, moof_start: int, seq: int,
+                   s: int, e: int, tsc_map: dict, trex: dict,
+                   dts_acc: dict, counters: dict) -> "list[dict]":
+        tfhd = tfdt = None
+        truns = []
+        for t, _, s2, e2 in _iter_boxes(b, s, e):
+            if t == b"tfhd":
+                tfhd = (s2, e2)
+            elif t == b"tfdt":
+                tfdt = (s2, e2)
+            elif t == b"trun":
+                truns.append((s2, e2))
+        if tfhd is None or not truns:
+            return []
+        s2, e2 = tfhd
+        if e2 - s2 < 8:
+            return []
+        flags = struct.unpack(">I", b[s2:s2 + 4])[0] & 0xFFFFFF
+        (tid,) = struct.unpack(">I", b[s2 + 4:s2 + 8])
+        pos = s2 + 8
+        base_off = None
+        if flags & _TFHD_BASE_DATA_OFFSET:
+            if pos + 8 > e2:
+                return []
+            (base_off,) = struct.unpack(">Q", b[pos:pos + 8])
+            pos += 8
+        if flags & _TFHD_SAMPLE_DESC_IDX:
+            pos += 4
+        def_dur = def_size = def_flags = None
+        for bit, which in ((_TFHD_DEFAULT_DURATION, "dur"),
+                           (_TFHD_DEFAULT_SIZE, "size"),
+                           (_TFHD_DEFAULT_FLAGS, "flags")):
+            if flags & bit:
+                if pos + 4 > e2:
+                    return []
+                (v,) = struct.unpack(">I", b[pos:pos + 4])
+                pos += 4
+                if which == "dur":
+                    def_dur = v
+                elif which == "size":
+                    def_size = v
+                else:
+                    def_flags = v
+        tsc = tsc_map.get(tid)
+        if not tsc:
+            return []
+        x_dur, x_size, x_flags = trex.get(tid, (None, None, None))
+        if def_dur is None:
+            def_dur = x_dur
+        if def_size is None:
+            def_size = x_size
+        if def_flags is None:
+            def_flags = x_flags if x_flags is not None else 0
+        base = base_off if base_off is not None else moof_start
+        if tfdt is not None:
+            s3, e3 = tfdt
+            if e3 - s3 < 8:
+                return []
+            if b[s3] == 1:
+                if e3 - s3 < 12:
+                    return []
+                (dts,) = struct.unpack(">Q", b[s3 + 4:s3 + 12])
+            else:
+                (dts,) = struct.unpack(">I", b[s3 + 4:s3 + 8])
+        else:
+            dts = dts_acc.get(tid, 0)
+        out = []
+        cursor = None
+        for s3, e3 in truns:
+            if e3 - s3 < 8:
+                return []
+            ver = b[s3]
+            tflags = struct.unpack(">I", b[s3:s3 + 4])[0] & 0xFFFFFF
+            (n,) = struct.unpack(">I", b[s3 + 4:s3 + 8])
+            pos = s3 + 8
+            if tflags & _TRUN_DATA_OFFSET:
+                if pos + 4 > e3:
+                    return []
+                (doff,) = struct.unpack(">i", b[pos:pos + 4])
+                pos += 4
+                cursor = base + doff
+            elif cursor is None:
+                cursor = base
+            first_flags = None
+            if tflags & _TRUN_FIRST_FLAGS:
+                if pos + 4 > e3:
+                    return []
+                (first_flags,) = struct.unpack(">I", b[pos:pos + 4])
+                pos += 4
+            nf = bin(tflags & 0xF00).count("1")
+            if pos + n * 4 * nf > e3:
+                return []
+            for i in range(n):
+                p = pos + i * 4 * nf
+                dur = def_dur
+                if tflags & _TRUN_SAMPLE_DURATION:
+                    (dur,) = struct.unpack(">I", b[p:p + 4])
+                    p += 4
+                size = def_size
+                if tflags & _TRUN_SAMPLE_SIZE:
+                    (size,) = struct.unpack(">I", b[p:p + 4])
+                    p += 4
+                if tflags & _TRUN_SAMPLE_FLAGS:
+                    (sflags,) = struct.unpack(">I", b[p:p + 4])
+                    p += 4
+                elif i == 0 and first_flags is not None:
+                    sflags = first_flags
+                else:
+                    sflags = def_flags
+                cto = 0
+                if tflags & _TRUN_SAMPLE_CTO:
+                    (cto,) = struct.unpack(
+                        ">i" if ver == 1 else ">I", b[p:p + 4])
+                if dur is None or size is None:
+                    return []
+                if cursor + size > len(b):
+                    return []
+                payload = b[cursor:cursor + size]
+                out.append({
+                    "file_name": name, "track_id": tid, "moof_seq": seq,
+                    "byte_offset": cursor, "sample_size": size,
+                    "duration": dur, "dts": dts, "pts": dts + cto,
+                    "is_keyframe": (sflags & _SAMPLE_NON_SYNC) == 0,
+                    "timescale": tsc,
+                    "sample_md5": hashlib.md5(
+                        payload.hex().upper().encode()).hexdigest(),
+                })
+                cursor += size
+                dts += dur
+        dts_acc[tid] = dts
+        start = counters.get(tid, 0)
+        for k, row in enumerate(out):
+            row["sample_idx"] = start + k + 1
+        counters[tid] = start + len(out)
+        return out
+
+    def parse(name: str, b: bytes) -> "list[dict]":
+        tsc_map, trex = parse_moov(b)
+        rows: "list[dict]" = []
+        dts_acc: dict = {}
+        counters: dict = {}
+        for t, bs, s, e in _iter_boxes(b, 0, len(b)):
+            if t != b"moof":
+                continue
+            seq = None
+            for t2, _, s2, e2 in _iter_boxes(b, s, e):
+                if t2 == b"mfhd" and e2 - s2 >= 8:
+                    (seq,) = struct.unpack(">I", b[s2 + 4:s2 + 8])
+            if seq is None:
+                continue
+            for t2, _, s2, e2 in _iter_boxes(b, s, e):
+                if t2 == b"traf":
+                    rows.extend(parse_traf(
+                        name, b, bs, seq, s2, e2, tsc_map, trex,
+                        dts_acc, counters))
+        return rows
+
+    cols = [
+        "file_name", "track_id", "moof_seq", "sample_idx",
+        "byte_offset", "sample_size", "duration", "dts", "pts",
+        "is_keyframe", "timescale", "sample_md5",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_mp4_fragments(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per SAMPLE of a FRAGMENTED
+    ISO-BMFF file (moof/traf/trun, §8.8) with its absolute byte range,
+    duration, dts/pts, keyframe flag and mdhd timescale — the sample
+    resolution for CMAF/DASH-origin video, where the moov's sample
+    tables are empty and the fragments carry the runs. Malformed
+    trafs contribute no rows."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_mp4_fragments_batches, MP4_FRAG_SCHEMA
     )
 
 

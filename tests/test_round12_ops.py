@@ -376,8 +376,9 @@ def test_mp4_sample_table_offsets_and_md5(spark):
         if r.file_name in ("video_a.mp4", "video_b.mp4")
     }
     assert len(rows) == 17  # 10 + 7; nostbl_c contributes nothing
-    # r13 fixtures: 9 keyframe-trak samples + (6 video + 5 audio)
-    assert len(all_rows) == 17 + 9 + 11
+    # r13 fixtures: 9 keyframe-trak samples + (6 video + 5 audio);
+    # r14 fixtures: 5 largesize-layout + 4 empty-stss samples
+    assert len(all_rows) == 17 + 9 + 11 + 5 + 4
     a1 = rows[("video_a.mp4", 1)]
     assert (a1.chunk_idx, a1.byte_offset, a1.sample_size) == (1, 596, 20)
     a5 = rows[("video_a.mp4", 5)]   # first sample of chunk 2

@@ -1,0 +1,223 @@
+"""Round-14 operator tests: fragmented MP4 (moof/traf/trun, ISO/IEC
+14496-12 §8.8 — VERDICT r13 #3), the §4.2-complete box-header walk
+(largesize / to-EOF forms, ADVICE r13), and present-but-empty stss
+semantics (ADVICE r13)."""
+
+from __future__ import annotations
+
+import importlib.util
+import pathlib
+import struct
+
+import pandas as pd
+import pytest
+
+MP4STBL = "/root/repo/tests/fixtures/mp4stbl"
+MP4FRAG = "/root/repo/tests/fixtures/mp4frag"
+
+
+def _gen_module():
+    """Load the fixture generator for in-test fragment assembly."""
+    path = (
+        pathlib.Path(__file__).resolve().parent.parent
+        / "tools" / "gen_mp4_stbl_fixtures.py"
+    )
+    spec = importlib.util.spec_from_file_location("gen_mp4_stbl", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _frag_rows(blobs):
+    """Run the fragment kernel directly over (name, bytes) blobs."""
+    from parcialbigdata_spark.sources.binary import (
+        _parse_mp4_fragments_batches,
+    )
+
+    pdf = pd.DataFrame(
+        {"file_name": [n for n, _ in blobs],
+         "content": [b for _, b in blobs]}
+    )
+    out = pd.concat(list(_parse_mp4_fragments_batches(iter([pdf]))))
+    return out.to_dict("records")
+
+
+# -------------------- fragmented MP4: §8.8 resolution --------------------
+
+
+def test_mp4_fragment_full_resolution(spark):
+    """frag_av.mp4 end to end through the Spark op: both tracks, all
+    three fragments, every §8.8 mechanism pinned."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_fragments,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4FRAG, glob="*.mp4")
+    rows = parse_mp4_fragments(raw).collect()
+    assert {r.file_name for r in rows} == {"frag_av.mp4"}  # skip twin: 0 rows
+    v = sorted((r for r in rows if r.track_id == 1),
+               key=lambda r: r.sample_idx)
+    a = sorted((r for r in rows if r.track_id == 2),
+               key=lambda r: r.sample_idx)
+    assert len(v) == 10 and len(a) == 5
+
+    # trun 1: tfhd default size 100, per-sample durations, first-
+    # sample-flags sync override over the tfhd non-sync default
+    assert [r.sample_size for r in v[:4]] == [100] * 4
+    assert [r.duration for r in v[:4]] == [3000, 3000, 3000, 3600]
+    assert [r.is_keyframe for r in v[:4]] == [True, False, False, False]
+    assert [r.dts for r in v[:4]] == [0, 3000, 6000, 9000]
+
+    # trun 2 (NO data_offset — continue rule): starts where trun 1
+    # ended, per-sample sizes, trex default duration 3000, v1 SIGNED
+    # composition offsets shifting pts both ways
+    assert v[4].byte_offset == v[3].byte_offset + v[3].sample_size
+    assert [r.sample_size for r in v[4:7]] == [50, 60, 70]
+    assert [r.duration for r in v[4:7]] == [3000] * 3
+    assert [r.dts for r in v[4:7]] == [12600, 15600, 18600]
+    assert [r.pts for r in v[4:7]] == [12600, 12600, 21600]
+
+    # moof3: cross-fragment dts via tfdt, tfhd default duration/size,
+    # trex non-sync default + first-sample override
+    assert [r.moof_seq for r in v[7:]] == [3] * 3
+    assert [r.dts for r in v[7:]] == [21600, 24000, 26400]
+    assert [r.sample_size for r in v[7:]] == [80] * 3
+    assert [r.is_keyframe for r in v[7:]] == [True, False, False]
+
+    # audio traf: explicit 64-bit base_data_offset, EVERY per-sample
+    # field from the trex defaults (duration 1024, size 24, sync)
+    assert [r.sample_size for r in a] == [24] * 5
+    assert [r.dts for r in a] == [2048 + 1024 * i for i in range(5)]
+    assert all(r.is_keyframe for r in a)
+    assert {r.timescale for r in v} == {90000}
+    assert {r.timescale for r in a} == {48000}
+
+    # byte ranges tile without overlap inside each mdat
+    spans = sorted((r.byte_offset, r.byte_offset + r.sample_size)
+                   for r in rows)
+    assert all(spans[i][1] <= spans[i + 1][0]
+               for i in range(len(spans) - 1))
+
+
+def test_mp4_fragment_skip_malformed():
+    """No-traf / no-tfhd / unknown-track fragments yield zero rows."""
+    blob = open(f"{MP4FRAG}/frag_skip.mp4", "rb").read()
+    assert _frag_rows([("frag_skip.mp4", blob)]) == []
+
+
+def test_mp4_fragment_absent_tfdt_accumulates():
+    """Without tfdt the decode timeline continues from the track's
+    accumulated end (kernel contract; the committed fixtures always
+    carry tfdt so the oracle replay never needs this rule)."""
+    g = _gen_module()
+    moov = g.box(
+        b"moov",
+        g.full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80)
+        + g._frag_trak(1, 1000, "mp4v", b"vide")
+        + g.box(b"mvex", g._trex(1, 10, 4, 0)),
+    )
+
+    def moof(seq, do):
+        return g.box(
+            b"moof",
+            g.fullf(b"mfhd", struct.pack(">I", seq))
+            + g.box(b"traf", g._tfhd(1, 0x0)
+                    + g._trun(0, 0x1, [{}] * 3, data_offset=do)),
+        )
+
+    m = moof(1, 0)
+    do = len(m) + 8
+    mdat = g.box(b"mdat", bytes(24))
+    blob = (g.ftyp() + moov + moof(1, do) + mdat
+            + moof(2, do) + mdat)
+    rows = _frag_rows([("x.mp4", blob)])
+    assert [r["dts"] for r in rows] == [0, 10, 20, 30, 40, 50]
+    assert [r["sample_idx"] for r in rows] == [1, 2, 3, 4, 5, 6]
+    assert [r["moof_seq"] for r in rows] == [1, 1, 1, 2, 2, 2]
+
+
+def test_mp4_fragment_hostile_mutations():
+    """Truncation / hostile counts drop the traf, never crash."""
+    blob = bytearray(open(f"{MP4FRAG}/frag_av.mp4", "rb").read())
+    base = _frag_rows([("frag_av.mp4", bytes(blob))])
+    assert len(base) == 15
+
+    # inflate the first trun's sample_count so its records run past
+    # the box end — that traf contributes nothing, the others survive
+    tr = bytes(blob).index(b"trun")
+    hostile = bytearray(blob)
+    hostile[tr + 8:tr + 12] = struct.pack(">I", 10_000)
+    rows = _frag_rows([("h.mp4", bytes(hostile))])
+    assert {r["track_id"] for r in rows} == {1, 2}
+    assert len([r for r in rows if r["moof_seq"] == 1]) == 0
+    assert len(rows) == 8  # audio 5 + moof3 video 3
+
+    # truncating the file mid-moof walks cleanly to the cut
+    assert isinstance(_frag_rows([("t.mp4", bytes(blob[:len(blob) // 2]))]),
+                      list)
+
+    # zero out a tfhd's track_id → no moov trak matches → traf dropped
+    th = bytes(blob).index(b"tfhd")
+    unk = bytearray(blob)
+    unk[th + 8:th + 12] = struct.pack(">I", 77)
+    rows = _frag_rows([("u.mp4", bytes(unk))])
+    assert len([r for r in rows if r["moof_seq"] == 1]) == 0
+
+
+# -------------------- §4.2 header forms + empty stss --------------------
+
+
+def test_mp4_largesize_and_to_eof_boxes(spark):
+    """video_large.mp4: the mdat comes FIRST with a 64-bit largesize
+    header and a size==0 free box trails the moov — the moov-ladder
+    parser must walk past both (ADVICE r13)."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="video_large.mp4")
+    rows = sorted(parse_mp4_samples(raw).collect(),
+                  key=lambda r: r.sample_idx)
+    assert len(rows) == 5
+    # ftyp(24 bytes in this generator) + 16-byte largesize header
+    assert rows[0].byte_offset == 24 + 16
+    assert [r.is_keyframe for r in rows] == [True, False, False, True, False]
+
+
+def test_mp4_empty_stss_means_no_keyframes(spark):
+    """A PRESENT-but-empty stss (entry_count 0) means NO sample is a
+    sync sample — distinct from no stss at all, where every sample is
+    (§8.6.2). Both engines agree via the leaf-presence rule."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_samples,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, MP4STBL, glob="video_stss0.mp4")
+    rows = parse_mp4_samples(raw).collect()
+    assert len(rows) == 4
+    assert not any(r.is_keyframe for r in rows)
+
+
+def test_iter_boxes_header_forms():
+    """_iter_boxes: 32-bit, size==1 largesize, size==0 to-EOF, and the
+    malformed stops (short largesize header, size past the end)."""
+    from parcialbigdata_spark.sources.binary import _iter_boxes
+
+    b32 = struct.pack(">I", 12) + b"abcd" + b"1234"
+    large = struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 20) + b"xxxx"
+    eof = struct.pack(">I", 0) + b"free" + b"tail"
+    blob = b32 + large + eof
+    got = list(_iter_boxes(blob, 0, len(blob)))
+    assert [(t, bs, ps, be) for t, bs, ps, be in got] == [
+        (b"abcd", 0, 8, 12),
+        (b"mdat", 12, 28, 32),
+        (b"free", 32, 40, 44),
+    ]
+    # largesize header truncated → stop, no crash
+    assert list(_iter_boxes(struct.pack(">I", 1) + b"mdat" + b"\x00" * 4,
+                            0, 12)) == []
+    # declared size overruns the container → stop
+    assert list(_iter_boxes(struct.pack(">I", 99) + b"abcd", 0, 8)) == []

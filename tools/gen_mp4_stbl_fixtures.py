@@ -26,6 +26,31 @@ Fixtures:
   non-1000 case); trak 2 audio (mp4a entry), 5 per-size samples in
   one chunk via 64-bit co64 offsets, NO stss (every sample is a sync
   sample per §8.6.2).
+- ``video_large.mp4`` (r14, ADVICE r13) — the mdat comes FIRST with a
+  ``size == 1`` 64-bit largesize header (the form every >4 GiB file
+  uses), so reaching the moov requires the §4.2-complete box walk;
+  a trailing ``size == 0`` (extends-to-EOF) free box exercises the
+  third header form. stss {1,4}.
+- ``video_stss0.mp4`` (r14, ADVICE r13) — a PRESENT-but-EMPTY stss
+  (entry_count 0): per §8.6.2 the absence of stss means every sample
+  is sync, but an empty stss means NO sample is — both engines must
+  agree (kernel: sync = {}; oracle: stss presence from the leaf row).
+
+Fragmented twin (tests/fixtures/mp4frag — ISO 14496-12 §8.8, the
+CMAF/DASH layout where sample tables live in moof/traf/trun):
+- ``frag_av.mp4`` — moov with EMPTY stbls + mvex/trex defaults for a
+  90000-timescale video trak (id 1) and a 48000-timescale audio trak
+  (id 2), then three fragments: moof1 video (tfhd default-base-is-
+  moof + default size/flags, tfdt v1, trun v0 with data_offset +
+  first_sample_flags + per-sample durations, then a SECOND trun v1
+  with NO data_offset — the continue rule — carrying per-sample sizes
+  and SIGNED composition offsets), moof2 audio (tfhd with explicit
+  64-bit base_data_offset, tfdt v0, one trun where every field falls
+  through to the trex defaults), moof3 video (trex flag fallback +
+  tfhd default duration/size, cross-fragment dts via tfdt).
+- ``frag_skip.mp4`` — a moof with no traf, a traf with no tfhd, and a
+  traf whose track has no moov trak (no timescale): all contribute
+  ZERO rows on both engines.
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_mp4_stbl_fixtures.py
@@ -173,11 +198,18 @@ def _stsd_entry(codec: str) -> bytes:
     raise ValueError(codec)
 
 
-def build_multi(traks: "list[dict]") -> bytes:
+def build_multi(traks: "list[dict]", mdat_first_largesize: bool = False,
+                trailer: bytes = b"") -> bytes:
     """Multi-trak builder (r13): each spec dict carries sizes,
     chunking, and optional uniform / sync (stss sample numbers) /
     codec / handler / base_i (payload-content seed). All traks share
-    one mdat; chunks are laid out trak-by-trak in file order."""
+    one mdat; chunks are laid out trak-by-trak in file order.
+
+    ``mdat_first_largesize`` (r14) lays the file out as
+    ftyp | mdat(64-bit largesize header) | moov | trailer — the shape
+    of a real >4 GiB capture, where the moov is only reachable by a
+    walker that understands §4.2's size==1 form. ``trailer`` appends
+    raw bytes after the moov (e.g. a size==0 to-EOF box)."""
     per_chunk = [_expand_chunking(t["chunking"], len(t["sizes"])) for t in traks]
 
     def trak_box(t: dict, stco_offsets: "list[int]") -> bytes:
@@ -243,6 +275,25 @@ def build_multi(traks: "list[dict]") -> bytes:
             s += spc
         chunk_sizes.append(css)
 
+    mdat_payload = b"".join(
+        sample_bytes(t.get("base_i", 0) + i, sz)
+        for t in traks
+        for i, sz in enumerate(t["sizes"])
+    )
+    if mdat_first_largesize:
+        # ftyp | largesize mdat | moov | trailer — chunk offsets are
+        # independent of the moov length, no two-pass needed
+        base = len(ftyp()) + 16
+        acc, all_offsets = base, []
+        for css in chunk_sizes:
+            offs = []
+            for cs in css:
+                offs.append(acc)
+                acc += cs
+            all_offsets.append(offs)
+        mdat = (struct.pack(">I", 1) + b"mdat"
+                + struct.pack(">Q", 16 + len(mdat_payload)) + mdat_payload)
+        return ftyp() + mdat + moov(all_offsets) + trailer
     head_len = len(ftyp()) + len(moov([[0] * len(c) for c in chunk_sizes])) + 8
     acc, all_offsets = head_len, []
     for css in chunk_sizes:
@@ -251,16 +302,180 @@ def build_multi(traks: "list[dict]") -> bytes:
             offs.append(acc)
             acc += cs
         all_offsets.append(offs)
-    mdat_payload = b"".join(
-        sample_bytes(t.get("base_i", 0) + i, sz)
-        for t in traks
-        for i, sz in enumerate(t["sizes"])
+    return ftyp() + moov(all_offsets) + box(b"mdat", mdat_payload) + trailer
+
+
+# ---------------------------------------------------------------------
+# Fragmented MP4 (§8.8) builders — r14
+# ---------------------------------------------------------------------
+FRAG_OUT = OUT.parent / "mp4frag"
+
+
+def fullf(btype: bytes, payload: bytes, version: int = 0,
+          flags: int = 0) -> bytes:
+    return box(btype, struct.pack(">I", (version << 24) | flags) + payload)
+
+
+def _empty_stbl(codec: str) -> bytes:
+    """The empty sample table a fragmented file's moov carries — every
+    table present but zero-entry (samples live in the fragments)."""
+    return box(
+        b"stbl",
+        full(b"stsd", struct.pack(">I", 1) + _stsd_entry(codec))
+        + full(b"stts", struct.pack(">I", 0))
+        + full(b"stsc", struct.pack(">I", 0))
+        + full(b"stsz", struct.pack(">II", 0, 0))
+        + full(b"stco", struct.pack(">I", 0)),
     )
-    return ftyp() + moov(all_offsets) + box(b"mdat", mdat_payload)
+
+
+def _frag_trak(tid: int, timescale: int, codec: str, handler: bytes) -> bytes:
+    hname = b"video\x00" if handler == b"vide" else b"sound\x00"
+    hdlr = full(b"hdlr", b"\x00" * 4 + handler + b"\x00" * 12 + hname)
+    mdhd = full(b"mdhd", struct.pack(">IIIIHH", 0, 0, timescale, 0, 0x55C4, 0))
+    mdia = box(b"mdia", mdhd + hdlr + box(b"minf", _empty_stbl(codec)))
+    tkhd = full(b"tkhd", struct.pack(">III", 0, 0, tid) + b"\x00" * 68)
+    return box(b"trak", tkhd + mdia)
+
+
+def _trex(tid: int, ddur: int, dsize: int, dflags: int) -> bytes:
+    return full(b"trex", struct.pack(">IIIII", tid, 1, ddur, dsize, dflags))
+
+
+def _tfhd(tid: int, flags: int, fields: bytes = b"") -> bytes:
+    return fullf(b"tfhd", struct.pack(">I", tid) + fields, flags=flags)
+
+
+def _tfdt(base: int, version: int = 1) -> bytes:
+    return fullf(b"tfdt",
+                 struct.pack(">Q" if version == 1 else ">I", base),
+                 version=version)
+
+
+def _trun(version: int, flags: int, samples: "list[dict]",
+          data_offset: "int | None" = None,
+          first_flags: "int | None" = None) -> bytes:
+    payload = struct.pack(">I", len(samples))
+    if flags & 0x1:
+        payload += struct.pack(">i", data_offset)
+    if flags & 0x4:
+        payload += struct.pack(">I", first_flags)
+    for smp in samples:
+        if flags & 0x100:
+            payload += struct.pack(">I", smp["duration"])
+        if flags & 0x200:
+            payload += struct.pack(">I", smp["size"])
+        if flags & 0x400:
+            payload += struct.pack(">I", smp["flags"])
+        if flags & 0x800:
+            payload += struct.pack(">i" if version == 1 else ">I",
+                                   smp["cto"])
+    return fullf(b"trun", payload, version=version, flags=flags)
+
+
+def build_frag_av() -> bytes:
+    """Three-fragment audio+video file; see module docstring."""
+    moov = box(
+        b"moov",
+        full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80)
+        + _frag_trak(1, 90000, "avc1", b"vide")
+        + _frag_trak(2, 48000, "mp4a", b"soun")
+        + box(b"mvex", _trex(1, 3000, 0, 0x10000) + _trex(2, 1024, 24, 0)),
+    )
+    v1_sizes = [100] * 4
+    v2_sizes = [50, 60, 70]
+    a_sizes = [24] * 5
+    v3_sizes = [80] * 3
+    mdat1 = box(b"mdat", b"".join(
+        sample_bytes(i, s) for i, s in enumerate(v1_sizes + v2_sizes)))
+    mdat2 = box(b"mdat", b"".join(
+        sample_bytes(100 + i, s) for i, s in enumerate(a_sizes)))
+    mdat3 = box(b"mdat", b"".join(
+        sample_bytes(200 + i, s) for i, s in enumerate(v3_sizes)))
+
+    def moof1(do1: int) -> bytes:
+        return box(
+            b"moof",
+            fullf(b"mfhd", struct.pack(">I", 1))
+            + box(
+                b"traf",
+                # default-base-is-moof | default_sample_size 100 |
+                # default_sample_flags 0x10000 (non-sync)
+                _tfhd(1, 0x020000 | 0x10 | 0x20,
+                      struct.pack(">II", 100, 0x10000))
+                + _tfdt(0, version=1)
+                # trun 1: data_offset + first_sample_flags (sync) +
+                # per-sample durations; sizes/flags from tfhd defaults
+                + _trun(0, 0x1 | 0x4 | 0x100,
+                        [{"duration": d} for d in (3000, 3000, 3000, 3600)],
+                        data_offset=do1, first_flags=0x2000000)
+                # trun 2: NO data_offset (the continue rule) —
+                # per-sample sizes + v1 SIGNED composition offsets;
+                # durations fall through tfhd(absent) to trex 3000
+                + _trun(1, 0x200 | 0x800,
+                        [{"size": s, "cto": c}
+                         for s, c in zip(v2_sizes, (0, -3000, 3000))]),
+            ),
+        )
+
+    def moof2(base2: int) -> bytes:
+        return box(
+            b"moof",
+            fullf(b"mfhd", struct.pack(">I", 2))
+            + box(
+                b"traf",
+                # explicit 64-bit base_data_offset; everything else
+                # (duration 1024, size 24, flags 0=sync) from trex
+                _tfhd(2, 0x1, struct.pack(">Q", base2))
+                + _tfdt(2048, version=0)
+                + _trun(0, 0x1, [{}] * 5, data_offset=0),
+            ),
+        )
+
+    def moof3(do3: int) -> bytes:
+        return box(
+            b"moof",
+            fullf(b"mfhd", struct.pack(">I", 3))
+            + box(
+                b"traf",
+                # tfhd default duration 2400 + size 80; flags fall
+                # through to trex 0x10000 (non-sync), first sample
+                # overridden sync by first_sample_flags
+                _tfhd(1, 0x020000 | 0x8 | 0x10,
+                      struct.pack(">II", 2400, 80))
+                # video dts continues: moof1 total = 3*3000 + 3600
+                # + 3*3000 (trex) = 21600
+                + _tfdt(21600, version=1)
+                + _trun(0, 0x1 | 0x4, [{}] * 3, data_offset=do3,
+                        first_flags=0x2000000),
+            ),
+        )
+
+    m1 = moof1(0)
+    do1 = len(m1) + 8
+    m3 = moof3(0)
+    do3 = len(m3) + 8
+    head = len(ftyp()) + len(moov)
+    base2 = head + len(m1) + len(mdat1) + len(moof2(0)) + 8
+    return (ftyp() + moov + moof1(do1) + mdat1 + moof2(base2) + mdat2
+            + moof3(do3) + mdat3)
+
+
+def build_frag_skip() -> bytes:
+    """Malformed-fragment file: every traf is dropped by both engines
+    (no traf / no tfhd / no matching moov trak → no timescale)."""
+    m1 = box(b"moof", fullf(b"mfhd", struct.pack(">I", 1)))
+    m2 = box(b"moof", fullf(b"mfhd", struct.pack(">I", 2))
+             + box(b"traf", _trun(0, 0x1, [{}] * 2, data_offset=0)))
+    m3 = box(b"moof", fullf(b"mfhd", struct.pack(">I", 3))
+             + box(b"traf", _tfhd(9, 0x0) + _tfdt(0)
+                   + _trun(0, 0x1, [{}], data_offset=0)))
+    return ftyp() + m1 + m2 + m3 + box(b"mdat", bytes(range(32)))
 
 
 def main() -> None:
     OUT.mkdir(parents=True, exist_ok=True)
+    FRAG_OUT.mkdir(parents=True, exist_ok=True)
     a_sizes = [20 + 3 * i for i in range(10)]
     b_sizes = [32] * 7
     kf_sizes = [24 + 5 * i for i in range(9)]
@@ -290,10 +505,28 @@ def main() -> None:
              "ctts_runs": [(1, 800), (2, -100), (6, 100)]},
         ]),
         "video_mt.mp4": build_multi([mt_video, mt_audio]),
+        # r14 (ADVICE r13): §4.2 header-form coverage + empty stss
+        "video_large.mp4": build_multi(
+            [{"sizes": [30] * 5, "chunking": [(1, 5)], "sync": [1, 4],
+              "base_i": 70}],
+            mdat_first_largesize=True,
+            trailer=struct.pack(">I", 0) + b"free" + b"\x00" * 8,
+        ),
+        "video_stss0.mp4": build_multi(
+            [{"sizes": [18, 22, 26, 30], "chunking": [(1, 2)], "sync": [],
+              "base_i": 90}],
+        ),
+    }
+    frag_files = {
+        "frag_av.mp4": build_frag_av(),
+        "frag_skip.mp4": build_frag_skip(),
     }
     for name, data in files.items():
         (OUT / name).write_bytes(data)
         print(f"wrote {OUT / name} ({len(data)} bytes)")
+    for name, data in frag_files.items():
+        (FRAG_OUT / name).write_bytes(data)
+        print(f"wrote {FRAG_OUT / name} ({len(data)} bytes)")
     # pin table for the pytest: per-sample (offset, size, md5-of-hex)
     for name, sizes, chunks in (
         ("video_a.mp4", a_sizes, [4, 4, 2]),

@@ -95,10 +95,21 @@ ROTATION_PRIORITY = [
 def main() -> None:
     from parcialbigdata_spark.queries import QUERIES, _DRIVER_WINDOW
 
+    # r14 (VERDICT r13 #2): only a FULL rows+schema+hash pass counts as
+    # "driver-checked" — a rows-only contact (pre-oracle era, e.g.
+    # ann_topk_embeddings' r02 ``err: "no_oracle"`` row) proves far
+    # less and its entry stays in the rotation queue until the driver
+    # hash-proves it.
     checked: set[str] = set()
     rounds = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
     for path in rounds:
-        checked |= set(json.load(open(path)).keys())
+        for name, row in json.load(open(path)).items():
+            if (
+                row.get("rows_match")
+                and row.get("schema_match")
+                and row.get("hash_match")
+            ):
+                checked.add(name)
 
     never = [n for n in QUERIES if n not in checked]
     out = {
