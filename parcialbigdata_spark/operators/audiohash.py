@@ -48,10 +48,11 @@ AHASH_SCHEMA = (
 )
 
 
-def _decode_wav_pcm16(b: bytes):
-    """bytes -> list of channel-0 16-bit samples, or None when not an
-    uncompressed 16-bit PCM WAV (the guard: wrong magic, non-PCM
-    format tag, non-16-bit width, or fewer samples than frames)."""
+def _decode_wav_channels(b: bytes):
+    """bytes -> list of per-CHANNEL 16-bit sample lists, or None when
+    not an uncompressed 16-bit PCM WAV (the guard: wrong magic,
+    non-PCM format tag, non-16-bit width, or fewer frames than the
+    65-frame contour needs)."""
     import struct
 
     if len(b) < 44 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
@@ -76,8 +77,18 @@ def _decode_wav_pcm16(b: bytes):
     if n < N_FRAMES:
         return None
     return [
-        struct.unpack_from("<h", data, i * stride)[0] for i in range(n)
+        [struct.unpack_from("<h", data, i * stride + 2 * c)[0]
+         for i in range(n)]
+        for c in range(channels)
     ]
+
+
+def _decode_wav_pcm16(b: bytes):
+    """bytes -> channel-0 16-bit samples, or None (the historical
+    single-channel view; multi-channel callers use
+    :func:`_decode_wav_channels`)."""
+    chans = _decode_wav_channels(b)
+    return None if chans is None else chans[0]
 
 
 def wav_ahash_bands(b: bytes):
@@ -88,6 +99,11 @@ def wav_ahash_bands(b: bytes):
     samples = _decode_wav_pcm16(b)
     if samples is None:
         return None
+    return _bands_of(samples)
+
+
+def _bands_of(samples: "list[int]"):
+    """The shared 65-frame energy-contour → 4-band packing."""
     n = len(samples)
     energy = [0] * N_FRAMES
     for i, s in enumerate(samples):
@@ -97,6 +113,91 @@ def wav_ahash_bands(b: bytes):
         if energy[m] < energy[m + 1]:
             bands[m // 16] |= 1 << (15 - (m % 16))
     return n, bands
+
+
+def wav_ahash_channel_bands(b: bytes):
+    """bytes -> [(channel, n_samples, [b0..b3])] — one aHash per
+    CHANNEL (r14, VERDICT r13 #7): the channel-0 hash is blind to a
+    stereo dupe whose channels were swapped (L↔R remaster, a common
+    re-encode), so per-channel rows let the banded join catch channel
+    c of one file against channel c' of another."""
+    chans = _decode_wav_channels(b)
+    if chans is None:
+        return None
+    out = []
+    for c, samples in enumerate(chans):
+        n, bands = _bands_of(samples)
+        out.append((c, n, bands))
+    return out
+
+
+CHANNEL_AHASH_SCHEMA = (
+    "file_name string, channel int, n_samples bigint, "
+    "b0 int, b1 int, b2 int, b3 int, ahash_hex string"
+)
+
+
+def _ahash_channel_batches(batches: Iterator) -> Iterator:
+    import pandas as pd
+
+    cols = ["file_name", "channel", "n_samples",
+            "b0", "b1", "b2", "b3", "ahash_hex"]
+
+    def rows(name: str, content: bytes) -> "list[dict]":
+        r = wav_ahash_channel_bands(bytes(content))
+        if r is None:
+            return []
+        return [
+            {
+                "file_name": name, "channel": c, "n_samples": n,
+                "b0": bands[0], "b1": bands[1],
+                "b2": bands[2], "b3": bands[3],
+                "ahash_hex": "".join(f"{v:04x}" for v in bands),
+            }
+            for c, n, bands in r
+        ]
+
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(rows(n, c))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def wav_ahash_channels(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) -> one aHash row per (file, CHANNEL) of
+    each decodable 16-bit PCM WAV — the stereo-aware sibling of
+    :func:`wav_ahash`. Arrow-batched ``mapInPandas``; payloads never
+    leave the executor; at 100 TB this multiplies hash rows by the
+    channel count (2 for stereo) while decode stays once-per-blob."""
+    return df.select("file_name", "content").mapInPandas(
+        _ahash_channel_batches, CHANNEL_AHASH_SCHEMA
+    )
+
+
+def ahash_channel_near_dups(hashes: DataFrame,
+                            max_hamming: int = 3) -> DataFrame:
+    """Banded Hamming near-dup pairs over PER-CHANNEL hashes:
+    (file, channel) becomes the join entity — a composite key through
+    the SAME shared band join (``dhash_near_dups``), split back into
+    (file_a, chan_a, file_b, chan_b, hamming) — so an L/R-swapped
+    stereo dupe is caught by channel 0 matching the other file's
+    channel 1. Same-file cross-channel pairs (self-similar L and R)
+    surface too; callers filter if unwanted."""
+    ent = hashes.select(
+        F.concat_ws("#", "file_name", "channel").alias("file_name"),
+        "b0", "b1", "b2", "b3",
+    )
+    pairs = dhash_near_dups(ent, max_hamming=max_hamming)
+    split_a = F.split(F.col("file_a"), "#")
+    split_b = F.split(F.col("file_b"), "#")
+    return pairs.select(
+        F.element_at(split_a, 1).alias("file_a"),
+        F.element_at(split_a, 2).cast("int").alias("chan_a"),
+        F.element_at(split_b, 1).alias("file_b"),
+        F.element_at(split_b, 2).cast("int").alias("chan_b"),
+        "hamming",
+    )
 
 
 def _ahash_batches(batches: Iterator) -> Iterator:

@@ -3473,6 +3473,120 @@ def streaming_ahash_index_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(base, ignore_errors=True)
 
 
+_ASTEREO_DIR = "/root/repo/tests/fixtures/audiostereo"
+
+
+@query(
+    "wav_stereo_near_dup_media",
+    f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             hex(content) AS h
+      FROM read_blob('{_ASTEREO_DIR}/*.wav')
+      WHERE substr(hex(content), 1, 8) = '52494646'
+        AND substr(hex(content), 17, 8) = '57415645'
+        AND substr(hex(content), 25, 8) = '666D7420'
+        AND substr(hex(content), 33, 8) = '10000000'
+        AND substr(hex(content), 41, 4) = '0100'
+        AND substr(hex(content), 45, 4) = '0200'
+        AND substr(hex(content), 69, 4) = '1000'
+        AND substr(hex(content), 73, 8) = '64617461'
+    ),
+    hdr AS (
+      SELECT file_name, h,
+             (('0x' || substr(h, 81, 2))::BIGINT
+              + 256 * ('0x' || substr(h, 83, 2))::BIGINT
+              + 65536 * ('0x' || substr(h, 85, 2))::BIGINT
+              + 16777216 * ('0x' || substr(h, 87, 2))::BIGINT) // 4 AS n
+      FROM b
+    ),
+    ok AS (SELECT * FROM hdr WHERE n >= 65),
+    raw AS (
+      SELECT o.file_name, o.n, c.c AS ch, i.i,
+             ('0x' || substr(o.h, 89 + 8 * i.i + 4 * c.c, 2))::BIGINT
+             + 256 * ('0x' || substr(o.h, 91 + 8 * i.i + 4 * c.c,
+                      2))::BIGINT AS u
+      FROM ok o, range(2) c(c), range(16384) i(i)
+      WHERE i.i < o.n
+    ),
+    smp AS (
+      SELECT file_name, ch, n, i,
+             CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS s
+      FROM raw
+    ),
+    frames AS (
+      SELECT file_name, ch, MIN(n) AS n, (i * 65) // n AS f,
+             SUM(ABS(s)) AS e
+      FROM smp GROUP BY file_name, ch, (i * 65) // n
+    ),
+    abits AS (
+      SELECT f1.file_name, f1.ch, f1.f AS m,
+             CASE WHEN MIN(f1.e) < MIN(f2.e) THEN 1 ELSE 0 END AS bit
+      FROM frames f1 JOIN frames f2
+        ON f1.file_name = f2.file_name AND f1.ch = f2.ch
+       AND f2.f = f1.f + 1
+      GROUP BY f1.file_name, f1.ch, f1.f
+    ),
+    abands AS (
+      SELECT file_name, ch, m // 16 AS band_idx,
+             CAST(SUM(bit * (1 << (15 - (m % 16)))) AS INT) AS band_val
+      FROM abits GROUP BY file_name, ch, m // 16
+    ),
+    chashes AS (
+      SELECT file_name, ch,
+             CAST(MAX(CASE WHEN band_idx = 0 THEN band_val END) AS INT)
+               AS b0,
+             CAST(MAX(CASE WHEN band_idx = 1 THEN band_val END) AS INT)
+               AS b1,
+             CAST(MAX(CASE WHEN band_idx = 2 THEN band_val END) AS INT)
+               AS b2,
+             CAST(MAX(CASE WHEN band_idx = 3 THEN band_val END) AS INT)
+               AS b3
+      FROM abands GROUP BY file_name, ch
+    )
+    SELECT a.file_name AS file_a, CAST(a.ch AS INT) AS chan_a,
+           x.file_name AS file_b, CAST(x.ch AS INT) AS chan_b,
+           CAST(bit_count(xor(a.b0, x.b0)) + bit_count(xor(a.b1, x.b1))
+              + bit_count(xor(a.b2, x.b2)) + bit_count(xor(a.b3, x.b3))
+              AS INT) AS hamming
+    FROM chashes a JOIN chashes x
+      ON (a.file_name || '#' || a.ch) < (x.file_name || '#' || x.ch)
+    WHERE bit_count(xor(a.b0, x.b0)) + bit_count(xor(a.b1, x.b1))
+        + bit_count(xor(a.b2, x.b2)) + bit_count(xor(a.b3, x.b3)) <= 3
+    """,
+)
+def wav_stereo_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CHANNEL audio near-dup pairs (operators/audiohash.py
+    ``wav_ahash_channels`` + ``ahash_channel_near_dups`` — r14,
+    VERDICT r13 #7): an L/R-SWAPPED stereo dupe (channel-swap
+    remaster) is invisible to the channel-0 hash — the fixtures prove
+    it (same-channel Hamming 55) — but hashing every channel and
+    banding (file, channel) entities through the SAME shared Hamming
+    join catches channel 0 of one file against channel 1 of the other
+    (both swap orientations planted at Hamming 1, build-time verified
+    by tools/gen_audiostereo_fixtures.py; the noise clip and the
+    within-file L↔R contour stay > 3 everywhere else). The DuckDB
+    oracle replays the stereo decode from the blob hex — interleaved
+    sample c of frame i at byte 44 + 4i + 2c — through the identical
+    integer contour/band arithmetic, then the exhaustive all-pairs
+    scan the pigeonhole-complete banding must agree with. At 100 TB:
+    hash rows double for stereo, decode stays once per blob, and the
+    join is the same band-equality shuffle as every hash family
+    here."""
+    from parcialbigdata_spark.operators.audiohash import (
+        ahash_channel_near_dups,
+        wav_ahash_channels,
+    )
+    from parcialbigdata_spark.sources.binary import read_binary_dir
+
+    raw = read_binary_dir(spark, _ASTEREO_DIR, glob="*.wav")
+    return ahash_channel_near_dups(
+        wav_ahash_channels(raw), max_hamming=3
+    ).select(
+        "file_a", "chan_a", "file_b", "chan_b",
+        F.col("hamming").cast("int").alias("hamming"),
+    )
+
 
 @query(
     "binary_media_inventory",
@@ -14042,36 +14156,37 @@ _DRIVER_WINDOW = [
     # (hll_rollup_users / kll_quantile_merge_orders /
     # streaming_hll_partials rotated out in r13 — the sketch family
     # went driver-green on first contact in r12; stays CI-green.)
-    # r13 rotation (VERDICT r12 #2: burn the never-checked backlog
-    # toward ≤58, prioritizing the retrieval/corpus-prep block and the
-    # graph family — "the ops a real pipeline user hits next"). 20
-    # backlog entries enter: the retrieval pair (positional inverted
-    # index, TF-IDF), the corpus-prep sweep (PII redaction, chunk
-    # packing, token-frequency quality, heavy hitters, vocab growth,
-    # split hashing, winnowing fingerprints, cross-doc substrings, hot
-    # n-grams, repetition metrics, length bounds, corpus profile,
-    # stratified/deterministic-shuffle/mixture sampling), and the
-    # graph trio (two PageRank formulations + recursive-CTE reach).
-    "inverted_index_terms",
-    "tfidf_top_terms",
-    "redact_pii_documents",
-    "pack_chunks_documents",
-    "token_freq_score_documents",
-    "heavy_hitter_terms",
-    "vocab_stats_by_source",
-    "hash_split_documents",
-    "winnow_overlap_documents",
-    "shared_substring_documents",
-    "hot_ngram_documents",
-    "repetition_metrics_by_lang",
-    "length_bounds_by_lang",
-    "profile_documents",
-    "stratified_sample_documents",
-    "shuffle_order_documents",
-    "mixture_resample_documents",
-    "pagerank_trade_graph",
-    "pagerank_conserving_purchases",
-    "recursive_cte_supplier_reach",
+    # (the 20-entry r13 block — retrieval pair, 15-query corpus-prep
+    # sweep, graph trio — rotated out in r14: ALL driver-proven on
+    # first contact in r13; N4/graph representation stays in-window
+    # via bm25 + host_profile + chunk + incremental_clusters; stays
+    # CI-green.)
+    # r14 rotation (VERDICT r13 #1: execute the committed
+    # rotation_plan.r14 block — embeddings + incremental/index +
+    # streaming state — plus ann_topk_embeddings, whose only driver
+    # contact was a rows-only r02 check from the pre-oracle era and
+    # which therefore re-enters with its oracle; plus the two r13
+    # debuts orc_roundtrip / twap the VERDICT queued for r14): 19
+    # backlog entries enter at once.
+    "streaming_ahash_index_media",
+    "quantize_embeddings",
+    "pq_topk_embeddings",
+    "contrastive_pairs_embeddings",
+    "hard_negatives_embeddings",
+    "embedding_outliers",
+    "dim_stats_embeddings",
+    "source_similarity_matrix",
+    "incremental_dedup_documents",
+    "dedup_index_compact_documents",
+    "streaming_kll_partials",
+    "streaming_agg_state_store",
+    "quality_classifier_documents",
+    "snapshot_diff_documents",
+    "upsert_latest_events",
+    "fuzzy_join_part_names",
+    "ann_topk_embeddings",
+    "orc_roundtrip_documents",
+    "twap_user_value_events",
     # r13 debuts (VERDICT r12 #4 — the MP4 ladder's next rungs, the
     # debut-round window precedent): stss keyframe-aware sampling,
     # stsd/avcC codec-config extraction, and stts/mdhd/co64 time-based
@@ -14080,6 +14195,15 @@ _DRIVER_WINDOW = [
     "mp4_codec_config_media",
     "mp4_time_sample_media",
     "mp4_pts_order_media",
+    # r14 debuts (debut-round window precedent): fragmented-MP4
+    # (moof/traf/trun §8.8 — the CMAF/DASH layout, VERDICT r13 #3)
+    # and the per-channel stereo aHash swap-catcher (VERDICT r13 #7).
+    # The four r13 moov-ladder entries above STAY in-window: their
+    # input fixture set gained the r14 largesize/empty-stss files, so
+    # their r13 proof no longer covers the current semantics (the
+    # changed-semantics re-prove rule from r13).
+    "mp4_fragment_sample_media",
+    "wav_stereo_near_dup_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -14581,7 +14705,10 @@ _DRIVER_WINDOW = [
     # marker-segment walk below (T.81 SOF/DQT/DHT/APPn parse,
     # recursive-CTE oracle — completing PNG/WAV/MP4/JPEG); stays
     # CI-green.)
-    "jpeg_header_media",
+    # (jpeg_header_media rotated out in r14 — driver-proven r12 AND
+    # r13 (fill-byte re-prove); the container-walk family keeps the
+    # five moov-ladder entries + the debuting fragment walk
+    # in-window; stays CI-green.)
     # streaming
     # (streaming_hourly_events rotated out in r8b — driver-proven
     # green since r2; E4's watermark+window surface stays in-window

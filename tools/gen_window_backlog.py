@@ -130,8 +130,17 @@ def main() -> None:
     out["rotation_queue"] = queue
     # ~16 incoming slots per round (the r12/r13 cadence) → the queue
     # drains in ceil(len/16) rounds; each round consumes the head.
+    # The current round is max(committed CORRECTNESS) + 1 and its
+    # incoming block is already in_current_window, so the first
+    # backlog chunk lands in the round after that.
+    import re
+
+    last = max(
+        int(re.search(r"r(\d+)", os.path.basename(p)).group(1))
+        for p in rounds
+    )
     out["rotation_plan"] = {
-        f"r{14 + i}": queue[i * 16:(i + 1) * 16]
+        f"r{last + 2 + i}": queue[i * 16:(i + 1) * 16]
         for i in range((len(queue) + 15) // 16)
     }
     dst = os.path.join(REPO, "tools", "window_backlog.json")
