@@ -325,11 +325,26 @@ def _bench_wav_corpus_near_dup_10k(spark, sf_dir):
     return ahash_near_dups(wav_ahash(corpus))
 
 
+def _bench_mp4_corpus_resolve_10k(spark, sf_dir):
+    """Fragmented-MP4 sample resolution at corpus scale (r14): the
+    §8.8 moof/traf/trun walk over the deterministic generated 10k-file
+    corpus (~330k sample rows; both per-sample-size and per-sample-
+    duration trun forms on the measured path) — the container-walk
+    mirror of the png/wav corpus entries. Bench-only: correctness
+    stays pinned by the committed fixtures' hex-replay oracle; the
+    corpus cache generates on the warm-up pass."""
+    from parcialbigdata_spark.sources.binary import parse_mp4_fragments
+    from parcialbigdata_spark.sources.mp4_corpus import ensure_mp4_corpus
+
+    return parse_mp4_fragments(ensure_mp4_corpus(spark))
+
+
 # Non-registry bench entries: same harness (warm-up + min-of-2 +
 # clearCache), timed after the registry set.
 EXTRA_BENCHES = {
     "png_corpus_near_dup_10k": _bench_png_corpus_near_dup_10k,
     "wav_corpus_near_dup_10k": _bench_wav_corpus_near_dup_10k,
+    "mp4_corpus_resolve_10k": _bench_mp4_corpus_resolve_10k,
 }
 
 

@@ -968,6 +968,96 @@ def _parse_mp4_fragments_batches(batches: "Iterator") -> "Iterator":
         yield pd.DataFrame(out, columns=cols)
 
 
+MP4_SIDX_SCHEMA = (
+    "file_name string, sidx_idx int, version int, reference_id int, "
+    "timescale int, earliest_pts bigint, first_offset bigint, "
+    "ref_idx int, is_sidx_ref boolean, ref_size bigint, "
+    "ref_start bigint, ref_end bigint, subseg_duration bigint, "
+    "starts_with_sap boolean, sap_type int, sap_delta bigint"
+)
+
+
+def _parse_mp4_sidx_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: SEGMENT INDEX parse (sidx, ISO/IEC 14496-12
+    §8.16.3) — the box DASH clients use for byte-range requests: each
+    reference maps a subsegment (or a child sidx, reference_type 1 —
+    the hierarchical index) to a byte range and a duration, with SAP
+    (stream-access-point) flags saying where decode can start. The
+    anchor point is the first byte AFTER the sidx box; reference i
+    starts at anchor + first_offset + Σ earlier reference sizes — the
+    absolute ``ref_start``/``ref_end`` columns resolve that, so a
+    pipeline can issue ranged reads without walking the fragments.
+    Bounds-checked; a malformed sidx contributes no rows."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> "list[dict]":
+        rows = []
+        si = 0
+        for t, bs, s, e in _iter_boxes(b, 0, len(b)):
+            if t != b"sidx":
+                continue
+            si += 1  # every sidx box gets an index, even a malformed one
+            if e - s < 4 + 8:
+                continue
+            ver = b[s]
+            if e - s < (32 if ver else 24):
+                continue
+            ref_id, timescale = struct.unpack(">II", b[s + 4:s + 12])
+            if ver == 1:
+                ept, foff = struct.unpack(">QQ", b[s + 12:s + 28])
+                pos = s + 28
+            else:
+                ept, foff = struct.unpack(">II", b[s + 12:s + 20])
+                pos = s + 20
+            (_resv, count) = struct.unpack(">HH", b[pos:pos + 4])
+            pos += 4
+            if pos + 12 * count > e:
+                continue
+            cursor = e + foff  # anchor (first byte after sidx) + offset
+            for i in range(count):
+                w1, dur, w3 = struct.unpack(">III", b[pos:pos + 12])
+                pos += 12
+                size = w1 & 0x7FFFFFFF
+                rows.append({
+                    "file_name": name, "sidx_idx": si, "version": ver,
+                    "reference_id": ref_id, "timescale": timescale,
+                    "earliest_pts": ept, "first_offset": foff,
+                    "ref_idx": i + 1,
+                    "is_sidx_ref": bool(w1 >> 31),
+                    "ref_size": size,
+                    "ref_start": cursor, "ref_end": cursor + size,
+                    "subseg_duration": dur,
+                    "starts_with_sap": bool(w3 >> 31),
+                    "sap_type": (w3 >> 28) & 0x7,
+                    "sap_delta": w3 & 0x0FFFFFFF,
+                })
+                cursor += size
+        return rows
+
+    cols = [
+        "file_name", "sidx_idx", "version", "reference_id", "timescale",
+        "earliest_pts", "first_offset", "ref_idx", "is_sidx_ref",
+        "ref_size", "ref_start", "ref_end", "subseg_duration",
+        "starts_with_sap", "sap_type", "sap_delta",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_mp4_sidx(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per SEGMENT-INDEX reference
+    (§8.16.3) with its resolved absolute byte range and SAP flags —
+    the byte-range map DASH clients fetch by."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_mp4_sidx_batches, MP4_SIDX_SCHEMA
+    )
+
+
 def parse_mp4_fragments(df: DataFrame) -> DataFrame:
     """(file_name, content, …) → one row per SAMPLE of a FRAGMENTED
     ISO-BMFF file (moof/traf/trun, §8.8) with its absolute byte range,

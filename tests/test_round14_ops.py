@@ -201,6 +201,79 @@ def test_mp4_empty_stss_means_no_keyframes(spark):
     assert not any(r.is_keyframe for r in rows)
 
 
+def test_mp4_sidx_hierarchy_resolves_ground_truth(spark):
+    """sidx references must resolve to the ACTUAL byte spans of the
+    boxes they index — anchor + first_offset + cumulative sizes
+    checked against a direct top-level box walk of the fixture."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_sidx,
+        read_binary_dir,
+    )
+
+    blob = open(f"{MP4FRAG}/frag_sidx.mp4", "rb").read()
+    spans = []
+    pos = 0
+    while pos + 8 <= len(blob):
+        (sz,) = struct.unpack(">I", blob[pos:pos + 4])
+        spans.append((blob[pos + 4:pos + 8].decode(), pos, pos + sz))
+        pos += sz
+    moofs = [(s, e) for t, s, e in spans if t == "moof"]
+    mdats = [(s, e) for t, s, e in spans if t == "mdat"]
+    sidxs = [(s, e) for t, s, e in spans if t == "sidx"]
+
+    raw = read_binary_dir(spark, MP4FRAG, glob="*.mp4")
+    rows = parse_mp4_sidx(raw).collect()
+    assert {r.file_name for r in rows} == {"frag_sidx.mp4"}
+    top = sorted((r for r in rows if r.sidx_idx == 1),
+                 key=lambda r: r.ref_idx)
+    # v1 top: two hierarchical references, each starting at its child
+    # sidx and ending at its mdat end
+    assert [r.version for r in top] == [1, 1]
+    assert all(r.is_sidx_ref for r in top)
+    assert (top[0].ref_start, top[0].ref_end) == (sidxs[1][0], mdats[0][1])
+    assert (top[1].ref_start, top[1].ref_end) == (sidxs[2][0], mdats[1][1])
+    # v0 children: leaf references tile exactly moof..mdat-end;
+    # child 1's nonzero first_offset skips the free box
+    (c1,) = [r for r in rows if r.sidx_idx == 2]
+    (c2,) = [r for r in rows if r.sidx_idx == 3]
+    assert not c1.is_sidx_ref and not c2.is_sidx_ref
+    assert c1.first_offset == 16
+    assert (c1.ref_start, c1.ref_end) == (moofs[0][0], mdats[0][1])
+    assert (c2.ref_start, c2.ref_end) == (moofs[1][0], mdats[1][1])
+    assert c2.earliest_pts == 12600 and c2.sap_delta == 300
+    assert c1.starts_with_sap and c1.sap_type == 1
+
+
+def test_mp4_corpus_determinism_and_resolution():
+    """The bench corpus is deterministic and the kernel resolves every
+    generated sample on both trun field variants (per-sample sizes on
+    even files, per-sample durations on odd)."""
+    from parcialbigdata_spark.sources.mp4_corpus import mp4_file_bytes
+
+    assert mp4_file_bytes(13)[0] == mp4_file_bytes(13)[0]
+    total = 0
+    blobs = []
+    for i in range(40):
+        b, n = mp4_file_bytes(i)
+        total += n
+        blobs.append((f"frag_{i:05d}.mp4", b))
+    rows = _frag_rows(blobs)
+    assert len(rows) == total
+    by_file: dict = {}
+    for r in rows:
+        by_file.setdefault(r["file_name"], []).append(r)
+    for fn, rs in by_file.items():
+        rs.sort(key=lambda r: r["sample_idx"])
+        # dts strictly increases across both fragments (tfdt continues)
+        assert all(rs[k]["dts"] < rs[k + 1]["dts"]
+                   for k in range(len(rs) - 1)), fn
+        # exactly the two first_sample_flags samples are keyframes
+        assert [r["sample_idx"] for r in rs if r["is_keyframe"]] == [
+            1, next(r["sample_idx"] for r in rs if r["moof_seq"] == 2)
+        ], fn
+        assert {r["timescale"] for r in rs} == {90000}
+
+
 # -------------------- per-channel audio aHash (stereo swap) --------------------
 
 

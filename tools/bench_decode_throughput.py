@@ -55,6 +55,8 @@ def main() -> None:
     from parcialbigdata_spark.operators.audiohash import wav_ahash
     from parcialbigdata_spark.operators.phash import png_dhash
     from parcialbigdata_spark.sources.audio_corpus import ensure_audio_corpus
+    from parcialbigdata_spark.sources.binary import parse_mp4_fragments
+    from parcialbigdata_spark.sources.mp4_corpus import ensure_mp4_corpus
     from parcialbigdata_spark.sources.phash_corpus import ensure_phash_corpus
 
     spark = get_spark("decode-throughput")
@@ -62,6 +64,7 @@ def main() -> None:
     for name, ensure, kernel in (
         ("png_dhash_decode", ensure_phash_corpus, png_dhash),
         ("wav_ahash_decode", ensure_audio_corpus, wav_ahash),
+        ("mp4_fragment_walk", ensure_mp4_corpus, parse_mp4_fragments),
     ):
         corpus = ensure(spark).repartition(CPUS).cache()
         total = corpus.select(

@@ -51,6 +51,14 @@ CMAF/DASH layout where sample tables live in moof/traf/trun):
 - ``frag_skip.mp4`` — a moof with no traf, a traf with no tfhd, and a
   traf whose track has no moov trak (no timescale): all contribute
   ZERO rows on both engines.
+- ``frag_sidx.mp4`` (r14) — the canonical HIERARCHICAL DASH segment
+  index (§8.16.3): a v1 top sidx whose two type=1 references point at
+  per-subsegment child sidx boxes, each child a v0 sidx with one
+  type=0 reference covering its moof+mdat pair; child 1 carries a
+  nonzero first_offset skipping a free box. Reference byte ranges
+  tile the file exactly (pytest-pinned against the actual moof
+  positions). No moov, and the moofs are mfhd-only — the fragment
+  SAMPLE query yields zero rows for this file on both engines.
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_mp4_stbl_fixtures.py
@@ -461,6 +469,48 @@ def build_frag_av() -> bytes:
             + moof3(do3) + mdat3)
 
 
+def _sidx(version: int, ref_id: int, timescale: int, ept: int,
+          first_offset: int, refs: "list[tuple[int, int, int, int, int, int]]"
+          ) -> bytes:
+    """SegmentIndexBox (§8.16.3); refs = [(type, size, duration,
+    starts_with_sap, sap_type, sap_delta)]."""
+    if version == 1:
+        head = struct.pack(">IIQQ", ref_id, timescale, ept, first_offset)
+    else:
+        head = struct.pack(">IIII", ref_id, timescale, ept, first_offset)
+    body = head + struct.pack(">HH", 0, len(refs))
+    for rtype, size, dur, sap, sap_type, delta in refs:
+        body += struct.pack(
+            ">III",
+            (rtype << 31) | size,
+            dur,
+            (sap << 31) | (sap_type << 28) | delta,
+        )
+    return fullf(b"sidx", body, version=version)
+
+
+def build_frag_sidx() -> bytes:
+    """Hierarchical DASH segment index; see module docstring."""
+    def bare_moof(seq: int, n_pay: int) -> "tuple[bytes, bytes]":
+        return (box(b"moof", fullf(b"mfhd", struct.pack(">I", seq))),
+                box(b"mdat", bytes((seq * 31 + j) % 256
+                                   for j in range(n_pay))))
+
+    m1, d1 = bare_moof(1, 96)
+    m2, d2 = bare_moof(2, 64)
+    free = box(b"free", b"\x00" * 8)  # 16 bytes child-1 skips over
+    # child sidx sizes are layout-independent (1 reference each)
+    c1 = _sidx(0, 1, 90000, 0, len(free), [
+        (0, len(m1) + len(d1), 12600, 1, 1, 0)])
+    c2 = _sidx(0, 1, 90000, 12600, 0, [
+        (0, len(m2) + len(d2), 9000, 1, 1, 300)])
+    top = _sidx(1, 1, 90000, 0, 0, [
+        (1, len(c1) + len(free) + len(m1) + len(d1), 12600, 1, 1, 0),
+        (1, len(c2) + len(m2) + len(d2), 9000, 0, 0, 0),
+    ])
+    return ftyp() + top + c1 + free + m1 + d1 + c2 + m2 + d2
+
+
 def build_frag_skip() -> bytes:
     """Malformed-fragment file: every traf is dropped by both engines
     (no traf / no tfhd / no matching moov trak → no timescale)."""
@@ -520,6 +570,7 @@ def main() -> None:
     frag_files = {
         "frag_av.mp4": build_frag_av(),
         "frag_skip.mp4": build_frag_skip(),
+        "frag_sidx.mp4": build_frag_sidx(),
     }
     for name, data in files.items():
         (OUT / name).write_bytes(data)
