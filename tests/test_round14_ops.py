@@ -137,6 +137,38 @@ def test_mp4_fragment_absent_tfdt_accumulates():
     assert [r["moof_seq"] for r in rows] == [1, 1, 1, 2, 2, 2]
 
 
+def test_mp4_fragment_v0_unsigned_cto():
+    """trun VERSION-0 composition offsets are UNSIGNED (§8.8.8) — a
+    large v0 offset stays positive, unlike the v1 two's-complement
+    path the committed fixture exercises."""
+    g = _gen_module()
+    moov = g.box(
+        b"moov",
+        g.full(b"mvhd", struct.pack(">IIII", 0, 0, 1000, 0) + b"\x00" * 80)
+        + g._frag_trak(1, 1000, "mp4v", b"vide")
+        + g.box(b"mvex", g._trex(1, 10, 4, 0)),
+    )
+
+    def moof(do):
+        return g.box(
+            b"moof",
+            g.fullf(b"mfhd", struct.pack(">I", 1))
+            + g.box(b"traf", g._tfhd(1, 0x0) + g._tfdt(0)
+                    + g._trun(0, 0x1 | 0x800,
+                              [{"cto": 0}, {"cto": 2_500_000_000 % 2**32},
+                               {"cto": 30}],
+                              data_offset=do)),
+        )
+
+    m = moof(0)
+    blob = (g.ftyp() + moov + moof(len(m) + 8)
+            + g.box(b"mdat", bytes(12)))
+    rows = _frag_rows([("v0cto.mp4", blob)])
+    assert [r["dts"] for r in rows] == [0, 10, 20]
+    # v0: the 2.5e9 offset is NOT reinterpreted as negative
+    assert [r["pts"] for r in rows] == [0, 10 + 2_500_000_000, 50]
+
+
 def test_mp4_fragment_hostile_mutations():
     """Truncation / hostile counts drop the traf, never crash."""
     blob = bytearray(open(f"{MP4FRAG}/frag_av.mp4", "rb").read())
