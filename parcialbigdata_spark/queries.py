@@ -3158,6 +3158,84 @@ def mp4_sidx_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_mp4_sidx(raw).orderBy("file_name", "sidx_idx", "ref_idx")
 
 
+_MP4TFRA_ORACLE = _mp4_walk_prelude(
+    f"{_MP4FRAG_DIR}/*.mp4", "'mfra'"
+) + """,
+    tfrap AS (
+      SELECT w.file_name, w.h, w.psta, w.pend,
+             ('0x' || substr(w.h, w.psta*2 + 1, 2))::INT AS ver,
+             ('0x' || substr(w.h, (w.psta+4)*2 + 1, 8))::BIGINT
+               AS track_id,
+             ('0x' || substr(w.h, (w.psta+8)*2 + 1, 8))::BIGINT
+               AS sizes,
+             ('0x' || substr(w.h, (w.psta+12)*2 + 1, 8))::BIGINT AS cnt
+      FROM walk w WHERE w.btype = 'tfra'
+    ),
+    -- variable-width encoding (§8.8.10): the packed length_size
+    -- fields give 1-4 byte traf/trun/sample numbers; v1 widens
+    -- time/moof_offset to 64 bits
+    tfra2 AS (
+      SELECT *,
+             ((sizes // 16) % 4) + 1 AS wt,
+             ((sizes // 4) % 4) + 1 AS wr,
+             (sizes % 4) + 1 AS ws,
+             CASE WHEN ver = 1 THEN 16 ELSE 8 END AS tw
+      FROM tfrap
+    ),
+    tents AS (
+      SELECT t.file_name, t.h, t.track_id, t.ver, t.wt, t.wr, t.ws,
+             t.tw, i.i + 1 AS entry_idx,
+             t.psta + 16 + (t.tw + t.wt + t.wr + t.ws) * i.i AS ep
+      FROM tfra2 t, range(10000) i(i)
+      WHERE i.i < t.cnt
+        AND t.psta + 16 + (t.tw + t.wt + t.wr + t.ws) * t.cnt <= t.pend
+    )
+    SELECT file_name, CAST(track_id AS INT) AS track_id,
+           CAST(ver AS INT) AS version,
+           CAST(entry_idx AS INT) AS entry_idx,
+           CAST(('0x' || substr(h, ep*2 + 1, tw))::BIGINT AS BIGINT)
+             AS time,
+           CAST(('0x' || substr(h, (ep + tw // 2)*2 + 1, tw))::BIGINT
+             AS BIGINT) AS moof_offset,
+           CAST(('0x' || substr(h, (ep + tw)*2 + 1, wt*2))::BIGINT
+             AS INT) AS traf_number,
+           CAST(('0x' || substr(h, (ep + tw + wt)*2 + 1, wr*2))::BIGINT
+             AS INT) AS trun_number,
+           CAST(('0x' || substr(h, (ep + tw + wt + wr)*2 + 1,
+                 ws*2))::BIGINT AS INT) AS sample_number
+    FROM tents
+    """
+
+
+@query("mp4_tfra_media", _MP4TFRA_ORACLE)
+def mp4_tfra_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANDOM-ACCESS index resolution (sources/binary.py
+    ``parse_mp4_tfra`` — r14): the mfra/tfra box pair (ISO/IEC
+    14496-12 §8.8.9-8.8.10) is a fragmented file's SEEK map — each
+    entry says presentation time T of track X starts at the moof at
+    byte offset O, traf t / trun r / sample s — so a clip-cutting
+    pipeline jumps to a timestamp without walking every fragment.
+    Completes the DASH access trio: sidx says WHICH bytes to fetch,
+    tfra WHERE to start for a time, the §8.8 sample walk WHAT is
+    inside. The fixture's mfra carries a v1 video tfra (64-bit
+    time/offset, 1-byte numbers, entries at both keyframes) and a v0
+    audio tfra with WIDENED 2/1/4-byte traf/trun/sample numbers — the
+    variable-width encoding — plus the closing mfro; the pytest pins
+    every moof_offset against the file's actual moof byte positions
+    (ground truth, not just cross-engine). The DuckDB oracle replays
+    the parse from the blob hex, including the packed length_size
+    fields and the variable-width hex-substring reads."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_tfra,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _MP4FRAG_DIR, glob="*.mp4")
+    return parse_mp4_tfra(raw).orderBy(
+        "file_name", "track_id", "entry_idx"
+    )
+
+
 @query("mp4_fragment_sample_media", _MP4FRAG_ORACLE)
 def mp4_fragment_sample_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """FRAGMENTED-MP4 sample resolution (sources/binary.py
@@ -14317,6 +14395,10 @@ _DRIVER_WINDOW = [
     # byte-range map a client fetches BEFORE touching any moof),
     # ground-truth-pinned against the fixture's actual box spans.
     "mp4_sidx_media",
+    # r14c debut: mfra/tfra random-access index (§8.8.10 — the seek
+    # map; completes the DASH access trio with sidx and the sample
+    # walk), variable-width fields, ground-truth moof offsets.
+    "mp4_tfra_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -14846,7 +14928,11 @@ _DRIVER_WINDOW = [
     # represented by streaming_ivf_index + streaming_hll_partials +
     # the debuting media store below (decode-once probe/append over
     # the banded perceptual-hash index, r12-new); stays CI-green.)
-    "streaming_phash_index_media",
+    # (streaming_phash_index_media rotated out in r14c — driver-proven
+    # r12 AND r13 (intra-batch re-prove), inputs unchanged this round;
+    # the streaming media store stays in-window via its audio twin
+    # streaming_ahash_index_media — its slot goes to the fourth r14
+    # debut mp4_tfra_media above; stays CI-green.)
     # (streaming_dedup_events rotated out in r7b — driver-proven green
     # since r2; exactly-once dedup-at-arrival stays CI-green — for the
     # new r7 streaming-sampling family streaming_reservoir_events

@@ -1058,6 +1058,86 @@ def parse_mp4_sidx(df: DataFrame) -> DataFrame:
     )
 
 
+MP4_TFRA_SCHEMA = (
+    "file_name string, track_id int, version int, entry_idx int, "
+    "time bigint, moof_offset bigint, traf_number int, "
+    "trun_number int, sample_number int"
+)
+
+
+def _parse_mp4_tfra_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: RANDOM-ACCESS index parse (mfra/tfra,
+    ISO/IEC 14496-12 §8.8.9-8.8.10) — the seek map of a fragmented
+    file: each tfra entry says "presentation time T of track X starts
+    at the moof at byte offset O, traf t / trun r / sample s", so a
+    player (or a clip-cutting pipeline) can jump to a timestamp
+    without walking every fragment. v1 carries 64-bit time/offset;
+    the trailing traf/trun/sample numbers are VARIABLE-WIDTH (1-4
+    bytes each, from the packed length_size fields). Bounds-checked;
+    a malformed tfra contributes no rows."""
+    import struct
+
+    import pandas as pd
+
+    def parse(name: str, b: bytes) -> "list[dict]":
+        rows = []
+        for t, _, s, e in _iter_boxes(b, 0, len(b)):
+            if t != b"mfra":
+                continue
+            for t2, _, s2, e2 in _iter_boxes(b, s, e):
+                if t2 != b"tfra" or e2 - s2 < 16:
+                    continue
+                ver = b[s2]
+                tid, sizes, count = struct.unpack(
+                    ">III", b[s2 + 4:s2 + 16])
+                wt = ((sizes >> 4) & 0x3) + 1
+                wr = ((sizes >> 2) & 0x3) + 1
+                ws = (sizes & 0x3) + 1
+                rec = (16 if ver == 1 else 8) + wt + wr + ws
+                pos = s2 + 16
+                if pos + rec * count > e2:
+                    continue
+                for i in range(count):
+                    p = pos + rec * i
+                    if ver == 1:
+                        time, moff = struct.unpack(">QQ", b[p:p + 16])
+                        p += 16
+                    else:
+                        time, moff = struct.unpack(">II", b[p:p + 8])
+                        p += 8
+                    traf_n = int.from_bytes(b[p:p + wt], "big")
+                    trun_n = int.from_bytes(b[p + wt:p + wt + wr], "big")
+                    sample_n = int.from_bytes(
+                        b[p + wt + wr:p + wt + wr + ws], "big")
+                    rows.append({
+                        "file_name": name, "track_id": tid,
+                        "version": ver, "entry_idx": i + 1,
+                        "time": time, "moof_offset": moff,
+                        "traf_number": traf_n, "trun_number": trun_n,
+                        "sample_number": sample_n,
+                    })
+        return rows
+
+    cols = [
+        "file_name", "track_id", "version", "entry_idx", "time",
+        "moof_offset", "traf_number", "trun_number", "sample_number",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_mp4_tfra(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per mfra/tfra RANDOM-ACCESS
+    entry (§8.8.10): the time→(moof offset, traf/trun/sample) seek
+    map of a fragmented file."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_mp4_tfra_batches, MP4_TFRA_SCHEMA
+    )
+
+
 def parse_mp4_fragments(df: DataFrame) -> DataFrame:
     """(file_name, content, …) → one row per SAMPLE of a FRAGMENTED
     ISO-BMFF file (moof/traf/trun, §8.8) with its absolute byte range,

@@ -276,6 +276,47 @@ def test_mp4_sidx_hierarchy_resolves_ground_truth(spark):
     assert c1.starts_with_sap and c1.sap_type == 1
 
 
+def test_mp4_tfra_seek_map_ground_truth(spark):
+    """tfra entries must point at the ACTUAL moof byte offsets, with
+    both the v1 64-bit form and v0 + widened variable-width number
+    fields decoding identically."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_mp4_tfra,
+        read_binary_dir,
+    )
+
+    blob = open(f"{MP4FRAG}/frag_av.mp4", "rb").read()
+    moofs = []
+    pos = 0
+    while pos + 8 <= len(blob):
+        (sz,) = struct.unpack(">I", blob[pos:pos + 4])
+        if blob[pos + 4:pos + 8] == b"moof":
+            moofs.append(pos)
+        pos += sz
+    assert len(moofs) == 3
+
+    raw = read_binary_dir(spark, MP4FRAG, glob="*.mp4")
+    rows = parse_mp4_tfra(raw).collect()
+    assert {r.file_name for r in rows} == {"frag_av.mp4"}
+    video = sorted((r for r in rows if r.track_id == 1),
+                   key=lambda r: r.entry_idx)
+    (audio,) = [r for r in rows if r.track_id == 2]
+    # v1 video: both keyframes, at moof 1 and moof 3
+    assert [(r.version, r.time, r.moof_offset) for r in video] == [
+        (1, 0, moofs[0]), (1, 21600, moofs[2])
+    ]
+    # v0 audio with 2/1/4-byte widened fields still decodes 1/1/1
+    assert (audio.version, audio.time, audio.moof_offset) == (
+        0, 2048, moofs[1])
+    assert (audio.traf_number, audio.trun_number,
+            audio.sample_number) == (1, 1, 1)
+    # the closing mfro's size field equals the whole mfra box
+    mfra_at = blob.index(b"mfra") - 4
+    (mfra_sz,) = struct.unpack(">I", blob[mfra_at:mfra_at + 4])
+    (mfro_sz,) = struct.unpack(">I", blob[-4:])
+    assert mfro_sz == mfra_sz and mfra_at + mfra_sz == len(blob)
+
+
 def test_mp4_corpus_determinism_and_resolution():
     """The bench corpus is deterministic and the kernel resolves every
     generated sample on both trun field variants (per-sample sizes on

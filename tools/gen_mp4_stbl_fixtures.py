@@ -59,6 +59,13 @@ CMAF/DASH layout where sample tables live in moof/traf/trun):
   tile the file exactly (pytest-pinned against the actual moof
   positions). No moov, and the moofs are mfhd-only — the fragment
   SAMPLE query yields zero rows for this file on both engines.
+- ``frag_av.mp4`` additionally ends with an ``mfra`` (§8.8.9-8.8.11):
+  one v1 tfra for the video track (1-byte traf/trun/sample numbers)
+  pointing at its two keyframes, one v0 tfra for the audio track with
+  WIDENED number fields (2/1/4 bytes — the variable-width encoding),
+  and the closing mfro whose size equals the whole mfra box. The
+  entries' moof offsets are pinned against the actual moof positions
+  by pytest.
 
 Deterministic output — run once, commit the bytes:
     python tools/gen_mp4_stbl_fixtures.py
@@ -381,6 +388,31 @@ def _trun(version: int, flags: int, samples: "list[dict]",
     return fullf(b"trun", payload, version=version, flags=flags)
 
 
+def _tfra(version: int, tid: int, widths: "tuple[int, int, int]",
+          entries: "list[tuple[int, int, int, int, int]]") -> bytes:
+    """TrackFragmentRandomAccessBox (§8.8.10); widths = the
+    length_size_of_* fields (0-3 → 1-4 bytes); entries =
+    [(time, moof_offset, traf_number, trun_number, sample_number)]."""
+    wt, wr, ws = widths
+    body = struct.pack(">II", tid, (wt << 4) | (wr << 2) | ws)
+    body += struct.pack(">I", len(entries))
+    for time, moof_off, traf_n, trun_n, sample_n in entries:
+        body += struct.pack(">QQ" if version == 1 else ">II",
+                            time, moof_off)
+        for val, w in ((traf_n, wt), (trun_n, wr), (sample_n, ws)):
+            body += val.to_bytes(w + 1, "big")
+    return fullf(b"tfra", body, version=version)
+
+
+def _mfra(tfras: "list[bytes]") -> bytes:
+    """mfra container + the closing mfro whose size field equals the
+    WHOLE mfra box (§8.8.11) — players find it by reading the last 16
+    bytes of the file."""
+    inner = b"".join(tfras)
+    total = 8 + len(inner) + 16  # mfra header + tfras + mfro box
+    return box(b"mfra", inner + fullf(b"mfro", struct.pack(">I", total)))
+
+
 def build_frag_av() -> bytes:
     """Three-fragment audio+video file; see module docstring."""
     moov = box(
@@ -465,8 +497,23 @@ def build_frag_av() -> bytes:
     do3 = len(m3) + 8
     head = len(ftyp()) + len(moov)
     base2 = head + len(m1) + len(mdat1) + len(moof2(0)) + 8
+    moof1_at = head
+    moof2_at = head + len(m1) + len(mdat1)
+    moof3_at = moof2_at + len(moof2(0)) + len(mdat2)
+    # mfra random-access index (§8.8.10): video keyframes (samples 1
+    # of moof 1 and 3), audio all-sync first sample; the audio tfra
+    # exercises v0 32-bit fields AND widened traf/trun/sample numbers
+    mfra = _mfra([
+        _tfra(1, 1, (0, 0, 0), [
+            (0, moof1_at, 1, 1, 1),
+            (21600, moof3_at, 1, 1, 1),
+        ]),
+        _tfra(0, 2, (1, 0, 3), [
+            (2048, moof2_at, 1, 1, 1),
+        ]),
+    ])
     return (ftyp() + moov + moof1(do1) + mdat1 + moof2(base2) + mdat2
-            + moof3(do3) + mdat3)
+            + moof3(do3) + mdat3 + mfra)
 
 
 def _sidx(version: int, ref_id: int, timescale: int, ept: int,
