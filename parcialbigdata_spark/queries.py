@@ -3158,6 +3158,90 @@ def mp4_sidx_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return parse_mp4_sidx(raw).orderBy("file_name", "sidx_idx", "ref_idx")
 
 
+_WEBVTT_DIR = "/root/repo/tests/fixtures/webvtt"
+
+# shared ms-conversion shape for the two timestamps
+_VTT_MS = (
+    "((coalesce(nullif(g.h{n}, ''), '0')::BIGINT * 60"
+    " + g.m{n}::BIGINT) * 60 + g.s{n}::BIGINT) * 1000 + g.f{n}::BIGINT"
+)
+
+_WEBVTT_ORACLE = f"""
+    WITH b AS (
+      SELECT regexp_extract(filename, '([^/]+)$', 1) AS file_name,
+             decode(content) AS txt
+      FROM read_blob('{_WEBVTT_DIR}/*.vtt')
+      WHERE decode(content) LIKE 'WEBVTT%'
+    ),
+    blks AS (
+      SELECT file_name, i.i AS blk_i,
+             rtrim(string_split(txt, chr(10) || chr(10))[i.i + 1],
+                   chr(10)) AS blk
+      FROM b, range(100000) i(i)
+      WHERE i.i >= 1
+        AND i.i < len(string_split(txt, chr(10) || chr(10)))
+    ),
+    tl AS (
+      SELECT file_name, blk_i,
+             string_split(blk, chr(10)) AS lines,
+             list_filter(string_split(blk, chr(10)),
+                         x -> x LIKE '%-->%')[1] AS timing
+      FROM blks
+    ),
+    cue0 AS (
+      SELECT *, list_position(lines, timing) AS tpos,
+             regexp_extract(timing,
+               '^(?:(\\d+):)?(\\d+):(\\d+)\\.(\\d+) --> '
+               || '(?:(\\d+):)?(\\d+):(\\d+)\\.(\\d+)[ \\t]*(.*)$',
+               ['h1', 'm1', 's1', 'f1', 'h2', 'm2', 's2', 'f2',
+                'cset']) AS g
+      FROM tl WHERE timing IS NOT NULL
+    ),
+    cues AS (
+      SELECT file_name, lines, tpos, g,
+             ROW_NUMBER() OVER (PARTITION BY file_name
+                                ORDER BY blk_i) AS cue_idx
+      FROM cue0 WHERE g.m1 <> ''
+    )
+    SELECT file_name, CAST(cue_idx AS INT) AS cue_idx,
+           CASE WHEN tpos > 1 THEN lines[tpos - 1] ELSE '' END AS cue_id,
+           CAST({_VTT_MS.format(n=1)} AS BIGINT) AS start_ms,
+           CAST({_VTT_MS.format(n=2)} AS BIGINT) AS end_ms,
+           CAST(({_VTT_MS.format(n=2)}) - ({_VTT_MS.format(n=1)})
+                AS BIGINT) AS duration_ms,
+           trim(g.cset) AS settings,
+           array_to_string(lines[tpos + 1:], chr(10)) AS text
+    FROM cues
+    """
+
+
+@query("webvtt_cues_media", _WEBVTT_ORACLE)
+def webvtt_cues_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebVTT CAPTION extraction (sources/binary.py ``parse_webvtt`` —
+    r14): the TEXT track of web video — caption corpora, ASR-alignment
+    pairs and subtitle translation data all start from "one row per
+    cue with millisecond timings", and unlike the A/V tracks this
+    needs no codec, so the path is REAL end to end. Per file opening
+    with the WEBVTT magic: blank-line blocks whose ``-->`` line
+    matches the timing grammar become cues (NOTE/comment blocks are
+    skipped by the numbering — pinned by fixture), with the optional
+    identifier line, hour and short (MM:SS.mmm) timestamp forms,
+    cue-settings text after the end timestamp, and multi-line payloads
+    newline-preserved (voice tags verbatim). The DuckDB oracle replays
+    the whole parse in SQL — block split, first-``-->``-line
+    selection, the 9-group timing regexp, integer ms math, and list
+    slicing for the payload join; the no-magic fixture contributes
+    zero rows on both engines. Media sibling of the container walks:
+    this is the track a TRAINING pipeline reads most."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_webvtt,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, _WEBVTT_DIR, glob="*.vtt")
+    return parse_webvtt(raw).orderBy("file_name", "cue_idx")
+
+
 _MP4TFRA_ORACLE = _mp4_walk_prelude(
     f"{_MP4FRAG_DIR}/*.mp4", "'mfra'"
 ) + """,
@@ -14399,6 +14483,10 @@ _DRIVER_WINDOW = [
     # map; completes the DASH access trio with sidx and the sample
     # walk), variable-width fields, ground-truth moof offsets.
     "mp4_tfra_media",
+    # r14d debut: WebVTT caption extraction — the codec-free TEXT
+    # track a training pipeline reads most; full SQL string-replay
+    # oracle (block split, timing regexp, integer ms math).
+    "webvtt_cues_media",
     # (left_outer_order_counts rotated out in r8c — driver-proven
     # green since r1; J2's outer surface keeps
     # full_outer_nation_parties in-window — for the new r8c
@@ -14438,7 +14526,11 @@ _DRIVER_WINDOW = [
     # bucket explode → equi join → canonical-bucket dedup filter, the
     # plan that replaces the broadcast-bounded BNLJ contract), new in
     # r8 and never driver-checked; stays CI-green.)
-    "interval_overlap_clicks_errors",
+    # (interval_overlap_clicks_errors rotated out in r14d —
+    # driver-proven r13, unchanged this round; the theta/range join
+    # surface stays in-window via asof_latest_order_before_event —
+    # its slot goes to the fifth r14 debut webvtt_cues_media below;
+    # stays CI-green.)
     "asof_latest_order_before_event",
     # (cross_join_region_segment, approx_distinct_users and
     # stats_quantity_price rotated out in r4 — each had a same-family

@@ -1058,6 +1058,94 @@ def parse_mp4_sidx(df: DataFrame) -> DataFrame:
     )
 
 
+WEBVTT_SCHEMA = (
+    "file_name string, cue_idx int, cue_id string, start_ms bigint, "
+    "end_ms bigint, duration_ms bigint, settings string, text string"
+)
+
+#: one timing line: optional hours, then MM:SS.mmm --> [hh:]MM:SS.mmm,
+#: then cue settings to end of line (W3C WebVTT §6.1-6.3)
+_VTT_TIMING = (
+    r"^(?:(\d+):)?(\d+):(\d+)\.(\d+) --> "
+    r"(?:(\d+):)?(\d+):(\d+)\.(\d+)[ \t]*(.*)$"
+)
+
+
+def _parse_webvtt_batches(batches: "Iterator") -> "Iterator":
+    """mapInPandas kernel: WebVTT caption extraction — the TEXT track
+    of web video (W3C WebVTT): caption corpora, ASR alignment pairs
+    and subtitle translation data all start from "one row per cue with
+    millisecond timings". A file must open with the WEBVTT magic;
+    blank-line-separated blocks whose first ``-->`` line matches the
+    timing grammar become cues (NOTE/STYLE/comment blocks don't and
+    are skipped by the numbering); the line preceding the timing line
+    is the cue identifier (empty when absent), text after the end
+    timestamp on the timing line is the cue-settings string, and the
+    remaining block lines join (newline-preserved) into the payload —
+    voice/markup tags are kept verbatim, downstream strip is a
+    separate concern. Pure integer timestamp math; every step is
+    string-replayable by the DuckDB oracle."""
+    import re
+
+    import pandas as pd
+
+    timing_re = re.compile(_VTT_TIMING)
+
+    def ms(h: str, m: str, s: str, f: str) -> int:
+        return ((int(h or "0") * 60 + int(m)) * 60 + int(s)) * 1000 + int(f)
+
+    def parse(name: str, raw: bytes) -> "list[dict]":
+        try:
+            txt = raw.decode("utf-8")
+        except UnicodeDecodeError:
+            return []
+        if not txt.startswith("WEBVTT"):
+            return []
+        rows = []
+        for blk in txt.split("\n\n")[1:]:
+            lines = blk.rstrip("\n").split("\n")
+            tpos = next(
+                (i for i, ln in enumerate(lines) if "-->" in ln), None)
+            if tpos is None:
+                continue
+            g = timing_re.match(lines[tpos])
+            if g is None:
+                continue
+            rows.append({
+                "file_name": name, "cue_idx": len(rows) + 1,
+                "cue_id": lines[tpos - 1] if tpos > 0 else "",
+                "start_ms": ms(g.group(1), g.group(2), g.group(3),
+                               g.group(4)),
+                "end_ms": ms(g.group(5), g.group(6), g.group(7),
+                             g.group(8)),
+                "settings": g.group(9).strip(),
+                "text": "\n".join(lines[tpos + 1:]),
+            })
+        for r in rows:
+            r["duration_ms"] = r["end_ms"] - r["start_ms"]
+        return rows
+
+    cols = [
+        "file_name", "cue_idx", "cue_id", "start_ms", "end_ms",
+        "duration_ms", "settings", "text",
+    ]
+    for pdf in batches:
+        out = []
+        for n, c in zip(pdf["file_name"], pdf["content"]):
+            out.extend(parse(n, bytes(c)))
+        yield pd.DataFrame(out, columns=cols)
+
+
+def parse_webvtt(df: DataFrame) -> DataFrame:
+    """(file_name, content, …) → one row per WebVTT CUE with
+    millisecond timings, identifier, settings and newline-preserved
+    payload text; files without the WEBVTT magic contribute no
+    rows."""
+    return df.select("file_name", "content").mapInPandas(
+        _parse_webvtt_batches, WEBVTT_SCHEMA
+    )
+
+
 MP4_TFRA_SCHEMA = (
     "file_name string, track_id int, version int, entry_idx int, "
     "time bigint, moof_offset bigint, traf_number int, "

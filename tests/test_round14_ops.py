@@ -347,6 +347,60 @@ def test_mp4_corpus_determinism_and_resolution():
         assert {r["timescale"] for r in rs} == {90000}
 
 
+# -------------------- WebVTT caption extraction --------------------
+
+
+def test_webvtt_cue_extraction(spark):
+    """One row per cue: NOTE blocks skipped by the numbering, hour and
+    short timestamp forms, identifier lines, cue settings, multi-line
+    payloads; no-magic files contribute nothing."""
+    from parcialbigdata_spark.sources.binary import (
+        parse_webvtt,
+        read_binary_dir,
+    )
+
+    raw = read_binary_dir(spark, "/root/repo/tests/fixtures/webvtt",
+                          glob="*.vtt")
+    rows = parse_webvtt(raw).collect()
+    assert {r.file_name for r in rows} == {"talk_a.vtt", "talk_b.vtt"}
+    a = sorted((r for r in rows if r.file_name == "talk_a.vtt"),
+               key=lambda r: r.cue_idx)
+    b = sorted((r for r in rows if r.file_name == "talk_b.vtt"),
+               key=lambda r: r.cue_idx)
+    # the NOTE block did not become cue 1
+    assert len(a) == 4
+    assert a[0].text == "Hello and welcome to the talk."
+    assert (a[0].start_ms, a[0].end_ms) == (1000, 4250)
+    assert a[1].cue_id == "intro-2"
+    assert a[1].settings == "align:start position:10%"
+    # voice tags kept verbatim; hour-form timestamp exact
+    assert a[2].text.startswith("<v Ana>")
+    assert a[3].start_ms == ((1 * 60 + 2) * 60 + 3) * 1000 + 500
+    # short-form timestamps + newline-preserved multi-line payload
+    assert b[0].start_ms == 7000
+    assert b[0].text == "Short-form timestamps\nwork without hours."
+    assert b[1].cue_id == "42"
+    assert all(r.duration_ms == r.end_ms - r.start_ms for r in rows)
+
+
+def test_webvtt_malformed_inputs():
+    """Bad timing lines and non-UTF8 bytes are skipped, not fatal."""
+    from parcialbigdata_spark.sources.binary import _parse_webvtt_batches
+
+    def run(blob):
+        pdf = pd.DataFrame({"file_name": ["x.vtt"], "content": [blob]})
+        return pd.concat(list(_parse_webvtt_batches(iter([pdf]))))
+
+    # a block with --> but an unparseable timing line is skipped AND
+    # does not consume a cue index
+    txt = ("WEBVTT\n\nnot a --> timing line\n\n"
+           "00:00:01.000 --> 00:00:02.000\nreal cue\n")
+    out = run(txt.encode())
+    assert list(out["cue_idx"]) == [1] and list(out["text"]) == ["real cue"]
+    assert len(run(b"\xff\xfe invalid utf8")) == 0
+    assert len(run(b"WEBVTT\n\n")) == 0
+
+
 # -------------------- per-channel audio aHash (stereo swap) --------------------
 
 
