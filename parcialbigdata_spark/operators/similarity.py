@@ -272,13 +272,27 @@ def knn_join(
     ``list_reduce`` fold, so rounded values never straddle a rounding
     boundary differently. ``exact=False`` uses the Arrow/einsum batch
     cosine: ~100× faster, with last-bit summation-order differences
-    that only matter under oracle comparison."""
+    that only matter under oracle comparison.
+
+    Norms once per ROW, not per pair (r14, the r12 ``ivf_index_probe``
+    fix applied here): ``cosine = dot/(‖c‖·‖q‖)`` with each side's
+    norm projected BEFORE the join, so a corpus row's norm fold runs
+    once instead of once per query — with q queries that deletes
+    2q−2 of the 3q interpreted folds per corpus row. The quotient is
+    the identical expression tree value (same fold, same operand
+    order), so results — and DuckDB oracle parity — are bit-unchanged."""
     q = queries.select(
-        F.col(query_id), F.col(vec_col).alias("__qv")
+        F.col(query_id),
+        F.col(vec_col).alias("__qv"),
+        V.norm2(F.col(vec_col)).alias("__qn"),
     )
-    c = corpus.select(F.col(corpus_id), F.col(vec_col).alias("__cv"))
+    c = corpus.select(
+        F.col(corpus_id),
+        F.col(vec_col).alias("__cv"),
+        V.norm2(F.col(vec_col)).alias("__cn"),
+    )
     cos = (
-        V.cosine(F.col("__cv"), F.col("__qv"))
+        V.dot(F.col("__cv"), F.col("__qv")) / (F.col("__cn") * F.col("__qn"))
         if exact
         else _pair_cosine_udf(F.col("__cv"), F.col("__qv"))
     )

@@ -4364,9 +4364,18 @@ def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, cells_t, centroids, k=5, nprobe=2
         )
         qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
-        exact = similarity.knn_join(
-            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
-        ).withColumnRenamed("vec_id", "match_id")
+        # Persist BOTH attestation sides (r14): each relation is ≤ 80
+        # rows but its plan is the expensive part — without the cache
+        # the exact k-NN executed three times per call (n_hits, then
+        # every caller action re-ran the full fold join) and the probe
+        # twice. Bench/pytest clearCache() releases both.
+        exact = (
+            similarity.knn_join(
+                qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+            )
+            .withColumnRenamed("vec_id", "match_id")
+            .persist()
+        )
         # Attestation count is bounded (≤ 16 queries × 5) — materialize
         # it BEFORE the finally drops the index table the approx plan
         # reads; the returned exact side only reads the fixture.
@@ -4439,9 +4448,16 @@ def ivf_index_compact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, cells_t, centroids, k=5, nprobe=2
         )
         qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
-        exact = similarity.knn_join(
-            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
-        ).withColumnRenamed("vec_id", "match_id")
+        # Persisted for the same reason as the probe twin (r14): the
+        # exact attestation side otherwise re-executes on every caller
+        # action after n_hits already ran it.
+        exact = (
+            similarity.knn_join(
+                qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+            )
+            .withColumnRenamed("vec_id", "match_id")
+            .persist()
+        )
         n_hits = (
             exact.select("query_id", "match_id")
             .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
@@ -4537,7 +4553,10 @@ def streaming_ivf_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
                     qdf, hist, k=5, query_id="query_id", corpus_id="vec_id"
                 ).withColumnRenamed("vec_id", "match_id")
             )
-        exact = exacts[0].unionByName(exacts[1])
+        # Persisted for the same reason as the batch twins (r14): the
+        # two exact k-NN attestation joins otherwise re-execute on
+        # every caller action after n_hits already ran them.
+        exact = exacts[0].unionByName(exacts[1]).persist()
         n_hits = (
             exact.select("query_id", "match_id")
             .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
