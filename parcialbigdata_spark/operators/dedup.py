@@ -1332,6 +1332,7 @@ def minhash_index_ingest(
     num_buckets: int = 8,
     max_bucket: int = 10_000,
     append: bool = False,
+    precomputed_rows: DataFrame | None = None,
 ) -> None:
     """Shingle + sign a corpus batch ONCE and persist its dedup index:
     the (id, band_idx, band_hash) LSH band relation bucketed on
@@ -1352,8 +1353,19 @@ def minhash_index_ingest(
     keys would otherwise make every future probe quadratic in the hot
     bucket). The cap is per-batch; a bucket that only crosses the cap
     ACROSS batches is the documented residual (production re-compacts
-    the index periodically, which re-applies the cap globally)."""
-    rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
+    the index periodically, which re-applies the cap globally).
+
+    ``precomputed_rows`` (r14): a caller that already shingled this
+    exact batch — every probe-then-append cycle does — passes the
+    persisted (id, __s) relation so the batch is tokenized and signed
+    ONCE per micro-batch instead of once per operator call. The caller
+    owns the persist lifecycle; semantics are unchanged (the same
+    ``shingle_rows`` plan is what this function would build)."""
+    rows = (
+        precomputed_rows
+        if precomputed_rows is not None
+        else shingle_rows(df, id_col, text_col, k_shingle).persist()
+    )
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
     bb = _cap_buckets(_banded_rows(sigs, id_col, num_hashes, bands), max_bucket)
     from parcialbigdata_spark.sources.warehouse import write_bucketed
@@ -1362,7 +1374,8 @@ def minhash_index_ingest(
     write_bucketed(bb, bands_table, "band_hash", num_buckets=num_buckets, mode=mode)
     sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
     write_bucketed(sh, sets_table, id_col, num_buckets=num_buckets, mode=mode)
-    rows.unpersist()
+    if precomputed_rows is None:
+        rows.unpersist()
 
 
 def minhash_index_compact(
@@ -1426,6 +1439,7 @@ def minhash_index_probe(
     bands: int = 8,
     k_shingle: int = 3,
     unpersist_handle: list | None = None,
+    precomputed_rows: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, jaccard_sim) between a NEW
     batch and the persisted index built by :func:`minhash_index_ingest`
@@ -1465,9 +1479,17 @@ def minhash_index_probe(
     spark = batch.sparkSession
     recover_staged_swap(spark, bands_table, once=True)
     recover_staged_swap(spark, sets_table, once=True)
-    rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
-    if unpersist_handle is not None:
-        unpersist_handle.append(rows)
+    # precomputed_rows (r14): a probe-then-append caller shares ONE
+    # persisted shingle relation across both operators (the append
+    # would otherwise re-tokenize and re-sign the same batch); the
+    # caller owns its persist lifecycle, so it is not added to
+    # unpersist_handle.
+    if precomputed_rows is not None:
+        rows = precomputed_rows
+    else:
+        rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
+        if unpersist_handle is not None:
+            unpersist_handle.append(rows)
     sigs = _signatures_from_rows(rows, id_col, num_hashes)
     probe_bands = _banded_rows(sigs, id_col, num_hashes, bands).withColumnRenamed(
         id_col, "new_id"

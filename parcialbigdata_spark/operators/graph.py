@@ -37,6 +37,7 @@ def connected_components(
     dst: str = "id_b",
     max_iter: int = 20,
     algorithm: str = "label",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """(node, component) for every node in ``pairs``; ``component`` is
     the minimum node id reachable through the pair graph.
@@ -62,7 +63,16 @@ def connected_components(
     exponentially — planning itself OOMs after a handful of rounds, the
     textbook failure of iterative DataFrame algorithms. On a cluster
     with executor loss, swap for reliable ``checkpoint()`` against the
-    checkpoint dir; the loop is unchanged."""
+    checkpoint dir; the loop is unchanged.
+
+    ``assume_distinct=True`` (r14, label path only) skips the edge
+    dedup shuffle. Min-label propagation is invariant to duplicate
+    edges (min over a multiset equals min over its set), so the
+    result is identical either way — the flag only removes an
+    Exchange when the caller's pairs are already pair-grained (every
+    near-dup pair producer here emits groupBy/distinct output). Keep
+    the default for arbitrary input: heavy edge multiplicity would
+    multiply the per-round join fan-out."""
     if algorithm == "star":
         return _connected_components_star(pairs, src, dst, max_iter)
     if algorithm != "label":
@@ -74,12 +84,10 @@ def connected_components(
     # edges⋈labels join reshuffles only the label side; at fixture
     # scale AQE broadcasts the labels anyway.
     fwd = pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-    edges = (
-        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .distinct()
-        .repartition(F.col("v"))
-        .localCheckpoint(eager=True)
-    )
+    sym = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    if not assume_distinct:
+        sym = sym.distinct()
+    edges = sym.repartition(F.col("v")).localCheckpoint(eager=True)
     # Round 1's first hop is SPECIALIZED (r10): with identity labels
     # the closed-neighborhood min is just least(u, min(v)) grouped by
     # u — one hash agg over the checkpointed edges, replacing the r9
@@ -258,6 +266,7 @@ def dedup_clusters(
     pairs: DataFrame,
     src: str = "id_a",
     dst: str = "id_b",
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Cluster summary for a near-dup pair graph: one row per
     component with its survivor (min id) and size.
@@ -266,7 +275,7 @@ def dedup_clusters(
     (no pair) are by definition their own survivor and are not listed —
     join this back to the corpus with a left join + coalesce to build
     the keep-list."""
-    cc = connected_components(pairs, src, dst)
+    cc = connected_components(pairs, src, dst, assume_distinct=assume_distinct)
     return cc.groupBy("component").agg(
         F.min("node").alias("survivor_id"),
         F.count(F.lit(1)).alias("cluster_size"),

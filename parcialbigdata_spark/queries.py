@@ -5177,7 +5177,9 @@ def dedup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="block"
     )
-    return graph.dedup_clusters(pairs)
+    # Pairs are pair-grained by construction (count-agg output), so the
+    # CC edge-dedup shuffle is skippable with identical results (r14).
+    return graph.dedup_clusters(pairs, assume_distinct=True)
 
 
 @query(
@@ -12348,7 +12350,9 @@ def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = dedup.ngram_jaccard_pairs(
         docs, "doc_id", "text", threshold=0.05, k_shingle=2, block_col="block"
     )
-    cc = graph.connected_components(pairs, "id_a", "id_b")
+    # Pairs are pair-grained by construction (count-agg output), so the
+    # CC edge-dedup shuffle is skippable with identical results (r14).
+    cc = graph.connected_components(pairs, "id_a", "id_b", assume_distinct=True)
     m = cc.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
@@ -12673,7 +12677,10 @@ def incremental_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFram
     is_new_b = F.col("id_b") % 10 == 0
     old_pairs = pairs.filter(~is_new_a & ~is_new_b)
     new_pairs = pairs.filter(is_new_a | is_new_b)
-    prior = graph.connected_components(old_pairs, "id_a", "id_b")
+    # old_pairs is a filter of pair-grained output — still distinct.
+    prior = graph.connected_components(
+        old_pairs, "id_a", "id_b", assume_distinct=True
+    )
     cc = graph.incremental_components(prior, new_pairs, "id_a", "id_b")
     return cc.groupBy("component").agg(
         F.min("node").alias("survivor_id"),
@@ -14141,16 +14148,21 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             history, "doc_id", "text", bands_t, sets_t, k_shingle=2
         )
         handle: list = []
+        # Shingle batch1 ONCE (r14): its probe and its append are the
+        # same tokenize+sign computation — share one persisted relation.
+        b1_rows = dedup.shingle_rows(batch1, "doc_id", "text", 2).persist()
         p1 = dedup.minhash_index_probe(
             batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
-            k_shingle=2, unpersist_handle=handle,
+            k_shingle=2, precomputed_rows=b1_rows,
         )
         # Probe BEFORE appending the batch itself (a batch must not
         # match its own rows), then maintain the index with the delta.
         rows1 = p1.collect()
         dedup.minhash_index_ingest(
-            batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2, append=True
+            batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
+            append=True, precomputed_rows=b1_rows,
         )
+        b1_rows.unpersist()
         p2 = dedup.minhash_index_probe(
             batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,
             k_shingle=2, unpersist_handle=handle,
@@ -14196,16 +14208,20 @@ def dedup_index_compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             history, "doc_id", "text", bands_t, sets_t, k_shingle=2
         )
         handle: list = []
+        # Shingle batch1 ONCE (r14): shared by its probe and both
+        # replayed appends (three tokenize+sign passes become one).
+        b1_rows = dedup.shingle_rows(batch1, "doc_id", "text", 2).persist()
         p1 = dedup.minhash_index_probe(
             batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
-            k_shingle=2, unpersist_handle=handle,
+            k_shingle=2, precomputed_rows=b1_rows,
         )
         rows1 = p1.collect()
         for _ in range(2):  # the second append IS the replay
             dedup.minhash_index_ingest(
                 batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
-                append=True,
+                append=True, precomputed_rows=b1_rows,
             )
+        b1_rows.unpersist()
         dedup.minhash_index_compact(spark, bands_t, sets_t, "doc_id")
         p2 = dedup.minhash_index_probe(
             batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,

@@ -71,6 +71,17 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.ansi.enabled", "false")
     )
+    # Free-form overrides for A/B tuning and cluster deployment:
+    # SPARK_GRAFT_EXTRA_CONF="k=v;k=v" applies last, so any default
+    # above can be overridden per run without code edits (the
+    # spark-submit --conf equivalent for the driver-contract entry
+    # points, which construct the session themselves).
+    extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
+    for kv in extra.split(";"):
+        kv = kv.strip()
+        if kv and "=" in kv:
+            k, v = kv.split("=", 1)
+            builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 

@@ -157,12 +157,19 @@ def run_streaming_minhash_index(
     )
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
+        from parcialbigdata_spark.operators.dedup import shingle_rows
+
         seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
+        # Shingle the batch ONCE per micro-batch (r14): probe and
+        # ingest both need the (id, __s) relation — passing one
+        # persisted copy into both halves deletes a full re-tokenize +
+        # re-sign of every batch (the probe's band signatures and the
+        # ingest's are the same computation). Released before the
+        # batch commits, so the cache never outlives its micro-batch.
+        rows = shingle_rows(batch_df, "doc_id", "text", k_shingle).persist()
         if seed:  # nothing to probe; write the empty frame so the
             p = batch_df.sparkSession.createDataFrame([], pair_schema)
-            handle: list = []  # pairs read always has files + schema
-        else:
-            handle = []
+        else:     # pairs read always has files + schema
             p = minhash_index_probe(
                 batch_df,
                 "doc_id",
@@ -173,15 +180,13 @@ def run_streaming_minhash_index(
                 num_hashes=num_hashes,
                 bands=bands,
                 k_shingle=k_shingle,
-                unpersist_handle=handle,
+                precomputed_rows=rows,
             )
         # Per-epoch overwrite directory == output idempotence: a
         # foreachBatch retry rewrites its own epoch dir, no dupes.
         p.write.mode("overwrite").parquet(
             os.path.join(pairs_dir, f"epoch_{int(epoch_id)}")
         )
-        for cached in handle:  # one batch-sized shingle cache per
-            cached.unpersist()  # micro-batch — release, don't leak
         minhash_index_ingest(
             batch_df,
             "doc_id",
@@ -192,7 +197,10 @@ def run_streaming_minhash_index(
             bands=bands,
             k_shingle=k_shingle,
             append=not seed,
+            precomputed_rows=rows,
         )
+        rows.unpersist()  # one batch-sized shingle cache per
+        # micro-batch — release, don't leak
 
     q = (
         spark.readStream.schema(doc_schema)

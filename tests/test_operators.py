@@ -285,6 +285,27 @@ def test_connected_components_known_graph(spark):
     assert clusters == {1: (1, 4), 10: (10, 3), 20: (20, 2)}
 
 
+def test_connected_components_assume_distinct_identical(spark):
+    """assume_distinct=True must return the same labeling even when
+    the input carries duplicate and reversed edges (min-label
+    propagation is invariant to edge multiplicity — the flag only
+    skips the dedup Exchange, r14)."""
+    from parcialbigdata_spark.operators.graph import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (2, 3), (3, 2), (10, 11), (20, 21), (20, 21)],
+        ["id_a", "id_b"],
+    )
+    base = {
+        r["node"]: r["component"] for r in connected_components(pairs).collect()
+    }
+    fast = {
+        r["node"]: r["component"]
+        for r in connected_components(pairs, assume_distinct=True).collect()
+    }
+    assert base == fast == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+
+
 def test_connected_components_nonconvergence_raises(spark):
     import pytest
 
