@@ -94,49 +94,53 @@ def _decode_png_gray(b: bytes):
     if len(raw) != stride * h:
         return None
     # PNG filter reconstruction (spec §6): Sub/Average/Paeth have an
-    # intra-row left dependency, so rows reconstruct byte-sequentially;
-    # rows are independent given the previous row. Images are
-    # downsample targets (KBs), so the per-byte loop is not a hot path
-    # — a production deployment swaps in a C decoder behind the same
-    # kernel signature.
-    prev = bytearray(w * nch)
-    gray: list[list[int]] = []
+    # intra-row left dependency, so those rows reconstruct
+    # byte-sequentially; rows are independent given the previous row.
+    # r14: the dependency-free paths are vectorized — None rows are a
+    # zero-copy ``np.frombuffer`` view, Up rows one wrapping uint8 add
+    # (identical mod-256 semantics), and the per-PIXEL gray/luma
+    # extraction below is one slice / integer dot per row instead of a
+    # Python comprehension per pixel. Sub/Average/Paeth keep the exact
+    # per-byte loop (a production deployment swaps in a C decoder
+    # behind the same kernel signature); all five paths are pinned
+    # byte-identical by the filter-equivalence kernel test.
+    import numpy as np
+
+    prev = np.zeros(w * nch, dtype=np.uint8)
+    gray: list = []
     for y in range(h):
         off = y * stride
         ftype = raw[off]
-        line = bytearray(raw[off + 1:off + stride])
-        if ftype == 1:  # Sub
-            for i in range(nch, len(line)):
-                line[i] = (line[i] + line[i - nch]) & 0xFF
-        elif ftype == 2:  # Up
-            for i in range(len(line)):
-                line[i] = (line[i] + prev[i]) & 0xFF
-        elif ftype == 3:  # Average
-            for i in range(len(line)):
-                left = line[i - nch] if i >= nch else 0
-                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i in range(len(line)):
-                left = line[i - nch] if i >= nch else 0
-                up_left = prev[i - nch] if i >= nch else 0
-                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
-        elif ftype != 0:
-            return None
-        prev = line
-        if ct in (0, 4):  # gray / gray+alpha: first channel
-            gray.append([line[x * nch] for x in range(w)])
-        else:  # RGB / RGBA: integer luma, alpha ignored
-            gray.append(
-                [
-                    (
-                        299 * line[x * nch]
-                        + 587 * line[x * nch + 1]
-                        + 114 * line[x * nch + 2]
-                    )
-                    // 1000
-                    for x in range(w)
-                ]
+        if ftype == 0:  # None: the filtered bytes ARE the scanline
+            arr = np.frombuffer(raw, np.uint8, count=w * nch, offset=off + 1)
+        elif ftype == 2:  # Up: uint8 addition wraps mod 256, as spec'd
+            arr = (
+                np.frombuffer(raw, np.uint8, count=w * nch, offset=off + 1)
+                + prev
             )
+        elif ftype in (1, 3, 4):
+            line = bytearray(raw[off + 1:off + stride])
+            if ftype == 1:  # Sub
+                for i in range(nch, len(line)):
+                    line[i] = (line[i] + line[i - nch]) & 0xFF
+            elif ftype == 3:  # Average
+                for i in range(len(line)):
+                    left = line[i - nch] if i >= nch else 0
+                    line[i] = (line[i] + ((left + int(prev[i])) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(len(line)):
+                    left = line[i - nch] if i >= nch else 0
+                    up_left = int(prev[i - nch]) if i >= nch else 0
+                    line[i] = (line[i] + _paeth(left, int(prev[i]), up_left)) & 0xFF
+            arr = np.frombuffer(bytes(line), np.uint8)
+        else:
+            return None
+        prev = arr
+        if ct in (0, 4):  # gray / gray+alpha: first channel
+            gray.append(arr[0::nch].astype(np.int64))
+        else:  # RGB / RGBA: integer luma, alpha ignored
+            v = arr.reshape(w, nch).astype(np.int64)
+            gray.append((299 * v[:, 0] + 587 * v[:, 1] + 114 * v[:, 2]) // 1000)
     return w, h, gray
 
 
@@ -146,29 +150,35 @@ def dhash_bands(b: bytes):
     (sum // count) the pixels with (y*8)//H == cy and (x*9)//W == cx;
     bit m = row*8+col is 1 iff cell[row][col] < cell[row][col+1];
     band m//16 collects bit << (15 − m%16)."""
+    import numpy as np
+
     decoded = _decode_png_gray(b)
     if decoded is None:
         return None
     w, h, gray = decoded
-    sums = [[0] * GRID_W for _ in range(GRID_H)]
-    cnts = [[0] * GRID_W for _ in range(GRID_H)]
-    for y in range(h):
-        cy = (y * GRID_H) // h
-        row = gray[y]
-        for x in range(w):
-            cx = (x * GRID_W) // w
-            sums[cy][cx] += row[x]
-            cnts[cy][cx] += 1
-    cells = [
-        [sums[cy][cx] // cnts[cy][cx] for cx in range(GRID_W)]
-        for cy in range(GRID_H)
+    # r14, vectorized with EXACT integer arithmetic: pixel (x, y) maps
+    # to cell ((y·8)//H, (x·9)//W) — monotone in each axis, so cell
+    # row/col starts are ceil(c·dim/grid) and the 8×9 sums are two
+    # chained ``np.add.reduceat`` passes (int64, bit-identical to the
+    # per-pixel accumulation loops this replaces); counts are the
+    # outer product of the per-axis run lengths. w ≥ 9 / h ≥ 8 (decode
+    # guard) keep both start vectors strictly increasing.
+    G = np.stack(gray)  # h × w int64
+    col_starts = (np.arange(GRID_W, dtype=np.int64) * w + GRID_W - 1) // GRID_W
+    row_starts = (np.arange(GRID_H, dtype=np.int64) * h + GRID_H - 1) // GRID_H
+    colsum = np.add.reduceat(G, col_starts, axis=1)
+    sums = np.add.reduceat(colsum, row_starts, axis=0)
+    cnts = np.outer(
+        np.diff(np.append(row_starts, h)), np.diff(np.append(col_starts, w))
+    )
+    cells = sums // cnts
+    bits = (cells[:, :-1] < cells[:, 1:]).astype(np.int64).reshape(-1)  # m = row*8+col
+    m = np.arange(GRID_H * (GRID_W - 1), dtype=np.int64)
+    weights = np.int64(1) << (15 - (m % 16))
+    bands = [
+        int(bits[j * 16:(j + 1) * 16] @ weights[j * 16:(j + 1) * 16])
+        for j in range(N_BANDS)
     ]
-    bands = [0] * N_BANDS
-    for row in range(GRID_H):
-        for col in range(GRID_W - 1):
-            m = row * 8 + col
-            if cells[row][col] < cells[row][col + 1]:
-                bands[m // 16] |= 1 << (15 - (m % 16))
     return w, h, bands
 
 
