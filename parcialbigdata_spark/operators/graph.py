@@ -512,46 +512,63 @@ def pagerank_conserving(
         .fillna({"out_degree": 0})
         .persist()
     )
-    params = base_nodes.agg(
+    # Graph-global params come to the driver ONCE (one bounded-row
+    # first() over the persisted node relation — r14); base/init use
+    # Python // which equals SQL DIV on these non-negative ints, so
+    # every downstream integer is unchanged.
+    prow = base_nodes.agg(
         F.count(F.lit(1)).alias("n"), F.min("node").alias("min_node")
-    ).select(
-        "n",
-        "min_node",
-        F.expr(f"(({100 - damping_pct}L * {scale}L) DIV 100) DIV n").alias("base"),
-        F.expr(f"{scale}L DIV n").alias("init"),
-    )
+    ).first()
+    n_nodes = int(prow["n"])
+    if n_nodes == 0:  # empty graph: empty result, same schema
+        out = base_nodes.select(
+            "node", "out_degree", F.lit(0).cast("bigint").alias("rank_scaled")
+        ).localCheckpoint(eager=True)
+        e.unpersist()
+        base_nodes.unpersist()
+        return out
+    min_node = int(prow["min_node"])
+    base_val = (((100 - damping_pct) * scale) // 100) // n_nodes
+    init_val = scale // n_nodes
+    is_min = F.col("node") == F.lit(min_node)
     # Init already conserves: the DIV shortfall of scale/n goes to the
-    # minimum node, same rule as every later round.
+    # minimum node, same rule as every later round. One job per round
+    # (r14 — the connected_components observe discipline, see
+    # pagerank_personalized): the dangling sum and residue ride each
+    # round's eager-checkpoint materialization as CollectMetrics and
+    # re-enter as literals; the r13 shape paid two singleton aggregate
+    # jobs plus broadcast builds per round for the same integers.
+    obs0 = Observation("pr_cons_init")
     ranks = (
-        base_nodes.crossJoin(F.broadcast(params))
-        .select(
+        base_nodes.select(
             "node",
             "out_degree",
-            "base",
-            "n",
-            "min_node",
             (
-                F.col("init")
+                F.lit(init_val)
                 + F.when(
-                    F.col("node") == F.col("min_node"),
-                    F.lit(scale) - F.col("init") * F.col("n"),
+                    is_min, F.lit(scale - init_val * n_nodes)
                 ).otherwise(F.lit(0))
-            ).alias("rank_scaled"),
+            ).cast("bigint").alias("rank_scaled"),
+        )
+        .observe(
+            obs0,
+            F.coalesce(
+                F.sum(F.when(F.col("out_degree") == 0, F.col("rank_scaled"))),
+                F.lit(0).cast("bigint"),
+            ).alias("dangling"),
+            F.max(F.when(is_min, F.col("out_degree"))).alias("min_od"),
         )
         .localCheckpoint(eager=True)
     )
+    got0 = obs0.get
+    dangling_val = int(got0["dangling"])
+    min_dangling = got0["min_od"] is not None and int(got0["min_od"]) == 0
     # Each round's eager checkpoint supersedes the previous one; the
     # superseded checkpoint's cached partitions are released as soon as
     # the successor is materialized, so repeated calls never grow the
     # persisted-RDD set (ADVICE r3 cache-leak discipline).
     prev_ckpt = ranks
-    for _ in range(iterations):
-        dangling = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("out_degree") == 0, F.col("rank_scaled"))),
-                F.lit(0).cast("bigint"),
-            ).alias("dangling")
-        )
+    for it in range(iterations):
         contrib = (
             e.join(
                 ranks.filter(F.col("out_degree") > 0).select(
@@ -566,37 +583,44 @@ def pagerank_conserving(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        obs = Observation(f"pr_cons_round_{it}")
         raw = (
             ranks.join(contrib, "node", "left")
             .fillna({"inflow": 0})
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "out_degree",
-                "base",
-                "n",
-                "min_node",
                 F.expr(
-                    f"base + ({damping_pct}L * (inflow + dangling DIV n)) DIV 100"
+                    f"{base_val}L + ({damping_pct}L *"
+                    f" (inflow + {dangling_val}L DIV {n_nodes}L)) DIV 100"
                 ).alias("rank_raw"),
+            )
+            .observe(
+                obs,
+                F.coalesce(F.sum("rank_raw"), F.lit(0).cast("bigint")).alias(
+                    "s_raw"
+                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank_raw"))),
+                    F.lit(0).cast("bigint"),
+                ).alias("s_dangling"),
             )
             .localCheckpoint(eager=True)
         )
+        got = obs.get
+        residue_val = scale - int(got["s_raw"])
         release_checkpoint(prev_ckpt)
         prev_ckpt = raw
-        residue = raw.agg((F.lit(scale) - F.sum("rank_raw")).alias("residue"))
-        ranks = raw.crossJoin(F.broadcast(residue)).select(
+        ranks = raw.select(
             "node",
             "out_degree",
-            "base",
-            "n",
-            "min_node",
             (
                 F.col("rank_raw")
-                + F.when(F.col("node") == F.col("min_node"), F.col("residue")).otherwise(
-                    F.lit(0)
-                )
+                + F.when(is_min, F.lit(residue_val)).otherwise(F.lit(0))
             ).alias("rank_scaled"),
+        )
+        dangling_val = int(got["s_dangling"]) + (
+            residue_val if min_dangling else 0
         )
     ranks = ranks.select("node", "out_degree", "rank_scaled").localCheckpoint(eager=True)
     release_checkpoint(prev_ckpt)
@@ -625,11 +649,17 @@ def pagerank_personalized(
     global mass flows routed to the seed instead of spread uniformly:
     teleport ``(100-d)%·scale``, the dangling sum (damped), and the
     integral-DIV residue all land on the seed node.  Initial mass is
-    entirely at the seed (standard PPR power iteration).  Plan shape
-    per round is identical to :func:`pagerank_conserving` minus the
-    broadcast of ``n``/``min_node`` (the seed is a literal): one
-    edges⋈ranks join + one agg + two singleton aggregates.  The one
-    retained materialization is the returned result
+    entirely at the seed (standard PPR power iteration).
+
+    One job per round (r14 — the :func:`connected_components`
+    ``observe`` discipline applied to PR): the dangling sum and the
+    residue both ride the round's eager-checkpoint materialization as
+    CollectMetrics and come back as driver INTS, injected into the
+    next round as literals — the r13 shape ran two extra singleton
+    aggregate jobs plus their broadcast builds per round for the same
+    integers. Arithmetic (and the chained-CTE oracle parity) is
+    bit-unchanged: the same bigint sums feed the same DIV chain. The
+    one retained materialization is the returned result
     (``release_checkpoint`` to free)."""
     if iterations < 1:
         raise ValueError("iterations must be >= 1")
@@ -649,22 +679,33 @@ def pagerank_personalized(
         .persist()
     )
     is_seed = F.col("node") == F.lit(seed)
-    ranks = base_nodes.select(
-        "node",
-        "out_degree",
-        F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint").alias(
-            "rank_scaled"
-        ),
-    ).localCheckpoint(eager=True)
-    teleport = ((100 - damping_pct) * scale) // 100
-    prev_ckpt = ranks
-    for _ in range(iterations):
-        dangling = ranks.agg(
+    obs0 = Observation("ppr_init")
+    ranks = (
+        base_nodes.select(
+            "node",
+            "out_degree",
+            F.when(is_seed, F.lit(scale)).otherwise(F.lit(0)).cast("bigint").alias(
+                "rank_scaled"
+            ),
+        )
+        .observe(
+            obs0,
             F.coalesce(
                 F.sum(F.when(F.col("out_degree") == 0, F.col("rank_scaled"))),
                 F.lit(0).cast("bigint"),
-            ).alias("dangling")
+            ).alias("dangling"),
+            # Whether the seed itself is dangling decides where the
+            # residue mass lands in NEXT round's dangling sum.
+            F.max(F.when(is_seed, F.col("out_degree"))).alias("seed_od"),
         )
+        .localCheckpoint(eager=True)
+    )
+    got0 = obs0.get
+    dangling_val = int(got0["dangling"])
+    seed_dangling = got0["seed_od"] is not None and int(got0["seed_od"]) == 0
+    teleport = ((100 - damping_pct) * scale) // 100
+    prev_ckpt = ranks
+    for it in range(iterations):
         contrib = (
             e.join(
                 ranks.filter(F.col("out_degree") > 0).select(
@@ -679,31 +720,45 @@ def pagerank_personalized(
             .groupBy("node")
             .agg(F.sum("c").alias("inflow"))
         )
+        obs = Observation(f"ppr_round_{it}")
         raw = (
             ranks.join(contrib, "node", "left")
             .fillna({"inflow": 0})
-            .crossJoin(F.broadcast(dangling))
             .select(
                 "node",
                 "out_degree",
                 F.expr(
                     f"({damping_pct}L * inflow) DIV 100"
                     f" + CASE WHEN node = {seed}L THEN {teleport}L"
-                    f" + ({damping_pct}L * dangling) DIV 100 ELSE 0L END"
+                    f" + ({damping_pct}L * {dangling_val}L) DIV 100 ELSE 0L END"
                 ).alias("rank_raw"),
+            )
+            .observe(
+                obs,
+                F.coalesce(F.sum("rank_raw"), F.lit(0).cast("bigint")).alias(
+                    "s_raw"
+                ),
+                F.coalesce(
+                    F.sum(F.when(F.col("out_degree") == 0, F.col("rank_raw"))),
+                    F.lit(0).cast("bigint"),
+                ).alias("s_dangling"),
             )
             .localCheckpoint(eager=True)
         )
+        got = obs.get
+        residue_val = scale - int(got["s_raw"])
         release_checkpoint(prev_ckpt)
         prev_ckpt = raw
-        residue = raw.agg((F.lit(scale) - F.sum("rank_raw")).alias("residue"))
-        ranks = raw.crossJoin(F.broadcast(residue)).select(
+        ranks = raw.select(
             "node",
             "out_degree",
             (
                 F.col("rank_raw")
-                + F.when(is_seed, F.col("residue")).otherwise(F.lit(0))
+                + F.when(is_seed, F.lit(residue_val)).otherwise(F.lit(0))
             ).alias("rank_scaled"),
+        )
+        dangling_val = int(got["s_dangling"]) + (
+            residue_val if seed_dangling else 0
         )
     ranks = ranks.select("node", "out_degree", "rank_scaled").localCheckpoint(eager=True)
     release_checkpoint(prev_ckpt)

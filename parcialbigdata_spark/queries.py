@@ -8780,6 +8780,9 @@ def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``operators/graph.py pagerank_personalized``."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
+    # Persisted (r14): the seed lookup and the PPR edge ingest would
+    # otherwise each execute the join+distinct; the checkpointed
+    # result lets the cache release right after the call.
     edges = (
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .select(
@@ -8787,6 +8790,7 @@ def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") * 2 + 1).alias("dst"),
         )
         .distinct()
+        .persist()
     )
     seed = edges.agg(F.min("src")).first()[0]
     ranks = graph.pagerank_personalized(
@@ -8794,6 +8798,7 @@ def ppr_seed_customer_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "node", "out_degree", F.col("rank_scaled").cast("bigint").alias("rank_scaled")
     )
+    edges.unpersist()
     conserved = ranks.agg(
         (F.sum("rank_scaled") == F.lit(1_000_000_000_000)).alias("conserved")
     )
