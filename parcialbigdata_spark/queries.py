@@ -4364,27 +4364,26 @@ def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, cells_t, centroids, k=5, nprobe=2
         )
         qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
-        # Persist BOTH attestation sides (r14): each relation is ≤ 80
-        # rows but its plan is the expensive part — without the cache
-        # the exact k-NN executed three times per call (n_hits, then
-        # every caller action re-ran the full fold join) and the probe
-        # twice. Bench/pytest clearCache() releases both.
-        exact = (
-            similarity.knn_join(
-                qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
-            )
-            .withColumnRenamed("vec_id", "match_id")
-            .persist()
+        exact = similarity.knn_join(
+            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+        ).withColumnRenamed("vec_id", "match_id")
+        # Both attestation sides are bounded (≤ 16 queries × 5 rows) —
+        # collect each ONCE and intersect driver-side (r14): the r13
+        # shape re-executed the exact k-NN fold join on every caller
+        # action after the n_hits join had already run it (3 full
+        # executions per bench pass), and the approx plan twice. This
+        # also materializes the probe BEFORE the finally drops the
+        # index table its plan reads. Same bounded-collect discipline
+        # as the dedup index twins.
+        approx_pairs = {
+            (r["query_id"], r["match_id"])
+            for r in approx.select("query_id", "match_id").collect()
+        }
+        exact_rows = exact.collect()
+        n_hits = sum(
+            (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
-        # Attestation count is bounded (≤ 16 queries × 5) — materialize
-        # it BEFORE the finally drops the index table the approx plan
-        # reads; the returned exact side only reads the fixture.
-        n_hits = (
-            exact.select("query_id", "match_id")
-            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
-            .count()
-        )
-        return exact.select(
+        return spark.createDataFrame(exact_rows, exact.schema).select(
             "query_id", "match_id", "cosine_sim", "rank",
             F.lit(n_hits >= 64).alias("ivf_index_recall_ok"),
         )
@@ -4448,22 +4447,20 @@ def ivf_index_compact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             batch, cells_t, centroids, k=5, nprobe=2
         )
         qdf = batch.select(F.col("vec_id").alias("query_id"), "embedding")
-        # Persisted for the same reason as the probe twin (r14): the
-        # exact attestation side otherwise re-executes on every caller
-        # action after n_hits already ran it.
-        exact = (
-            similarity.knn_join(
-                qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
-            )
-            .withColumnRenamed("vec_id", "match_id")
-            .persist()
+        exact = similarity.knn_join(
+            qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
+        ).withColumnRenamed("vec_id", "match_id")
+        # Bounded-collect attestation, same rationale as the probe
+        # twin (r14): each side executes exactly once.
+        approx_pairs = {
+            (r["query_id"], r["match_id"])
+            for r in approx.select("query_id", "match_id").collect()
+        }
+        exact_rows = exact.collect()
+        n_hits = sum(
+            (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
-        n_hits = (
-            exact.select("query_id", "match_id")
-            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
-            .count()
-        )
-        return exact.select(
+        return spark.createDataFrame(exact_rows, exact.schema).select(
             "query_id", "match_id", "cosine_sim", "rank",
             F.lit(n_hits >= 64).alias("ivf_compact_recall_ok"),
         )
@@ -4553,16 +4550,19 @@ def streaming_ivf_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
                     qdf, hist, k=5, query_id="query_id", corpus_id="vec_id"
                 ).withColumnRenamed("vec_id", "match_id")
             )
-        # Persisted for the same reason as the batch twins (r14): the
-        # two exact k-NN attestation joins otherwise re-execute on
-        # every caller action after n_hits already ran them.
-        exact = exacts[0].unionByName(exacts[1]).persist()
-        n_hits = (
-            exact.select("query_id", "match_id")
-            .join(approx.select("query_id", "match_id"), ["query_id", "match_id"])
-            .count()
+        # Bounded-collect attestation, same rationale as the batch
+        # twins (r14): the two exact k-NN joins (≤ 160 rows total)
+        # execute exactly once instead of once per caller action.
+        exact = exacts[0].unionByName(exacts[1])
+        approx_pairs = {
+            (r["query_id"], r["match_id"])
+            for r in approx.select("query_id", "match_id").collect()
+        }
+        exact_rows = exact.collect()
+        n_hits = sum(
+            (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
-        return exact.select(
+        return spark.createDataFrame(exact_rows, exact.schema).select(
             "query_id", "match_id", "cosine_sim", "rank",
             F.lit(n_hits >= 128).alias("streaming_ivf_recall_ok"),
         )
