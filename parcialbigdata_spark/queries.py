@@ -4375,11 +4375,17 @@ def ivf_index_probe_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         # also materializes the probe BEFORE the finally drops the
         # index table its plan reads. Same bounded-collect discipline
         # as the dedup index twins.
-        approx_pairs = {
-            (r["query_id"], r["match_id"])
-            for r in approx.select("query_id", "match_id").collect()
-        }
+        approx_rows = approx.select("query_id", "match_id").collect()
+        approx_pairs = {(r["query_id"], r["match_id"]) for r in approx_rows}
         exact_rows = exact.collect()
+        # Set-membership n_hits equals the r13 join count iff neither
+        # side carries duplicate (query_id, match_id) rows. Both are
+        # unique by construction (one cell per stored row; rank ≤ k
+        # per query) — asserted rather than assumed (ADVICE r14).
+        assert len(approx_pairs) == len(approx_rows), "dup approx pairs"
+        assert len({(r["query_id"], r["match_id"]) for r in exact_rows}) == len(
+            exact_rows
+        ), "dup exact pairs"
         n_hits = sum(
             (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
@@ -4451,12 +4457,15 @@ def ivf_index_compact_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             qdf, history, k=5, query_id="query_id", corpus_id="vec_id"
         ).withColumnRenamed("vec_id", "match_id")
         # Bounded-collect attestation, same rationale as the probe
-        # twin (r14): each side executes exactly once.
-        approx_pairs = {
-            (r["query_id"], r["match_id"])
-            for r in approx.select("query_id", "match_id").collect()
-        }
+        # twin (r14): each side executes exactly once. Pair uniqueness
+        # asserted so set-membership == the r13 join count (ADVICE r14).
+        approx_rows = approx.select("query_id", "match_id").collect()
+        approx_pairs = {(r["query_id"], r["match_id"]) for r in approx_rows}
         exact_rows = exact.collect()
+        assert len(approx_pairs) == len(approx_rows), "dup approx pairs"
+        assert len({(r["query_id"], r["match_id"]) for r in exact_rows}) == len(
+            exact_rows
+        ), "dup exact pairs"
         n_hits = sum(
             (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
@@ -4554,11 +4563,16 @@ def streaming_ivf_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         # twins (r14): the two exact k-NN joins (≤ 160 rows total)
         # execute exactly once instead of once per caller action.
         exact = exacts[0].unionByName(exacts[1])
-        approx_pairs = {
-            (r["query_id"], r["match_id"])
-            for r in approx.select("query_id", "match_id").collect()
-        }
+        approx_rows = approx.select("query_id", "match_id").collect()
+        approx_pairs = {(r["query_id"], r["match_id"]) for r in approx_rows}
         exact_rows = exact.collect()
+        # Pair uniqueness asserted so set-membership == the r13 join
+        # count (ADVICE r14); epochs query disjoint id sets, so the
+        # union cannot duplicate either.
+        assert len(approx_pairs) == len(approx_rows), "dup approx pairs"
+        assert len({(r["query_id"], r["match_id"]) for r in exact_rows}) == len(
+            exact_rows
+        ), "dup exact pairs"
         n_hits = sum(
             (r["query_id"], r["match_id"]) in approx_pairs for r in exact_rows
         )
@@ -12361,10 +12375,19 @@ def golden_record_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = cc.join(
         docs.select(F.col("doc_id").alias("node"), "n_chars"), "node"
     )
-    w = Window.partitionBy("component").orderBy(F.desc("n_chars"), F.asc("node"))
-    ranked = m.withColumn("rn", F.row_number().over(w))
-    return ranked.groupBy("component").agg(
-        F.max(F.when(F.col("rn") == 1, F.col("node"))).alias("golden_doc_id"),
+    # Survivor pick folded into the aggregate (r15, guide §2.3
+    # "aggregate before you shuffle"): the r7-r14 form ranked members
+    # with a per-component window (full sort of every member) and then
+    # aggregated — same key, so the window bought nothing the agg
+    # needs. max_by over (n_chars, -node) IS the rn=1 row under
+    # (n_chars DESC, node ASC): identical survivor, and the whole agg
+    # now partial-aggregates map-side, so the component exchange
+    # carries one row per (partition, component) instead of every
+    # member. (-node is safe: doc_id >= 0.)
+    return m.groupBy("component").agg(
+        F.max_by("node", F.struct(F.col("n_chars"), -F.col("node"))).alias(
+            "golden_doc_id"
+        ),
         F.count(F.lit(1)).alias("n_members"),
         F.max("n_chars").alias("max_chars"),
         F.sum("n_chars").cast("bigint").alias("total_chars"),
@@ -14278,17 +14301,37 @@ def streaming_dedup_index_documents(spark: SparkSession, sf_dir: str) -> DataFra
 
     docs = load_table(spark, sf_dir, "documents")
     mod = F.col("doc_id") % 10
-    splits = [mod <= 5, mod.isin(6, 7), mod.isin(8, 9)]
     base = tempfile.mkdtemp(prefix="streamidx-")
     bands_t, sets_t = "r9_stream_idx_bands", "r9_stream_idx_sets"
     try:
         stream_dir = os.path.join(base, "stream")
         os.makedirs(stream_dir)
         now = _time.time()
-        for i, cond in enumerate(splits):
-            _write_stream_file(
-                base, stream_dir, docs.filter(cond), f"b{i}", now - 300 + 100 * i
-            )
+        # One scan + one write job for all three micro-batch files
+        # (r15, guide §1.2): the per-batch `_write_stream_file` loop
+        # re-scanned documents once per batch (3 jobs). Batch CONTENT
+        # is identical (same modulo split); batch ORDER still comes
+        # only from the pinned mtimes; row order within a batch file
+        # is irrelevant to the minhash probe (set-valued pairs).
+        batch_no = (
+            F.when(mod <= 5, 0).when(mod.isin(6, 7), 1).otherwise(2)
+        )
+        tmp = os.path.join(base, "w_all")
+        (
+            docs.withColumn("__b", batch_no)
+            .repartition("__b")
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(tmp)
+        )
+        import glob as _glob
+
+        for i in range(3):
+            part = _glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            mt = now - 300 + 100 * i
+            os.utime(dst, (mt, mt))
         return run_streaming_minhash_index(
             spark,
             stream_dir,

@@ -15,6 +15,7 @@ Local testing runs on ``local[N]`` but every knob here is chosen for the
 from __future__ import annotations
 
 import os
+import sys
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -76,12 +77,28 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
     # above can be overridden per run without code edits (the
     # spark-submit --conf equivalent for the driver-contract entry
     # points, which construct the session themselves).
+    # ADVICE r14: overrides are LOGGED (stderr, like Spark's own WARNs)
+    # so an env var left set cannot silently flip a correctness-pinned
+    # default (e.g. ansi.enabled) for a bench/oracle run, and malformed
+    # entries fail loudly instead of being dropped. Values containing
+    # ';' cannot be expressed in this k=v;k=v format — by design; use
+    # spark-submit --conf for those.
     extra = os.environ.get("SPARK_GRAFT_EXTRA_CONF", "")
     for kv in extra.split(";"):
         kv = kv.strip()
-        if kv and "=" in kv:
-            k, v = kv.split("=", 1)
-            builder = builder.config(k.strip(), v.strip())
+        if not kv:
+            continue
+        if "=" not in kv:
+            raise ValueError(
+                f"SPARK_GRAFT_EXTRA_CONF: malformed entry {kv!r} (want k=v;k=v)"
+            )
+        k, v = kv.split("=", 1)
+        print(
+            f"parcialbigdata_spark.session: SPARK_GRAFT_EXTRA_CONF override "
+            f"{k.strip()}={v.strip()}",
+            file=sys.stderr,
+        )
+        builder = builder.config(k.strip(), v.strip())
     return builder.getOrCreate()
 
 
