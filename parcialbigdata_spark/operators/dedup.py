@@ -1120,7 +1120,17 @@ def setsim_join_prefix(
         )
         .select("id_a", "id_b")
     )
-    sets_df = rows.groupBy(id_col).agg(F.collect_set("__s").alias("els"))
+    # Verification arrays hold HASHED shingles (r15 — the discipline
+    # minhash_near_dups has used since r2): Jaccard over the hashed
+    # sets equals Jaccard over the strings up to 64-bit collisions
+    # (~n²·2⁻⁶⁴, negligible), and the collect_set shuffle + the
+    # per-candidate array_intersect/array_union move and compare
+    # fixed-width longs instead of k-gram text. Candidate generation
+    # above stays on the string element (its frequency order and set
+    # sizes define the prefix-filter completeness proof verbatim).
+    sets_df = rows.groupBy(id_col).agg(
+        F.collect_set(F.xxhash64("__s")).alias("els")
+    )
     ea = sets_df.select(F.col(id_col).alias("id_a"), F.col("els").alias("els_a"))
     eb = sets_df.select(F.col(id_col).alias("id_b"), F.col("els").alias("els_b"))
     out = (

@@ -324,12 +324,17 @@ def phash_index_ingest(
     batch's rows shuffle on append."""
     from parcialbigdata_spark.sources.warehouse import write_bucketed
 
+    # sort=False (r15, same measured finding as the minhash index):
+    # bucket sortedness is only exploitable on single-file buckets,
+    # which appends immediately break — probes re-sort or broadcast
+    # regardless, so the write-side sort is never redeemed.
     write_bucketed(
         _band_rows(hashes),
         bands_table,
         "band_hash",
         num_buckets=num_buckets,
         mode="append" if append else "overwrite",
+        sort=False,
     )
 
 

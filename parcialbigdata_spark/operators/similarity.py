@@ -422,12 +422,18 @@ def ivf_index_ingest(
         F.col(vec_col),
         _centroid_assign_udf(centroids)(F.col(vec_col)).alias("ivf_cell"),
     )
+    # sort=False (r15, same measured finding as the minhash index):
+    # bucket sortedness is only exploitable when a bucket holds ONE
+    # file, which the very first append breaks — every probe broadcast-
+    # joins or re-sorts regardless, so the write-side sort is paid per
+    # batch and never redeemed. Compaction keeps its sorted rewrite.
     write_bucketed(
         cells,
         cells_table,
         "ivf_cell",
         num_buckets=num_buckets,
         mode="append" if append else "overwrite",
+        sort=False,
     )
 
 

@@ -4546,8 +4546,29 @@ def streaming_ivf_index_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
         stream_dir = os.path.join(base, "stream")
         os.makedirs(stream_dir)
         now = _time.time()
-        for i, part in enumerate((b0, b1, b2)):
-            _write_stream_file(base, stream_dir, part, f"b{i}", now - 300 + 100 * i)
+        # One scan + one write job for all three micro-batch files
+        # (r15, guide §1.2 — same move as the dedup streaming twin):
+        # batch contents are the same modulo-256 split, batch order
+        # still comes only from the pinned mtimes, and row order
+        # within a batch is irrelevant (cell assignment and the
+        # per-query rank are id-deterministic).
+        batch_no = F.when(~m.isin(1, 129), 0).when(m == 1, 1).otherwise(2)
+        tmp = os.path.join(base, "w_all")
+        (
+            emb.withColumn("__b", batch_no)
+            .repartition("__b")
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(tmp)
+        )
+        import glob as _glob
+
+        for i in range(3):
+            part = _glob.glob(os.path.join(tmp, f"__b={i}", "part-*.parquet"))[0]
+            dst = os.path.join(stream_dir, f"b{i}.parquet")
+            shutil.copy(part, dst)
+            mt = now - 300 + 100 * i
+            os.utime(dst, (mt, mt))
         approx = run_streaming_ivf_index(
             spark, stream_dir, cells_t, centroids, k=5, nprobe=2
         )
@@ -14523,24 +14544,37 @@ _DRIVER_WINDOW = [
     # debuts orc_roundtrip / twap the VERDICT queued for r14): 19
     # backlog entries enter at once.
     "streaming_ahash_index_media",
-    "quantize_embeddings",
-    "pq_topk_embeddings",
-    "contrastive_pairs_embeddings",
-    "hard_negatives_embeddings",
-    "embedding_outliers",
-    "dim_stats_embeddings",
-    "source_similarity_matrix",
-    "incremental_dedup_documents",
     "dedup_index_compact_documents",
-    "streaming_kll_partials",
-    "streaming_agg_state_store",
-    "quality_classifier_documents",
-    "snapshot_diff_documents",
-    "upsert_latest_events",
-    "fuzzy_join_part_names",
     "ann_topk_embeddings",
-    "orc_roundtrip_documents",
-    "twap_user_value_events",
+    # (the 16-entry r14 block quantize/pq_topk/contrastive/hard_neg/
+    # embedding_outliers/dim_stats/source_similarity/incremental_dedup/
+    # streaming_kll/streaming_agg/quality_classifier/snapshot_diff/
+    # upsert_latest/fuzzy_join/orc_roundtrip/twap rotated out in r15 —
+    # ALL driver-proven on first contact in r14 (CORRECTNESS_r14
+    # 50/50, queries_newly_passing); embeddings keep ann_topk +
+    # streaming_ivf + ivf_index_compact + embedding_centroids
+    # in-window, incremental keeps incremental_clusters + cdc_minmax,
+    # streaming keeps ahash/ivf index entries; stays CI-green.)
+    # r15 rotation (VERDICT r14 #8: execute the committed
+    # rotation_plan.r15 block — the events/funnel/attribution/graph
+    # backlog, none driver-checked since the pre-oracle era): 16
+    # entries enter at once.
+    "copurchase_part_pairs",
+    "funnel_click_purchase",
+    "funnel_steps_events",
+    "event_paths_topk",
+    "event_transitions_markov",
+    "markov_transitions_events",
+    "attribution_last_touch",
+    "new_vs_returning_users_daily",
+    "takedown_cascade_users",
+    "gap_fill_interp_events",
+    "asof_order_within_90d",
+    "ppr_seed_customer_purchases",
+    "link_prediction_suppliers",
+    "pipe_syntax_revenue",
+    "right_outer_urgent_orders",
+    "range_window_order_density",
     # r13 debuts (VERDICT r12 #4 — the MP4 ladder's next rungs, the
     # debut-round window precedent): stss keyframe-aware sampling,
     # stsd/avcC codec-config extraction, and stts/mdhd/co64 time-based

@@ -53,6 +53,17 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         # --- Python interop: Arrow everywhere ---
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Byte-bounded Arrow batches (r15, guide §4.2/§5): the media
+        # decode kernels (wav/png/mp4 mapInPandas) move MB-sized blob
+        # rows, where a 10k-ROW batch can be tens of GB of executor +
+        # Python-worker memory at production blob sizes; Spark 4's
+        # maxBytesPerBatch is the direct knob — 64 MB bounds the batch
+        # by bytes while narrow numeric kernels keep hitting the row
+        # cap first (local fixtures: row cap binds, bench unchanged).
+        .config(
+            "spark.sql.execution.arrow.maxBytesPerBatch",
+            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024)),
+        )
         # --- scan sizing: 128 MB splits, the parquet sweet spot ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         # --- broadcast joins for dims up to 64 MB (region/nation/part/
