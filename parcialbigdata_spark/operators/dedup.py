@@ -1341,6 +1341,55 @@ def _editdist_join_deletions(names: DataFrame, max_dist: int) -> DataFrame:
 # ------------------------------------------- cross-run dedup-index store (r9)
 
 
+def minhash_batch_relations(
+    rows: DataFrame, id_col: str, num_hashes: int = 32, bands: int = 8
+) -> tuple[DataFrame, DataFrame]:
+    """The two per-batch index relations derived from ONE shingled
+    batch (r15): the UNCAPPED (id, band_idx, band_hash) LSH band rows
+    and the (id, sh) hashed-shingle-set relation. A probe-then-append
+    caller computes these once, persists them, and passes them to
+    :func:`minhash_index_probe` and :func:`minhash_index_ingest` as
+    ``precomputed_bands``/``precomputed_sets`` — the signature
+    aggregate (32 minhash folds over the shingle explode) and the
+    collect_set aggregate then run once per batch instead of once per
+    operator call (measured 0.62 s + 0.14 s per redundant pass at
+    sf0.1). Returned bands are uncapped because the probe side joins
+    raw band rows while ingest applies its per-batch ``max_bucket``
+    cap itself — one relation serves both."""
+    sigs = _signatures_from_rows(rows, id_col, num_hashes)
+    bb = _banded_rows(sigs, id_col, num_hashes, bands)
+    sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+    return bb, sh
+
+
+def _check_batch_relations(
+    caller: str,
+    id_col: str,
+    precomputed_bands: DataFrame | None,
+    precomputed_sets: DataFrame | None,
+) -> None:
+    """Shape-check shared band/set relations (same ADVICE-r14
+    discipline as ``precomputed_rows``: a mismatched relation must
+    fail loudly, not write/verify wrong signatures)."""
+    if precomputed_bands is not None and not (
+        id_col in precomputed_bands.columns
+        and "band_idx" in precomputed_bands.columns
+        and "band_hash" in precomputed_bands.columns
+    ):
+        raise ValueError(
+            f"{caller}: precomputed_bands must be the ({id_col}, band_idx,"
+            f" band_hash) relation of THIS batch; got columns"
+            f" {precomputed_bands.columns}"
+        )
+    if precomputed_sets is not None and not (
+        id_col in precomputed_sets.columns and "sh" in precomputed_sets.columns
+    ):
+        raise ValueError(
+            f"{caller}: precomputed_sets must be the ({id_col}, sh) relation"
+            f" of THIS batch; got columns {precomputed_sets.columns}"
+        )
+
+
 def minhash_index_ingest(
     df: DataFrame,
     id_col: str,
@@ -1354,6 +1403,8 @@ def minhash_index_ingest(
     max_bucket: int = 10_000,
     append: bool = False,
     precomputed_rows: DataFrame | None = None,
+    precomputed_bands: DataFrame | None = None,
+    precomputed_sets: DataFrame | None = None,
 ) -> None:
     """Shingle + sign a corpus batch ONCE and persist its dedup index:
     the (id, band_idx, band_hash) LSH band relation bucketed on
@@ -1403,13 +1454,24 @@ def minhash_index_ingest(
             f"({id_col}, __s) shingle relation of THIS batch; got columns "
             f"{precomputed_rows.columns}"
         )
-    rows = (
-        precomputed_rows
-        if precomputed_rows is not None
-        else shingle_rows(df, id_col, text_col, k_shingle).persist()
+    _check_batch_relations(
+        "minhash_index_ingest", id_col, precomputed_bands, precomputed_sets
     )
-    sigs = _signatures_from_rows(rows, id_col, num_hashes)
-    bb = _cap_buckets(_banded_rows(sigs, id_col, num_hashes, bands), max_bucket)
+    # Only shingle when something still derives from the rows — a
+    # caller sharing BOTH relations (r15) never tokenizes here at all.
+    own_rows = None
+    rows = precomputed_rows
+    if precomputed_bands is None or precomputed_sets is None:
+        if rows is None:
+            own_rows = shingle_rows(df, id_col, text_col, k_shingle).persist()
+            rows = own_rows
+    if precomputed_bands is not None:
+        bb = _cap_buckets(precomputed_bands, max_bucket)
+    else:
+        sigs = _signatures_from_rows(rows, id_col, num_hashes)
+        bb = _cap_buckets(
+            _banded_rows(sigs, id_col, num_hashes, bands), max_bucket
+        )
     from parcialbigdata_spark.sources.warehouse import write_bucketed
 
     mode = "append" if append else "overwrite"
@@ -1417,12 +1479,17 @@ def minhash_index_ingest(
         bb, bands_table, "band_hash", num_buckets=num_buckets, mode=mode,
         sort=False,
     )
-    sh = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+    if precomputed_sets is not None:
+        sh = precomputed_sets
+    else:
+        sh = rows.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("__s")).alias("sh")
+        )
     write_bucketed(
         sh, sets_table, id_col, num_buckets=num_buckets, mode=mode, sort=False
     )
-    if precomputed_rows is None:
-        rows.unpersist()
+    if own_rows is not None:
+        own_rows.unpersist()
 
 
 def minhash_index_compact(
@@ -1487,6 +1554,8 @@ def minhash_index_probe(
     k_shingle: int = 3,
     unpersist_handle: list | None = None,
     precomputed_rows: DataFrame | None = None,
+    precomputed_bands: DataFrame | None = None,
+    precomputed_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup pairs (new_id, old_id, jaccard_sim) between a NEW
     batch and the persisted index built by :func:`minhash_index_ingest`
@@ -1545,13 +1614,24 @@ def minhash_index_probe(
             )
         rows = precomputed_rows
     else:
-        rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
-        if unpersist_handle is not None:
-            unpersist_handle.append(rows)
-    sigs = _signatures_from_rows(rows, id_col, num_hashes)
-    probe_bands = _banded_rows(sigs, id_col, num_hashes, bands).withColumnRenamed(
-        id_col, "new_id"
+        rows = None
+        if precomputed_bands is None or precomputed_sets is None:
+            rows = shingle_rows(batch, id_col, text_col, k_shingle).persist()
+            if unpersist_handle is not None:
+                unpersist_handle.append(rows)
+    # precomputed_bands / precomputed_sets (r15): a caller that probes
+    # then appends shares the DERIVED relations too (see
+    # minhash_batch_relations) — the signature and collect_set
+    # aggregates run once per batch instead of once per operator call.
+    _check_batch_relations(
+        "minhash_index_probe", id_col, precomputed_bands, precomputed_sets
     )
+    if precomputed_bands is not None:
+        batch_bands = precomputed_bands
+    else:
+        sigs = _signatures_from_rows(rows, id_col, num_hashes)
+        batch_bands = _banded_rows(sigs, id_col, num_hashes, bands)
+    probe_bands = batch_bands.withColumnRenamed(id_col, "new_id")
     stored = spark.table(bands_table).withColumnRenamed(id_col, "old_id")
     cands = (
         probe_bands.join(stored, ["band_idx", "band_hash"])
@@ -1559,7 +1639,12 @@ def minhash_index_probe(
         .select("new_id", "old_id")
         .distinct()
     )
-    sh_new = rows.groupBy(id_col).agg(F.collect_set(F.xxhash64("__s")).alias("sh"))
+    if precomputed_sets is not None:
+        sh_new = precomputed_sets
+    else:
+        sh_new = rows.groupBy(id_col).agg(
+            F.collect_set(F.xxhash64("__s")).alias("sh")
+        )
     sh_old = spark.table(sets_table)
     return (
         cands.join(

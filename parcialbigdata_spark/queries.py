@@ -9433,7 +9433,18 @@ def source_similarity_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "source", F.explode(T.tokens(T.normalize("text"))).alias("term")
     )
-    tf = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("tf"))
+    # The (source, term, tf) relation feeds FIVE consumers (totals→
+    # picked, dfreq, norms and both pair-join sides); without a
+    # materialization barrier each one re-runs the corpus tokenize +
+    # explode + count (r15 A/B: 1.35 → 1.19 s floor, 3/3 pairs). tf is
+    # vocabulary×sources grained — orders of magnitude smaller than
+    # the token stream it compresses — so checkpointing it trades a
+    # tiny executor-resident relation for four full corpus passes.
+    tf = (
+        toks.groupBy("source", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint()
+    )
     totals = tf.groupBy("term").agg(F.sum("tf").alias("total"))
     picked = (
         totals.withColumn(
@@ -14197,21 +14208,28 @@ def dedup_index_probe_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             history, "doc_id", "text", bands_t, sets_t, k_shingle=2
         )
         handle: list = []
-        # Shingle batch1 ONCE (r14): its probe and its append are the
-        # same tokenize+sign computation — share one persisted relation.
+        # Shingle batch1 ONCE (r14) and derive its band/set relations
+        # ONCE (r15): probe and append share all three persisted
+        # relations, so the tokenize, the 32-minhash signature fold
+        # and the collect_set each run once per batch instead of once
+        # per operator call.
         b1_rows = dedup.shingle_rows(batch1, "doc_id", "text", 2).persist()
+        b1_bands, b1_sets = dedup.minhash_batch_relations(b1_rows, "doc_id")
+        b1_bands, b1_sets = b1_bands.persist(), b1_sets.persist()
         p1 = dedup.minhash_index_probe(
             batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
             k_shingle=2, precomputed_rows=b1_rows,
+            precomputed_bands=b1_bands, precomputed_sets=b1_sets,
         )
         # Probe BEFORE appending the batch itself (a batch must not
         # match its own rows), then maintain the index with the delta.
         rows1 = p1.collect()
         dedup.minhash_index_ingest(
             batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
-            append=True, precomputed_rows=b1_rows,
+            append=True, precomputed_bands=b1_bands, precomputed_sets=b1_sets,
         )
-        b1_rows.unpersist()
+        for c in (b1_bands, b1_sets, b1_rows):
+            c.unpersist()
         p2 = dedup.minhash_index_probe(
             batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,
             k_shingle=2, unpersist_handle=handle,
@@ -14257,20 +14275,28 @@ def dedup_index_compact_documents(spark: SparkSession, sf_dir: str) -> DataFrame
             history, "doc_id", "text", bands_t, sets_t, k_shingle=2
         )
         handle: list = []
-        # Shingle batch1 ONCE (r14): shared by its probe and both
-        # replayed appends (three tokenize+sign passes become one).
+        # Shingle batch1 ONCE (r14) and derive its band/set relations
+        # ONCE (r15): the probe and BOTH replayed appends share the
+        # persisted relations — one tokenize, one signature fold, one
+        # collect_set for what was three of each before r14 and still
+        # three signature folds after it.
         b1_rows = dedup.shingle_rows(batch1, "doc_id", "text", 2).persist()
+        b1_bands, b1_sets = dedup.minhash_batch_relations(b1_rows, "doc_id")
+        b1_bands, b1_sets = b1_bands.persist(), b1_sets.persist()
         p1 = dedup.minhash_index_probe(
             batch1, "doc_id", "text", bands_t, sets_t, threshold=0.2,
             k_shingle=2, precomputed_rows=b1_rows,
+            precomputed_bands=b1_bands, precomputed_sets=b1_sets,
         )
         rows1 = p1.collect()
         for _ in range(2):  # the second append IS the replay
             dedup.minhash_index_ingest(
                 batch1, "doc_id", "text", bands_t, sets_t, k_shingle=2,
-                append=True, precomputed_rows=b1_rows,
+                append=True, precomputed_bands=b1_bands,
+                precomputed_sets=b1_sets,
             )
-        b1_rows.unpersist()
+        for c in (b1_bands, b1_sets, b1_rows):
+            c.unpersist()
         dedup.minhash_index_compact(spark, bands_t, sets_t, "doc_id")
         p2 = dedup.minhash_index_probe(
             batch2, "doc_id", "text", bands_t, sets_t, threshold=0.2,

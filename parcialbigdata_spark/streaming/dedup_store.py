@@ -157,19 +157,33 @@ def run_streaming_minhash_index(
     )
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        from parcialbigdata_spark.operators.dedup import shingle_rows
+        from parcialbigdata_spark.operators.dedup import (
+            minhash_batch_relations,
+            shingle_rows,
+        )
 
         seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
-        # Shingle the batch ONCE per micro-batch (r14): probe and
-        # ingest both need the (id, __s) relation — passing one
-        # persisted copy into both halves deletes a full re-tokenize +
-        # re-sign of every batch (the probe's band signatures and the
-        # ingest's are the same computation). Released before the
-        # batch commits, so the cache never outlives its micro-batch.
+        # Shingle the batch ONCE per micro-batch (r14) and, on probing
+        # epochs, derive its band/set relations ONCE too (r15): probe
+        # and ingest share all three persisted relations, so the
+        # tokenize, the 32-minhash signature fold and the collect_set
+        # each run once per micro-batch instead of once per operator
+        # call. Released before the batch commits, so no cache
+        # outlives its micro-batch. The seed epoch only ingests — the
+        # derived relations have a single consumer there, so only the
+        # shingle cache (two consumers inside ingest) is persisted.
         rows = shingle_rows(batch_df, "doc_id", "text", k_shingle).persist()
+        caches = [rows]
         if seed:  # nothing to probe; write the empty frame so the
             p = batch_df.sparkSession.createDataFrame([], pair_schema)
+            ingest_kwargs = {"precomputed_rows": rows}
         else:     # pairs read always has files + schema
+            bb, sh = minhash_batch_relations(
+                rows, "doc_id", num_hashes=num_hashes, bands=bands
+            )
+            bb, sh = bb.persist(), sh.persist()
+            caches += [bb, sh]
+            ingest_kwargs = {"precomputed_bands": bb, "precomputed_sets": sh}
             p = minhash_index_probe(
                 batch_df,
                 "doc_id",
@@ -181,6 +195,7 @@ def run_streaming_minhash_index(
                 bands=bands,
                 k_shingle=k_shingle,
                 precomputed_rows=rows,
+                **ingest_kwargs,
             )
         # Per-epoch overwrite directory == output idempotence: a
         # foreachBatch retry rewrites its own epoch dir, no dupes.
@@ -197,10 +212,11 @@ def run_streaming_minhash_index(
             bands=bands,
             k_shingle=k_shingle,
             append=not seed,
-            precomputed_rows=rows,
+            **ingest_kwargs,
         )
-        rows.unpersist()  # one batch-sized shingle cache per
-        # micro-batch — release, don't leak
+        for c in reversed(caches):
+            c.unpersist()  # one batch of caches per micro-batch —
+            # release, don't leak
 
     q = (
         spark.readStream.schema(doc_schema)

@@ -224,6 +224,73 @@ def test_minhash_index_probe_shuffles_only_batch_side(spark, _idx_tables):
     assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan, plan
 
 
+def test_minhash_index_shared_batch_relations_equivalent(spark, _idx_tables):
+    """r15: a probe+append sharing precomputed band/set relations
+    (minhash_batch_relations) must return and STORE exactly what the
+    unshared path does, and mismatched relations must fail loudly."""
+    from parcialbigdata_spark.operators import dedup
+
+    bands_t, sets_t = _idx_tables
+    history = _docs(
+        spark, [(1, BASE_TEXT), (2, "other spark words entirely here now")]
+    )
+    batch = _docs(
+        spark, [(10, BASE_TEXT + " tail"), (11, "unrelated qq zz content")]
+    )
+    dedup.minhash_index_ingest(
+        history, "doc_id", "text", bands_t, sets_t, k_shingle=2
+    )
+    rows = dedup.shingle_rows(batch, "doc_id", "text", 2).persist()
+    bb, sh = dedup.minhash_batch_relations(rows, "doc_id")
+    bb, sh = bb.persist(), sh.persist()
+    shared = dedup.minhash_index_probe(
+        batch, "doc_id", "text", bands_t, sets_t, threshold=0.5, k_shingle=2,
+        precomputed_rows=rows, precomputed_bands=bb, precomputed_sets=sh,
+    ).collect()
+    plain = dedup.minhash_index_probe(
+        batch, "doc_id", "text", bands_t, sets_t, threshold=0.5, k_shingle=2
+    ).collect()
+    assert sorted(map(tuple, shared)) == sorted(map(tuple, plain))
+    # Stored state: append via shared relations == append that
+    # re-derives everything, into a twin pair of tables.
+    dedup.minhash_index_ingest(
+        batch, "doc_id", "text", bands_t, sets_t, k_shingle=2, append=True,
+        precomputed_bands=bb, precomputed_sets=sh,
+    )
+    try:
+        dedup.minhash_index_ingest(
+            history, "doc_id", "text", "t9_idxb2", "t9_idxs2", k_shingle=2
+        )
+        dedup.minhash_index_ingest(
+            batch, "doc_id", "text", "t9_idxb2", "t9_idxs2", k_shingle=2,
+            append=True,
+        )
+        for got_t, exp_t, setlike in (
+            (bands_t, "t9_idxb2", False),
+            (sets_t, "t9_idxs2", True),
+        ):
+            def snap(t):
+                rws = spark.table(t).collect()
+                if setlike:
+                    return sorted((r[0], tuple(sorted(r[1]))) for r in rws)
+                return sorted(map(tuple, rws))
+            assert snap(got_t) == snap(exp_t), got_t
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t9_idxb2")
+        spark.sql("DROP TABLE IF EXISTS t9_idxs2")
+    for c in (bb, sh, rows):
+        c.unpersist()
+    with pytest.raises(ValueError, match="precomputed_bands"):
+        dedup.minhash_index_ingest(
+            batch, "doc_id", "text", bands_t, sets_t, append=True,
+            precomputed_bands=rows,
+        )
+    with pytest.raises(ValueError, match="precomputed_sets"):
+        dedup.minhash_index_probe(
+            batch, "doc_id", "text", bands_t, sets_t, precomputed_sets=rows
+        )
+
+
 # ------------------------------------------- streaming late-data audit
 
 
