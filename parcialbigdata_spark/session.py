@@ -20,6 +20,32 @@ import sys
 from pyspark.sql import DataFrame, SparkSession
 
 
+def _arrow_max_bytes() -> int:
+    """Validated Arrow per-batch byte cap (r15). Default 64 MiB;
+    ``SPARK_GRAFT_ARROW_MAX_BYTES`` overrides within [1 MiB, 1 GiB] —
+    values outside that band are configuration mistakes (a plain Arrow
+    binary column caps one batch at 2 GiB regardless, and a huge cap
+    measurably wedges the Arrow writer), so they raise at session
+    build instead of degrading every kernel downstream."""
+    raw = os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES")
+    if raw is None:
+        return 64 * 1024 * 1024
+    try:
+        val = int(raw)
+    except ValueError as exc:
+        raise ValueError(
+            f"SPARK_GRAFT_ARROW_MAX_BYTES must be an integer byte count; "
+            f"got {raw!r}"
+        ) from exc
+    if not (1024 * 1024 <= val <= 1024 * 1024 * 1024):
+        raise ValueError(
+            f"SPARK_GRAFT_ARROW_MAX_BYTES={val} outside the sane band "
+            f"[1 MiB, 1 GiB]; an Arrow binary column caps a batch at "
+            f"2 GiB regardless, and absurd caps wedge the Arrow writer"
+        )
+    return val
+
+
 def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None) -> SparkSession:
     """Build (or fetch) the tuned SparkSession.
 
@@ -59,10 +85,16 @@ def get_spark(app_name: str = "parcialbigdata-spark", master: str | None = None)
         # Python-worker memory at production blob sizes; Spark 4's
         # maxBytesPerBatch is the direct knob — 64 MB bounds the batch
         # by bytes while narrow numeric kernels keep hitting the row
-        # cap first (local fixtures: row cap binds, bench unchanged).
+        # cap first (local fixtures: row cap binds, bench unchanged;
+        # decode-kernel MB/s/core flat across 4–256 MB caps). The
+        # override is clamped to 1 GiB: a plain Arrow binary column
+        # caps one batch at 2 GiB anyway, and a measured absurd value
+        # (2^40) wedged the Arrow writer for minutes — fail loudly at
+        # session build instead (same ADVICE-r14 discipline as the
+        # EXTRA_CONF parsing).
         .config(
             "spark.sql.execution.arrow.maxBytesPerBatch",
-            os.environ.get("SPARK_GRAFT_ARROW_MAX_BYTES", str(64 * 1024 * 1024)),
+            str(_arrow_max_bytes()),
         )
         # --- scan sizing: 128 MB splits, the parquet sweet spot ---
         .config("spark.sql.files.maxPartitionBytes", "134217728")
