@@ -303,7 +303,13 @@ def _bench_png_corpus_near_dup_10k(spark, sf_dir):
     from parcialbigdata_spark.sources.phash_corpus import ensure_phash_corpus
 
     corpus = ensure_phash_corpus(spark)
-    return dhash_near_dups(png_dhash(corpus))
+    # Materialize the hashes before the self-join (r15): the opaque
+    # decode kernel never canonicalizes equal across the join's two
+    # sides, so the 10k-image decode ran TWICE per pass. localCheckpoint
+    # (not persist) keeps passes honest — it binds to THIS DataFrame
+    # object, so every timed pass re-decodes exactly once; a persist
+    # would be matched by plan from the previous pass's cache.
+    return dhash_near_dups(png_dhash(corpus).localCheckpoint())
 
 
 def _bench_wav_corpus_near_dup_10k(spark, sf_dir):
@@ -322,6 +328,11 @@ def _bench_wav_corpus_near_dup_10k(spark, sf_dir):
     from parcialbigdata_spark.sources.audio_corpus import ensure_audio_corpus
 
     corpus = ensure_audio_corpus(spark)
+    # NO decode-once materialization here, unlike the PNG twin (r15,
+    # measured): the vectorized PCM walk is ~4x faster per byte than
+    # PNG inflate+filters, so the checkpoint barrier costs more than
+    # the duplicate decode it saves (A/B floors 1.19 -> 1.33 s, old
+    # wins 3/3 pairs — the mirror of the PNG result).
     return ahash_near_dups(wav_ahash(corpus))
 
 

@@ -3503,7 +3503,12 @@ def phash_index_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     from parcialbigdata_spark.sources.binary import read_binary_dir
 
     raw = read_binary_dir(spark, _PHASH_DIR, glob="*.png")
-    hashes = png_dhash(raw)
+    # Decode ONCE for the whole lifecycle (r15): the hash relation
+    # feeds five operator calls (ingest, probe×2, append×2) and the
+    # opaque decode kernel never canonicalizes equal across jobs, so
+    # each call would otherwise re-decode every blob — the exact cost
+    # the index exists to avoid ("decode once per file ever").
+    hashes = png_dhash(raw).persist()
     is_dup = F.col("file_name").endswith("_dup.png")
     history, batch = hashes.filter(~is_dup), hashes.filter(is_dup)
     bands_t = "r12_phash_idx_bands"
@@ -3520,6 +3525,7 @@ def phash_index_probe_media(spark: SparkSession, sf_dir: str) -> DataFrame:
             "phase", "new_file", "old_file", F.col("hamming").cast("int").alias("hamming")
         )
     finally:
+        hashes.unpersist()
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}")
         spark.sql(f"DROP TABLE IF EXISTS {bands_t}__compact")
 

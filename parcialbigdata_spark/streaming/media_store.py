@@ -104,7 +104,15 @@ def run_streaming_phash_index(
     )
 
     def _probe_and_ingest(batch_df: DataFrame, epoch_id: int) -> None:
-        hashes = hash_fn(batch_df)
+        # Decode the batch ONCE per micro-batch (r15): the hash
+        # relation feeds the intra-batch self-join (both sides), the
+        # index probe and the ingest write — Spark cannot reuse the
+        # opaque decode kernel across those consumers (Python-UDF
+        # subtrees never canonicalize equal, so AQE stage reuse never
+        # fires on them), so without this persist the BLOB DECODE —
+        # the dominant cost at production media sizes — runs 2-4x per
+        # epoch. Released before the batch commits.
+        hashes = hash_fn(batch_df).persist()
         seed = epoch_id == 0  # replay-safe: recovery re-runs epoch 0
         # intra-batch pairs: same-batch members never meet in the
         # batch-vs-index probe, so the banded self-join finds them
@@ -126,6 +134,8 @@ def run_streaming_phash_index(
             os.path.join(pairs_dir, f"epoch_{int(epoch_id)}")
         )
         phash_index_ingest(hashes, bands_table, append=not seed)
+        hashes.unpersist()  # one batch-sized hash cache per
+        # micro-batch — release, don't leak
 
     q = (
         spark.readStream.schema(blob_schema)
